@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship feed query on sf0.001 (SURVEY.md §3.2).
+queries()     -> every implemented operator from SURVEY.md §2, keyed by name.
+oracle_sql()  -> matching DuckDB SQL for the value-hash correctness gate;
+                 keys absent here get the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +12,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: all-users feed top-k (newest 10 activities of followed
+    users per follower) on sf0.001."""
+    from user_feed_cdc_spark.operators.feed import flagship
+
+    return flagship(spark, SF0001)
+
+
+def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    from user_feed_cdc_spark.operators import dedup, feed, relational, similarity, textanalysis
+
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, feed, textanalysis, dedup, similarity):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,114 @@
+"""Local mirror of the driver's oracle-diff gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB at the given sf dir; compares row count,
+column-name set, and an order-insensitive value hash (columns sorted by
+name, rows sorted, floats rounded to 9 significant-ish decimals before
+hashing). Exit 1 on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+
+import duckdb
+
+
+def normalize(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{normalize(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(normalize(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else None
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from user_feed_cdc_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"  {name:35s} rows-only: {len(srows)} rows")
+            continue
+        dres = con.execute(oracles[name])
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted("|".join(normalize(r[i]) for i in order_s) for r in srows)
+                dset = sorted("|".join(normalize(r[i]) for i in order_d) for r in drows)
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        problems.append(f"  first diff:\n   spark: {a}\n   duck : {b}")
+                        break
+        status = "OK" if not problems else "FAIL"
+        print(f"  {name:35s} {status}  ({len(srows)} rows)")
+        for p in problems:
+            print(f"     {p}")
+        if problems:
+            failures.append(name)
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

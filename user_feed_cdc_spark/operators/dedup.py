@@ -1,0 +1,225 @@
+"""Deduplication operators (SURVEY.md §2.3 E1/E2 + north-star dedup).
+
+- Exact dedup: hash-groupBy / window row_number==1 — one shuffle on the
+  dedup key, scales linearly.
+- N-gram Jaccard near-dup: exact pairwise similarity within a bounded
+  candidate set (the correctness baseline the LSH path approximates).
+- MinHash+LSH near-dup: shingle → k minhashes → b bands → bucket-join.
+  This is the 100 TB path: candidate generation is a groupBy on band
+  hashes (no cross join anywhere); only same-bucket pairs are verified.
+
+Everything is built-in column expressions (xxhash64, higher-order array
+functions) — no Python UDFs, no pyspark.ml dependency, fully
+whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "dedup_exact_latest_event",
+    """
+    SELECT event_id, user_id, event_type, ts, FLOOR(value * 100.0 + 0.5) / 100.0 AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest exact dedup on (user_id, event_type): the canonical
+    CDC-compaction shape (latest row image per key). WindowGroupLimit
+    pushes the rn=1 limit below the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", r2(F.col("value")).alias("value"))
+    )
+
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by content hash, keep min doc_id as the
+    representative. Hashing first means the shuffle key is a fixed-width
+    digest, not the document body — at 100 TB you shuffle 16 bytes/doc,
+    not the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact near-dup baseline, bounded candidate set)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ts
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           FLOOR((len(list_intersect(a.ts, b.ts)) * 1.0 /
+                  len(list_distinct(list_concat(a.ts, b.ts)))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) * 1.0 /
+          len(list_distinct(list_concat(a.ts, b.ts))) >= 0.6
+"""
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded window (doc_id < 200) — the
+    ground-truth oracle for the LSH path. The deliberately bounded input
+    makes the O(n²) verify safe; unbounded near-dup goes through
+    minhash_lsh_candidates below."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_distinct(F.concat("ts_a", "ts_b"))
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", r2(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 32  # signature length
+N_BANDS = 8  # 8 bands × 4 rows — targets jaccard ≳ 0.5 candidates
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (distinct)."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingle_col, k: int = N_MINHASH):
+    """k independent minhashes: min over shingles of xxhash64(shingle, seed).
+    Pure column expressions → codegen'd, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id pairs sharing ≥1 LSH band bucket. Shuffle key = (band_idx,
+    band_hash): bounded-size buckets, no cross join. At 100 TB add a
+    bucket-size cap (skew guard) before the self-join."""
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col("text"))).alias("sig"),
+    )
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@_register("dedup_minhash_lsh", None)  # not SQL-expressible → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: LSH candidates, then exact Jaccard verify on
+    candidates only. Output: verified near-dup pairs (jaccard ≥ 0.6)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = lsh_candidate_pairs(docs)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("ts"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_distinct(F.concat("ts_a", "ts_b"))
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", r2(jac, 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
+    )

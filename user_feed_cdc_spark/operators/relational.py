@@ -1,0 +1,630 @@
+"""Core relational operator coverage (SURVEY.md §2.3 E8).
+
+The reference has no general relational operators (SURVEY.md §2.2) — this
+module provides the full batch surface the rebuilt engine needs: scans,
+filter/project with pushdown, every join flavor, hash aggregation with
+partial/final stages, distinct aggs, rollup/cube, ranking + analytic
+windows with frames, sort/limit/top-k, set ops, and the scalar function
+library (string/date/math/json).
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ``ORACLES`` under the same key.
+Aggregates are explicitly rounded the same way on both sides so the
+driver's value-hash comparison is stable across engines.
+
+Scale notes per operator are inline: what shuffles, what broadcasts,
+what AQE does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0 AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_discount > 0.05 AND l_quantity < 25
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection; predicates and the 6-column ReadSchema reach the
+    parquet scan (PushedFilters in .explain) — at 100 TB this is the
+    difference between reading 4 columns and reading 11."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate over 2 low-cardinality keys.
+    Map-side partial aggregation means the shuffle carries ~|groups| rows
+    per task regardless of input size — safe at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "agg_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: Spark expands to a two-stage plan
+    (partial distinct on (status, custkey), then final) — no driver-side
+    distinct set, scales with key cardinality not row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+
+
+@_register(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — Spark expands to a single Expand+hash-agg,
+    one pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return li.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "join_inner",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; customer is small relative to orders so Catalyst
+    broadcasts it (verified in .explain) — no shuffle of the fact side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "join_broadcast_dim",
+    """
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join: part is a dimension (2k rows at sf0.01,
+    still tiny at 100 TB fact scale); broadcasting avoids shuffling the
+    lineitem fact table entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Same shape as the reference feed lookup
+    `user_activity ⋉ followers` (reference: main.py:148-168)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, FLOOR(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        "c_custkey", "c_name", r2(F.col("c_acctbal")).alias("acctbal")
+    )
+
+
+@_register(
+    "join_left_outer",
+    """
+    SELECT n.n_name,
+           COUNT(s.s_suppkey) AS n_suppliers,
+           ROUND(COALESCE(SUM(s.s_acctbal), 0), 2) AS total_bal
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "join_multiway_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. region/nation/customer broadcast up the
+    chain; only lineitem⋈orders is a real shuffle join, and AQE converts
+    it to broadcast when the filtered orders side is small enough."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_topk_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, FLOOR(o_totalprice * 100.0 + 0.5) / 100.0 AS totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k — the feed-read pattern (reference:
+    cassandra-init.cql:14-15 clustering DESC). Spark pushes a per-partition
+    rank limit before the shuffle (WindowGroupLimit), so the shuffle carries
+    ≤k rows per key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r2(F.col("o_totalprice")).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@_register(
+    "window_running_analytics",
+    """
+    SELECT s_suppkey, l_orderkey, l_linenumber,
+           FLOOR(SUM(l_quantity) OVER w * 100.0 + 0.5) / 100.0 AS running_qty,
+           FLOOR(LAG(l_extendedprice, 1, 0.0) OVER w * 100.0 + 0.5) / 100.0 AS prev_price,
+           RANK() OVER (PARTITION BY s_suppkey ORDER BY l_extendedprice DESC) AS price_rank
+    FROM (SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_shipdate
+          FROM lineitem WHERE l_suppkey <= 10)
+    WINDOW w AS (PARTITION BY s_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows with explicit frames: running sum, lag, rank.
+    Deterministic ordering via full tiebreak (shipdate, orderkey, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_rank = W.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc())
+    return li.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.sum("l_quantity").over(frame)).alias("running_qty"),
+        r2(F.lag("l_extendedprice", 1, 0.0).over(w)).alias("prev_price"),
+        F.rank().over(w_rank).alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sort_limit_topk",
+    """
+    SELECT l_orderkey, l_linenumber, FLOOR(l_extendedprice * 100.0 + 0.5) / 100.0 AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — each task keeps a
+    k-heap, driver merges k·tasks rows. Never a full global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", r2(F.col("l_extendedprice")).alias("price"))
+        .limit(20)
+    )
+
+
+@_register(
+    "set_ops",
+    """
+    WITH o_open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         o_done AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'both' AS bucket, COUNT(*) AS n
+      FROM (SELECT o_custkey FROM o_open INTERSECT SELECT o_custkey FROM o_done)
+    UNION ALL
+    SELECT 'open_only' AS bucket, COUNT(*) AS n
+      FROM (SELECT o_custkey FROM o_open EXCEPT SELECT o_custkey FROM o_done)
+    UNION ALL
+    SELECT 'all_distinct' AS bucket, COUNT(*) AS n
+      FROM (SELECT o_custkey FROM o_open UNION SELECT o_custkey FROM o_done)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    o_open = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    o_done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = o_open.intersect(o_done).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    open_only = o_open.subtract(o_done).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("open_only").alias("bucket"), "n")
+    all_distinct = o_open.union(o_done).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("all_distinct").alias("bucket"), "n")
+    return both.unionAll(open_only).unionAll(all_distinct)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%a%' AND CONTAINS(p_type, 'O')
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%a%") & F.col("p_type").contains("O")
+    ).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@_register(
+    "date_funcs",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1993-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(SQRT(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
+           FLOOR(LN(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           ABS(l_quantity - 25) AS qty_dist
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        r2(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dist"),
+    )
+
+
+@_register(
+    "case_when_pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_final,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def case_when_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot) — one pass, no shuffle beyond
+    the group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_final"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on events.props (JVM-side get_json_object —
+    no Python in the loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation via F.window (same operator the
+    streaming path uses; epoch-aligned 1h windows == date_trunc('hour'))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

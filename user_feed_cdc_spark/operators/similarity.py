@@ -1,0 +1,189 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.3 E3 +
+north-star ANN).
+
+- Brute-force cosine top-k: the correctness baseline. Dot/norm via
+  higher-order functions (zip_with + aggregate) — JVM-side, no UDF.
+- LSH-bucketed ANN: random-hyperplane signature buckets; queries only
+  compare against same-bucket candidates. At 100 TB the bucket id is the
+  shuffle/partition key, so each comparison task sees a small slice —
+  this is the scale path (IVF-style coarse quantization has the same
+  plan shape: replace the hyperplane bucket with a centroid id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@_register(
+    "similarity_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(q.qe, q.qe))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vector vec_id=0. The query
+    vector is a broadcast 1-row join; top-k is TakeOrderedAndProject.
+    Ordering is on the ROUNDED score (+vec_id tiebreak) so ranking is
+    stable across engines/float summation orders."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            r2(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@_register(
+    "similarity_label_centroid_dist",
+    """
+    WITH dims AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, list(cv ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(v) AS cv FROM dims GROUP BY label, pos)
+        GROUP BY label
+    )
+    SELECT label, n_members, ROUND(avg_cos_to_centroid, 4) AS avg_cos_to_centroid
+    FROM (
+        SELECT e.label, COUNT(*) AS n_members,
+               AVG(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+                   (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(c.centroid, c.centroid)))) AS avg_cos_to_centroid
+        FROM embeddings e JOIN cent c ON e.label = c.label
+        GROUP BY e.label
+    )
+    """,
+)
+def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroid (the 'coarse quantizer'),
+    then mean member-to-centroid cosine. Centroid = element-wise AVG via
+    posexplode + groupBy — the distributed way to average vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs"))
+        .select("label", F.transform("pcs", lambda s: s.cv).alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("embedding"), F.col("centroid")).alias("cs")
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cs"), 4).alias("avg_cos_to_centroid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8  # 8 sign bits → 256 buckets
+
+
+def _plane_component(plane: int, dim_col) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    hash-derived, stable across runs/engines — no RNG state to ship."""
+    h = F.xxhash64(F.lit(plane), dim_col)
+    return (h % 1000).cast("double") / 500.0 - 1.0
+
+
+def lsh_bucket(emb_col) -> Column:
+    """Sign-bit signature over N_PLANES hyperplanes packed into an int."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), F.size(emb_col) - 1),
+                lambda v, i: v.cast("double") * _plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+@_register("similarity_ann_lsh", None)  # composition not SQL-expressible → rows-only
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH buckets: for query vectors vec_id < 5,
+    top-3 same-bucket neighbors by exact cosine. The join key is the
+    bucket id — candidate comparisons are n·(bucket size), never n²."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cands = emb.join(F.broadcast(queries_df), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

@@ -1,0 +1,221 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.3 E4
++ north-star text analysis: token counting, language-ID heuristic, quality
+scoring, document fingerprinting).
+
+All JVM-side: split/explode/higher-order array functions — zero Python
+UDFs. At 100 TB the explode-then-groupBy token count is the classic
+word-count shuffle; partial aggregation keeps the shuffle proportional
+to distinct tokens per partition, not total tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Tiny deterministic stopword lists for the heuristic scorers (public
+# common-word lists; the point is the operator shape, not linguistics).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+ES_STOPWORDS = ("el", "la", "de", "y", "que", "en", "un", "es")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@_register(
+    "text_token_counts",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency, top 50 (deterministic tiebreak on token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@_register(
+    "text_doc_stats",
+    """
+    SELECT doc_id, lang, source, n_chars,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS token_estimate,
+           len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: whitespace token count, a BPE-ish
+    chars/4 token estimate, unique-token count. Pure array functions —
+    no shuffle at all (narrow transform over the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens).alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("token_estimate"),
+        F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
+    )
+
+
+@_register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           n_tokens,
+           FLOOR((stop_hits * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           FLOOR(((LENGTH(text) - n_tokens + 1) * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+           CASE WHEN n_tokens >= 20 AND stop_hits * 1.0 / n_tokens < 0.5
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_sql_list(EN_STOPWORDS)}))) AS stop_hits
+        FROM documents
+    )
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, mean token length,
+    length gate — the standard pre-training corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_hits = F.size(F.filter(tokens, lambda t: t.isin(*EN_STOPWORDS)))
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.size(tokens).alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    ).filter(F.col("n_tokens") > 0)
+    stop_ratio = F.col("stop_hits") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        r2(stop_ratio, 6).alias("stopword_ratio"),
+        r2(
+            (F.length("text") - F.col("n_tokens") + 1) / F.col("n_tokens"), 6
+        ).alias("avg_token_len"),
+        F.when((F.col("n_tokens") >= 20) & (stop_ratio < 0.5), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en_hits > es_hits THEN 'en'
+                WHEN es_hits > en_hits THEN 'es'
+                ELSE 'unknown' END AS lang_guess
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_sql_list(EN_STOPWORDS)}))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_sql_list(ES_STOPWORDS)}))) AS es_hits
+        FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic (n-gram-free variant; the operator
+    shape generalizes to per-language n-gram profiles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    es_hits = F.size(F.filter(toks, lambda t: t.isin(*ES_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        F.when(F.col("en_hits") > F.col("es_hits"), "en")
+        .when(F.col("es_hits") > F.col("en_hits"), "es")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+@_register(
+    "text_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+             AS fingerprint_shingle
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact-content md5 + order-insensitive
+    sorted-unique-token md5 (catches token-order permutations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " ")).alias(
+            "fingerprint_shingle"
+        ),
+    )
+
+
+@_register(
+    "text_lang_rollup",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           FLOOR(AVG(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+           SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r2(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(tokens)).alias("total_tokens"),
+    )

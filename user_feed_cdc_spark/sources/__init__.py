@@ -1,0 +1,3 @@
+from user_feed_cdc_spark.sources.tables import load_table, register_views
+
+__all__ = ["load_table", "register_views"]

@@ -1,0 +1,48 @@
+"""Batch parquet sources for the driver testdata tables.
+
+Explicit schemas (no footer inference on the hot path) so Catalyst can
+prune columns and push predicates into the scan. At 100 TB these reads
+become partitioned parquet/Delta directories; nothing here assumes a
+single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from user_feed_cdc_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+# events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+# rejects as a timestamp; read it as raw nanos (legacy conf) and truncate
+# to microseconds — exactly what DuckDB's µs-native timestamps do, so the
+# oracle comparison sees identical values.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
