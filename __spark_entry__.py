@@ -24,11 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
-    from user_feed_cdc_spark.operators import dedup, feed, relational, similarity, textanalysis
+    from user_feed_cdc_spark.operators import (
+        cdc,
+        dedup,
+        event_windows,
+        feed,
+        relational,
+        similarity,
+        textanalysis,
+    )
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, feed, textanalysis, dedup, similarity):
+    for mod in (relational, feed, textanalysis, dedup, similarity, cdc, event_windows):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

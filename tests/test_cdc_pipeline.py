@@ -1,0 +1,155 @@
+"""CDC streaming pipeline tests (SURVEY.md §5.2): Debezium-shaped JSONL
+fixtures → file stream → canonical feed table, including the drop rules,
+dead-letter paths, checkpoint resume, and same-millisecond ordering ties
+(FIXTURES.md §B fixture requirements)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.streaming.cdc_pipeline import (
+    dead_letters,
+    normalize_events,
+    run_cdc_pipeline,
+)
+
+BASE_TS = 1704456000000  # 2024-01-05T12:00:00Z in epoch ms
+
+
+def _ev(table: str, op: str = "c", ts: int | None = BASE_TS, **payload) -> str:
+    d = dict(payload)
+    d["__op"] = op
+    d["__table"] = table
+    if ts is not None:
+        d["__source_ts_ms"] = ts
+    d["__source_table"] = table
+    return json.dumps(d)
+
+
+def fixture_lines() -> list[str]:
+    return [
+        # one valid create per table (reference strategy.py transforms T1-T4)
+        _ev("likes", id=7, shard_id=3, liked_by="2"),
+        _ev("comments", id=8, message="nice", user_id="4", shard_id=3, ts=BASE_TS + 1000),
+        _ev("shards", id=9, title="t", user_id="5", templateType="react",
+            mode="normal", type="public", ts=BASE_TS + 2000),
+        _ev("followers", id=10, follower_id="2", following_id="1", ts=BASE_TS + 3000),
+        # non-create ops: dropped (strategy.py:14-17)
+        _ev("likes", op="u", id=11, shard_id=3, liked_by="2"),
+        _ev("likes", op="d", id=12, shard_id=3, liked_by="2"),
+        _ev("likes", op="r", id=13, shard_id=3, liked_by="2"),
+        # missing __source_ts_ms: dropped (strategy.py:12-18)
+        _ev("likes", id=14, shard_id=3, liked_by="2", ts=None),
+        # unknown table: dead-letter (strategy.py:148-149)
+        _ev("mystery", id=15),
+        # same-user same-millisecond tie (SURVEY.md §7.3.1)
+        _ev("likes", id=16, shard_id=4, liked_by="2", ts=BASE_TS + 5000),
+        _ev("likes", id=17, shard_id=5, liked_by="2", ts=BASE_TS + 5000),
+    ]
+
+
+def test_normalize_batch_golden(spark):
+    """The transforms, batch-mode, against hand-computed golden rows."""
+    raw = spark.createDataFrame([(s,) for s in fixture_lines()], ["value"])
+    out = normalize_events(raw).collect()
+    assert len(out) == 6  # 4 singles + 2 tied likes
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.activity_type, []).append(r)
+
+    like = min(by_type["LIKE_SHARD"], key=lambda r: int(r.metadata["primary_key_value"]))
+    assert like.user_id == "2"
+    assert like.target_id == "3"
+    assert like.target_type == "shard"
+    assert like.event_timestamp.isoformat() == "2024-01-05T12:00:00"
+    assert like.metadata == {
+        "source_table": "likes",
+        "primary_key_value": "7",
+        "primary_key_field": "id",
+        "primary_key_type": "integer",
+    }
+
+    comment = by_type["COMMENT_SHARD"][0]
+    assert comment.user_id == "4"
+    assert comment.metadata["message"] == "nice"
+    assert comment.target_id == "3"
+
+    shard = by_type["CREATE_SHARD"][0]
+    assert shard.user_id == "5"
+    assert shard.target_id == "9"  # the new post's own pk (strategy.py:90)
+    assert shard.metadata["template_type"] == "react"
+    assert shard.metadata["title"] == "t"
+
+    follow = by_type["FOLLOW_USER"][0]
+    assert follow.user_id == "2"
+    assert follow.target_id == "1"
+    assert follow.target_type == "user"
+
+    # activity ids are unique even for same-ms ties
+    ids = [r.activity_id for r in out]
+    assert len(set(ids)) == len(ids)
+
+
+def test_dead_letters_batch(spark):
+    raw = spark.createDataFrame([(s,) for s in fixture_lines()], ["value"])
+    dl = {(r.reason) for r in dead_letters(raw).collect()}
+    assert dl == {"non_create_op", "missing_source_ts", "unknown_table"}
+    counts = {r.reason: r.n for r in
+              dead_letters(raw).groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"non_create_op": 3, "missing_source_ts": 1, "unknown_table": 1}
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path):
+    """File stream → checkpointed foreachBatch → partitioned feed table,
+    then incremental resume: a second file adds only its own rows."""
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    (src / "batch1.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+
+    q = run_cdc_pipeline(spark, str(src), feed, ckpt)
+    q.awaitTermination()
+    out1 = spark.read.parquet(feed)
+    assert out1.count() == 6
+    assert "activity_date" in out1.columns  # partition column
+    assert set(out1.select("activity_type").distinct().toPandas()["activity_type"]) == {
+        "LIKE_SHARD", "COMMENT_SHARD", "CREATE_SHARD", "FOLLOW_USER"
+    }
+
+    # resume from checkpoint: only the new file is processed
+    time.sleep(1.1)
+    (src / "batch2.jsonl").write_text(
+        _ev("followers", id=20, follower_id="9", following_id="1", ts=BASE_TS + 9000) + "\n"
+    )
+    q2 = run_cdc_pipeline(spark, str(src), feed, ckpt)
+    q2.awaitTermination()
+    out2 = spark.read.parquet(feed)
+    assert out2.count() == 7
+    assert out2.filter(F.col("user_id") == "9").count() == 1
+
+
+def test_feed_table_read_path(spark, tmp_path):
+    """Feed query over the materialized feed table: per-user newest-first
+    with deterministic tiebreak (the reference read path, main.py:136-168)."""
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    q = run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    acts = spark.read.parquet(feed)
+    user2 = (
+        acts.filter(F.col("user_id") == "2")
+        .orderBy(F.col("event_timestamp").desc(),
+                 F.col("metadata")["primary_key_value"].desc())
+        .collect()
+    )
+    # newest first: the two tied likes (ts+5000) before follow (ts+3000) before like (ts)
+    assert [r.metadata["primary_key_value"] for r in user2] == ["17", "16", "10", "7"]

@@ -1,0 +1,171 @@
+"""Streaming semantics tests (SURVEY.md §5.3): batch-vs-stream
+equivalence for the window operators, streaming dedup, and
+watermark-driven late-data dropping."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.streaming.windows import (
+    events_file_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events re-materialized as a 4-file parquet dir so the file stream
+    replays it across several micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, sf_dir, "events")
+    # write raw long nanos back out so the stream reader exercises the
+    # same ns handling as production inputs
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tumbling_batch_stream_equivalence(spark, sf_dir, events_dir):
+    """Same aggregation, batch vs 4-micro-batch incremental run (complete
+    mode: every window's final value; append-mode late-drop semantics are
+    pinned separately below)."""
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    stream = run_to_memory(
+        spark,
+        tumbling_counts(events_file_stream(spark, events_dir), "1 hour"),
+        "tumbling_eq",
+        output_mode="complete",
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_session_batch_stream_equivalence(spark, sf_dir, events_dir):
+    """Session windows must merge correctly across micro-batch boundaries —
+    the replay files are randomly partitioned, so fragments of one session
+    arrive in different batches and the stateful merge has to reassemble
+    them."""
+    batch = session_counts(load_table(spark, sf_dir, "events"), "30 minutes")
+    stream = run_to_memory(
+        spark,
+        session_counts(events_file_stream(spark, events_dir), "30 minutes"),
+        "session_eq",
+        output_mode="complete",
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def _write_spaced_files(spark, d, batches):
+    """Write one parquet file per batch with sequential names AND spaced
+    mtimes so the file stream replays them in a deterministic order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    types = [pa.int64(), pa.int64(), pa.int64(), pa.string(), pa.float64(), pa.string()]
+    for i, rows in enumerate(batches):
+        arrays = [
+            pa.array([r[j] for r in rows], type=types[j]) for j in range(len(cols))
+        ]
+        pq.write_table(pa.table(dict(zip(cols, arrays))), str(d / f"{i:04d}.parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates within the watermark horizon are suppressed exactly once;
+    the state stays bounded by the horizon (at-least-once beyond it —
+    empirically, dedup state eviction does NOT late-filter inputs, which
+    is why stream_dedup documents at-least-once, not exactly-once)."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    t0 = 1704067200000000000  # 2024-01-01 in ns
+    m = 60_000_000_000  # one minute in ns
+    _write_spaced_files(
+        spark,
+        d,
+        [
+            [(1, t0, 1, "click", 1.0, "{}"), (2, t0 + m, 1, "view", 1.0, "{}"),
+             (2, t0 + m, 1, "view", 1.0, "{}")],  # same-batch duplicate
+            [(2, t0 + m, 1, "view", 1.0, "{}"),   # cross-batch duplicate in horizon
+             (3, t0 + 5 * m, 2, "click", 1.0, "{}")],
+        ],
+    )
+    stream = events_file_stream(spark, str(d))
+    out = run_to_memory(spark, stream_dedup(stream, "10 minutes"), "dedup_horizon")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_windowed_agg_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed aggregation with watermark: rows arriving
+    older than the watermark are dropped and never re-open their window.
+
+    Note Spark's two-watermark protocol (pinned empirically on 4.1.x):
+    batch N filters late input with the watermark computed from batch N-1
+    but EVICTS state with the watermark including batch N's own advance.
+    So the window must be finalized in one batch and the late row must
+    arrive in a strictly later one to observe the drop."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    t0 = 1704067200000000000
+    m = 60_000_000_000
+    _write_spaced_files(
+        spark,
+        d,
+        [
+            # window [00:00, 01:00): 2 events
+            [(1, t0, 1, "click", 1.0, "{}"), (2, t0 + m, 1, "click", 1.0, "{}")],
+            # jump to 03:00 → watermark (10 min) advances to 02:50
+            [(3, t0 + 180 * m, 2, "click", 1.0, "{}")],
+            # spacer batch: eviction runs with watermark 02:50, emitting
+            # and finalizing window [00:00, 01:00)
+            [(5, t0 + 181 * m, 2, "click", 1.0, "{}")],
+            # late row for the finalized window → must be dropped
+            [(4, t0 + 2 * m, 9, "click", 1.0, "{}")],
+        ],
+    )
+    stream = events_file_stream(spark, str(d))
+    q = (
+        tumbling_counts(stream, "1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the late row
+    first_window = [
+        r for r in spark.table("late_drop").collect()
+        if r.window_start.isoformat().startswith("2024-01-01T00")
+    ]
+    assert len(first_window) == 1 and first_window[0].n_events == 2  # late row excluded
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    windows_sum = (
+        sliding_counts(ev, "1 hour", "30 minutes")
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert windows_sum == 2 * total

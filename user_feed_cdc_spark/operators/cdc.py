@@ -1,0 +1,183 @@
+"""Oracle-checked batch certification of the CDC pipeline transforms.
+
+The streaming pipeline (streaming/cdc_pipeline.py) is pure column
+expressions, so the exact same code runs here in batch mode: a
+deterministic Debezium-shaped JSON fixture is derived from the `events`
+table, pushed through JSON parse → validate → demux → canonical-union
+(reference semantics: strategy.py:12-149, event_processor.py:63-72),
+and the result is hash-compared against a DuckDB oracle that computes
+the expected canonical rows directly. This gives the CDC path the same
+correctness gate as the relational operators.
+
+Fixture mapping (deterministic from events): event_type purchase→likes,
+view→comments, signup→shards, click→followers, error→an unknown table
+(dead-letter path); __op cycles by event_id % 10 (0→'u', 5→'d', else
+'c') so the create-only filter is exercised (strategy.py:14-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.streaming.cdc_pipeline import dead_letters, normalize_events
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _op():
+    return (
+        F.when(F.col("event_id") % 10 == 0, "u")
+        .when(F.col("event_id") % 10 == 5, "d")
+        .otherwise("c")
+    )
+
+
+def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped JSONL derived deterministically from `events`
+    (one `value: string` column — same contract as the Kafka source)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        F.col("user_id").cast("string").alias("uid"),
+        (F.col("user_id") + 1).cast("string").alias("uid_next"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.unix_millis("ts").alias("ts_ms"),
+        _op().alias("op"),
+    )
+
+    def meta(table_lit: str):
+        return [
+            F.col("op").alias("__op"),
+            F.lit(table_lit).alias("__table"),
+            F.col("ts_ms").alias("__source_ts_ms"),
+            F.lit(table_lit).alias("__source_table"),
+        ]
+
+    likes = ev.filter(F.col("event_type") == "purchase").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("k").alias("shard_id"),
+                F.col("uid").alias("liked_by"),
+                *meta("likes"),
+            )
+        ).alias("value")
+    )
+    comments = ev.filter(F.col("event_type") == "view").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("props").alias("message"),
+                F.col("uid").alias("user_id"),
+                F.col("k").alias("shard_id"),
+                *meta("comments"),
+            )
+        ).alias("value")
+    )
+    shards = ev.filter(F.col("event_type") == "signup").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.concat(F.lit("shard "), F.col("event_id")).alias("title"),
+                F.col("uid").alias("user_id"),
+                F.lit("react").alias("templateType"),
+                F.lit("normal").alias("mode"),
+                F.lit("public").alias("type"),
+                *meta("shards"),
+            )
+        ).alias("value")
+    )
+    followers = ev.filter(F.col("event_type") == "click").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("uid").alias("follower_id"),
+                F.col("uid_next").alias("following_id"),
+                *meta("followers"),
+            )
+        ).alias("value")
+    )
+    unknown = ev.filter(F.col("event_type") == "error").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                *meta("mystery"),
+            )
+        ).alias("value")
+    )
+    return likes.union(comments).union(shards).union(followers).union(unknown)
+
+
+_CANONICAL_ORACLE = """
+    SELECT CASE event_type WHEN 'click' THEN CAST(user_id AS VARCHAR)
+                           ELSE CAST(user_id AS VARCHAR) END AS user_id,
+           CASE event_type WHEN 'purchase' THEN 'LIKE_SHARD'
+                           WHEN 'view' THEN 'COMMENT_SHARD'
+                           WHEN 'signup' THEN 'CREATE_SHARD'
+                           WHEN 'click' THEN 'FOLLOW_USER' END AS activity_type,
+           make_timestamp(epoch_ms(ts) * 1000) AS event_timestamp,
+           CASE event_type
+                WHEN 'purchase' THEN json_extract_string(props, '$.k')
+                WHEN 'view' THEN json_extract_string(props, '$.k')
+                WHEN 'signup' THEN CAST(event_id AS VARCHAR)
+                WHEN 'click' THEN CAST(user_id + 1 AS VARCHAR) END AS target_id,
+           CASE event_type WHEN 'click' THEN 'user' ELSE 'shard' END AS target_type,
+           CAST(event_id AS VARCHAR) AS pk_value,
+           CASE event_type WHEN 'view' THEN props END AS message,
+           CASE event_type WHEN 'signup' THEN 'shard ' || CAST(event_id AS VARCHAR) END AS title
+    FROM events
+    WHERE event_type IN ('purchase', 'view', 'signup', 'click')
+      AND event_id % 10 NOT IN (0, 5)
+"""
+
+
+@_register("cdc_canonical_activities", _CANONICAL_ORACLE)
+def cdc_canonical_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON fixture → THE streaming transform (normalize_events) → canonical
+    rows. activity_id (uuid) is excluded — non-deterministic by design
+    (SURVEY.md §7.3.2); metadata map is projected to columns so the
+    driver can hash it."""
+    raw = cdc_fixture_json(spark, sf_dir)
+    acts = normalize_events(raw)
+    return acts.select(
+        "user_id",
+        "activity_type",
+        "event_timestamp",
+        "target_id",
+        "target_type",
+        F.col("metadata")["primary_key_value"].alias("pk_value"),
+        F.col("metadata")["message"].alias("message"),
+        F.col("metadata")["title"].alias("title"),
+    )
+
+
+_DEADLETTER_ORACLE = """
+    SELECT CASE WHEN event_type = 'error' THEN 'unknown_table'
+                ELSE 'non_create_op' END AS reason,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'error' OR event_id % 10 IN (0, 5)
+    GROUP BY 1
+"""
+
+
+@_register("cdc_dead_letter_stats", _DEADLETTER_ORACLE)
+def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting: every dropped event lands in a reasoned
+    bucket (the anti-`except: pass`, reference event_processor.py:111-113)."""
+    raw = cdc_fixture_json(spark, sf_dir)
+    return dead_letters(raw).groupBy("reason").agg(F.count(F.lit(1)).alias("n"))

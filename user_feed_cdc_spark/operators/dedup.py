@@ -133,7 +133,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_MINHASH = 32  # signature length
-N_BANDS = 8  # 8 bands × 4 rows — targets jaccard ≳ 0.5 candidates
+N_BANDS = 16  # 16 bands × 2 rows: P(candidate | j=0.8) ≈ 1 - (1-0.64)^16 ≈ 1-1e-7
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
@@ -157,13 +157,19 @@ def minhash_signature(shingle_col, k: int = N_MINHASH):
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", n_shingle: int = 1
+) -> DataFrame:
     """doc_id pairs sharing ≥1 LSH band bucket. Shuffle key = (band_idx,
     band_hash): bounded-size buckets, no cross join. At 100 TB add a
-    bucket-size cap (skew guard) before the self-join."""
+    bucket-size cap (skew guard) before the self-join.
+
+    n_shingle picks the similarity space the minhash approximates:
+    1 → token-set Jaccard (matches the verify metric used here);
+    3-5 → trigram+ shingles for order-sensitive near-dup."""
     sig = docs.select(
         F.col(id_col),
-        minhash_signature(shingles(F.col("text"))).alias("sig"),
+        minhash_signature(shingles(F.col("text"), n_shingle)).alias("sig"),
     )
     bands = sig.select(
         id_col,

@@ -1,0 +1,92 @@
+"""Batch-mode registrations of the event-time window operators
+(streaming/windows.py) with DuckDB oracles — the same functions run in
+streaming mode; these batch twins are what the driver's oracle can check
+(FIXTURES.md: batch-equivalent GROUP BY time_bucket).
+
+- tumbling is registered as `events_hourly_rollup` in relational.py
+- sliding: each event expands to width/slide candidate windows — the
+  oracle unnests the two containing window starts per event
+- session: gaps-and-islands SQL is the oracle for session_window
+  (new session when the gap from the previous event is >= the gap
+  duration; Spark merges events strictly closer than the gap)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.streaming.windows import session_counts, sliding_counts
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "events_sliding_counts",
+    """
+    WITH g AS (
+        SELECT event_type,
+               make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS grid,
+               ts
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start,
+               event_type
+        FROM g
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min over events (epoch-aligned, so each
+    event is in exactly two windows: its 30-min grid point and the one
+    before)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, "1 hour", "30 minutes")
+
+
+@_register(
+    "events_session_stats",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions via session_window; the oracle is
+    the classic gaps-and-islands formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev, "30 minutes")

@@ -1,0 +1,126 @@
+"""Event-time streaming semantics over `events` (SURVEY.md §2.3 E6/E7):
+tumbling / sliding / session windows with watermarks, and streaming
+dedup. The reference has none of this (late data is inserted wherever it
+lands, SURVEY.md §2.2) — these are the Spark-native operators the rebuilt
+engine adds.
+
+Every aggregation here is expressed once and runs in BOTH batch and
+streaming mode (same function) — the batch run is the oracle-checkable
+form; the streaming run adds watermark-driven state eviction. Batch-vs-
+stream equivalence is pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.schemas import TABLE_SCHEMAS
+from user_feed_cdc_spark.sources.tables import _EVENTS_RAW_SCHEMA
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """Replay an events parquet directory as a stream (test stand-in for
+    Kafka; same columns as the batch table). Handles the ns-timestamp
+    parquet quirk the same way as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time window aggregation. In streaming mode the
+    watermark bounds state: windows older than max(ts) - watermark are
+    finalized and evicted; later-arriving rows for them are dropped."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows. Spark
+    plans this as an Expand (one row per containing window) + hash agg —
+    state scales with open windows, not events."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events are < gap apart. In streaming append mode pass a watermark
+    (session state must be finalizable); complete mode runs without."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming exact dedup on (event_id, ts): the watermark bounds the
+    dedup state — without it, 100 TB of stream would mean unbounded state
+    (E7). Honest semantics (verified empirically on Spark 4.1.x, pinned in
+    tests/test_streaming.py): duplicates arriving within the watermark
+    horizon are suppressed; a duplicate arriving after its key was evicted
+    is re-emitted. That is at-least-once — the same guarantee as the
+    reference pipeline (README.md:4), with a tunable horizon. Watermark
+    late-row FILTERING applies to windowed aggregations, not dedup:
+    the state operator reports numRowsDroppedByWatermark there."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DF to completion into an in-memory table
+    (availableNow) and return the materialized batch result."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
