@@ -48,11 +48,39 @@ def test_lsh_recall_against_exact_jaccard(spark, sf_dir):
     assert not missed, f"LSH missed {len(missed)} of {len(exact)} exact pairs"
 
 
-def test_minhash_lsh_pairs_are_verified(spark, sf_dir):
+def test_minhash_lsh_cluster_invariants(spark, sf_dir):
+    """Cluster-assignment output: one row per doc, rep is min of its
+    cluster, rep closure holds (rep of a rep is itself), and docs with
+    near-identical trigram shingle sets co-cluster."""
     out = dedup_minhash_lsh(spark, sf_dir)
     rows = out.collect()
-    assert all(0.6 <= r.jaccard <= 1.0 for r in rows)
-    assert all(r.doc_a < r.doc_b for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    rep = {r.doc_id: r.rep_id for r in rows}
+    assert all(rid <= did for did, rid in rep.items())
+    assert all(rep[rid] == rid for rid in set(rep.values()))  # closure
+
+    # recall: trigram-jaccard >= 0.9 pairs (bounded exact baseline) must
+    # land in the same cluster
+    from user_feed_cdc_spark.operators.dedup import shingles
+
+    sh = (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_distinct(F.concat("sa", "sb"))
+    )
+    close = (
+        a.join(b, F.col("da") < F.col("db"))
+        .filter(jac >= 0.9)
+        .select("da", "db")
+        .collect()
+    )
+    missed = [(p.da, p.db) for p in close if rep[p.da] != rep[p.db]]
+    assert not missed, f"{len(missed)}/{len(close)} near-identical pairs split"
 
 
 def test_cosine_bounds_and_self_similarity(spark, sf_dir):
