@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.streaming.cdc_pipeline import (
     dead_letters,
+    kafka_source_options,
     normalize_events,
+    read_user_feed,
     run_cdc_pipeline,
 )
 
@@ -153,3 +155,66 @@ def test_feed_table_read_path(spark, tmp_path):
     )
     # newest first: the two tied likes (ts+5000) before follow (ts+3000) before like (ts)
     assert [r.metadata["primary_key_value"] for r in user2] == ["17", "16", "10", "7"]
+
+
+def test_kafka_source_options():
+    """The Kafka subscription contract (reference services/kafka.py:8-26,
+    main.py:25-31), asserted without a broker — a topic-name typo here
+    would otherwise only surface against live Kafka."""
+    opts = kafka_source_options("broker:9092")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["startingOffsets"] == "earliest"
+    assert sorted(opts["subscribe"].split(",")) == sorted(
+        f"postgres.public.{t}" for t in ("followers", "likes", "comments", "shards")
+    )
+    assert kafka_source_options("b", "x,y")["subscribe"] == "x,y"
+
+
+def test_sink_idempotent_replay(spark, tmp_path):
+    """Replaying the same micro-batch (fresh checkpoint → same batch id)
+    must NOT duplicate feed rows: the dynamic-overwrite-by-_batch_id sink
+    replaces its own partitions. This is the §7.3.3 improvement over the
+    reference's blind at-least-once append (env.py:14-15)."""
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck1")).awaitTermination()
+    assert spark.read.parquet(feed).count() == 6
+    # replay: same input, fresh checkpoint → batch id 0 again, same feed path
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck2")).awaitTermination()
+    out = spark.read.parquet(feed)
+    assert out.count() == 6
+    dupes = (
+        out.groupBy(F.col("metadata")["primary_key_value"])
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_read_user_feed_order_pagination_pruning(spark, tmp_path):
+    """read_user_feed: (ts, _batch_id, _seq) DESC ordering resolves
+    same-millisecond ties deterministically (SURVEY.md §7.3.1 — the
+    TIMEUUID-clustering replacement), OFFSET pagination slices correctly
+    (reference main.py:137,164), and the user_bucket predicate reaches the
+    scan's partition filters (the Cassandra partition-key read path)."""
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck")).awaitTermination()
+
+    # user "2": likes 7 (ts), 16 & 17 (tied at ts+5000), follow 10 (ts+3000).
+    # _seq is input order, so the tie breaks 17 (later line) before 16.
+    page = read_user_feed(spark, feed, "2", limit=2)
+    assert [r.metadata["primary_key_value"] for r in page.collect()] == ["17", "16"]
+    page2 = read_user_feed(spark, feed, "2", limit=2, offset=2).collect()
+    assert [r.metadata["primary_key_value"] for r in page2] == ["10", "7"]
+    # rerun is deterministic (same files → same _seq assignment)
+    assert [r.metadata["primary_key_value"] for r in page.collect()] == ["17", "16"]
+
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "user_bucket" in plan.split("PartitionFilters", 1)[1][:200]

@@ -45,9 +45,35 @@ def _op():
     )
 
 
+# event_type → CDC source table for the fixture (error → unknown table,
+# exercising the dead-letter path).
+_TYPE_TABLE = {
+    "purchase": "likes",
+    "view": "comments",
+    "signup": "shards",
+    "click": "followers",
+    "error": "mystery",
+}
+
+# Shared materialized fixture per (session, sf_dir): both registered CDC
+# queries read the identical fixture, and round 1 rebuilt it from scratch
+# in each (and its 5-way union form re-scanned `events` per branch) —
+# ~20 redundant derivations, 21 s of a 66 s bench. One persist kills that.
+_FIXTURE_CACHE: dict = {}
+
+
 def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-shaped JSONL derived deterministically from `events`
-    (one `value: string` column — same contract as the Kafka source)."""
+    (one `value: string` column — same contract as the Kafka source).
+
+    Single scan: each row picks its table's to_json via when/otherwise
+    (codegen evaluates only the taken branch), replacing the round-1
+    5-way union that scanned `events` once per branch. The result is
+    persisted and shared across the registered CDC queries."""
+    key = (id(spark), sf_dir)
+    if key in _FIXTURE_CACHE:
+        return _FIXTURE_CACHE[key]
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -67,59 +93,62 @@ def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(table_lit).alias("__source_table"),
         ]
 
-    likes = ev.filter(F.col("event_type") == "purchase").select(
-        F.to_json(
-            F.struct(
-                F.col("event_id").alias("id"),
-                F.col("k").alias("shard_id"),
-                F.col("uid").alias("liked_by"),
-                *meta("likes"),
-            )
-        ).alias("value")
+    likes = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("k").alias("shard_id"),
+            F.col("uid").alias("liked_by"),
+            *meta("likes"),
+        )
     )
-    comments = ev.filter(F.col("event_type") == "view").select(
-        F.to_json(
-            F.struct(
-                F.col("event_id").alias("id"),
-                F.col("props").alias("message"),
-                F.col("uid").alias("user_id"),
-                F.col("k").alias("shard_id"),
-                *meta("comments"),
-            )
-        ).alias("value")
+    comments = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("props").alias("message"),
+            F.col("uid").alias("user_id"),
+            F.col("k").alias("shard_id"),
+            *meta("comments"),
+        )
     )
-    shards = ev.filter(F.col("event_type") == "signup").select(
-        F.to_json(
-            F.struct(
-                F.col("event_id").alias("id"),
-                F.concat(F.lit("shard "), F.col("event_id")).alias("title"),
-                F.col("uid").alias("user_id"),
-                F.lit("react").alias("templateType"),
-                F.lit("normal").alias("mode"),
-                F.lit("public").alias("type"),
-                *meta("shards"),
-            )
-        ).alias("value")
+    shards = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.concat(F.lit("shard "), F.col("event_id")).alias("title"),
+            F.col("uid").alias("user_id"),
+            F.lit("react").alias("templateType"),
+            F.lit("normal").alias("mode"),
+            F.lit("public").alias("type"),
+            *meta("shards"),
+        )
     )
-    followers = ev.filter(F.col("event_type") == "click").select(
-        F.to_json(
-            F.struct(
-                F.col("event_id").alias("id"),
-                F.col("uid").alias("follower_id"),
-                F.col("uid_next").alias("following_id"),
-                *meta("followers"),
-            )
-        ).alias("value")
+    followers = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("uid").alias("follower_id"),
+            F.col("uid_next").alias("following_id"),
+            *meta("followers"),
+        )
     )
-    unknown = ev.filter(F.col("event_type") == "error").select(
-        F.to_json(
-            F.struct(
-                F.col("event_id").alias("id"),
-                *meta("mystery"),
-            )
-        ).alias("value")
+    unknown = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            *meta("mystery"),
+        )
     )
-    return likes.union(comments).union(shards).union(followers).union(unknown)
+    value = (
+        F.when(F.col("event_type") == "purchase", likes)
+        .when(F.col("event_type") == "view", comments)
+        .when(F.col("event_type") == "signup", shards)
+        .when(F.col("event_type") == "click", followers)
+        .when(F.col("event_type") == "error", unknown)
+    )
+    fixture = (
+        ev.filter(F.col("event_type").isin(*_TYPE_TABLE))
+        .select(value.alias("value"))
+        .persist()
+    )
+    _FIXTURE_CACHE[key] = fixture
+    return fixture
 
 
 _CANONICAL_ORACLE = """

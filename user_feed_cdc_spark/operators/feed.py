@@ -45,14 +45,25 @@ def _register(name: str, oracle: str | None):
 
 def derived_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic follow-edge table over the events user population:
-    u follows u+1 and u+2 (when those users exist)."""
+    u follows u+1 and u+2 (when those users exist).
+
+    Shaped as explode + left-semi EQUI-join: the candidate edges are
+    generated row-locally (explode of a 2-element array — narrow, no
+    shuffle) and the existence check is a hash-joinable equality. The
+    naive OR-of-two-equalities join condition cannot hash-partition, so
+    Catalyst plans BroadcastNestedLoopJoin — O(users²) at scale — on the
+    flagship entry() path. This form plans a broadcast/shuffle hash join."""
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    follower = users.select(F.col("user_id").alias("follower_id"))
-    following = users.select(F.col("user_id").alias("following_id"))
-    return follower.join(
-        following,
-        (F.col("following_id") == F.col("follower_id") + 1)
-        | (F.col("following_id") == F.col("follower_id") + 2),
+    candidates = users.select(
+        F.col("user_id").alias("follower_id"),
+        F.explode(
+            F.array(F.col("user_id") + 1, F.col("user_id") + 2)
+        ).alias("following_id"),
+    )
+    return candidates.join(
+        users.select(F.col("user_id").alias("following_id")),
+        "following_id",
+        "left_semi",
     )
 
 

@@ -189,12 +189,14 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join; customer is small relative to orders so Catalyst
-    broadcasts it (verified in .explain) — no shuffle of the fact side."""
+    """Inner equi-join. No broadcast hint on customer: it scales with SF
+    (150k rows × SF), so a forced hint would bypass AQE's size check and
+    OOM executors at large SF — AQE/autoBroadcastJoinThreshold picks
+    broadcast when (and only when) the build side actually fits."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -309,9 +311,10 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. region/nation/customer broadcast up the
-    chain; only lineitem⋈orders is a real shuffle join, and AQE converts
-    it to broadcast when the filtered orders side is small enough."""
+    """TPC-H Q5 shape: star join. nation/region are genuinely bounded dims
+    (25/5 rows at any SF) → explicit broadcast; customer scales with SF so
+    it gets NO hint — AQE demotes/promotes based on the measured size.
+    Only lineitem⋈orders is a guaranteed shuffle join."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
@@ -323,7 +326,7 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -141,10 +141,13 @@ N_PLANES = 8  # 8 sign bits → 256 buckets
 
 
 def _plane_component(plane: int, dim_col) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    hash-derived, stable across runs/engines — no RNG state to ship."""
+    """Deterministic pseudo-random hyperplane component uniform in [-1, 1):
+    hash-derived, stable across runs/engines — no RNG state to ship.
+    pmod (not %) because xxhash64 is signed and Spark's % keeps the
+    dividend's sign — plain % would skew components into (-3, 1) and
+    concentrate sign bits at 0, bloating LSH buckets."""
     h = F.xxhash64(F.lit(plane), dim_col)
-    return (h % 1000).cast("double") / 500.0 - 1.0
+    return F.pmod(h, F.lit(1000)).cast("double") / 500.0 - 1.0
 
 
 def lsh_bucket(emb_col) -> Column:

@@ -204,18 +204,37 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           FLOOR(AVG(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+           ((SUM(n_chars) * 10000 + COUNT(*) // 2) // COUNT(*)) / 10000.0 AS avg_chars,
            SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens
     FROM documents
     GROUP BY lang, source
     """,
 )
 def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition rollup by (lang, source)."""
+    """Corpus composition rollup by (lang, source).
+
+    avg_chars is computed in pure INTEGER arithmetic on both sides
+    (round-half-up at 4 decimals = (sum*10^4 + n/2) intdiv n, then one
+    exact double division by 10^4): engine-aggregated AVG(double) can
+    differ by 1 ulp between Spark and DuckDB (different summation
+    orders/accumulators), which flips a floor at .5 boundaries — the
+    round-1 hash-mismatch. Integer sums are order-independent and exact."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
-    return docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        r2(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.sum(F.size(tokens)).alias("total_tokens"),
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(tokens)).alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (
+                F.expr("(sum_chars * 10000 + (n_docs div 2)) div n_docs") / F.lit(10000.0)
+            ).alias("avg_chars"),
+            "total_tokens",
+        )
     )

@@ -184,6 +184,28 @@ CDC_SCHEMAS: dict[str, T.StructType] = {
 CDC_TABLES = tuple(CDC_SCHEMAS)
 CDC_TOPIC_PREFIX = "postgres.public."  # reference: main.py:30
 
+# Merged sparse payload schema: the union of all four per-table payloads
+# (SURVEY.md §7.3.5 single-pass demux). One from_json with this schema
+# parses any CDC event in ONE pass; fields absent from a given table's
+# JSON are simply null. Field types agree across tables (id/shard_id int,
+# everything else string), so the union is well-defined.
+MERGED_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("liked_by", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("templateType", T.StringType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("follower_id", T.StringType()),
+        T.StructField("following_id", T.StringType()),
+    ]
+    + _CDC_META_FIELDS
+)
+
 # Canonical activity record (reference: config.py:18-25 CassandraRecord;
 # cassandra-init.cql:6-15 codeshard.user_activity). activity_id is an
 # opaque unique id; per-user time ordering is carried by event_timestamp

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
 
-from user_feed_cdc_spark.schemas import CDC_SCHEMAS, CDC_TABLES
+from user_feed_cdc_spark.schemas import CDC_TABLES, MERGED_CDC_SCHEMA
 
 # Minimal schema to route an event before full payload parsing.
 META_SCHEMA = T.StructType(
@@ -58,40 +58,41 @@ def _meta_map(payload) -> Column:
 
 def canonical_columns(table: str, payload) -> list[Column]:
     """The four schema-adapter transforms (reference: strategy.py:21-135),
-    as pure column expressions over a parsed payload struct column.
-
-    Returns the canonical activity columns WITHOUT activity_id (added by
-    the caller so batch oracles can substitute a deterministic id).
-    """
-    event_ts = F.timestamp_millis(payload["__source_ts_ms"]).alias("event_timestamp")
+    as pure UNALIASED column expressions over a parsed payload struct, in
+    canonical order (user_id, activity_type, event_timestamp, target_id,
+    target_type, metadata). The caller aliases them — they're composed
+    inside when/otherwise demux branches where embedded aliases are
+    illegal. activity_id is excluded (added by the caller so batch
+    oracles can substitute a deterministic id)."""
+    event_ts = F.timestamp_millis(payload["__source_ts_ms"])
     if table == "likes":  # reference: strategy.py:21-47
         return [
-            payload["liked_by"].alias("user_id"),
-            F.lit("LIKE_SHARD").alias("activity_type"),
+            payload["liked_by"],
+            F.lit("LIKE_SHARD"),
             event_ts,
-            payload["shard_id"].cast("string").alias("target_id"),
-            F.lit("shard").alias("target_type"),
-            _meta_map(payload).alias("metadata"),
+            payload["shard_id"].cast("string"),
+            F.lit("shard"),
+            _meta_map(payload),
         ]
     if table == "comments":  # reference: strategy.py:49-76
         return [
-            payload["user_id"].alias("user_id"),
-            F.lit("COMMENT_SHARD").alias("activity_type"),
+            payload["user_id"],
+            F.lit("COMMENT_SHARD"),
             event_ts,
-            payload["shard_id"].cast("string").alias("target_id"),
-            F.lit("shard").alias("target_type"),
+            payload["shard_id"].cast("string"),
+            F.lit("shard"),
             F.map_concat(
                 _meta_map(payload),
                 F.create_map(F.lit("message"), F.coalesce(payload["message"], F.lit(""))),
-            ).alias("metadata"),
+            ),
         ]
     if table == "shards":  # reference: strategy.py:78-108
         return [
-            payload["user_id"].alias("user_id"),
-            F.lit("CREATE_SHARD").alias("activity_type"),
+            payload["user_id"],
+            F.lit("CREATE_SHARD"),
             event_ts,
-            payload["id"].cast("string").alias("target_id"),
-            F.lit("shard").alias("target_type"),
+            payload["id"].cast("string"),
+            F.lit("shard"),
             F.map_concat(
                 _meta_map(payload),
                 F.create_map(
@@ -100,16 +101,16 @@ def canonical_columns(table: str, payload) -> list[Column]:
                     F.lit("type"), F.coalesce(payload["type"], F.lit("")),
                     F.lit("title"), F.coalesce(payload["title"], F.lit("")),
                 ),
-            ).alias("metadata"),
+            ),
         ]
     if table == "followers":  # reference: strategy.py:110-135
         return [
-            payload["follower_id"].alias("user_id"),
-            F.lit("FOLLOW_USER").alias("activity_type"),
+            payload["follower_id"],
+            F.lit("FOLLOW_USER"),
             event_ts,
-            payload["following_id"].alias("target_id"),
-            F.lit("user").alias("target_type"),
-            _meta_map(payload).alias("metadata"),
+            payload["following_id"],
+            F.lit("user"),
+            _meta_map(payload),
         ]
     raise ValueError(f"unknown CDC table {table!r}")
 
@@ -128,43 +129,68 @@ def is_valid(meta) -> Column:
     )
 
 
+_CANONICAL_COL_NAMES = (
+    "user_id",
+    "activity_type",
+    "event_timestamp",
+    "target_id",
+    "target_type",
+    "metadata",
+)
+
+
 def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """value (JSON string) → canonical activity records.
 
-    Works identically on batch and streaming DataFrames: parse the meta
-    fields once, then per-table parse + transform branches union'd
-    (normalize-then-union, SURVEY.md §7.3.5). All narrow operations —
-    zero shuffles; at 100 TB this runs at source parallelism.
+    SINGLE-PASS demux (SURVEY.md §7.3.5): one from_json with the merged
+    sparse schema parses every event once, then each canonical column is a
+    when/otherwise over __source_table picking that table's transform
+    expression (reference: strategy.py:21-135 + factory dispatch
+    strategy.py:137-149). Round 1 used normalize-then-union — four
+    filtered branches that each re-parsed the source, so a batch run
+    re-derived the input ~4-20× (the round-1 bench's dominant cost) and a
+    streaming run kept per-branch source scans. One pass, all narrow
+    operations, zero shuffles — at 100 TB this runs at source parallelism
+    and reads each byte exactly once.
+
+    `_seq` is the monotonic tiebreaker standing in for the reference's
+    TIMEUUID clustering order (strategy.py:36 uuid1(),
+    cassandra-init.cql:14-15; SURVEY.md §7.3.1): feed reads order by
+    (event_timestamp DESC, _seq DESC). Kafka deployments should derive it
+    from (partition, offset); file/batch sources get
+    monotonically_increasing_id — monotone in source order within a
+    partition, which is exactly the reference's per-consumer arrival
+    order guarantee.
     """
-    meta = F.from_json(F.col(value_col), META_SCHEMA)
-    tagged = raw.withColumn("_meta", meta)
-    branches = []
-    for table in CDC_TABLES:
-        payload = F.from_json(F.col(value_col), CDC_SCHEMAS[table])
-        branch = (
-            tagged.filter(
-                (F.col("_meta")["__source_table"] == table) & is_valid(F.col("_meta"))
-            )
-            .withColumn("_p", payload)
-            .select(
-                F.expr("uuid()").alias("activity_id"),
-                *canonical_columns(table, F.col("_p")),
-            )
-            .select(
-                "user_id",
-                "activity_id",
-                "activity_type",
-                "event_timestamp",
-                "target_id",
-                "target_type",
-                "metadata",
-            )
-        )
-        branches.append(branch)
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    # monotonically_increasing_id is illegal on streaming plans; there the
+    # sink assigns _seq per micro-batch (write_feed_stream), paired with
+    # _batch_id so ordering is (ts, _batch_id, _seq).
+    seq = (
+        F.lit(None).cast("long")
+        if raw.isStreaming
+        else F.monotonically_increasing_id()
+    )
+    parsed = raw.select(
+        F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
+        seq.alias("_seq"),
+    )
+    p = F.col("_p")
+    valid = parsed.filter(is_valid(p) & p["__source_table"].isin(*CDC_TABLES))
+
+    per_table = {t: canonical_columns(t, p) for t in CDC_TABLES}
+    out_cols = []
+    for i, name in enumerate(_CANONICAL_COL_NAMES):
+        col = F.when(p["__source_table"] == CDC_TABLES[0], per_table[CDC_TABLES[0]][i])
+        for t in CDC_TABLES[1:]:
+            col = col.when(p["__source_table"] == t, per_table[t][i])
+        out_cols.append(col.alias(name))
+
+    return valid.select(
+        out_cols[0],  # user_id
+        F.expr("uuid()").alias("activity_id"),
+        *out_cols[1:],
+        "_seq",
+    )
 
 
 def dead_letters(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -205,28 +231,38 @@ def file_json_stream(spark: SparkSession, path: str, max_files: int | None = Non
     return reader.load(path).select(F.col("value"))
 
 
+def kafka_source_options(
+    bootstrap_servers: str, topics: str | None = None
+) -> dict[str, str]:
+    """Option map for the Kafka CDC source (reference: services/kafka.py:8-26,
+    main.py:25-31 — 4 topics postgres.public.{followers,likes,comments,
+    shards}, earliest offset reset). Pure function so the subscription
+    contract is unit-testable without a broker: a typo here would
+    otherwise only surface against live Kafka. Offsets ride the Spark
+    checkpoint, NOT consumer auto-commit (the reference's at-least-once
+    auto-commit, env.py:14-15, is strictly weaker)."""
+    from user_feed_cdc_spark.schemas import CDC_TOPIC_PREFIX
+
+    topics = topics or ",".join(f"{CDC_TOPIC_PREFIX}{t}" for t in CDC_TABLES)
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": "earliest",
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topics: str | None = None,
 ) -> DataFrame:
-    """Kafka CDC source (reference: services/kafka.py:8-26, main.py:25-31 —
-    4 topics postgres.public.{followers,likes,comments,shards}, earliest
-    offsets). Offsets ride the checkpoint, not consumer auto-commit.
-    Requires the spark-sql-kafka package on the classpath; untestable in
-    this container, kept behind this constructor.
-    """
-    from user_feed_cdc_spark.schemas import CDC_TOPIC_PREFIX
-
-    topics = topics or ",".join(f"{CDC_TOPIC_PREFIX}{t}" for t in CDC_TABLES)
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", "earliest")
-        .load()
-        .select(F.col("value").cast("string").alias("value"))
-    )
+    """Kafka CDC source stream with the same `value: string` contract as
+    file_json_stream, so normalize_events is source-agnostic. Requires
+    the spark-sql-kafka package on the classpath."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topics).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -234,29 +270,58 @@ def kafka_stream(
 # ---------------------------------------------------------------------------
 
 
+N_USER_BUCKETS = 32  # feed-layout fanout; scale with cluster size at 100 TB
+
+
+def user_bucket_expr(user_id_col, n_buckets: int = N_USER_BUCKETS) -> Column:
+    """Deterministic user → bucket assignment. Foldable for a literal
+    user_id, so per-user reads partition-prune to 1/n of the files."""
+    return F.pmod(F.xxhash64(user_id_col), F.lit(n_buckets))
+
+
 def write_feed_stream(
     activities: DataFrame,
     feed_path: str,
     checkpoint: str,
     available_now: bool = True,
+    n_user_buckets: int = N_USER_BUCKETS,
 ):
-    """Feed-table sink: parquet partitioned by activity_date (the lake
-    translation of Cassandra's user_id partition + time-DESC clustering,
-    cassandra-init.cql:14-15 — date partitions prune time-range reads;
-    per-user access is a pushed-down user_id predicate; at real scale
-    add bucketing by user_id in a metastore/Delta table).
+    """Feed-table sink: parquet partitioned by (activity_date, user_bucket,
+    _batch_id) — the lake translation of Cassandra's storage design
+    (cassandra-init.cql:14-15): date partitions prune time-range reads,
+    user_bucket partitions prune per-user reads to 1/n of the files (the
+    user_id partition-key role), and explicit (event_timestamp, _batch_id,
+    _seq) ordering replaces the TIMEUUID DESC clustering.
 
-    foreachBatch writes make the micro-batch append atomic per batch id;
-    checkpoint + idempotent re-run gives at-least-once end-to-end
-    (same guarantee as the reference, README.md:4, minus its data-loss
-    bug event_processor.py:111-113).
+    IDEMPOTENT replay (improves on the reference's at-least-once +
+    swallow-all data loss, env.py:14-15 / event_processor.py:111-113):
+    each micro-batch dynamic-OVERWRITES exactly its own _batch_id
+    partitions, so a retried/replayed batch replaces its previous output
+    instead of appending duplicates — effectively-once end-to-end given
+    the checkpointed source offsets. _seq is assigned here (per-batch
+    monotonically_increasing_id — legal in foreachBatch where the frame
+    is batch again); with ascending _batch_id it gives same-millisecond
+    events a deterministic total order. At 100 TB, compact small
+    _batch_id partitions periodically; the overwrite unit stays the batch.
     """
-    out = activities.withColumn("activity_date", F.to_date("event_timestamp"))
+    out = (
+        activities
+        .withColumn("activity_date", F.to_date("event_timestamp"))
+        .withColumn("user_bucket", user_bucket_expr(F.col("user_id"), n_user_buckets))
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        if "_seq" in df.columns:
+            df = df.withColumn(
+                "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+            )
+        else:
+            df = df.withColumn("_seq", F.monotonically_increasing_id())
         (
-            batch_df.write.mode("append")
-            .partitionBy("activity_date")
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("activity_date", "user_bucket", "_batch_id")
             .parquet(feed_path)
         )
 
@@ -268,6 +333,50 @@ def write_feed_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_user_feed(
+    spark: SparkSession,
+    feed_path: str,
+    user_id: str,
+    limit: int = 100,
+    offset: int = 0,
+    n_user_buckets: int = N_USER_BUCKETS,
+) -> DataFrame:
+    """Per-user feed page over the materialized feed table (reference
+    endpoint: main.py:136-189, limit+offset pagination main.py:137,164).
+
+    The user_bucket predicate is constant-foldable (hash of a literal),
+    so the scan partition-prunes to 1/n_buckets of the files before the
+    user_id filter even runs — the Cassandra partition-key read path
+    re-expressed. Ordering: (event_timestamp, _batch_id, _seq) DESC — the
+    explicit TIMEUUID-clustering replacement (SURVEY.md §7.3.1). OFFSET
+    is top-(offset+limit) then a row_number slice over that bounded set
+    (never a global sort)."""
+    feed = spark.read.parquet(feed_path)
+    order = [
+        F.col("event_timestamp").desc(),
+        F.col("_batch_id").desc(),
+        F.col("_seq").desc(),
+    ]
+    page = (
+        feed.filter(
+            (F.col("user_bucket") == user_bucket_expr(F.lit(user_id), n_user_buckets))
+            & (F.col("user_id") == user_id)
+        )
+        .orderBy(*order)
+        .limit(offset + limit)
+    )
+    if offset == 0:
+        return page
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(*order)  # single partition of ≤ offset+limit rows — bounded
+    return (
+        page.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .drop("_rn")
+    )
 
 
 def run_cdc_pipeline(
