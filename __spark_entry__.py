@@ -29,6 +29,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         dedup,
         event_windows,
         feed,
+        multimodal,
         relational,
         similarity,
         textanalysis,
@@ -36,7 +37,16 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, feed, textanalysis, dedup, similarity, cdc, event_windows):
+    for mod in (
+        relational,
+        feed,
+        textanalysis,
+        dedup,
+        similarity,
+        multimodal,
+        cdc,
+        event_windows,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

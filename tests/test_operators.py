@@ -95,6 +95,88 @@ def test_cosine_bounds_and_self_similarity(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_simhash_properties(spark, sf_dir):
+    """Identical texts ⇒ identical simhash (hamming 0); candidate pairs
+    are symmetric-free (a<b) and within the hamming cap."""
+    from user_feed_cdc_spark.operators.dedup import dedup_simhash, simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", F.md5("text").alias("h"), simhash64("text").alias("sig"))
+    # exact-duplicate texts must produce the exact same signature
+    incoherent = (
+        sigs.groupBy("h")
+        .agg(F.countDistinct("sig").alias("nsig"))
+        .filter(F.col("nsig") > 1)
+        .count()
+    )
+    assert incoherent == 0
+    pairs = dedup_simhash(spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert all(0 <= r.hamming <= 6 for r in pairs)
+    # the corpus has exact dups (dedup_exact_docs groups) → hamming-0 pairs
+    n_dup_groups = (
+        docs.groupBy(F.md5("text")).count().filter("count > 1").count()
+    )
+    if n_dup_groups:
+        assert any(r.hamming == 0 for r in pairs)
+
+
+def test_embedding_near_dup_paths_agree(spark, sf_dir):
+    """The bucketed (LSH) embedding near-dup path must be a subset of the
+    exact path on the bounded window, with identical scores."""
+    from user_feed_cdc_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_lsh(spark, sf_dir)
+        .filter((F.col("vec_a") < 400) & (F.col("vec_b") < 400))
+        .collect()
+    }
+    for pair, score in lsh.items():
+        assert pair in exact and exact[pair] == score
+
+
+def test_multimodal_feature_extract(spark, sf_dir):
+    """mapInPandas plumbing: row count preserved, fixed feature width,
+    deterministic across runs, modality assignment matches metadata."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    feats = extract_features(mm)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r.features)
+    again = {r.doc_id: r.features for r in extract_features(mm).collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+
+
+def test_minhash_lsh_skew_cap_keeps_all_docs(spark, sf_dir):
+    """With an aggressive bucket cap every doc still gets a cluster row
+    (skew-dropped docs fall back to singleton self-clusters)."""
+    from user_feed_cdc_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_minhash_lsh(spark, sf_dir, max_bucket=2)
+    assert out.count() == docs.count()
+    rep = {r.doc_id: r.rep_id for r in out.collect()}
+    assert all(rid <= did for did, rid in rep.items())
+    assert all(rep[rid] == rid for rid in set(rep.values()))
+
+
 def test_feed_topk_ordering(spark, sf_dir):
     feed = feed_topk_per_user(spark, sf_dir).collect()
     per_user: dict = {}

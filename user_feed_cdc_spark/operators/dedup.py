@@ -240,8 +240,27 @@ def lsh_band_rows(docs: DataFrame, id_col: str = "doc_id", n_shingle: int = 1) -
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+MAX_BUCKET = 256  # LSH skew guard: buckets larger than this are degenerate
+
+
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Cut lineage between propagation rounds. ``local_checkpoint`` is the
+    fast single-process path but NOT fault-tolerant on a real cluster
+    (executor loss kills the job); ``persist`` keeps the lineage and
+    replicated blocks — use it (or a reliable checkpoint dir) at 100 TB."""
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=False)
+    return df.persist()
+
+
 @_register("dedup_minhash_lsh", None)  # not SQL-expressible → rows-only check
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = MAX_BUCKET,
+    max_rounds: int = 8,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
     """MinHash+LSH near-dup as CLUSTER assignment (the production shape for
     LLM-corpus dedup, cf. SlimPajama/Gopher pipelines): LSH band buckets →
     connected components via min-label propagation → (doc_id, rep_id).
@@ -251,25 +270,193 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself O(n²) (57% of ALL pairs at sf0.01) — any pair-enumerating plan is
     quadratic in output alone. Cluster assignment is O(n·bands) edges: each
     bucket contributes one (doc → bucket-min) star edge, never m² pairs, so
-    the shuffle volume at 100 TB is bands×n fixed-width rows. Pointer-jump
-    iterations converge in O(log n); lineage cut with localCheckpoint."""
+    the shuffle volume at 100 TB is bands×n fixed-width rows.
+
+    Scale hardening:
+    - Skew guard: buckets larger than ``max_bucket`` are dropped from
+      propagation (a hash bucket that big is a degenerate/templated
+      shingle set, not a dedup cluster; at 100 TB one hot bucket would
+      otherwise serialize a whole executor). Docs only seen in dropped
+      buckets keep themselves as rep.
+    - Convergence early-exit: labels only ever DECREASE under min-label
+      propagation, so Σ rep_id is strictly decreasing until fixpoint —
+      one cheap scalar agg per round detects convergence exactly, no
+      join-diff needed. Rounds = bucket-graph cluster diameter (2-3
+      typical); ``max_rounds`` bounds pathological chains.
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    all_docs = docs.select("doc_id")
+    bands = lsh_band_rows(docs, n_shingle=3)
+    # skew guard: drop degenerate buckets before any join
+    bands = (
+        bands.withColumn(
+            "_bsz", F.count(F.lit(1)).over(W.partitionBy("band_idx", "band_hash"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
     # materialize once: the minhash computation must not rerun per round
-    bands = lsh_band_rows(docs, n_shingle=3).localCheckpoint(eager=True)
+    bands = _materialize(bands, materialize)
+
     labels = bands.select("doc_id").distinct().withColumn("rep_id", F.col("doc_id"))
-    # min-label propagation through buckets-as-hyperedges; each round every
-    # bucket's min label spreads to all its members, so rounds needed =
-    # cluster diameter in the bucket graph (≤2-3 for real near-dup
-    # clusters; 4 fixed rounds covers diameter 4 without paying a
-    # convergence-count action per round)
-    for _ in range(4):
-        labels = (
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = _materialize(
             bands.join(labels, "doc_id")
             .withColumn(
                 "bm", F.min("rep_id").over(W.partitionBy("band_idx", "band_hash"))
             )
             .groupBy("doc_id")
-            .agg(F.min("bm").alias("rep_id"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("bm").alias("rep_id")),
+            materialize,
         )
-    return labels.select("doc_id", "rep_id")
+        cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # docs whose every bucket was skew-dropped (or with no shingles) are
+    # their own singleton cluster
+    return all_docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep_id", "doc_id").alias("rep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-vote fingerprint; hamming-distance near-dup)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: hamming ≤ 3 pairs share ≥1 band for sure
+
+
+def simhash64(col_name: str):
+    """64-bit SimHash over the named string column: per-token xxhash64,
+    each bit votes ±1, sign of the vote total sets the output bit. One
+    pass over the token array via SQL higher-order functions — JVM-side,
+    codegen'd, no UDF. Near-identical token multisets differ in few
+    votes → small hamming distance."""
+    expr = """
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(filter(split({c}, ' '), t -> t != ''), t -> xxhash64(t)),
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(acc, transform(sequence(0, 63),
+                                              i -> CASE WHEN (h >> i) & 1 = 1
+                                                        THEN 1L ELSE -1L END),
+                               (a, b) -> a + b)
+        ),
+        sequence(0, 63),
+        (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END
+      ),
+      0L, (a, b) -> a | b
+    )
+    """
+    return F.expr(expr.format(c=col_name))
+
+
+@_register("dedup_simhash", None)  # xxhash64 has no DuckDB twin → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, candidates via 4×16-bit
+    band buckets (pigeonhole: hamming ≤ 3 ⇒ one band identical; wider
+    hamming trades recall), verified by exact popcount of the XOR. The
+    candidate join keys on a 16-bit band value — bounded buckets, never
+    all-pairs. Property-tested: identical texts ⇒ identical simhash
+    (tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash64("text").alias("sig")
+    )
+    bands = docs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> named_struct('band_idx', b, 'band_val', (sig >> (b * 16)) & 65535))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_NEAR_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 400
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+@_register("dedup_embedding_cosine", _EMB_NEAR_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline over a bounded window
+    (vec_id < 400 — same role as dedup_ngram_jaccard's bound: the ground
+    truth a bucketed path approximates). All pairs above the similarity
+    threshold. The unbounded scale path is dedup_embedding_lsh below."""
+    from user_feed_cdc_spark.operators.similarity import cosine
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", r2(cos, 4).alias("cos_sim"))
+    )
+
+
+@_register("dedup_embedding_lsh", None)  # bucketed composition → rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH bucket as the join key
+    (reusing similarity.lsh_bucket), exact cosine only within buckets —
+    candidate volume is Σ bucket², never n². Emits same-bucket pairs
+    above the threshold; union more hyperplane seeds for recall at 100 TB."""
+    from user_feed_cdc_spark.operators.similarity import cosine, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", r2(cos, 4).alias("cos_sim"))
+    )

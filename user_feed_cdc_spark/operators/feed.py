@@ -154,6 +154,53 @@ def feed_single_user_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "feed_single_user_page_offset",
+    _FOLLOWERS_CTE
+    + """
+    SELECT e.event_id, e.user_id AS author_id, e.event_type, e.ts,
+           FLOOR(e.value * 100.0 + 0.5) / 100.0 AS value
+    FROM events e
+    WHERE e.user_id IN (SELECT following_id FROM followers WHERE follower_id = 3)
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 100 OFFSET 100
+    """,
+)
+def feed_single_user_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference endpoint's second page: limit=100 offset=100
+    (main.py:137,164-166 — note CQL has no OFFSET, a reference bug
+    SURVEY.md §7.3.4; this implements the documented intent). Plan shape:
+    top-(offset+limit) via TakeOrderedAndProject (per-task k-heaps, never
+    a global sort), then a row_number slice over that bounded ≤200-row
+    set — the single-partition window is safe because its input is
+    already limited."""
+    limit, offset = 100, 100
+    events = load_table(spark, sf_dir, "events")
+    edges = (
+        derived_followers(spark, sf_dir)
+        .filter(F.col("follower_id") == 3)
+        .select(F.col("following_id").alias("user_id"))
+    )
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    page = (
+        events.join(F.broadcast(edges), "user_id", "left_semi")
+        .orderBy(*order)
+        .limit(offset + limit)
+    )
+    w = W.orderBy(*order)
+    return (
+        page.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .select(
+            "event_id",
+            F.col("user_id").alias("author_id"),
+            "event_type",
+            "ts",
+            r2(F.col("value")).alias("value"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the all-users feed top-k."""
     return feed_topk_per_user(spark, sf_dir)
