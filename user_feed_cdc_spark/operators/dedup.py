@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.functions.numeric import round_half_up as r2
-from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -176,6 +176,7 @@ def lsh_candidate_pairs(
     n_shingle picks the similarity space the minhash approximates:
     1 → token-set Jaccard (matches the verify metric used here);
     3-5 → trigram+ shingles for order-sensitive near-dup."""
+    docs = fan_out(docs)
     sig = docs.select(
         F.col(id_col),
         minhash_signature(shingles(F.col("text"), n_shingle)).alias("sig"),
@@ -213,7 +214,10 @@ def lsh_candidate_pairs(
 
 
 def lsh_band_rows(docs: DataFrame, id_col: str = "doc_id", n_shingle: int = 1) -> DataFrame:
-    """(id, band_idx, band_hash) — one row per doc per band."""
+    """(id, band_idx, band_hash) — one row per doc per band. fan_out
+    spreads the signature computation (the CPU-dominant step) across all
+    cores when the scan under-partitions."""
+    docs = fan_out(docs)
     sig = docs.select(
         F.col(id_col),
         minhash_signature(shingles(F.col("text"), n_shingle)).alias("sig"),
@@ -301,15 +305,31 @@ def dedup_minhash_lsh(
     labels = bands.select("doc_id").distinct().withColumn("rep_id", F.col("doc_id"))
     prev_sum = None
     for _ in range(max_rounds):
-        labels = _materialize(
+        # hyperedge step: every bucket's min label spreads to its members
+        stepped = (
             bands.join(labels, "doc_id")
             .withColumn(
                 "bm", F.min("rep_id").over(W.partitionBy("band_idx", "band_hash"))
             )
             .groupBy("doc_id")
-            .agg(F.min("bm").alias("rep_id")),
+            .agg(F.min("bm").alias("rep_id"))
+        )
+        # pointer-jump (path halving): rep ← rep(rep). The hyperedge step
+        # alone moves labels ONE hop per round, so a chain of templated
+        # near-dups of diameter d needs d rounds (measured: >8 at sf0.1 —
+        # the sum-convergence exit never fired). Composing with the jump
+        # squares the propagation distance per round → O(log d) rounds.
+        reps = stepped.select(
+            F.col("doc_id").alias("rep_id"), F.col("rep_id").alias("_rr")
+        )
+        labels = _materialize(
+            stepped.join(reps, "rep_id", "left").select(
+                "doc_id", F.coalesce("_rr", F.col("rep_id")).alias("rep_id")
+            ),
             materialize,
         )
+        # labels only ever decrease → Σ rep_id strictly decreases until
+        # fixpoint; one scalar agg per round detects convergence exactly
         cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -328,22 +348,28 @@ def dedup_minhash_lsh(
 SIMHASH_BANDS = 4  # 4 × 16-bit bands: hamming ≤ 3 pairs share ≥1 band for sure
 
 
-def simhash64(col_name: str):
+SIMHASH_MAX_TOKENS = 256  # fingerprint the doc head: bounds per-row cost
+
+
+def simhash64(col_name: str, max_tokens: int = SIMHASH_MAX_TOKENS):
     """64-bit SimHash over the named string column: per-token xxhash64,
     each bit votes ±1, sign of the vote total sets the output bit. One
-    pass over the token array via SQL higher-order functions — JVM-side,
-    codegen'd, no UDF. Near-identical token multisets differ in few
-    votes → small hamming distance."""
+    pass via SQL higher-order functions — JVM-side, no UDF. The vote
+    accumulator zip_withs directly against the constant bit-index
+    sequence (no per-token bit-array materialization), and the signature
+    covers the first ``max_tokens`` tokens — the standard head-fingerprint
+    bound that caps per-document cost regardless of length. Near-identical
+    token multisets differ in few votes → small hamming distance."""
     expr = """
     aggregate(
       zip_with(
         aggregate(
-          transform(filter(split({c}, ' '), t -> t != ''), t -> xxhash64(t)),
+          transform(slice(filter(split({c}, ' '), t -> t != ''), 1, {mt}),
+                    t -> xxhash64(t)),
           array_repeat(0L, 64),
-          (acc, h) -> zip_with(acc, transform(sequence(0, 63),
-                                              i -> CASE WHEN (h >> i) & 1 = 1
-                                                        THEN 1L ELSE -1L END),
-                               (a, b) -> a + b)
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + CASE WHEN (h >> i) & 1 = 1
+                                              THEN 1L ELSE -1L END)
         ),
         sequence(0, 63),
         (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END
@@ -351,7 +377,7 @@ def simhash64(col_name: str):
       0L, (a, b) -> a | b
     )
     """
-    return F.expr(expr.format(c=col_name))
+    return F.expr(expr.format(c=col_name, mt=max_tokens))
 
 
 @_register("dedup_simhash", None)  # xxhash64 has no DuckDB twin → rows-only
@@ -362,7 +388,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> Dat
     candidate join keys on a 16-bit band value — bounded buckets, never
     all-pairs. Property-tested: identical texts ⇒ identical simhash
     (tests/test_operators.py)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", simhash64("text").alias("sig")
     )
     bands = docs.select(
@@ -419,20 +445,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < 400 — same role as dedup_ngram_jaccard's bound: the ground
     truth a bucketed path approximates). All pairs above the similarity
     threshold. The unbounded scale path is dedup_embedding_lsh below."""
-    from user_feed_cdc_spark.operators.similarity import cosine
+    from user_feed_cdc_spark.operators.similarity import dot, norm
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 400)
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    # norms precomputed per vector (n, not n² evaluations); cosine is
+    # evaluated ONCE per pair (filter on the projected column, not a
+    # second evaluation of the expression)
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", r2(cos, 4).alias("cos_sim"))
+        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+        .select("vec_a", "vec_b", r2(F.col("_cos"), 4).alias("cos_sim"))
     )
 
 
@@ -442,21 +478,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reusing similarity.lsh_bucket), exact cosine only within buckets —
     candidate volume is Σ bucket², never n². Emits same-bucket pairs
     above the threshold; union more hyperplane seeds for recall at 100 TB."""
-    from user_feed_cdc_spark.operators.similarity import cosine, lsh_bucket
+    from user_feed_cdc_spark.operators.similarity import dot, lsh_bucket, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", r2(cos, 4).alias("cos_sim"))
+        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+        .select("vec_a", "vec_b", r2(F.col("_cos"), 4).alias("cos_sim"))
     )

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -173,7 +173,14 @@ def extract_features(mm: DataFrame) -> DataFrame:
                 }
             )
 
-    flat = mm.select("doc_id", F.col("meta.modality").alias("modality"), "payload")
+    # modest fan-out: each NEW partition pays a Python worker cold-start
+    # (fork + Arrow init), so matching core count on a small input spends
+    # more on spawns than it wins in parallelism; 8 balances both. On a
+    # warm cluster (reused workers) raise toward the core count.
+    flat = fan_out(
+        mm.select("doc_id", F.col("meta.modality").alias("modality"), "payload"),
+        min_parallelism=8,
+    )
     return flat.mapInPandas(batches, out_schema)
 
 

@@ -42,6 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan produced
+    fewer partitions than cores. Small/single-file inputs otherwise pin
+    expensive per-row compute (minhash/simhash signatures, Pandas UDFs)
+    to ONE task while the other 31 cores idle — the round-2 profile
+    showed exactly that on the signature operators. At real scale the
+    scan already yields ≥cores partitions and this is a no-op (the
+    condition, not just the call, is the contract: never repartition a
+    well-partitioned input just to repartition it)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
