@@ -159,6 +159,45 @@ def test_windowed_agg_drops_late_rows(spark, tmp_path):
     assert len(first_window) == 1 and first_window[0].n_events == 2  # late row excluded
 
 
+def test_stateful_running_user_totals(spark, sf_dir, events_dir):
+    """applyInPandasWithState: per-user running totals carried across
+    micro-batches. After draining the 4-file replay, each user's LAST
+    emitted update must equal the batch groupBy over the whole table —
+    state survived batch boundaries and folded every row exactly once."""
+    from user_feed_cdc_spark.streaming.stateful import running_user_totals
+
+    out = run_to_memory(
+        spark,
+        running_user_totals(events_file_stream(spark, events_dir)),
+        "user_totals",
+        output_mode="update",
+    ).collect()
+    # the final update per user is the one with the highest n_events
+    # (totals only grow)
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+
+    batch = {
+        r.user_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f.n_events == b.n_events
+        assert abs(f.total_value - b.total_value) < 1e-6
+        assert f.last_ts == b.last_ts
+
+
 def test_sliding_each_event_in_two_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     total = ev.count()

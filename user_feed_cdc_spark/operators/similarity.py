@@ -12,7 +12,7 @@ north-star ANN).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.functions.numeric import round_half_up as r2
@@ -81,6 +81,22 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid = element-wise AVG via posexplode + groupBy —
+    the distributed way to average vectors (shuffle key (label, pos),
+    never a collect). Returns (label, centroid array<double>)."""
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs"))
+        .select("label", F.transform("pcs", lambda s: s.cv).alias("centroid"))
+    )
+
+
 @_register(
     "similarity_label_centroid_dist",
     """
@@ -108,19 +124,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroid (the 'coarse quantizer'),
-    then mean member-to-centroid cosine. Centroid = element-wise AVG via
-    posexplode + groupBy — the distributed way to average vectors."""
+    then mean member-to-centroid cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
-    )
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs"))
-        .select("label", F.transform("pcs", lambda s: s.cv).alias("centroid"))
-    )
+    cent = label_centroids(emb)
     joined = emb.join(F.broadcast(cent), "label").select(
         "label", cosine(F.col("embedding"), F.col("centroid")).alias("cs")
     )
@@ -165,6 +171,97 @@ def lsh_bucket(emb_col) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+_IVF_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cid, list(cv ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos, AVG(vv) AS cv
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                         CAST(UNNEST(embedding) AS DOUBLE) AS vv
+                  FROM embeddings)
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.v, c.centroid) /
+                                (sqrt(list_dot_product(v.v, v.v)) *
+                                 sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                                c.cid
+                   ) AS rn
+            FROM v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT a.cid FROM assigned a WHERE a.vec_id = 0
+    ),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT e.vec_id,
+           FLOOR(list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM v e
+    JOIN assigned a ON e.vec_id = a.vec_id
+    JOIN probe p ON a.cid = p.cid
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@_register("similarity_ivf_topk", _IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (the inverted lists), then search ONLY the query's probed
+    list with exact cosine. Same plan shape as production IVF: the
+    centroid id is the partition/join key, candidate volume is the list
+    size, never n. Centroids here are the label centroids (deterministic
+    stand-in for k-means — the quantizer is pluggable); assignment is by
+    geometry, not by the label column. nprobe=1; raise it (probe top-k
+    centroids) to trade compute for recall at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        label_centroids(emb).select(
+            F.col("label").alias("cid"),
+            "centroid",
+            norm(F.col("centroid")).alias("cnorm"),
+        )
+    )
+    vecs = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    # assignment: argmax cosine over the (broadcast) centroid set
+    w = W.partitionBy("vec_id").orderBy(
+        (dot(F.col("embedding"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))).desc(),
+        "cid",
+    )
+    assigned = (
+        vecs.join(cents)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", "cid")
+    )
+    probe = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("pcid"),
+        F.col("embedding").alias("qe"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cos = dot(F.col("embedding"), F.col("qe")) / (F.col("vnorm") * F.col("qnorm"))
+    return (
+        assigned.join(F.broadcast(probe), F.col("cid") == F.col("pcid"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", r2(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @_register("similarity_ann_lsh", None)  # composition not SQL-expressible → rows-only
