@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     from user_feed_cdc_spark.operators import (
+        asof,
         cdc,
         dedup,
         event_windows,
@@ -44,6 +45,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         dedup,
         similarity,
         multimodal,
+        asof,
         cdc,
         event_windows,
     ):

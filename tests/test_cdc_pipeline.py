@@ -157,6 +157,23 @@ def test_feed_table_read_path(spark, tmp_path):
     assert [r.metadata["primary_key_value"] for r in user2] == ["17", "16", "10", "7"]
 
 
+def test_connector_option_plumbing():
+    """Cassandra sink + Postgres JDBC source option maps (reference
+    deployment shape: cassandra-init.cql:6-15, env.py) — asserted without
+    live services."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        cassandra_sink_options,
+        jdbc_source_options,
+    )
+
+    c = cassandra_sink_options()
+    assert c["keyspace"] == "codeshard" and c["table"] == "user_activity"
+    j = jdbc_source_options("db:5432/codeshard", "followers")
+    assert j["url"] == "jdbc:postgresql://db:5432/codeshard"
+    assert j["dbtable"] == "followers"
+    assert jdbc_source_options("jdbc:postgresql://x/y", "t")["url"].startswith("jdbc:")
+
+
 def test_kafka_source_options():
     """The Kafka subscription contract (reference services/kafka.py:8-26,
     main.py:25-31), asserted without a broker — a topic-name typo here

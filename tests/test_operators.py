@@ -177,6 +177,27 @@ def test_minhash_lsh_skew_cap_keeps_all_docs(spark, sf_dir):
     assert all(rep[rid] == rid for rid in set(rep.values()))
 
 
+def test_asof_join_semantics(spark):
+    """Hand-computed as-of cases: <= tie inclusion, no-marker NULL,
+    marker switching over time."""
+    from user_feed_cdc_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        ["k", "ts", "tag"],
+    )
+    markers = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101)], ["k", "ts", "mval"]
+    )
+    out = {
+        r.tag: r.mval
+        for r in asof_join(probes, markers, "k", "ts", ["mval"]).collect()
+    }
+    assert out == {"a": 100, "b": 101, "c": None, "d": None}
+    # a: marker at SAME ts (10) applies (<=); b: latest of the two;
+    # c: before any marker; d: different key → no marker
+
+
 def test_feed_topk_ordering(spark, sf_dir):
     feed = feed_topk_per_user(spark, sf_dir).collect()
     per_user: dict = {}

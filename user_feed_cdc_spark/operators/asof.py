@@ -1,0 +1,100 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively,
+composed from built-ins (SURVEY.md §2.3: custom operators as
+compositions before UDFs).
+
+Semantics: for each probe row, attach the most recent marker row of the
+same key with marker.ts <= probe.ts (the standard "prevailing quote for
+each trade" shape; here: each event gets the user's most recent purchase
+at or before it).
+
+Spark-first plan — the union/last_value trick, NOT a range join:
+tag markers and probes, union them, and take ``last(marker_col,
+ignorenulls)`` over a per-key window ordered by (ts, marker-first).
+One shuffle + one sort per key partition, output exactly |probes| rows —
+a naive inequality join explodes to O(probes × markers) per key before
+aggregating back down, which is quadratic on hot keys at 100 TB. Ties at
+equal ts sort the marker first, so ts-equal markers are visible to the
+probe (the <= contract); markers are deduped per (key, ts) keeping the
+max id so the answer is unique and engine-independent.
+
+DuckDB's native ASOF LEFT JOIN is the oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def asof_join(
+    probes: DataFrame,
+    markers: DataFrame,
+    key: str,
+    ts: str,
+    marker_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: probes ⟕ most-recent markers (same key,
+    marker ts <= probe ts). markers must be unique per (key, ts) for a
+    deterministic answer — dedup upstream. Returns the probe rows plus
+    ``marker_cols`` (null when no marker precedes the probe)."""
+    p = probes.withColumn("_is_probe", F.lit(1))
+    for c in marker_cols:
+        p = p.withColumn(c, F.lit(None).cast(markers.schema[c].dataType))
+    m = markers.withColumn("_is_probe", F.lit(0))
+    u = m.unionByName(p, allowMissingColumns=True)
+    # marker (0) sorts before probe (1) at equal ts → <= semantics
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in marker_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_is_probe") == 1).drop("_is_probe")
+
+
+_ASOF_ORACLE = """
+    WITH m AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           m.purchase_id AS last_purchase_id
+    FROM events e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
+@_register("asof_last_purchase", _ASOF_ORACLE)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event annotated with the same user's most recent purchase
+    event id at or before it (NULL if none yet) — the point-in-time
+    feature-join shape of a training-data pipeline (label each
+    interaction with the prevailing state). Oracle: DuckDB native
+    ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_purchase_id"))
+    )
+    probes = ev.select("event_id", "user_id", "ts", "event_type")
+    return asof_join(
+        probes, markers, key="user_id", ts="ts", marker_cols=["last_purchase_id"]
+    ).select("event_id", "user_id", "ts", "event_type", "last_purchase_id")

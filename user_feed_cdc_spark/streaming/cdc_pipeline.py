@@ -170,10 +170,15 @@ def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
         if raw.isStreaming
         else F.monotonically_increasing_id()
     )
-    parsed = raw.select(
-        F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
-        seq.alias("_seq"),
-    )
+    # accept a pre-parsed `_p` column (parse_cdc) so batch callers can
+    # parse once and share between this and dead_letters
+    if "_p" in raw.columns:
+        parsed = raw.select("_p", seq.alias("_seq"))
+    else:
+        parsed = raw.select(
+            F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
+            seq.alias("_seq"),
+        )
     p = F.col("_p")
     valid = parsed.filter(is_valid(p) & p["__source_table"].isin(*CDC_TABLES))
 
@@ -193,12 +198,27 @@ def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """(value, _p) — one merged-schema parse of the raw JSON, shareable
+    between normalize_events and dead_letters (both accept the pre-parsed
+    form and skip their own from_json). Batch certification persists this
+    so the expensive parse runs once for both outputs."""
+    return raw.select(
+        F.col(value_col).alias("value"),
+        F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
+    )
+
+
 def dead_letters(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Events the pipeline drops, with a reason — replaces the reference's
     silent `except: pass` (event_processor.py:111-113) and ValueError on
-    unknown tables (strategy.py:148-149)."""
-    meta = F.from_json(F.col(value_col), META_SCHEMA)
-    tagged = raw.withColumn("_meta", meta)
+    unknown tables (strategy.py:148-149). Accepts either raw values or
+    the parse_cdc pre-parsed form."""
+    if "_p" in raw.columns:
+        tagged = raw.withColumn("_meta", F.col("_p"))
+    else:
+        meta = F.from_json(F.col(value_col), META_SCHEMA)
+        tagged = raw.withColumn("_meta", meta)
     known = F.col("_meta")["__source_table"].isin(*CDC_TABLES)
     reason = (
         F.when(F.col("_meta").isNull(), "unparseable_json")
@@ -265,9 +285,53 @@ def kafka_stream(
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
+def jdbc_source_options(
+    url: str, table: str = "followers", user: str = "postgres"
+) -> dict[str, str]:
+    """Option map for the Postgres table source (reference: the feed read
+    path queries followers over psycopg2, main.py:148-154; connection
+    coords env.py). Pure function, unit-testable without a database.
+    Spark's JDBC source pushes the follower_id predicate down to Postgres
+    — the same point query the reference issues, without the injectable
+    f-string (main.py:151)."""
+    return {
+        "url": url if url.startswith("jdbc:") else f"jdbc:postgresql://{url}",
+        "dbtable": table,
+        "user": user,
+        "driver": "org.postgresql.Driver",
+    }
+
+
+def postgres_table(spark: SparkSession, url: str, table: str) -> DataFrame:
+    """JDBC-backed DataFrame for a reference Postgres table. Requires the
+    postgres JDBC driver on the classpath."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_source_options(url, table).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 # ---------------------------------------------------------------------------
 # Sink
 # ---------------------------------------------------------------------------
+
+
+def cassandra_sink_options(
+    keyspace: str = "codeshard", table: str = "user_activity"
+) -> dict[str, str]:
+    """Option map for the spark-cassandra-connector sink (reference sink
+    DDL: cassandra-init.cql:6-15, keyspace/table codeshard.user_activity;
+    BASELINE names 'Kafka + Cassandra connector' as the deployment
+    shape). Pure function so the wiring is unit-testable without a
+    cluster; write_feed_stream(sink_format='cassandra') consumes it."""
+    return {
+        "keyspace": keyspace,
+        "table": table,
+        # idempotent upsert by primary key replaces the reference's blind
+        # INSERT (event_processor.py:95-109): Cassandra writes are
+        # last-write-wins on (user_id, activity_id), so replays converge
+        "confirm.truncate": "false",
+    }
 
 
 N_USER_BUCKETS = 32  # feed-layout fanout; scale with cluster size at 100 TB
@@ -285,6 +349,7 @@ def write_feed_stream(
     checkpoint: str,
     available_now: bool = True,
     n_user_buckets: int = N_USER_BUCKETS,
+    sink_format: str = "parquet",
 ):
     """Feed-table sink: parquet partitioned by (activity_date, user_bucket,
     _batch_id) — the lake translation of Cassandra's storage design
@@ -318,6 +383,17 @@ def write_feed_stream(
             )
         else:
             df = df.withColumn("_seq", F.monotonically_increasing_id())
+        if sink_format == "cassandra":
+            # connector path (untestable without a cluster): primary-key
+            # upsert is naturally idempotent, no _batch_id partitioning
+            (
+                df.drop("activity_date", "user_bucket", "_batch_id", "_seq")
+                .write.format("org.apache.spark.sql.cassandra")
+                .options(**cassandra_sink_options())
+                .mode("append")
+                .save()
+            )
+            return
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
