@@ -31,6 +31,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         event_windows,
         feed,
         multimodal,
+        pipeline,
         relational,
         similarity,
         textanalysis,
@@ -45,6 +46,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         dedup,
         similarity,
         multimodal,
+        pipeline,
         asof,
         cdc,
         event_windows,

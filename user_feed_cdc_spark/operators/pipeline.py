@@ -1,0 +1,125 @@
+"""Corpus-preparation pipeline compositions (north-star LLM-data ops):
+stratified train/holdout splitting and an end-to-end clean step
+(quality-filter → exact-dedup → accounting). These are the shapes a
+pre-training data pipeline runs nightly at 100 TB; each is a pure
+composition of operators certified elsewhere in this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.operators.textanalysis import EN_STOPWORDS
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+TRAIN_FRACTION = 0.9
+
+
+@_register(
+    "split_stratified_train",
+    f"""
+    SELECT lang, source, split, COUNT(*) AS n_docs
+    FROM (
+        SELECT lang, source,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY lang, source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    <= CEIL({TRAIN_FRACTION} * COUNT(*) OVER (PARTITION BY lang, source))
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
+    )
+    GROUP BY lang, source, split
+    """,
+)
+def split_stratified_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/holdout split: within every (lang, source)
+    stratum, rank docs by a content-independent deterministic hash of
+    their id and take the first ceil(90%) as train — exact per-stratum
+    fractions (a global random split skews small strata), reproducible
+    across engines and runs (md5 of the id, not RNG state). One window
+    shuffle on the stratum key; the split column would be written back as
+    a partition column in production. Output: per-stratum split sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n_in_stratum = F.count(F.lit(1)).over(W.partitionBy("lang", "source"))
+    split = F.when(
+        F.row_number().over(w) <= F.ceil(F.lit(TRAIN_FRACTION) * n_in_stratum),
+        "train",
+    ).otherwise("holdout")
+    return (
+        docs.select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@_register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_sql_list(EN_STOPWORDS)}))) AS stop_hits
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text, lang FROM scored
+        WHERE n_tokens >= 20 AND stop_hits * 1.0 / n_tokens < 0.5
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+        FROM kept GROUP BY md5(text)
+    )
+    SELECT lang, COUNT(*) AS n_clean_docs
+    FROM deduped GROUP BY lang
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end clean step: quality gate (length + stopword ratio,
+    the text_quality_scores filters) → exact content dedup (min-doc_id
+    representative per md5, the dedup_exact_docs shape) → per-language
+    accounting. Composition of two certified operators in one plan:
+    the quality filter is a narrow scan predicate, the dedup is one
+    shuffle on the 16-byte digest — nothing quadratic, nothing collected.
+    MIN(lang) (not ANY_VALUE) keeps the representative deterministic
+    even if identical texts ever carried different labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_hits = F.size(F.filter(tokens, lambda t: t.isin(*EN_STOPWORDS)))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(tokens).alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_hits") / F.col("n_tokens") < 0.5)
+    )
+    deduped = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean_docs"))
