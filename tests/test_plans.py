@@ -1,0 +1,72 @@
+"""Physical-plan regression gates (the 100 TB posture, enforced):
+no query may silently plan a nested-loop/cartesian join, and the
+flagship scan paths must keep their pushdowns. A plan that is correct
+but quadratic passes every value check and then dies at scale — this
+test is where that regression gets caught instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Queries whose CONTRACT is a bounded all-pairs comparison (exact
+# ground-truth baselines for the bucketed paths) or a broadcast of a
+# provably tiny build side (1-row query vector / ≤|labels| centroids).
+# Everything else must plan hash/sort-merge joins only.
+NESTED_LOOP_WHITELIST = {
+    "dedup_ngram_jaccard",        # doc_id < 200 bounded exact baseline
+    "dedup_embedding_cosine",     # vec_id < 400 bounded exact baseline
+    "similarity_cosine_topk",     # 1-row broadcast query vector
+    "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
+    "similarity_ann_lsh",         # equi-join on bucket, but probe set joined conditionless
+}
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_unbounded_nested_loop_joins(spark, sf_dir):
+    import __spark_entry__ as em
+
+    offenders = {}
+    for name, fn in em.queries().items():
+        plan = _executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_WHITELIST:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"quadratic join plans crept in: {offenders}"
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    """entry(): equi-joins only, WindowGroupLimit below the top-k window."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["feed_topk_per_user"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # per-key limit pushed below the shuffle
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """filter_project: predicates reach the parquet scan and the schema is
+    pruned to the referenced columns (at 100 TB: read 6 columns, not 11)."""
+    import __spark_entry__ as em
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = _executed_plan(em.queries()["filter_project"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_discount" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # unreferenced → pruned
+
+
+def test_global_topk_never_full_sorts(spark, sf_dir):
+    """sort_limit_topk must plan TakeOrderedAndProject (per-task k-heaps),
+    not a global Sort + Limit."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
