@@ -18,7 +18,6 @@ NESTED_LOOP_WHITELIST = {
     "dedup_embedding_cosine",     # vec_id < 400 bounded exact baseline
     "similarity_cosine_topk",     # 1-row broadcast query vector
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
-    "similarity_ann_lsh",         # equi-join on bucket, but probe set joined conditionless
 }
 
 

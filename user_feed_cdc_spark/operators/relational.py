@@ -601,6 +601,94 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize)
+    + grouping_id to disambiguate NULL-as-total from NULL-as-value.
+    One Expand + single hash agg pass, same as rollup/cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """,
+        li=li,
+    )
+
+
+@_register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           FLOOR(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) * 100.0 + 0.5) / 100.0 AS trailing_30d_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time (trailing 30-day spend per
+    customer) — value-based frames complement the ROWS frames in
+    window_running_analytics. The frame bound is computed per row from
+    the ORDER BY value, so ties at the same date aggregate together
+    (ROWS frames would split them arbitrarily)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum("o_totalprice").over(w)).alias("trailing_30d_spend"),
+    )
+
+
+@_register(
+    "agg_salted_hot_keys",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> DataFrame:
+    """Two-stage SALTED aggregation: stage 1 groups on (user_id, salt) so
+    a hot key's rows spread over n_salts reducers, stage 2 merges the
+    partials per user. The oracle is the plain GROUP BY — identical
+    result, skew-proof plan. SUM/COUNT re-aggregate losslessly
+    (sum-of-sums); the value sum is rounded only once, after the final
+    merge, so salting does not perturb the float result vs the oracle
+    beyond normal partial-agg reordering (integer count is exact).
+    This is the manual pattern for when AQE skew handling can't help
+    (skew in a groupBy, not a join)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+@_register(
     "events_hourly_rollup",
     """
     SELECT date_trunc('hour', ts) AS window_start,
