@@ -157,6 +157,28 @@ def test_feed_table_read_path(spark, tmp_path):
     assert [r.metadata["primary_key_value"] for r in user2] == ["17", "16", "10", "7"]
 
 
+def test_dual_output_pipeline_with_dead_letters(spark, tmp_path):
+    """One stream → feed table AND reasoned dead-letter table from a
+    single parse (no silent drops in streaming mode — the anti-
+    `except: pass`). Counts must partition the input exactly: 11 events
+    = 6 canonical + 5 dead-lettered."""
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    dl = str(tmp_path / "dead")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    q = run_cdc_pipeline(
+        spark, str(src), feed, str(tmp_path / "ck"), dead_letter_path=dl
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(feed).count() == 6
+    dls = spark.read.parquet(dl)
+    assert dls.count() == 5
+    reasons = {r.reason: r.n for r in
+               dls.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert reasons == {"non_create_op": 3, "missing_source_ts": 1, "unknown_table": 1}
+
+
 def test_connector_option_plumbing():
     """Cassandra sink + Postgres JDBC source option maps (reference
     deployment shape: cassandra-init.cql:6-15, env.py) — asserted without

@@ -376,30 +376,7 @@ def write_feed_stream(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df = batch_df.withColumn("_batch_id", F.lit(batch_id))
-        if "_seq" in df.columns:
-            df = df.withColumn(
-                "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
-            )
-        else:
-            df = df.withColumn("_seq", F.monotonically_increasing_id())
-        if sink_format == "cassandra":
-            # connector path (untestable without a cluster): primary-key
-            # upsert is naturally idempotent, no _batch_id partitioning
-            (
-                df.drop("activity_date", "user_bucket", "_batch_id", "_seq")
-                .write.format("org.apache.spark.sql.cassandra")
-                .options(**cassandra_sink_options())
-                .mode("append")
-                .save()
-            )
-            return
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("activity_date", "user_bucket", "_batch_id")
-            .parquet(feed_path)
-        )
+        _write_feed_batch(batch_df, batch_id, feed_path, sink_format)
 
     writer = (
         out.writeStream.foreachBatch(write_batch)
@@ -409,6 +386,37 @@ def write_feed_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _write_feed_batch(
+    batch_df: DataFrame, batch_id: int, feed_path: str, sink_format: str = "parquet"
+) -> None:
+    """One micro-batch of canonical activities (already carrying
+    activity_date/user_bucket) → idempotent partitioned write."""
+    df = batch_df.withColumn("_batch_id", F.lit(batch_id))
+    if "_seq" in df.columns:
+        df = df.withColumn(
+            "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+        )
+    else:
+        df = df.withColumn("_seq", F.monotonically_increasing_id())
+    if sink_format == "cassandra":
+        # connector path (untestable without a cluster): primary-key
+        # upsert is naturally idempotent, no _batch_id partitioning
+        (
+            df.drop("activity_date", "user_bucket", "_batch_id", "_seq")
+            .write.format("org.apache.spark.sql.cassandra")
+            .options(**cassandra_sink_options())
+            .mode("append")
+            .save()
+        )
+        return
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("activity_date", "user_bucket", "_batch_id")
+        .parquet(feed_path)
+    )
 
 
 def read_user_feed(
@@ -461,10 +469,47 @@ def run_cdc_pipeline(
     feed_path: str,
     checkpoint: str,
     available_now: bool = True,
+    dead_letter_path: str | None = None,
 ):
     """End-to-end: file JSONL source → normalize → partitioned feed table.
     Returns the StreamingQuery (lifecycle: query.stop()/awaitTermination —
-    replaces the reference's /start //stop control plane, main.py:84-121)."""
+    replaces the reference's /start //stop control plane, main.py:84-121).
+
+    With ``dead_letter_path``, the SAME stream (one source, one
+    checkpoint, ONE merged-schema parse via parse_cdc) fans out inside
+    foreachBatch to both the feed table and a reasoned dead-letter table
+    — closing the reference's silent-drop path (`except: pass`,
+    event_processor.py:111-113) in streaming mode too, not just in the
+    batch certification. A second streaming query would re-read and
+    re-parse the source; the multi-output foreachBatch doesn't."""
     raw = file_json_stream(spark, source_path)
-    activities = normalize_events(raw)
-    return write_feed_stream(activities, feed_path, checkpoint, available_now)
+    if dead_letter_path is None:
+        activities = normalize_events(raw)
+        return write_feed_stream(activities, feed_path, checkpoint, available_now)
+
+    parsed = parse_cdc(raw)
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()  # parse once, serve both outputs
+        acts = normalize_events(batch_df).withColumn(
+            "activity_date", F.to_date("event_timestamp")
+        ).withColumn("user_bucket", user_bucket_expr(F.col("user_id")))
+        _write_feed_batch(acts, batch_id, feed_path)
+        (
+            dead_letters(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dead_letter_path)
+        )
+        batch_df.unpersist()
+
+    writer = (
+        parsed.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
