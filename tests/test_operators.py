@@ -177,6 +177,54 @@ def test_minhash_lsh_skew_cap_keeps_all_docs(spark, sf_dir):
     assert all(rep[rid] == rid for rid in set(rep.values()))
 
 
+def test_asof_join_matches_reference_model(spark):
+    """Property test (hypothesis): asof_join agrees with a brute-force
+    Python model on arbitrary small marker/probe sets — keys, ties,
+    empty markers, duplicate probe timestamps."""
+    from hypothesis import given, settings, strategies as st
+
+    from user_feed_cdc_spark.operators.asof import asof_join
+
+    small = st.integers(min_value=0, max_value=5)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        probes=st.lists(st.tuples(small, small), min_size=1, max_size=8),
+        markers=st.lists(st.tuples(small, small), max_size=6),
+    )
+    def run(probes, markers):
+        # unique marker per (k, ts): value = ts*10 (deterministic)
+        mdict = {(k, t): t * 10 for k, t in markers}
+        mrows = [(k, t, v) for (k, t), v in mdict.items()]
+        prows = [(k, t, i) for i, (k, t) in enumerate(probes)]
+        pdf = spark.createDataFrame(prows, ["k", "ts", "pid"])
+        mdf = (
+            spark.createDataFrame(mrows, ["k", "ts", "mval"])
+            if mrows
+            else spark.createDataFrame([], "k int, ts int, mval int")
+        )
+        got = {
+            r.pid: r.mval
+            for r in asof_join(pdf, mdf, "k", "ts", ["mval"]).collect()
+        }
+        for k, t, pid in prows:
+            eligible = [v for (mk, mt), v in mdict.items() if mk == k and mt <= t]
+            want = max(eligible, default=None)  # mval grows with ts
+            assert got[pid] == want, (k, t, got[pid], want)
+
+    run()
+
+
+def test_fan_out_is_noop_on_wide_inputs(spark, sf_dir):
+    from user_feed_cdc_spark.sources.tables import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.repartition(64)
+    assert fan_out(wide) is wide  # already ≥ parallelism → untouched
+    narrow = fan_out(docs)
+    assert narrow.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
 def test_asof_join_semantics(spark):
     """Hand-computed as-of cases: <= tie inclusion, no-marker NULL,
     marker switching over time."""

@@ -62,6 +62,38 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     assert "l_returnflag" not in read_schema  # unreferenced → pruned
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side — the write-once,
+    join-many layout for repeated fact⋈dim joins at scale."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "orders_b", "o_custkey", 8, sort_key="o_custkey")
+    write_bucketed(customer, "customer_b", "c_custkey", 8, sort_key="c_custkey")
+    try:
+        # force the join strategy decision to be about shuffling, not size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: result is still correct
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
 def test_global_topk_never_full_sorts(spark, sf_dir):
     """sort_limit_topk must plan TakeOrderedAndProject (per-task k-heaps),
     not a global Sort + Limit."""

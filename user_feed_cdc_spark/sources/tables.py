@@ -58,6 +58,26 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_key: str | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sort-bucketed)
+    managed table. Two tables bucketed on their join key with the same
+    bucket count join WITHOUT a shuffle — each bucket pair is read
+    co-located (SortMergeJoin with no Exchange). At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    shuffling it once at write time; pytest pins the no-Exchange plan
+    (tests/test_plans.py::test_bucketed_join_skips_shuffle)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table_name)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
