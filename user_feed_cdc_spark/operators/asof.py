@@ -68,6 +68,55 @@ def asof_join(
     return u.filter(F.col("_is_probe") == 1).drop("_is_probe")
 
 
+_RANGE_JOIN_ORACLE = """
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+"""
+
+_RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in µs
+_BUCKET_US = _RANGE_WINDOW_US  # bucket width == window → probe 2 buckets
+
+
+@_register("range_join_user_pairs", _RANGE_JOIN_ORACLE)
+def range_join_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per user, count ordered event pairs within a
+    5-minute window. A naive inequality join is a per-key cross product
+    (quadratic on hot users); bucketing time into window-width bands
+    turns it into an EQUI-join on (user_id, bucket) where each later
+    event probes exactly two bands (its own + the previous) — candidate
+    volume is bounded by events-per-band, and the real predicate prunes
+    the rest. The oracle is the plain inequality join (DuckDB IEJoin)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        (F.col("us") / _BUCKET_US).cast("long").alias("bucket"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                (F.col("us") / _BUCKET_US).cast("long"),
+                (F.col("us") / _BUCKET_US).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = b.join(a, ["user_id", "bucket"]).filter(
+        (F.col("us_b") > F.col("us_a"))
+        & (F.col("us_b") <= F.col("us_a") + _RANGE_WINDOW_US)
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 _ASOF_ORACLE = """
     WITH m AS (
         SELECT user_id, ts, MAX(event_id) AS purchase_id

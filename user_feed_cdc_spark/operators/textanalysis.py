@@ -199,6 +199,58 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # rolling-hash window width (tokens)
+WINNOW_B = 31  # polynomial base; 2^32-scale token hashes × 31^3 stays < 2^63
+
+
+@_register(
+    "text_winnow_fingerprints",
+    f"""
+    SELECT doc_id,
+           GREATEST(len(th) - {WINNOW_W - 1}, 0) AS n_windows,
+           CASE WHEN len(th) >= {WINNOW_W} THEN
+               list_min(list_transform(range(1, len(th) - {WINNOW_W - 2}),
+                   i -> ((th[i] * {WINNOW_B} + th[i+1]) * {WINNOW_B} + th[i+2])
+                        * {WINNOW_B} + th[i+3]))
+           END AS winnow_min
+    FROM (
+        SELECT doc_id,
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+        FROM documents
+    )
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp-style) document fingerprinting, winnowing
+    flavor: hash every w-token window with an integer polynomial over
+    md5-derived token hashes and keep the minimum — the MOSS/winnowing
+    primitive for local (substring-level) duplicate detection, where the
+    whole-document md5 of text_fingerprints misses partial overlap.
+    Integer-exact on both engines (token hash < 2^32, ×31³ < 2^63), so
+    it hash-matches the oracle bit-for-bit. Narrow per-row compute —
+    no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = (
+        "transform(filter(split(text, ' '), t -> t != ''), "
+        "t -> cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"
+    )
+    win = (
+        f"transform(sequence(1, size(th) - {WINNOW_W - 1}), "
+        f"i -> ((element_at(th, i) * {WINNOW_B} + element_at(th, i+1)) * {WINNOW_B} "
+        f"+ element_at(th, i+2)) * {WINNOW_B} + element_at(th, i+3))"
+    )
+    return docs.select(
+        "doc_id", F.expr(th).alias("th")
+    ).select(
+        "doc_id",
+        F.greatest(F.size("th") - (WINNOW_W - 1), F.lit(0)).alias("n_windows"),
+        F.when(
+            F.size("th") >= WINNOW_W, F.expr(f"array_min({win})")
+        ).alias("winnow_min"),
+    )
+
+
 @_register(
     "text_lang_rollup",
     """
