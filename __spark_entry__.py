@@ -34,6 +34,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         pipeline,
         relational,
         similarity,
+        sketches,
         textanalysis,
     )
 
@@ -47,6 +48,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         similarity,
         multimodal,
         pipeline,
+        sketches,
         asof,
         cdc,
         event_windows,

@@ -246,6 +246,66 @@ def test_asof_join_semantics(spark):
     # c: before any marker; d: different key → no marker
 
 
+def test_hll_sketch_within_tolerance(spark, sf_dir):
+    """HLL estimates within 5% of exact distinct counts, and the merged
+    ALL sketch approximates the global distinct (not the sum of parts)."""
+    from user_feed_cdc_spark.operators.sketches import sketch_distinct_users
+
+    est = {r.event_type: r.approx_users for r in sketch_distinct_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_compact_feed_layout(spark, tmp_path):
+    """Compaction folds _batch_id partitions into one sorted file per
+    (activity_date, user_bucket) and the read path still answers
+    identically on the compacted table."""
+    import json as _json
+    import os
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        compact_feed,
+        read_user_feed,
+        run_cdc_pipeline,
+    )
+    from tests.test_cdc_pipeline import fixture_lines
+
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    compacted = str(tmp_path / "feed_c")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck")).awaitTermination()
+
+    compact_feed(spark, feed, compacted)
+    orig = spark.read.parquet(feed)
+    comp = spark.read.parquet(compacted)
+    assert comp.count() == orig.count()
+    assert "_batch_id" in comp.columns  # demoted to data column, kept for ordering
+    # one file per (date, bucket) partition dir
+    for date_dir in [d for d in os.listdir(compacted) if d.startswith("activity_date=")]:
+        for bucket_dir in os.listdir(os.path.join(compacted, date_dir)):
+            if not bucket_dir.startswith("user_bucket="):
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(compacted, date_dir, bucket_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (date_dir, bucket_dir, files)
+    # identical page reads on both layouts
+    a = [r.metadata["primary_key_value"] for r in read_user_feed(spark, feed, "2").collect()]
+    b = [r.metadata["primary_key_value"] for r in read_user_feed(spark, compacted, "2").collect()]
+    assert a == b == ["17", "16", "10", "7"]
+
+
 def test_feed_topk_ordering(spark, sf_dir):
     feed = feed_topk_per_user(spark, sf_dir).collect()
     per_user: dict = {}

@@ -18,6 +18,7 @@ NESTED_LOOP_WHITELIST = {
     "dedup_embedding_cosine",     # vec_id < 400 bounded exact baseline
     "similarity_cosine_topk",     # 1-row broadcast query vector
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
+    "text_tfidf_top_terms",       # 1-row broadcast corpus-count scalar
 }
 
 

@@ -1,0 +1,50 @@
+"""Mergeable sketch operators (Apache DataSketches HLL via Spark
+built-ins). The 100 TB pattern these enable: sketch once per
+partition/day at ingest, then MERGE sketches for any rollup — a distinct
+count over a year of data becomes a union of 365 tiny sketches instead
+of a shuffle of every user id ever seen. Estimates are approximate
+(±~2% at default lgK), so these are rows-only entries with a
+tolerance-vs-exact property test (tests/test_operators.py) instead of a
+hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register("sketch_distinct_users", None)  # approximate → rows-only
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user HLL sketches, PLUS the corpus total
+    computed by unioning the per-type sketches — no second scan of the
+    input, demonstrating sketch mergeability (the reason to store
+    sketches, not counts, in a rollup table)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_est.unionByName(total)

@@ -10,7 +10,7 @@ to distinct tokens per partition, not total tokens.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.functions.numeric import round_half_up as r2
@@ -196,6 +196,55 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " ")).alias(
             "fingerprint_shingle"
         ),
+    )
+
+
+@_register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, token, rn FROM (
+        SELECT t.doc_id, t.token,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY FLOOR(t.tf * LN(n.n * 1.0 / d.df) * 1000000.0 + 0.5)
+                            / 1000000.0 DESC,
+                            t.token
+               ) AS rn
+        FROM tf t JOIN idf d USING (token) CROSS JOIN n
+        WHERE t.doc_id < 50
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term ranking: the 3 most distinctive tokens per document
+    (bounded to doc_id < 50 to keep the checked output small; tf and df
+    come from the full corpus). Two shuffles — (doc, token) tf and global
+    token df — then a broadcast of the tiny corpus-size scalar. Ranking
+    is on the ROUNDED score with a token tiebreak so cross-engine LN
+    ulps can't reorder rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = r2(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6)
+    w = W.partitionBy("doc_id").orderBy(score.desc(), "token")
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df, "token")
+        .join(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "rn")
     )
 
 

@@ -419,6 +419,33 @@ def _write_feed_batch(
     )
 
 
+def compact_feed(spark: SparkSession, feed_path: str, compacted_path: str) -> None:
+    """Compact the streaming feed layout into its serving form: the
+    per-micro-batch `_batch_id=` partitions (the idempotent-replay unit)
+    are folded away, rows are re-partitioned to one file set per
+    (activity_date, user_bucket) and SORTED by the feed read order
+    (user_id, event_timestamp DESC, _batch_id DESC, _seq DESC) within
+    each file — so a per-user page read is a pruned scan of pre-ordered
+    rows, the parquet translation of Cassandra's clustering layout.
+    Run periodically (e.g. per closed date partition); the streaming
+    sink keeps writing new _batch_id partitions meanwhile."""
+    feed = spark.read.parquet(feed_path)
+    (
+        feed.repartition(F.col("activity_date"), F.col("user_bucket"))
+        .sortWithinPartitions(
+            "activity_date",
+            "user_bucket",
+            "user_id",
+            F.col("event_timestamp").desc(),
+            F.col("_batch_id").desc(),
+            F.col("_seq").desc(),
+        )
+        .write.mode("overwrite")
+        .partitionBy("activity_date", "user_bucket")
+        .parquet(compacted_path)
+    )
+
+
 def read_user_feed(
     spark: SparkSession,
     feed_path: str,
