@@ -601,6 +601,37 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           FLOOR(list_sum(CAST(embedding AS DOUBLE[])) * 10000.0 + 0.5) / 10000.0 AS vec_sum,
+           FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS vec_max,
+           FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS first_dim
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function coverage over the embedding column: size,
+    element-fold sum (same left-to-right order as DuckDB list_sum so the
+    doubles agree bitwise), max, positional access."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vec_sum = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        r2(vec_sum, 4).alias("vec_sum"),
+        r2(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        r2(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
+    )
+
+
+@_register(
     "grouping_sets_revenue",
     """
     SELECT l_returnflag, l_linestatus,

@@ -199,6 +199,36 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# ASCII classes only — identical semantics in Java regex (Spark) and RE2
+# (DuckDB).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@_register(
+    "text_regex_tokens",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\w+')) AS n_word_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS chars4_estimate
+    FROM documents
+    """,
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via a BPE-ish regex pre-tokenizer (letter runs /
+    digit runs / punctuation — the GPT-2-style split shape) next to the
+    plain \\w+ word count and the chars/4 estimate. JVM-side
+    regexp_extract_all, narrow over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("n_word_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("chars4_estimate"),
+    )
+
+
 @_register(
     "text_tfidf_top_terms",
     """
