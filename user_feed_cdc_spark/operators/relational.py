@@ -601,6 +601,33 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_percentiles",
+    """
+    SELECT o_orderstatus,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95,
+           FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS p_min,
+           FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS p_max
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` agree bitwise) + min/max per group. Exact
+    percentile buffers the group's values, so at 100 TB prefer
+    approx_percentile (t-digest) for high-cardinality groups; this entry
+    pins the exact semantics on bounded group counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        r2(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        r2(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        r2(F.min("o_totalprice")).alias("p_min"),
+        r2(F.max("o_totalprice")).alias("p_max"),
+    )
+
+
+@_register(
     "array_funcs",
     """
     SELECT vec_id,
