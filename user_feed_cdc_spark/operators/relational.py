@@ -601,6 +601,40 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "subquery_scalar_and_correlated",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_big_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def subquery_scalar_and_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (uncorrelated AVG threshold — planned as a 1-row
+    broadcast) + correlated EXISTS (decorrelated by Catalyst into a
+    left-semi join): customers' orders above 1.5× the global average
+    price, restricted to customers with at least one finished order."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, COUNT(*) AS n_big_orders
+        FROM {c} c JOIN {o} o ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM {o2})
+          AND EXISTS (SELECT 1 FROM {o3} o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        GROUP BY c.c_custkey, c.c_name
+        """,
+        c=customer,
+        o=orders,
+        o2=orders,
+        o3=orders,
+    )
+
+
+@_register(
     "agg_percentiles",
     """
     SELECT o_orderstatus,
