@@ -198,6 +198,35 @@ def test_stateful_running_user_totals(spark, sf_dir, events_dir):
         assert f.last_ts == b.last_ts
 
 
+def test_cdc_feed_feeds_streaming_windows(spark, tmp_path, sf_dir):
+    """Full production topology: CDC JSONL → canonical feed table →
+    the feed table itself replayed as a stream into a windowed
+    aggregation. The downstream agg over the stream must equal the same
+    agg run in batch over the materialized feed."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import run_cdc_pipeline
+    from tests.test_cdc_pipeline import fixture_lines
+
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck")).awaitTermination()
+
+    feed_batch = spark.read.parquet(feed)
+    stream = (
+        spark.readStream.schema(feed_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(F.window("event_timestamp", "1 hour").alias("w"), "activity_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "activity_type", "n")
+    )
+    streamed = run_to_memory(spark, agg(stream), "feed_windows", output_mode="complete")
+    assert _rows(streamed) == _rows(agg(feed_batch))
+
+
 def test_sliding_each_event_in_two_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     total = ev.count()
