@@ -199,6 +199,55 @@ def cdc_canonical_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_ORACLE = """
+    SELECT key, last_event_id, last_value
+    FROM (
+        SELECT event_id % 500 AS key,
+               event_id AS last_event_id,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS last_value,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 500
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@_register("cdc_upsert_state", _UPSERT_ORACLE)
+def cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC UPSERT materialization — the mode the reference deliberately
+    lacks (creates only, strategy.py:14-17): replay a c/u/d change
+    stream into final table state. Key = event_id % 500 (so each key
+    carries a version chain); the LATEST change per key wins
+    (ts, event_id ordering — the _seq contract), and a trailing delete
+    removes the key. Plan: one shuffle on the key + WindowGroupLimit;
+    this is exactly how a lake table materializes a Debezium topic, and
+    at 100 TB it runs incrementally inside foreachBatch with the same
+    expressions (merge-on-read compaction)."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("key"),
+        F.col("event_id").alias("last_event_id"),
+        "ts",
+        r2(F.col("value")).alias("last_value"),
+        _op().alias("op"),
+    )
+    w = W.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("key", "last_event_id", "last_value")
+    )
+
+
 _DEADLETTER_ORACLE = """
     SELECT CASE WHEN event_type = 'error' THEN 'unknown_table'
                 ELSE 'non_create_op' END AS reason,

@@ -123,6 +123,48 @@ def multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64  # simulated frame size
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@_register(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id, n_frames, n_sampled, first_frame_md5
+    FROM (
+        SELECT doc_id,
+               CAST(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+               CAST(CEIL(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0)
+                         / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+               md5(substring(text, 1, {FRAME_BYTES})) AS first_frame_md5
+        FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: treat the payload as a
+    sequence of fixed-size frames, sample every FRAME_STRIDE-th, digest
+    the first sampled frame — byte-slicing (substring over BinaryType)
+    and digesting happen JVM-side; this is the plumbing a video pipeline
+    runs before handing sampled frames to a Python decoder
+    (decode_media). Narrow over the scan, payload bytes never shuffle.
+    (Oracle note: DuckDB can't substring a BLOB, so the oracle slices
+    the source STRING — equivalent here because the corpus is pure
+    ASCII, verified octet_length == length at every SF; Spark slices
+    the actual binary payload.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    n_frames = F.ceil(F.col("meta.byte_len") / float(FRAME_BYTES))
+    return mm.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.ceil(n_frames / float(FRAME_STRIDE)).alias("n_sampled"),
+        F.md5(F.expr(f"substring(payload, 1, {FRAME_BYTES})")).alias(
+            "first_frame_md5"
+        ),
+    )
+
+
 def decode_media(payload: bytes, modality: str):
     """Decode raw media bytes into pixels/samples/frames. STUB: the real
     implementation plugs PIL (image), soundfile (audio), or an ffmpeg
