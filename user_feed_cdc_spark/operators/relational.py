@@ -411,6 +411,39 @@ def window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           DENSE_RANK() OVER w AS drank,
+           NTILE(4) OVER w AS quartile,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking functions: dense_rank, ntile, percent_rank,
+    cume_dist (exact rationals — (rank-1)/(n-1) and rank/n — so the
+    doubles agree bitwise across engines). Full tiebreak ordering keeps
+    ntile assignment deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        r2(F.percent_rank().over(w), 6).alias("pct_rank"),
+        r2(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
     "sort_limit_topk",
     """
     SELECT l_orderkey, l_linenumber, FLOOR(l_extendedprice * 100.0 + 0.5) / 100.0 AS price
