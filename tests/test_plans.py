@@ -95,6 +95,50 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The celebrity-user problem (SURVEY.md §7.3.6): one hot key holding
+    ~98% of the rows must be SPLIT by AQE's runtime skew-join handling,
+    not serialized onto one reducer. Thresholds are lowered so toy data
+    trips the same code path production data would; the finalized
+    adaptive plan must carry the skew=true marker on the join."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(0, 5_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 101).select(F.col("id").alias("k"), F.lit("x").alias("t"))
+        j = hot.union(cold).join(right, "k").select(F.sum("v").alias("s"))
+        j.collect()  # finalize the adaptive plan on THIS DataFrame
+        plan = _executed_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_global_topk_never_full_sorts(spark, sf_dir):
     """sort_limit_topk must plan TakeOrderedAndProject (per-task k-heaps),
     not a global Sort + Limit."""
