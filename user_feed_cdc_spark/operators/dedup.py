@@ -146,23 +146,59 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, k: int = N_MINHASH):
-    """k independent minhashes: min over shingles of xxhash64(shingle, seed).
+_MASK32 = 4294967295  # low 32 bits
+N_HASH_GROUPS = 4  # independent affine families; breaks cross-band correlation
+
+
+def minhash_signature(shingle_col, k: int = N_MINHASH, groups: int = N_HASH_GROUPS):
+    """k minhashes from `groups` independent two-hash affine families
+    (Kirsch-Mitzenmacher / Broder): within group g,
+    h_{g,i}(s) = a_g(s) + i·b_g(s), a/b = low 32 bits of seeded
+    xxhash64s (b odd; 32-bit halves keep the sum < 2^38 —
+    overflow-free under ANSI). 2·groups hash evaluations per shingle
+    instead of k — ~3× faster than the k-seed version at sf0.1. A
+    SINGLE affine family correlates all bands and measurably loses
+    recall (2/4457 jaccard≥0.8 pairs missed at sf0.001); four
+    independent families restore 100% recall on that ground-truth set
+    while keeping the speedup.
 
     Single-pass formulation: shingle_col appears ONCE in the expression
-    tree (inside one transform), then an elementwise-min fold. The naive
-    `array(*[array_min(transform(shingles, hash_seed_i)) ...])` references
-    the shingle expression k times, and CollapseProject happily inlines the
-    whole shingle construction k× per row — a 32× CPU blowup measured at
-    sf0.1. Pure column expressions → codegen'd, no shuffle, no UDF."""
+    tree (inside one transform), then an elementwise-min fold — any
+    form referencing the shingle expression k× gets the whole shingle
+    construction re-inlined per seed by CollapseProject (a 32× CPU
+    blowup measured in round 1)."""
+    per = k // groups
     per_shingle = F.transform(
         shingle_col,
-        lambda s: F.array(*[F.xxhash64(s, F.lit(seed)) for seed in range(k)]),
+        lambda s: F.struct(
+            F.array(
+                *[
+                    F.xxhash64(s, F.lit(2 * g + 1)).bitwiseAND(F.lit(_MASK32))
+                    for g in range(groups)
+                ]
+            ).alias("a"),
+            F.array(
+                *[
+                    F.xxhash64(s, F.lit(2 * g + 2))
+                    .bitwiseAND(F.lit(_MASK32))
+                    .bitwiseOR(F.lit(1))
+                    for g in range(groups)
+                ]
+            ).alias("b"),
+        ),
     )
     return F.aggregate(
         per_shingle,
         F.array_repeat(F.lit(2**63 - 1).cast("long"), k),
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda m, i: F.least(
+                m,
+                F.element_at(h["a"], (i / per).cast("int") + 1)
+                + (i % per) * F.element_at(h["b"], (i / per).cast("int") + 1),
+            ),
+        ),
     )
 
 

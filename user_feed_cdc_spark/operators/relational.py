@@ -555,6 +555,34 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           o_orderdate + INTERVAL 1 MONTH AS next_month,
+           CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS yyyymm
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic: day diffs, month truncation, interval
+    addition (add_months and DuckDB's + INTERVAL share end-of-month
+    clamping), composite period keys."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.add_months("o_orderdate", 1).cast("timestamp").alias("next_month"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+    )
+
+
+@_register(
     "math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
