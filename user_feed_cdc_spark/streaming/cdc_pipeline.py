@@ -12,15 +12,18 @@ Design decisions vs the reference:
   event_processor.py:43-72) is replaced by Spark micro-batches with
   checkpointed offsets — at-least-once like the reference (README.md:4),
   but without its swallow-all error path (event_processor.py:111-113).
-- The Strategy/Factory dispatch (strategy.py:137-149) becomes per-table
-  `select` branches union'd into one schema: normalize-then-union
-  (SURVEY.md §7.3.5). Unknown tables land in a dead-letter output
+- The Strategy/Factory dispatch (strategy.py:137-149) becomes a
+  SINGLE-PASS demux (SURVEY.md §7.3.5): one from_json with the merged
+  sparse schema, then when/otherwise per canonical column — each event
+  parsed exactly once. Unknown tables land in a dead-letter output
   instead of raising ValueError.
 - uuid1() time-ordering (strategy.py:36) is split into uuid() for
-  uniqueness + explicit (event_timestamp, _seq) ordering (SURVEY.md §7.3.1).
-- The feed sink is parquet partitioned by activity_date and bucketable
-  by user_id — the Cassandra (user_id, ts DESC) layout re-expressed for
-  a lake; the actual Cassandra connector is a writeStream format swap.
+  uniqueness + explicit (event_timestamp, _batch_id, _seq) ordering
+  (SURVEY.md §7.3.1).
+- The feed sink is parquet partitioned by (activity_date, user_bucket,
+  _batch_id) with dynamic overwrite per batch — the Cassandra
+  (user_id, ts DESC) layout re-expressed for a lake, idempotent under
+  replay; the Cassandra connector is a sink_format swap.
 
 Transforms are pure column expressions shared verbatim between batch
 and streaming (same function, both paths), so the batch oracle check in
