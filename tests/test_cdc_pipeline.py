@@ -106,6 +106,21 @@ def test_dead_letters_batch(spark):
     assert counts == {"non_create_op": 3, "missing_source_ts": 1, "unknown_table": 1}
 
 
+def test_dead_letters_malformed_json(spark):
+    """Garbage bytes on the topic must land in the dead-letter output
+    with a reason — never crash the pipeline, never be silently dropped
+    (the anti-`except: pass`). PERMISSIVE from_json maps some malformed
+    inputs to an all-null struct rather than a null struct, so both
+    unparseable_json and missing_source_table are legitimate reasons."""
+    lines = fixture_lines() + ["{not json", "", "42", '"just a string"']
+    raw = spark.createDataFrame([(s,) for s in lines], ["value"])
+    dls = dead_letters(raw).collect()
+    bad = [r for r in dls if r.reason in ("unparseable_json", "missing_source_table")]
+    assert len(bad) == 4
+    # and the canonical output is unaffected
+    assert normalize_events(raw).count() == 6
+
+
 def test_streaming_pipeline_end_to_end(spark, tmp_path):
     """File stream → checkpointed foreachBatch → partitioned feed table,
     then incremental resume: a second file adds only its own rows."""

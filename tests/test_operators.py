@@ -246,6 +246,42 @@ def test_asof_join_semantics(spark):
     # c: before any marker; d: different key → no marker
 
 
+def test_ann_lsh_scores_match_exact(spark, sf_dir):
+    """Every ANN hit's reported cosine must equal the exact cosine
+    computed directly (the bucketing may lose candidates — that's the
+    recall tradeoff — but must never corrupt a score), and hits are
+    ranked descending per query."""
+    from user_feed_cdc_spark.operators.similarity import (
+        cosine,
+        similarity_ann_lsh,
+    )
+
+    hits = similarity_ann_lsh(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    one_row = spark.range(1)
+    for h in hits:
+        exact = one_row.select(
+            F.round(
+                cosine(
+                    F.lit(emb[h.q_id]).cast("array<double>"),
+                    F.lit(emb[h.vec_id]).cast("array<double>"),
+                ),
+                4,
+            ).alias("c")
+        ).collect()[0].c
+        assert abs(h.cos_sim - exact) < 1e-9, (h.q_id, h.vec_id)
+    by_q: dict = {}
+    for h in hits:
+        by_q.setdefault(h.q_id, []).append(h)
+    for rows in by_q.values():
+        rows = sorted(rows, key=lambda r: r.rn)
+        scores = [r.cos_sim for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_hll_sketch_within_tolerance(spark, sf_dir):
     """HLL estimates within 5% of exact distinct counts, and the merged
     ALL sketch approximates the global distinct (not the sum of parts)."""
