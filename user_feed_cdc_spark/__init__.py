@@ -12,10 +12,14 @@ semantics only):
 - Core relational operators (scan/filter/join/agg/window/sort/set ops)
   expressed declaratively so Catalyst handles pushdown, pruning, join
   selection and AQE.
-- LLM-data-pipeline extensions: dedup (exact/MinHash-LSH/SimHash),
-  similarity search over embeddings, text analysis, multimodal column
-  plumbing — designed for 100 TB scale (LSH bucketing, no driver-side
-  loops, broadcast only for genuinely small sides).
+- LLM-data-pipeline extensions: dedup (exact / MinHash-LSH clustering /
+  SimHash / n-gram Jaccard / embedding-cosine), similarity search
+  (brute-force, hyperplane-LSH, IVF), text analysis (incl. TF-IDF,
+  winnowing fingerprints, regex tokenization), multimodal binary
+  columns, corpus split/clean pipelines, mergeable HLL sketches,
+  as-of + banded range joins, custom stateful streaming — designed for
+  100 TB scale (LSH bucketing, no driver-side loops, broadcast only
+  for genuinely small sides; see SCALE.md).
 """
 
 __version__ = "0.1.0"
