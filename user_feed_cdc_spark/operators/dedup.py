@@ -456,6 +456,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> Dat
     )
 
 
+_SIMHASH32_ORACLE = """
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS simhash32
+    FROM (
+        SELECT doc_id,
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                              t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+        FROM documents
+    )
+"""
+
+
+@_register("dedup_simhash_md5", _SIMHASH32_ORACLE)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash: 32-bit signature over md5-derived token
+    hashes — bit-for-bit reproducible in DuckDB (md5 exists in both
+    engines; xxhash64, used by the fast dedup_simhash path, does not),
+    so the value-hash gate certifies the bit-vote construction itself.
+    Tie votes (exactly half the tokens set a bit) resolve to 0 in both
+    formulations (strict majority sets the bit)."""
+    expr = """
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(filter(split(text, ' '), t -> t != ''),
+                    t -> cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+          array_repeat(0L, 32),
+          (acc, h) -> zip_with(acc, sequence(0, 31),
+                               (a, i) -> a + CASE WHEN (h >> i) & 1 = 1
+                                              THEN 1L ELSE -1L END)
+        ),
+        sequence(0, 31),
+        (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END
+      ),
+      0L, (a, b) -> a | b
+    )
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.expr(expr).alias("simhash32"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
