@@ -499,6 +499,48 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(expr).alias("simhash32"))
 
 
+_INCREMENTAL_ORACLE = """
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT digest, MIN(doc_id) AS doc_id
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = b.digest)
+    GROUP BY digest
+"""
+
+
+@_register("dedup_incremental_new_docs", _INCREMENTAL_ORACLE)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup: admit only batch documents whose
+    content digest has never been seen in the accumulated corpus, then
+    collapse within-batch duplicates to the smallest doc_id. This is the
+    crawl-ingestion shape: each new dump is anti-joined against the
+    running digest ledger rather than re-deduping the whole corpus.
+    Even/odd doc_id splits stand in for ledger/batch so the query is
+    sf-independent.
+
+    Scale: both sides reduce to 16-byte md5 digests BEFORE any shuffle
+    (text never moves), the batch pre-aggregates to one row per digest
+    (map-side partial MIN), and the anti join is a digest-keyed hash
+    join — broadcastable while the ledger is small, shuffle-on-digest
+    (uniform key, no skew possible) once it isn't. At 100 TB the ledger
+    is a bucketed table on digest and the join is co-located."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(seen, "digest", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
