@@ -352,3 +352,59 @@ def test_feed_topk_ordering(spark, sf_dir):
         rows = sorted(rows, key=lambda r: r.rn)
         ts = [(r.ts, r.event_id) for r in rows]
         assert ts == sorted(ts, reverse=True)  # newest first, event_id tiebreak
+
+
+def test_quantized_topk_tracks_exact_ranking(spark, sf_dir):
+    """Int8-style quantization is lossy but must preserve the broad
+    ranking: the quantized top-10 should sit inside the exact float
+    cosine top-25 (embeddings are near-unit-norm, so integer dot order
+    ≈ cosine order)."""
+    from user_feed_cdc_spark.operators.similarity import (
+        similarity_cosine_topk,
+        similarity_quantized_topk,
+    )
+
+    exact = load_table(spark, sf_dir, "embeddings")
+    q = exact.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    exact_top25 = {
+        r.vec_id
+        for r in exact.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cs"))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(25)
+        .collect()
+    }
+    quant_top10 = {r.vec_id for r in similarity_quantized_topk(spark, sf_dir).collect()}
+    assert len(quant_top10 & exact_top25) >= 8, (quant_top10, exact_top25)
+
+
+def test_binary_hamming_self_distance_zero(spark, sf_dir):
+    """Sign-bit Hamming distance of any vector to itself is 0, and all
+    reported distances are within [0, dim]."""
+    from user_feed_cdc_spark.operators.similarity import (
+        similarity_binary_hamming_topk,
+    )
+
+    rows = similarity_binary_hamming_topk(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first().embedding)
+    assert all(0 <= r.hamming <= dim for r in rows)
+    # a duplicated vector (if any) has distance 0; at minimum the top
+    # result's distance can't exceed a random-vector expectation (dim/2)
+    assert rows[0].hamming <= dim // 2
+
+
+def test_incremental_dedup_invariants(spark, sf_dir):
+    """Admitted docs are (a) odd-id batch members, (b) digest-disjoint
+    from the even-id ledger, (c) unique per digest."""
+    from user_feed_cdc_spark.operators.dedup import dedup_incremental_new_docs
+
+    out = dedup_incremental_new_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    assert out.filter(F.col("doc_id") % 2 == 0).count() == 0
+    assert out.join(seen, "digest", "inner").count() == 0
+    assert out.groupBy("digest").count().filter(F.col("count") > 1).count() == 0

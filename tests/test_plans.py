@@ -17,6 +17,8 @@ NESTED_LOOP_WHITELIST = {
     "dedup_ngram_jaccard",        # doc_id < 200 bounded exact baseline
     "dedup_embedding_cosine",     # vec_id < 400 bounded exact baseline
     "similarity_cosine_topk",     # 1-row broadcast query vector
+    "similarity_quantized_topk",  # 1-row broadcast quantized query vector
+    "similarity_binary_hamming_topk",  # 1-row broadcast sign-bit query
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
     "text_tfidf_top_terms",       # 1-row broadcast corpus-count scalar
 }

@@ -296,6 +296,82 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "join_full_outer",
+    """
+    WITH od AS (
+        SELECT o_orderdate AS day, COUNT(*) AS n_orders
+        FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+                      AND o_orderdate < DATE '1995-02-01'
+        GROUP BY o_orderdate
+    ),
+    ed AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT COALESCE(od.day, ed.day) AS day,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           COALESCE(ed.n_events, 0) AS n_events
+    FROM od FULL JOIN ed ON od.day = ed.day
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join aligning two daily activity series whose key
+    ranges barely overlap (TPC-H 1995 order days vs the events table's
+    days), so BOTH null sides are exercised. Both inputs pre-aggregate
+    to one row per day before the join — the shuffle carries |days|
+    rows, not raw facts, and AQE picks the join strategy for the tiny
+    aligned sides."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-02-01")
+    )
+    od = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ed = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        od.join(ed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "null_safe_funcs",
+    """
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_fill,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE')
+               AS is_auto,
+           CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                THEN 'was_null' ELSE 'had_value' END AS nvl2_tag
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics coverage: NULLIF to manufacture nulls, COALESCE to
+    fill them, null-safe equality (Spark `<=>` / SQL IS NOT DISTINCT
+    FROM — false, never null, on a null input), and the NVL2 branch
+    form. All narrow per-row expressions inside whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    seg_nb = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_nb.alias("seg_nb"),
+        F.coalesce(seg_nb, F.lit("OTHER")).alias("seg_fill"),
+        seg_nb.eqNullSafe(F.lit("AUTOMOBILE")).alias("is_auto"),
+        F.nvl2(seg_nb, F.lit("had_value"), F.lit("was_null")).alias("nvl2_tag"),
+    )
+
+
+@_register(
     "join_multiway_region_revenue",
     """
     SELECT n.n_name AS nation,
