@@ -123,3 +123,66 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
     )
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean_docs"))
+
+
+_PACK_CAPACITY = 2048  # tokens per packed training sequence
+
+
+@_register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM sized
+    )
+    SELECT lang,
+           CAST(FLOOR(start_off / {_PACK_CAPACITY}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS sum_tokens
+    FROM offs
+    GROUP BY lang, bin_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: lay documents end-to-end
+    per language shard (deterministic doc_id order) and assign each doc
+    to the 2048-token bin its START offset falls in — the offset-based
+    approximation of greedy first-fit packing that is expressible as one
+    window + one aggregate (no sequential driver loop). Packing WITHIN a
+    partition key (lang here; a shard id at scale) is the production
+    shape: a global pack would serialize on one task, per-shard packs
+    parallelize and each shard's bins are contiguous. One shuffle on the
+    shard key for the running sum, map-side partial agg for the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / F.lit(float(_PACK_CAPACITY))).alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

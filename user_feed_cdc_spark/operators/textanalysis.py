@@ -330,6 +330,60 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap between windows
+
+
+@_register(
+    "text_chunk_documents",
+    f"""
+    SELECT doc_id,
+           CAST(FLOOR(start / {_CHUNK_STRIDE}.0) AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, start,
+               list_slice(tokens, start + 1, start + {_CHUNK_SIZE}) AS chunk
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ), UNNEST(range(0, len(tokens), {_CHUNK_STRIDE})) AS u(start)
+        WHERE len(tokens) > 0
+    )
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: split each document's token stream into
+    fixed 32-token windows advancing by 24 (8-token overlap so
+    no span is lost at a boundary) — the standard pretraining-corpus →
+    context-window step. Entirely narrow: tokens, window starts
+    (sequence), and slices are per-row higher-order functions; output
+    rows ≈ input tokens / stride with NO shuffle, so it streams at scan
+    speed at 100 TB and the sink controls partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tokens") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.floor(F.col("start") / F.lit(float(_CHUNK_STRIDE))).alias("chunk_idx"),
+        F.slice("tokens", F.col("start") + 1, _CHUNK_SIZE).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
 @_register(
     "text_lang_rollup",
     """
