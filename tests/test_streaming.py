@@ -237,3 +237,32 @@ def test_sliding_each_event_in_two_windows(spark, sf_dir):
         .s
     )
     assert windows_sum == 2 * total
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, events_dir):
+    """Stream-stream interval join: the same attribution_join function
+    over two file-replay streams must emit exactly the batch join's
+    pairs. The replay files are randomly partitioned (events arrive out
+    of order across micro-batches), so a generous watermark keeps
+    correctness while the time-range predicate still registers the
+    state-eviction policy with the engine."""
+    from user_feed_cdc_spark.streaming.windows import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    stream_src = events_file_stream(spark, events_dir)
+    stream = run_to_memory(
+        spark,
+        attribution_join(
+            stream_src.filter(F.col("event_type") == "click"),
+            events_file_stream(spark, events_dir).filter(
+                F.col("event_type") == "purchase"
+            ),
+            watermark="30 days",
+        ),
+        "attribution_eq",
+    )
+    assert _rows(stream) == _rows(batch)

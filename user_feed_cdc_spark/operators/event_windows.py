@@ -90,3 +90,32 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic gaps-and-islands formulation."""
     ev = load_table(spark, sf_dir, "events")
     return session_counts(ev, "30 minutes")
+
+
+@_register(
+    "events_attribution_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py::attribution_join — click →
+    purchase attribution within a 30-minute horizon. The oracle certifies
+    the interval-join logic here; test_streaming.py pins that the SAME
+    function, fed two streams, produces identical pairs with
+    watermark-bounded state."""
+    from user_feed_cdc_spark.streaming.windows import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+    )

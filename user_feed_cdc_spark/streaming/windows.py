@@ -112,6 +112,47 @@ def stream_dedup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return events.dropDuplicates(["event_id", "ts"])
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding `horizon` (click ts <= purchase ts <
+    click ts + horizon) — the canonical click-attribution shape. Works
+    identically on two batch DataFrames (plain interval equi-join) and
+    two streaming DataFrames, where the watermarks + the time-range
+    predicate are what let Spark EVICT join state: click state older
+    than watermark+horizon can never match a future purchase and is
+    dropped, so state is bounded by the horizon, not the stream length.
+    The join key is user_id → state partitions across executors; the
+    range predicate keeps per-key state at |events in horizon|."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (c.user_id == p.user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        c.user_id, "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DF to completion into an in-memory table
     (availableNow) and return the materialized batch result."""
