@@ -408,3 +408,30 @@ def test_incremental_dedup_invariants(spark, sf_dir):
     assert out.filter(F.col("doc_id") % 2 == 0).count() == 0
     assert out.join(seen, "digest", "inner").count() == 0
     assert out.groupBy("digest").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """GK approx percentiles track the exact per-group quantiles within
+    a small absolute band of the group's value range."""
+    from user_feed_cdc_spark.operators.sketches import sketch_value_quantiles
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in sketch_value_quantiles(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.collect_list("value").alias("vals")
+    ).collect()
+    assert set(approx) == {r.event_type for r in rows}
+    # GK returns an actual data value whose RANK is within the sketch's
+    # error bound — so verify rank, not distance to an interpolated
+    # quantile (which legitimately falls between data values).
+    eps = 0.01
+    for r in rows:
+        vals, n = sorted(r.vals), len(r.vals)
+        for q, got in zip((0.5, 0.95), approx[r.event_type]):
+            frac_le = sum(v <= got for v in vals) / n
+            frac_lt = sum(v < got for v in vals) / n
+            assert frac_le >= q - eps, (r.event_type, q, got, frac_le)
+            assert frac_lt <= q + eps, (r.event_type, q, got, frac_lt)

@@ -948,3 +948,38 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_register(
+    "unpivot_flag_measures",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+               FLOOR(SUM(l_discount) * 100.0 + 0.5) / 100.0 AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+)
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag measure columns → long
+    (key, measure, value) rows — the inverse of case_when_pivot and the
+    standard feature-table → training-example reshaping. Spark's
+    `unpivot` plans an Expand over the already-aggregated input (3
+    output rows per group row, zero extra shuffles beyond the
+    aggregation's own)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        r2(F.sum("l_quantity"), 2).alias("sum_qty"),
+        r2(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        r2(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )

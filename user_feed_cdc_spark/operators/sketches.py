@@ -48,3 +48,21 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_est.unionByName(total)
+
+
+@_register("sketch_value_quantiles", None)  # approximate → rows-only
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-event-type value quantiles via approx_percentile
+    (Greenwald-Khanna): the scale companion to agg_percentiles' exact
+    buffers. Exact percentiles hold every group value in memory — fine
+    for 3 bounded groups, fatal for high-cardinality keys at 100 TB;
+    the GK sketch is fixed-size per group and mergeable across
+    partitions, so the plan is an ordinary 2-phase hash aggregate.
+    Accuracy (rel. error ≤ 1/accuracy=1e-4) is pinned against the exact
+    path by tests/test_operators.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
