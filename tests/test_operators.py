@@ -435,3 +435,32 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
             frac_lt = sum(v < got for v in vals) / n
             assert frac_le >= q - eps, (r.event_type, q, got, frac_le)
             assert frac_lt <= q + eps, (r.event_type, q, got, frac_lt)
+
+
+def test_ivf_kmeans_nprobe_recall_monotone(spark, sf_dir):
+    """Probing more inverted lists can only ADD candidates, so recall
+    against the exact brute-force top-10 must be monotone in nprobe —
+    and with a real k-means quantizer nprobe=2 should already recover
+    most of the exact set."""
+    from user_feed_cdc_spark.operators.similarity import (
+        _ivf_kmeans_search,
+        similarity_cosine_topk,
+    )
+
+    exact = {r.vec_id for r in similarity_cosine_topk(spark, sf_dir).collect()}
+    got1 = {r.vec_id for r in _ivf_kmeans_search(spark, sf_dir, 1).collect()}
+    got2 = {r.vec_id for r in _ivf_kmeans_search(spark, sf_dir, 2).collect()}
+    r1 = len(got1 & exact) / len(exact)
+    r2_ = len(got2 & exact) / len(exact)
+    assert r2_ >= r1, (r1, r2_)
+    assert r2_ >= 0.5, f"nprobe=2 recall collapsed: {r2_}"
+
+
+def test_ivf_kmeans_deterministic(spark, sf_dir):
+    """The Lloyd loop is seeded and RNG-free: two runs must return the
+    identical ranked result."""
+    from user_feed_cdc_spark.operators.similarity import similarity_ivf_kmeans_topk
+
+    a = [tuple(r) for r in similarity_ivf_kmeans_topk(spark, sf_dir).collect()]
+    b = [tuple(r) for r in similarity_ivf_kmeans_topk(spark, sf_dir).collect()]
+    assert a == b

@@ -388,6 +388,226 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# k-means IVF: a REAL coarse quantizer (deterministic Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+IVF_NPROBE = 2
+_CENT_SCALE = 6  # centroids stored rounded at 1e-6 → cross-engine-stable
+
+
+def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column.
+
+    - init: the K_CLUSTERS vectors with the smallest vec_ids (seeded,
+      no RNG; cid = 1..K in vec_id order);
+    - assignment: argmax of the cosine ROUNDED at 1e-6 with min-cid
+      tiebreak, so the argmax is identical across engines;
+    - update: per-dimension AVG, re-rounded at 1e-6 — rounding after
+      every update step stops 1-ulp summation-order drift from ever
+      compounding across iterations.
+
+    Each iteration materializes the K×dim centroid table to the driver
+    and re-broadcasts it (exactly MLlib KMeans' loop shape): the
+    per-iteration cluster work is one broadcast join + one groupBy —
+    at 100 TB the vectors never shuffle, only K·dim doubles move.
+    Returns (cid, centroid array<double>, cnorm).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding")).alias("vnorm"),
+    )
+    seed_rows = (
+        vecs.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.transform("v", lambda x: r2(x, _CENT_SCALE)).alias("centroid"))
+        .collect()
+    )
+    cent_schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    cents = [(i + 1, list(r.centroid)) for i, r in enumerate(seed_rows)]
+    for _ in range(KMEANS_ITERS):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, cent_schema).withColumn(
+                "cnorm", norm(F.col("centroid"))
+            )
+        )
+        score = r2(
+            dot(F.col("v"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm")),
+            _CENT_SCALE,
+        )
+        assigned = (
+            vecs.join(cdf)
+            .select("vec_id", "v", "cid", score.alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias(
+                    "cid"
+                ),
+                F.first("v").alias("v"),
+            )
+        )
+        new_rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "vv"))
+            .groupBy("cid", "pos")
+            .agg(r2(F.avg("vv"), _CENT_SCALE).alias("cv"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs"))
+            .select("cid", F.transform("pcs", lambda s: s.cv).alias("centroid"))
+            .collect()
+        )
+        cents = [(r.cid, list(r.centroid)) for r in new_rows]
+    return F.broadcast(
+        spark.createDataFrame(cents, cent_schema).withColumn(
+            "cnorm", norm(F.col("centroid"))
+        )
+    )
+
+
+def _ivf_kmeans_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search against the k-means quantizer: assign every vector to
+    its nearest centroid (the inverted lists), probe the query's top
+    `nprobe` centroid lists, rank candidates by EXACT cosine. The
+    centroid id is the only join key — candidate volume is the probed
+    lists' size, never n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(spark, emb)
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding")).alias("vnorm"),
+    )
+    score = r2(
+        dot(F.col("v"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm")),
+        _CENT_SCALE,
+    )
+    assigned = (
+        vecs.join(cents)
+        .select("vec_id", "v", "vnorm", "cid", score.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias(
+                "cid"
+            ),
+            F.first("v").alias("v"),
+            F.first("vnorm").alias("vnorm"),
+        )
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("vnorm").alias("qnorm")
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select(
+            "cid",
+            r2(
+                dot(F.col("centroid"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")),
+                _CENT_SCALE,
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "cid")
+        .limit(nprobe)
+        .select(F.col("cid").alias("pcid"))
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm"))
+    return (
+        assigned.join(F.broadcast(probe), F.col("cid") == F.col("pcid"))
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", r2(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the deterministic Lloyd loop."""
+    rnd = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cent0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid,
+                   list_transform(v, x -> {rnd('x')}) AS centroid
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {K_CLUSTERS})
+        )""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        c = cos.format(a="e.v", b="c.centroid")
+        parts.append(f"""assign{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {rnd(c)} DESC, c.cid) AS rn
+                FROM v e CROSS JOIN cent{i - 1} c
+            ) WHERE rn = 1
+        )""")
+        parts.append(f"""cent{i} AS (
+            SELECT cid, list(cv ORDER BY pos) AS centroid FROM (
+                SELECT a.cid, d.pos, {rnd('AVG(d.vv)')} AS cv
+                FROM (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+                             UNNEST(v) AS vv FROM v) d
+                JOIN assign{i} a USING (vec_id)
+                GROUP BY a.cid, d.pos
+            ) GROUP BY cid
+        )""")
+    last = KMEANS_ITERS
+    qc = cos.format(a="c.centroid", b="q.qv")
+    fc = cos.format(a="e.v", b="q.qv")
+    parts.append(f"""q AS (SELECT v AS qv FROM v WHERE vec_id = 0)""")
+    parts.append(f"""probe AS (
+        SELECT cid FROM (
+            SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {rnd(qc)} DESC, c.cid) AS rn
+            FROM cent{last} c CROSS JOIN q
+        ) WHERE rn <= {IVF_NPROBE}
+    )""")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT e.vec_id,
+           FLOOR(({fc}) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM v e
+    JOIN assign{last} a USING (vec_id)
+    JOIN probe p ON a.cid = p.cid
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """
+    )
+
+
+@_register("similarity_ivf_kmeans_topk", _ivf_kmeans_oracle())
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a REAL k-means coarse quantizer and nprobe=2
+    (vs similarity_ivf_topk's label-centroid stand-in at nprobe=1):
+    3 deterministic Lloyd iterations seeded from the K smallest
+    vec_ids — no labels, no RNG — then probe the query's top-2 lists
+    and rank candidates by exact cosine. Every float the two engines
+    must agree on is rounded at 1e-6 before any comparison, so the
+    entire iteration trajectory is engine-exact and the oracle mirrors
+    it CTE-for-iteration."""
+    return _ivf_kmeans_search(spark, sf_dir, IVF_NPROBE)
+
+
 @_register("similarity_ann_lsh", None)  # composition not SQL-expressible → rows-only
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH buckets: for query vectors vec_id < 5,
