@@ -248,6 +248,82 @@ def cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_METADATA_MAP_ORACLE = """
+    WITH base AS (
+        SELECT event_type, event_id, props FROM events
+        WHERE event_type IN ('purchase', 'view', 'signup', 'click')
+          AND event_id % 10 NOT IN (0, 5)
+    ),
+    kv AS (
+        SELECT CASE event_type WHEN 'purchase' THEN 'LIKE_SHARD'
+                               WHEN 'view' THEN 'COMMENT_SHARD'
+                               WHEN 'signup' THEN 'CREATE_SHARD'
+                               WHEN 'click' THEN 'FOLLOW_USER' END AS activity_type,
+               CASE event_type WHEN 'view' THEN 5 WHEN 'signup' THEN 8
+                               ELSE 4 END AS n_keys,
+               UNNEST(CASE event_type
+                   WHEN 'purchase' THEN
+                       [{'k': 'source_table', 'v': 'likes'},
+                        {'k': 'primary_key_value', 'v': CAST(event_id AS VARCHAR)},
+                        {'k': 'primary_key_field', 'v': 'id'},
+                        {'k': 'primary_key_type', 'v': 'integer'}]
+                   WHEN 'view' THEN
+                       [{'k': 'source_table', 'v': 'comments'},
+                        {'k': 'primary_key_value', 'v': CAST(event_id AS VARCHAR)},
+                        {'k': 'primary_key_field', 'v': 'id'},
+                        {'k': 'primary_key_type', 'v': 'integer'},
+                        {'k': 'message', 'v': props}]
+                   WHEN 'signup' THEN
+                       [{'k': 'source_table', 'v': 'shards'},
+                        {'k': 'primary_key_value', 'v': CAST(event_id AS VARCHAR)},
+                        {'k': 'primary_key_field', 'v': 'id'},
+                        {'k': 'primary_key_type', 'v': 'integer'},
+                        {'k': 'template_type', 'v': 'react'},
+                        {'k': 'mode', 'v': 'normal'},
+                        {'k': 'type', 'v': 'public'},
+                        {'k': 'title', 'v': 'shard ' || CAST(event_id AS VARCHAR)}]
+                   WHEN 'click' THEN
+                       [{'k': 'source_table', 'v': 'followers'},
+                        {'k': 'primary_key_value', 'v': CAST(event_id AS VARCHAR)},
+                        {'k': 'primary_key_field', 'v': 'id'},
+                        {'k': 'primary_key_type', 'v': 'integer'}]
+                   END) AS e
+        FROM base
+    )
+    SELECT activity_type, e.k AS key, COUNT(*) AS n,
+           COUNT(DISTINCT e.v) AS n_vals, MAX(n_keys) AS n_keys
+    FROM kv GROUP BY activity_type, e.k
+"""
+
+
+@_register("cdc_metadata_map_stats", _METADATA_MAP_ORACLE)
+def cdc_metadata_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column functions as first-class operators over the
+    canonical record's `metadata MAP<STRING,STRING>` (reference
+    cassandra-init.cql:13, config.py:25): per-row key-count via
+    map_keys, empty-value pruning via map_filter, then explode(map) →
+    per-(activity_type, key) frequency / distinct-value rollup. The
+    oracle rebuilds the same entries from `events` and unnests them —
+    so the map construction in normalize_events is itself under the
+    hash gate, not just its projected columns. Explode fans out ≤8
+    entries per row and the aggregate is map-side partial — at 100 TB
+    this is scan-shaped, no new shuffle beyond the final groupBy."""
+    raw = cdc_fixture_json(spark, sf_dir)
+    acts = normalize_events(raw)
+    kv = acts.select(
+        "activity_type",
+        F.size(F.map_keys("metadata")).alias("n_keys"),
+        F.explode(
+            F.map_filter("metadata", lambda k, v: v != F.lit(""))
+        ).alias("key", "val"),
+    )
+    return kv.groupBy("activity_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("val").alias("n_vals"),
+        F.max("n_keys").alias("n_keys"),
+    )
+
+
 _DEADLETTER_ORACLE = """
     SELECT CASE WHEN event_type = 'error' THEN 'unknown_table'
                 ELSE 'non_create_op' END AS reason,
