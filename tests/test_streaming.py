@@ -266,3 +266,107 @@ def test_stream_stream_attribution_join(spark, sf_dir, events_dir):
         "attribution_eq",
     )
     assert _rows(stream) == _rows(batch)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: enough surface to drive
+    make_ttl_update_fn deterministically (real ProcessingTimeTimeout is
+    wall-clock-driven, untestable without sleeps)."""
+
+    def __init__(self):
+        self._state = None
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        if self._state is None:
+            raise ValueError("state does not exist")
+        return self._state
+
+    def update(self, v):
+        self._state = tuple(v)
+
+    def remove(self):
+        self._state = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_ttl_evicts_and_restarts(spark):
+    """TTL contract: a timed-out key's state is removed and nothing is
+    emitted; when the key reappears its totals RESTART from zero."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.streaming.stateful import make_ttl_update_fn
+
+    fn = make_ttl_update_fn(ttl_ms=60_000)
+    state = _FakeGroupState()
+    batch = pd.DataFrame(
+        {"value": [2.0, 3.0], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+
+    out1 = list(fn((7,), iter([batch]), state))
+    assert out1[0]["n_events"].iloc[0] == 2
+    assert out1[0]["total_value"].iloc[0] == 5.0
+    assert state.exists and state.timeout_set == 60_000
+
+    # idle past TTL → Spark invokes with hasTimedOut, no rows
+    state.hasTimedOut = True
+    assert list(fn((7,), iter([]), state)) == []  # nothing emitted
+    assert not state.exists  # state dropped
+
+    # key reappears → totals restart from zero, not 2/5.0
+    state.hasTimedOut = False
+    out2 = list(fn((7,), iter([batch]), state))
+    assert out2[0]["n_events"].iloc[0] == 2
+    assert out2[0]["total_value"].iloc[0] == 5.0
+
+
+def test_stateful_ttl_streaming_path(spark, sf_dir, events_dir):
+    """running_user_totals_ttl executes end-to-end with a real
+    ProcessingTimeTimeout (no key idles past the 1 h TTL inside the
+    replay, so results equal the lifetime variant's contract).
+
+    Driven with the default continuous trigger + explicit stop():
+    availableNow never terminates under ProcessingTimeTimeout (the
+    engine keeps scheduling batches so pending timeouts can fire)."""
+    from user_feed_cdc_spark.streaming.stateful import running_user_totals_ttl
+
+    n_input = load_table(spark, sf_dir, "events").count()
+    q = (
+        running_user_totals_ttl(events_file_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("user_totals_ttl")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            consumed = sum(p["numInputRows"] for p in q.recentProgress)
+            if consumed >= n_input:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("stream did not drain the input in time")
+    finally:
+        q.stop()
+    out = spark.table("user_totals_ttl").collect()
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r.n_events
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert {u: f.n_events for u, f in final.items()} == batch

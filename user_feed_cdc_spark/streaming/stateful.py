@@ -54,12 +54,61 @@ def _update_user_totals(
 def running_user_totals(events: DataFrame) -> DataFrame:
     """events stream → per-user running totals, one updated row per user
     per micro-batch in which the user appears. NoTimeout keeps state for
-    ever (lifetime totals); swap in ProcessingTimeTimeout + state.remove
-    for TTL'd accumulators."""
+    ever (lifetime totals); use running_user_totals_ttl for the bounded
+    variant."""
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_ttl_update_fn(ttl_ms: int):
+    """Update function with TTL eviction, closed over ttl_ms. Factored
+    out of running_user_totals_ttl so tests can drive it with a fake
+    GroupState and pin the eviction semantics deterministically
+    (processing-time timeouts are wall-clock-driven inside a real query).
+
+    Contract: a key idle for ttl_ms is invoked once with hasTimedOut —
+    its state is REMOVED and nothing is emitted; if the key reappears
+    later its totals restart from zero (TTL'd accumulator, not lifetime)."""
+    import pandas as pd
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())  # evicted: emit nothing
+        out = _update_user_totals(key, pdfs, state)
+        # re-arm the clock on every batch the key appears in
+        state.setTimeoutDuration(ttl_ms)
+        return out
+
+    return update
+
+
+def running_user_totals_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    """running_user_totals with state TTL: any user idle for ttl_ms has
+    its state evicted (ProcessingTimeTimeout + state.remove), and a
+    later reappearance restarts totals from zero.
+
+    This is the 100 TB posture: with an UNBOUNDED keyspace (the
+    reference's global counter, connection_state.py:4-12, never evicts
+    either) state grows with distinct-keys-ever; with TTL it is bounded
+    by keys-active-per-TTL-window × ~24 bytes of tuple state, which is
+    what lets a 1000-executor state store survive months of uptime.
+
+    Operational note: run this with a continuous trigger (default /
+    processingTime). Trigger.AvailableNow does NOT terminate under
+    ProcessingTimeTimeout — the engine keeps scheduling micro-batches so
+    pending timeouts can fire (observed empirically: ~80 empty batches
+    and still running), so drain-and-stop drivers must stop() the query
+    themselves."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_ttl_update_fn(ttl_ms),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
