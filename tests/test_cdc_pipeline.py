@@ -272,3 +272,32 @@ def test_read_user_feed_order_pagination_pruning(spark, tmp_path):
 
     plan = page._jdf.queryExecution().executedPlan().toString()
     assert "user_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_feed_meta_records_and_validates_bucket_count(spark, tmp_path):
+    """The feed table records n_user_buckets in a sidecar; reads resolve
+    it automatically, and an explicitly contradicting modulus raises
+    instead of silently pruning to wrong/empty pages."""
+    import pytest as _pytest
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        compact_feed,
+        read_feed_meta,
+        read_user_feed,
+    )
+
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck")).awaitTermination()
+
+    assert read_feed_meta(spark, feed) == 32  # N_USER_BUCKETS recorded
+    assert read_user_feed(spark, feed, "2", limit=2).count() == 2  # auto-resolve
+    with _pytest.raises(ValueError, match="n_user_buckets=32"):
+        read_user_feed(spark, feed, "2", n_user_buckets=8)
+
+    # compaction carries the contract along
+    compacted = str(tmp_path / "feed_c")
+    compact_feed(spark, feed, compacted)
+    assert read_feed_meta(spark, compacted) == 32

@@ -17,6 +17,8 @@ view→comments, signup→shards, click→followers, error→an unknown table
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,7 +65,21 @@ _TYPE_TABLE = {
 # queries read the identical fixture, and round 1 rebuilt it from scratch
 # in each (and its 5-way union form re-scanned `events` per branch) —
 # ~20 redundant derivations, 21 s of a 66 s bench. One persist kills that.
-_FIXTURE_CACHE: dict = {}
+# Keyed WEAKLY on the SparkSession object (not id(spark): a stopped,
+# GC'd session can have its id reused by a new one, which would then be
+# served a DataFrame bound to the dead SparkContext) — when the session
+# is collected its cache entries (and their persisted-block references)
+# go with it.
+_FIXTURE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def evict_fixture_cache(spark: SparkSession) -> None:
+    """Unpersist and drop this session's cached fixtures (call before
+    stopping a session whose executors you want cleaned up eagerly)."""
+    for df in _FIXTURE_CACHE.pop(spark, {}).values():
+        df.unpersist()
 
 
 def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,9 +90,9 @@ def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codegen evaluates only the taken branch), replacing the round-1
     5-way union that scanned `events` once per branch. The result is
     persisted and shared across the registered CDC queries."""
-    key = (id(spark), sf_dir)
-    if key in _FIXTURE_CACHE:
-        return _FIXTURE_CACHE[key]
+    per_session = _FIXTURE_CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -152,7 +168,7 @@ def cdc_fixture_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = parse_cdc(
         ev.filter(F.col("event_type").isin(*_TYPE_TABLE)).select(value.alias("value"))
     ).persist()
-    _FIXTURE_CACHE[key] = fixture
+    per_session[sf_dir] = fixture
     return fixture
 
 

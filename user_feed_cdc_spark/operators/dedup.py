@@ -167,6 +167,11 @@ def minhash_signature(shingle_col, k: int = N_MINHASH, groups: int = N_HASH_GROU
     form referencing the shingle expression k× gets the whole shingle
     construction re-inlined per seed by CollapseProject (a 32× CPU
     blowup measured in round 1)."""
+    if groups < 1 or k % groups != 0:
+        # a non-dividing k would silently leave trailing signature slots
+        # at the init sentinel (out-of-bounds element_at → null → dropped
+        # by least) — fail loudly instead of corrupting signatures
+        raise ValueError(f"k ({k}) must be a positive multiple of groups ({groups})")
     per = k // groups
     per_shingle = F.transform(
         shingle_col,
@@ -340,6 +345,7 @@ def dedup_minhash_lsh(
 
     labels = bands.select("doc_id").distinct().withColumn("rep_id", F.col("doc_id"))
     prev_sum = None
+    prev_labels = None  # previous round's persisted frame, for eviction
     for _ in range(max_rounds):
         # hyperedge step: every bucket's min label spreads to its members
         stepped = (
@@ -366,10 +372,19 @@ def dedup_minhash_lsh(
         )
         # labels only ever decrease → Σ rep_id strictly decreases until
         # fixpoint; one scalar agg per round detects convergence exactly
+        # (and, in persist mode, forces this round's blocks so the
+        # previous round's can be evicted without a recompute cliff)
         cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        if materialize == "persist" and prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if materialize == "persist":
+        # the final labels frame is materialized; its lineage no longer
+        # needs the bands blocks
+        bands.unpersist()
     # docs whose every bucket was skew-dropped (or with no shingles) are
     # their own singleton cluster
     return all_docs.join(labels, "doc_id", "left").select(
@@ -417,13 +432,26 @@ def simhash64(col_name: str, max_tokens: int = SIMHASH_MAX_TOKENS):
 
 
 @_register("dedup_simhash", None)  # xxhash64 has no DuckDB twin → rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_BANDS - 1
+) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, candidates via 4×16-bit
-    band buckets (pigeonhole: hamming ≤ 3 ⇒ one band identical; wider
-    hamming trades recall), verified by exact popcount of the XOR. The
-    candidate join keys on a 16-bit band value — bounded buckets, never
-    all-pairs. Property-tested: identical texts ⇒ identical simhash
-    (tests/test_operators.py)."""
+    band buckets, verified by exact popcount of the XOR. The candidate
+    join keys on a 16-bit band value — bounded buckets, never all-pairs.
+
+    Pigeonhole guarantee: with B bands, hamming ≤ B-1 implies at least
+    one band is identical, so the default radius is SIMHASH_BANDS-1 = 3
+    — the returned set is then EXACTLY 'all pairs with hamming ≤ 3'. A
+    wider radius than bands-1 would silently miss pairs whose differing
+    bits spread across every band (the round-2 default of 6 did), so it
+    is rejected rather than under-delivered. Property-tested: identical
+    texts ⇒ identical simhash (tests/test_operators.py)."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{SIMHASH_BANDS} bands (≤ {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS "
+            "to widen the radius instead of silently losing recall"
+        )
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", simhash64("text").alias("sig")
     )

@@ -346,6 +346,41 @@ def user_bucket_expr(user_id_col, n_buckets: int = N_USER_BUCKETS) -> Column:
     return F.pmod(F.xxhash64(user_id_col), F.lit(n_buckets))
 
 
+_FEED_META = "_feed_meta.json"  # '_' prefix: invisible to parquet file listing
+
+
+def write_feed_meta(spark: SparkSession, feed_path: str, n_user_buckets: int) -> None:
+    """Record the table's bucket count in a sidecar under feed_path.
+    Goes through the Hadoop FileSystem API so it works on any supported
+    store (local, HDFS, s3a), not just local paths."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(feed_path, _FEED_META)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(json.dumps({"n_user_buckets": n_user_buckets}).encode("utf-8"))
+    out.close()
+
+
+def read_feed_meta(spark: SparkSession, feed_path: str) -> int | None:
+    """Bucket count recorded with the table, or None for pre-meta
+    tables."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(feed_path, _FEED_META)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(json.loads(raw)["n_user_buckets"])
+
+
 def write_feed_stream(
     activities: DataFrame,
     feed_path: str,
@@ -377,6 +412,10 @@ def write_feed_stream(
         .withColumn("activity_date", F.to_date("event_timestamp"))
         .withColumn("user_bucket", user_bucket_expr(F.col("user_id"), n_user_buckets))
     )
+    if sink_format == "parquet":
+        # record the bucketing contract with the table so readers can
+        # validate instead of silently pruning with the wrong modulus
+        write_feed_meta(activities.sparkSession, feed_path, n_user_buckets)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_feed_batch(batch_df, batch_id, feed_path, sink_format)
@@ -447,6 +486,10 @@ def compact_feed(spark: SparkSession, feed_path: str, compacted_path: str) -> No
         .partitionBy("activity_date", "user_bucket")
         .parquet(compacted_path)
     )
+    # compaction preserves the bucket layout → carry its contract along
+    buckets = read_feed_meta(spark, feed_path)
+    if buckets is not None:
+        write_feed_meta(spark, compacted_path, buckets)
 
 
 def read_user_feed(
@@ -455,7 +498,7 @@ def read_user_feed(
     user_id: str,
     limit: int = 100,
     offset: int = 0,
-    n_user_buckets: int = N_USER_BUCKETS,
+    n_user_buckets: int | None = None,
 ) -> DataFrame:
     """Per-user feed page over the materialized feed table (reference
     endpoint: main.py:136-189, limit+offset pagination main.py:137,164).
@@ -466,7 +509,24 @@ def read_user_feed(
     re-expressed. Ordering: (event_timestamp, _batch_id, _seq) DESC — the
     explicit TIMEUUID-clustering replacement (SURVEY.md §7.3.1). OFFSET
     is top-(offset+limit) then a row_number slice over that bounded set
-    (never a global sort)."""
+    (never a global sort).
+
+    The pruning predicate recomputes user_bucket, so its modulus MUST
+    match the one the table was written with — a mismatch silently
+    returns wrong/empty pages. The bucket count is therefore read from
+    the table's own _feed_meta sidecar (recorded by write_feed_stream);
+    passing an explicit n_user_buckets that contradicts it is an error,
+    and only meta-less (pre-meta) tables fall back to the default."""
+    recorded = read_feed_meta(spark, feed_path)
+    if n_user_buckets is None:
+        n_user_buckets = recorded if recorded is not None else N_USER_BUCKETS
+    elif recorded is not None and recorded != n_user_buckets:
+        raise ValueError(
+            f"feed table at {feed_path} was written with "
+            f"n_user_buckets={recorded}, but the read asked for "
+            f"{n_user_buckets}; pruning with the wrong modulus would "
+            "silently return wrong pages"
+        )
     feed = spark.read.parquet(feed_path)
     order = [
         F.col("event_timestamp").desc(),
