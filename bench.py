@@ -31,8 +31,42 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    # warm the JVM + parquet footers so q1 isn't charged session startup
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm-up (untimed): session startup costs — whole-stage-codegen
+    # compiler, first broadcast/exchange, vectorized parquet reader,
+    # every table's footer — must not be charged to whichever query
+    # happens to be registered first (the registry order rotates per
+    # round for driver-coverage reasons; timings should be
+    # order-independent steady state).
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        # load_table, not bare spark.read: events carries TIMESTAMP(NANOS)
+        load_table(spark, sf_dir, t).count()
+    entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
+    # warm the higher-order-function + conditionless-broadcast codegen
+    # paths (zip_with/aggregate over arrays, BroadcastNestedLoopJoin) —
+    # the similarity family leads the registry and would otherwise be
+    # charged the first Janino compile of those patterns
+    from pyspark.sql import functions as F
+
+    emb8 = load_table(spark, sf_dir, "embeddings").limit(8)
+    q1 = emb8.limit(1).select(F.col("embedding").alias("qe"))
+    (
+        emb8.join(F.broadcast(q1))
+        .select(
+            F.aggregate(
+                F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d")
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

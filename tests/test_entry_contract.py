@@ -12,7 +12,7 @@ def test_registry_invariants():
     qs, oracles = em.queries(), em.oracle_sql()
     # every oracle has a query; every callable takes (spark, sf_dir)
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 66, f"registry shrank to {len(qs)} entries"
+    assert len(qs) >= 82, f"registry shrank to {len(qs)} entries"
     # oracle-checked coverage stays the overwhelming majority
     assert len(oracles) / len(qs) >= 0.85
     # no module-level name collisions silently shadowing operators

@@ -22,6 +22,7 @@ NESTED_LOOP_WHITELIST = {
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
     "similarity_ivf_kmeans_topk",  # K=8 broadcast centroids / ≤nprobe probe rows
     "text_tfidf_top_terms",       # 1-row broadcast corpus-count scalar
+    "pipeline_source_mixture",    # 1-row broadcast mixture-floor scalar
 }
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from user_feed_cdc_spark.operators.dedup import shingles
 from user_feed_cdc_spark.operators.textanalysis import EN_STOPWORDS
 from user_feed_cdc_spark.sources.tables import load_table
 
@@ -123,6 +124,185 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
     )
     return deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean_docs"))
+
+
+_DECON_NGRAM = 5  # n-gram width for train/eval overlap detection
+_EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" stand-in
+
+
+@_register(
+    "pipeline_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_DECON_NGRAM} + 2, 2)),
+                   i -> array_to_string(toks[i:i + {_DECON_NGRAM} - 1], ' ')
+               )) AS grams
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT UNNEST(grams) AS g FROM grams
+        WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (SELECT * FROM grams WHERE doc_id % {_EVAL_MOD} <> 0),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, UNNEST(grams) AS g FROM train) t
+        JOIN eval_grams e ON t.g = e.g
+    )
+    SELECT t.lang, t.source,
+           COUNT(*) AS n_train,
+           COUNT(c.doc_id) AS n_contaminated,
+           COUNT(*) - COUNT(c.doc_id) AS n_clean
+    FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    GROUP BY t.lang, t.source
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile pre-training step):
+    flag any training document sharing a {5}-gram with the held-out
+    eval set (stand-in: doc_id % 97 == 0), report per-(lang, source)
+    train/contaminated/clean counts.
+
+    Plan shape at 100 TB: eval benchmarks are tiny (MMLU+GSM8K ≈ 10⁵
+    n-grams), so the distinct eval-gram set is BROADCAST and the
+    training side never shuffles its grams — contamination is a
+    broadcast left-semi join in the scan stage, then one groupBy on the
+    doc key. Nothing all-pairs, no global gram index."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        shingles(F.col("text"), _DECON_NGRAM).alias("grams"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    contaminated = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("_hit").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_clean"),
+        )
+    )
+
+
+_N_SHARDS = 16
+
+
+@_register(
+    "pipeline_shuffle_shards",
+    f"""
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8)
+                AS BIGINT) % {_N_SHARDS} AS shard_id,
+           COUNT(*) AS n_docs,
+           SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+               AS sum_tokens,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → training shards: shard_id is a
+    salted content-independent hash of the doc id — the reproducible
+    replacement for RNG shuffling (same corpus → same shards, any
+    engine). Per-shard accounting proves the mixing: every shard draws
+    from (nearly) all languages.
+
+    This is the scale-correct shuffle: NO global sort/row_number (which
+    would serialize 100 TB through one task) — hash-partitioning alone
+    gives each shard a uniform pseudo-random sample, and a training
+    reader sorts WITHIN its shard by the same hash for a deterministic
+    visit order. One map-side-partial groupBy, shuffle volume = rows ×
+    a few counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_SHARDS
+    )
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        docs.select(shard.alias("shard_id"), F.size(tokens).alias("n_tokens"), "lang")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@_register(
+    "pipeline_source_mixture",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ),
+    floor_n AS (SELECT MIN(n_total) AS min_n FROM counts),
+    ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn
+        FROM documents
+    )
+    SELECT c.source, c.n_total,
+           SUM(CASE WHEN r.rn <= f.min_n THEN 1 ELSE 0 END) AS n_sampled
+    FROM ranked r
+    JOIN counts c ON r.source = c.source
+    CROSS JOIN floor_n f
+    GROUP BY c.source, c.n_total
+    """,
+)
+def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: undersample every source to the size
+    of the smallest one (uniform mixture), selecting per-source by a
+    deterministic salted hash rank — the no-RNG version of mixture
+    sampling weights (swap min_n for ceil(w_s · n_s) to express any
+    target weight vector). One window shuffle on the source key; the
+    mixture floor is a 1-row broadcast. Output: per-source total vs
+    sampled counts (every n_sampled == min over totals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    floor_n = counts.agg(F.min("n_total").alias("min_n"))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), "doc_id"
+    )
+    ranked = docs.select("source", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(counts), "source")
+        .join(F.broadcast(floor_n))
+        .groupBy("source", "n_total")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("min_n"), 1).otherwise(0)).alias(
+                "n_sampled"
+            )
+        )
+    )
 
 
 _PACK_CAPACITY = 2048  # tokens per packed training sequence

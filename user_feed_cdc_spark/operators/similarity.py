@@ -398,7 +398,7 @@ IVF_NPROBE = 2
 _CENT_SCALE = 6  # centroids stored rounded at 1e-6 → cross-engine-stable
 
 
-def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _kmeans_centroids(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column.
 
     - init: the K_CLUSTERS vectors with the smallest vec_ids (seeded,
@@ -413,7 +413,9 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     and re-broadcasts it (exactly MLlib KMeans' loop shape): the
     per-iteration cluster work is one broadcast join + one groupBy —
     at 100 TB the vectors never shuffle, only K·dim doubles move.
-    Returns (cid, centroid array<double>, cnorm).
+    `vecs` is (vec_id, v array<double>, vnorm) and should be persisted
+    by the caller (every iteration re-scans it). Returns the broadcast
+    (cid, centroid array<double>, cnorm) frame.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -423,11 +425,6 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
         StructType,
     )
 
-    vecs = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        norm(F.col("embedding")).alias("vnorm"),
-    )
     seed_rows = (
         vecs.orderBy("vec_id")
         .limit(K_CLUSTERS)
@@ -486,12 +483,12 @@ def _ivf_kmeans_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFra
     centroid id is the only join key — candidate volume is the probed
     lists' size, never n."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _kmeans_centroids(spark, emb)
     vecs = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         norm(F.col("embedding")).alias("vnorm"),
-    )
+    ).persist()  # scanned by every Lloyd iteration + the final search
+    cents = _kmeans_centroids(spark, vecs)
     score = r2(
         dot(F.col("v"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm")),
         _CENT_SCALE,
