@@ -370,3 +370,92 @@ def test_stateful_ttl_streaming_path(spark, sf_dir, events_dir):
         .collect()
     }
     assert {u: f.n_events for u, f in final.items()} == batch
+
+
+def test_stateful_v2_processor_logic(spark):
+    """The transformWithState processor's fold logic, driven with a fake
+    ValueState (the state-server protocol needs google.protobuf, absent
+    in this sandbox): accumulate across calls, restart after clear —
+    i.e. after a TTL eviction, which surfaces as get() -> None."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.streaming.stateful import _make_user_totals_processor
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeValueState()
+            self.ttl_seen = None
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl_seen = ttlDurationMs
+            return self.state
+
+    proc = _make_user_totals_processor(ttl_ms=60_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert handle.ttl_seen == 60_000
+
+    batch = pd.DataFrame(
+        {"value": [2.0, 3.0], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    out1 = list(proc.handleInputRows((7,), iter([batch]), None))
+    assert out1[0]["n_events"].iloc[0] == 2
+    out2 = list(proc.handleInputRows((7,), iter([batch]), None))
+    assert out2[0]["n_events"].iloc[0] == 4  # state carried
+
+    handle.state.clear()  # what a TTL expiry looks like to the processor
+    out3 = list(proc.handleInputRows((7,), iter([batch]), None))
+    assert out3[0]["n_events"].iloc[0] == 2  # restarted, not 6
+
+
+def test_stateful_v2_transform_with_state(spark, sf_dir, events_dir):
+    """transformWithStateInPandas twin: same batch-equivalence contract
+    as the v1 applyInPandasWithState operator — the final update per
+    user equals the batch groupBy over the whole table. Skipped where
+    google.protobuf (the state-server protocol dependency) is absent."""
+    pytest.importorskip("google.protobuf")
+    from user_feed_cdc_spark.streaming.stateful import running_user_totals_v2
+
+    out = run_to_memory(
+        spark,
+        running_user_totals_v2(events_file_stream(spark, events_dir)),
+        "user_totals_v2",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f.n_events == b.n_events
+        assert abs(f.total_value - b.total_value) < 1e-6
+        assert f.last_ts == b.last_ts

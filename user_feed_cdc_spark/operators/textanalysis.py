@@ -385,6 +385,82 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS distinct_tokens, toks
+        FROM toks WHERE len(toks) >= 2
+    ),
+    counts AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM base)
+        GROUP BY doc_id, g
+    ),
+    top AS (SELECT doc_id, MAX(c) AS top2_cnt FROM counts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.distinct_tokens,
+           b.distinct_tokens * 10000 // b.n_tokens AS ttr_e4,
+           t.top2_cnt,
+           t.top2_cnt * 10000 // (b.n_tokens - 1) AS rep_e4
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity quality signals per document:
+    type-token ratio (distinct/total tokens) and the fraction of 2-gram
+    slots occupied by the single most frequent 2-gram — the classic
+    filters for templated/degenerate text in pre-training corpora. Both
+    emitted as scaled BIGINTs (x10^4 intdiv), never computed doubles.
+
+    TTR is per-row array math (no shuffle); the top-2-gram count is
+    explode → (doc_id, gram) groupBy → per-doc max — linear in corpus
+    size with map-side partials, NOT the O(tokens²) per-row
+    higher-order-fn formulation, which would blow up on 2k-token docs
+    at 100 TB. Two doc_id-keyed shuffles, then a doc_id join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    ).filter(F.col("n_tokens") >= 2)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat(
+                    F.element_at("toks", i + 1), F.lit(" "), F.element_at("toks", i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2_cnt"))
+    )
+    return base.drop("toks").join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.expr("distinct_tokens * 10000 div n_tokens").alias("ttr_e4"),
+        "top2_cnt",
+        F.expr("top2_cnt * 10000 div (n_tokens - 1)").alias("rep_e4"),
+    )
+
+
+@_register(
     "text_lang_rollup",
     """
     SELECT lang, source,

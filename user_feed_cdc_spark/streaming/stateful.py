@@ -88,6 +88,77 @@ def make_ttl_update_fn(ttl_ms: int):
     return update
 
 
+def running_user_totals_v2(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """running_user_totals on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState: typed state handles
+    (ValueState here; ListState/MapState available), NATIVE per-state
+    TTL (ttlDurationMs — no hand-rolled timeout callback: expired state
+    just reads back as absent and the store evicts it), and timer
+    support. Same contract as the v1 operator: one updated row per user
+    per micro-batch, totals restart after a TTL eviction.
+
+    At 100 TB this is the API to standardize on: state lives in the
+    RocksDB state store keyed by the group key, TTL bounds the store by
+    keys-active-per-window, and the Arrow batch path is identical to
+    applyInPandasWithState.
+
+    Environment note: the transformWithState state-server protocol
+    requires `google.protobuf`, which this sandbox does not ship (and
+    installs are disallowed) — so like the Kafka source (S1), the
+    operator is complete but can only execute on a real deployment; the
+    fold logic is unit-tested with a fake ValueState and the end-to-end
+    test is imports-gated (tests/test_streaming.py)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _make_user_totals_processor(ttl_ms),
+        OUTPUT_SCHEMA,
+        "Update",
+        "ProcessingTime" if ttl_ms is not None else "None",
+    )
+
+
+def _make_user_totals_processor(ttl_ms: int | None):
+    """Build the StatefulProcessor for running_user_totals_v2. Factored
+    out so the fold/restart logic is unit-testable with a fake
+    ValueState handle (see the environment note above)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get()  # None once TTL-expired → restart
+            n, total, last_us = prior if prior is not None else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max_us = int(
+                    pdf["ts"].astype("datetime64[us]").astype("int64").max()
+                )
+                last_us = max(last_us, batch_max_us)
+            self._totals.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotals()
+
+
 def running_user_totals_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
     """running_user_totals with state TTL: any user idle for ttl_ms has
     its state evicted (ProcessingTimeTimeout + state.remove), and a
