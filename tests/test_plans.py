@@ -150,3 +150,55 @@ def test_global_topk_never_full_sorts(spark, sf_dir):
 
     plan = _executed_plan(em.queries()["sort_limit_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """pipeline_decontaminate: the contamination probe must be a
+    BROADCAST semi-join on the gram (benchmark gram sets are tiny at any
+    scale) — a shuffled join here would move the training corpus's whole
+    exploded gram stream."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["pipeline_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_partial_aggregates(spark, sf_dir):
+    """pipeline_shuffle_shards: the shard rollup must map-side combine
+    (partial_count/partial_sum before the exchange) — shuffle volume is
+    shards × counters, not rows."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["pipeline_shuffle_shards"](spark, sf_dir))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_metadata_map_stats_single_scan(spark, sf_dir):
+    """cdc_metadata_map_stats: one events scan, no join — the map
+    construction, explode, and rollup all ride the scan stage."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["cdc_metadata_map_stats"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+
+
+def test_repetition_scores_column_pruning(spark, sf_dir):
+    """text_repetition_scores reads only (doc_id, text) — the quality
+    signals must not drag the full documents schema through the scan."""
+    import __spark_entry__ as em
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = _executed_plan(em.queries()["text_repetition_scores"](spark, sf_dir))
+    read_schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert read_schemas
+    for rs in read_schemas:
+        assert "lang" not in rs and "source" not in rs  # unreferenced → pruned
