@@ -459,3 +459,55 @@ def test_stateful_v2_transform_with_state(spark, sf_dir, events_dir):
         assert f.n_events == b.n_events
         assert abs(f.total_value - b.total_value) < 1e-6
         assert f.last_ts == b.last_ts
+
+
+def test_streaming_incremental_dedup_ingest(spark, tmp_path):
+    """Streaming corpus ingestion: within-batch dupes collapse to min
+    doc_id, cross-batch dupes are rejected by the ledger anti-join, and
+    a full replay (fresh checkpoint, same batch ids) leaves the corpus
+    byte-identical — the dynamic-overwrite idempotency contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from user_feed_cdc_spark.streaming.ingest import dedup_ingest_stream
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+
+    def write_file(i, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(src / f"{i:04d}.parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    write_file(0, [(10, "alpha"), (11, "beta"), (12, "alpha")])   # within-batch dupe
+    write_file(1, [(20, "beta"), (21, "gamma"), (22, "gamma")])   # cross + within
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    dedup_ingest_stream(stream, corpus, ledger, str(tmp_path / "ck1")).awaitTermination()
+
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    assert got == {(10, "alpha"), (11, "beta"), (21, "gamma")}
+    assert spark.read.parquet(ledger).count() == 3
+
+    # replay everything with a fresh checkpoint → same batch ids → the
+    # overwrite replaces each batch's own partitions, zero duplication
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    dedup_ingest_stream(stream2, corpus, ledger, str(tmp_path / "ck2")).awaitTermination()
+    again = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    assert again == got
+    assert spark.read.parquet(ledger).count() == 3
