@@ -301,3 +301,39 @@ def test_feed_meta_records_and_validates_bucket_count(spark, tmp_path):
     compacted = str(tmp_path / "feed_c")
     compact_feed(spark, feed, compacted)
     assert read_feed_meta(spark, compacted) == 32
+
+
+def test_parse_tolerates_schema_drift(spark):
+    """Forward/backward compatibility of the merged-schema parse: an
+    upstream producer adding unknown fields must not break or corrupt
+    the canonical rows (from_json ignores them), and a missing optional
+    field nulls out instead of failing the row — the CDC contract that
+    lets producers and the pipeline deploy independently."""
+    import json as _json
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import normalize_events
+
+    extra = _json.dumps(
+        {
+            "id": 7, "shard_id": 3, "liked_by": "2",
+            "__op": "c", "__table": "likes", "__source_ts_ms": BASE_TS,
+            "__source_table": "likes",
+            "brand_new_field": "ignored", "nested_new": {"a": 1},
+        }
+    )
+    missing_optional = _json.dumps(
+        {
+            # comments row without its optional message field
+            "id": 8, "user_id": "4", "shard_id": 3,
+            "__op": "c", "__table": "comments", "__source_ts_ms": BASE_TS,
+            "__source_table": "comments",
+        }
+    )
+    raw = spark.createDataFrame([(extra,), (missing_optional,)], "value string")
+    acts = {r.activity_type: r for r in normalize_events(raw).collect()}
+    assert set(acts) == {"LIKE_SHARD", "COMMENT_SHARD"}
+    like = acts["LIKE_SHARD"]
+    assert like.user_id == "2" and like.target_id == "3"
+    assert "brand_new_field" not in like.metadata
+    comment = acts["COMMENT_SHARD"]
+    assert comment.metadata.get("message") == ""  # nulled → coalesced empty

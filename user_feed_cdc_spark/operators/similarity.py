@@ -388,6 +388,71 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_RERANK_POOL = 50  # quantized-prefilter candidate pool before exact re-rank
+
+
+@_register(
+    "similarity_rerank_topk",
+    f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 64.0) AS BIGINT)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ),
+    pool AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, q.qv
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY list_dot_product(
+                     list_transform(CAST(e.embedding AS DOUBLE[]),
+                                    x -> CAST(FLOOR(x * 64.0) AS BIGINT)),
+                     q.qq) DESC, e.vec_id
+        LIMIT {_RERANK_POOL}
+    )
+    SELECT vec_id,
+           FLOOR(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM pool
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — THE production ANN serving pattern: stage 1
+    scores every candidate with the cheap int8-quantized dot product
+    (4× less I/O, integer-exact) and keeps a top-{50} pool; stage 2
+    re-ranks only that pool with full-precision cosine. Both stages are
+    deterministic (integer scores, rounded cosine, vec_id tiebreaks) so
+    the oracle mirrors the exact pool membership. Plan shape: two
+    TakeOrderedAndProject passes — the full-precision vectors of only
+    {50} rows are touched after the scan, nothing shuffles wide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"),
+        _quantize(F.col("embedding")).alias("qq"),
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "qv",
+            _int_dot(_quantize(F.col("embedding")), F.col("qq")).alias("iscore"),
+        )
+        .orderBy(F.col("iscore").desc(), "vec_id")
+        .limit(_RERANK_POOL)
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (norm(F.col("v")) * norm(F.col("qv")))
+    return (
+        pool.select("vec_id", r2(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-means IVF: a REAL coarse quantizer (deterministic Lloyd iterations)
 # ---------------------------------------------------------------------------
