@@ -130,6 +130,56 @@ _ASOF_ORACLE = """
 """
 
 
+_ASOF_TOL_ORACLE = """
+    WITH m AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           CASE WHEN e.ts - m.ts <= INTERVAL 1 HOUR
+                THEN m.purchase_id END AS recent_purchase_id
+    FROM events e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+_TOL_US = 3_600_000_000  # 1 hour staleness bound
+
+
+@_register("asof_last_purchase_tolerance", _ASOF_TOL_ORACLE)
+def asof_last_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — the feature-store freshness
+    contract: a feature older than the tolerance (1 h here) must NOT be
+    attached (serve NULL, not a stale value). Same single-shuffle
+    union/last composition; the marker's own timestamp rides along as a
+    second carried column and the bound is a post-window null-out —
+    no extra join, no extra shuffle. Oracle: DuckDB ASOF LEFT JOIN with
+    the interval check applied to the matched row."""
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("recent_purchase_id"))
+        .withColumn("_m_us", F.unix_micros("ts"))
+    )
+    probes = ev.select("event_id", "user_id", "ts", "event_type")
+    joined = asof_join(
+        probes,
+        markers,
+        key="user_id",
+        ts="ts",
+        marker_cols=["recent_purchase_id", "_m_us"],
+    )
+    fresh = F.unix_micros("ts") - F.col("_m_us") <= _TOL_US
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(fresh, F.col("recent_purchase_id")).alias("recent_purchase_id"),
+    )
+
+
 @_register("asof_last_purchase", _ASOF_ORACLE)
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event annotated with the same user's most recent purchase
