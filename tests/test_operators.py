@@ -527,3 +527,44 @@ def test_ivf_kmeans_deterministic(spark, sf_dir):
     a = [tuple(r) for r in similarity_ivf_kmeans_topk(spark, sf_dir).collect()]
     b = [tuple(r) for r in similarity_ivf_kmeans_topk(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_media_codecs_property_round_trip():
+    """Hypothesis: BMP and WAV codecs round-trip ANY content — all row
+    widths (every padding case), heights, and the full int16 sample
+    range."""
+    from hypothesis import given, settings, strategies as st
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=5),
+        data=st.data(),
+    )
+    def bmp_rt(w, h, data):
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_bmp(encode_bmp(w, h, pixels)) == (w, h, pixels)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_rt(samples, rate):
+        assert decode_wav(encode_wav(samples, rate=rate)) == (rate, samples)
+
+    bmp_rt()
+    wav_rt()
