@@ -568,3 +568,39 @@ def test_media_codecs_property_round_trip():
 
     bmp_rt()
     wav_rt()
+
+
+def test_kmeans_iterations_improve_quantization(spark, sf_dir):
+    """Lloyd's algorithm monotonically improves the quantization
+    objective: mean cosine of each vector to its assigned centroid must
+    not degrade from 1 to 3 iterations (rounding at 1e-6 can't flip
+    more than it helps)."""
+    from user_feed_cdc_spark.operators.similarity import (
+        _kmeans_centroids,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding")).alias("vnorm"),
+    ).persist()
+
+    def mean_assigned_cos(iters):
+        cents = _kmeans_centroids(spark, vecs, iters=iters)
+        score = dot(F.col("v"), F.col("centroid")) / (
+            F.col("vnorm") * F.col("cnorm")
+        )
+        best = (
+            vecs.join(cents)
+            .select("vec_id", score.alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("best"))
+        )
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    one, three = mean_assigned_cos(1), mean_assigned_cos(3)
+    vecs.unpersist()
+    assert three >= one - 1e-9, (one, three)

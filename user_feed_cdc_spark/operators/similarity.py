@@ -463,7 +463,9 @@ IVF_NPROBE = 2
 _CENT_SCALE = 6  # centroids stored rounded at 1e-6 → cross-engine-stable
 
 
-def _kmeans_centroids(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+def _kmeans_centroids(
+    spark: SparkSession, vecs: DataFrame, iters: int = KMEANS_ITERS
+) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column.
 
     - init: the K_CLUSTERS vectors with the smallest vec_ids (seeded,
@@ -503,7 +505,7 @@ def _kmeans_centroids(spark: SparkSession, vecs: DataFrame) -> DataFrame:
         ]
     )
     cents = [(i + 1, list(r.centroid)) for i, r in enumerate(seed_rows)]
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         cdf = F.broadcast(
             spark.createDataFrame(cents, cent_schema).withColumn(
                 "cnorm", norm(F.col("centroid"))
