@@ -75,12 +75,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "cdc_canonical_activities", "cdc_upsert_state",
         "cdc_metadata_map_stats", "cdc_dead_letter_stats",
         "events_sliding_counts", "events_session_stats",
-        "events_attribution_join",
+        "events_attribution_join", "events_trending_users",
         "range_join_user_pairs", "asof_last_purchase_tolerance",
         "asof_last_purchase",
         "split_stratified_train", "pipeline_corpus_clean",
         "pipeline_decontaminate", "pipeline_shuffle_shards",
-        "pipeline_source_mixture", "pipeline_pack_sequences",
+        "pipeline_source_mixture", "pipeline_mixture_weighted",
+        "pipeline_pack_sequences",
         "sketch_distinct_users", "sketch_value_quantiles",
         "dedup_simhash_md5", "dedup_incremental_new_docs",
         "dedup_embedding_cosine", "dedup_embedding_lsh",

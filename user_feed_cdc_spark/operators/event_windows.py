@@ -119,3 +119,35 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         horizon="30 minutes",
     )
+
+
+@_register(
+    "events_trending_users",
+    """
+    SELECT hour, user_id, n, rn FROM (
+        SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY COUNT(*) DESC, user_id) AS rn
+        FROM events GROUP BY 1, 2
+    ) WHERE rn <= 3
+    """,
+)
+def events_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour heavy hitters: the top-3 most active users in every hour
+    bucket (min-user_id tiebreak) — the 'trending' analytic of a feed
+    product. Plan: one (hour, user) partial-agged groupBy, then a
+    per-hour window where WindowGroupLimit caps each hour's rows at k
+    before the final shuffle — at 100 TB the shuffle carries per-bucket
+    counts, never events, and k·|hours| rows reach the window."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("hour").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )

@@ -305,6 +305,67 @@ def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_mixture_weighted",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ),
+    targets AS (
+        SELECT source, n_total,
+               CAST(CEIL(n_total * (CASE length(source) % 3
+                                    WHEN 0 THEN 0.25
+                                    WHEN 1 THEN 0.5
+                                    ELSE 0.75 END)) AS BIGINT) AS n_target
+        FROM counts
+    ),
+    ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':wmix'), doc_id) AS rn
+        FROM documents
+    )
+    SELECT t.source, t.n_total, t.n_target,
+           SUM(CASE WHEN r.rn <= t.n_target THEN 1 ELSE 0 END) AS n_sampled
+    FROM ranked r JOIN targets t ON r.source = t.source
+    GROUP BY t.source, t.n_total, t.n_target
+    """,
+)
+def pipeline_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-weight mixture sampling — the general form the uniform
+    rebalance (pipeline_source_mixture) specializes: each source keeps
+    ceil(w_s · n_s) documents, selected by the same deterministic salted
+    hash rank. Weights here derive from a deterministic source property
+    (len % 3 → 0.25/0.5/0.75) standing in for a tuned mixture vector
+    (the C4/Pile recipe knob). Per-source targets are a tiny broadcast;
+    one window shuffle on the source key, exactly as the uniform case."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.length("source") % 3 == 0, 0.25)
+        .when(F.length("source") % 3 == 1, 0.5)
+        .otherwise(0.75)
+    )
+    targets = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn("n_target", F.ceil(F.col("n_total") * weight).cast("long"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wmix"))), "doc_id"
+    )
+    ranked = docs.select("source", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .groupBy("source", "n_total", "n_target")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("n_target"), 1).otherwise(0)).alias(
+                "n_sampled"
+            )
+        )
+    )
+
+
 _PACK_CAPACITY = 2048  # tokens per packed training sequence
 
 
