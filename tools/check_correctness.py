@@ -79,10 +79,26 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(srows)} rows")
             continue
+        # Type gate FIRST: the driver hashes DuckDB HUGEINT (int128,
+        # from un-cast SUM/list_sum over integers) and DECIMAL
+        # differently than BIGINT, a class invisible to the Python-int
+        # normalization below (r03 verdict: 7/7 hash failures were
+        # exactly the HUGEINT-output oracles). Reject them locally.
+        rel = con.sql(oracles[name])
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, (str(t) for t in rel.types))
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
         dres = con.execute(oracles[name])
         dcols = [d[0] for d in dres.description]
         drows = dres.fetchall()
         problems = []
+        if bad_types:
+            problems.append(
+                f"oracle emits driver-unhashable types {bad_types} — "
+                "CAST the expression to BIGINT/DOUBLE in the oracle SQL"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):

@@ -486,9 +486,10 @@ def dedup_simhash(
 
 _SIMHASH32_ORACLE = """
     SELECT doc_id,
-           list_sum(list_transform(range(0, 32), i ->
+           CAST(list_sum(list_transform(range(0, 32), i ->
                CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
-                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS simhash32
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+               AS simhash32
     FROM (
         SELECT doc_id,
                list_transform(list_filter(string_split(text, ' '), t -> t <> ''),

@@ -102,7 +102,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'video' END AS modality,
            source,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT sha256(text)) AS n_distinct_content
     FROM documents
     GROUP BY 1, 2

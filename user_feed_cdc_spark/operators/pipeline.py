@@ -215,8 +215,8 @@ _N_SHARDS = 16
     SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8)
                 AS BIGINT) % {_N_SHARDS} AS shard_id,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
-               AS sum_tokens,
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+               AS BIGINT) AS sum_tokens,
            COUNT(DISTINCT lang) AS n_langs
     FROM documents
     GROUP BY 1
@@ -271,7 +271,8 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT c.source, c.n_total,
-           SUM(CASE WHEN r.rn <= f.min_n THEN 1 ELSE 0 END) AS n_sampled
+           CAST(SUM(CASE WHEN r.rn <= f.min_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
     FROM ranked r
     JOIN counts c ON r.source = c.source
     CROSS JOIN floor_n f
@@ -327,7 +328,8 @@ def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT t.source, t.n_total, t.n_target,
-           SUM(CASE WHEN r.rn <= t.n_target THEN 1 ELSE 0 END) AS n_sampled
+           CAST(SUM(CASE WHEN r.rn <= t.n_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
     FROM ranked r JOIN targets t ON r.source = t.source
     GROUP BY t.source, t.n_total, t.n_target
     """,
@@ -388,7 +390,7 @@ _PACK_CAPACITY = 2048  # tokens per packed training sequence
     SELECT lang,
            CAST(FLOOR(start_off / {_PACK_CAPACITY}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS sum_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM offs
     GROUP BY lang, bin_id
     """,

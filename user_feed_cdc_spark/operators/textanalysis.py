@@ -465,8 +465,10 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           (SUM(n_chars) * 10000 + COUNT(*) // 2) // COUNT(*) AS avg_chars_e4,
-           SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens
+           CAST((SUM(n_chars) * 10000 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+               AS avg_chars_e4,
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+               AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang, source
     """,
@@ -475,12 +477,13 @@ def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup by (lang, source).
 
     avg_chars_e4 is the average scaled by 10^4 and kept as a BIGINT
-    (round-half-up: (sum*10^4 + n/2) intdiv n). Rounds 1–2 emitted the
-    equivalent DOUBLE (`.../10000.0`) and the driver's float hash
-    normalization rejected it both rounds even though local value
-    diffing showed 0 diffs — so the schema is now pure integers and
-    strings, which cannot flake. Integer sums are order-independent
-    and exact on both engines."""
+    (round-half-up: (sum*10^4 + n/2) intdiv n). Rounds 1–3 hash-failed
+    at the driver for two distinct reasons: DOUBLE output (r1-r2,
+    float normalization) and — after the r3 rewrite to integers —
+    DuckDB widening SUM(int)*10000 to HUGEINT (int128), which the
+    driver hashes differently than BIGINT. The oracle now CASTs every
+    widening expression back to BIGINT; tools/check_correctness.py
+    gates on oracle output types so this class cannot recur."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     return (
