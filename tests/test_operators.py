@@ -575,9 +575,13 @@ def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     objective: mean cosine of each vector to its assigned centroid must
     not degrade from 1 to 3 iterations (rounding at 1e-6 can't flip
     more than it helps)."""
+    import math
+
     from user_feed_cdc_spark.operators.similarity import (
+        _dlit,
         _kmeans_centroids,
-        dot,
+        _pydot,
+        _sql_dot,
         norm,
     )
 
@@ -589,16 +593,12 @@ def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     ).persist()
 
     def mean_assigned_cos(iters):
-        cents = _kmeans_centroids(spark, vecs, iters=iters)
-        score = dot(F.col("v"), F.col("centroid")) / (
-            F.col("vnorm") * F.col("cnorm")
-        )
-        best = (
-            vecs.join(cents)
-            .select("vec_id", score.alias("s"))
-            .groupBy("vec_id")
-            .agg(F.max("s").alias("best"))
-        )
+        _, cents = _kmeans_centroids(spark, vecs, iters=iters)
+        parts = [
+            f"{_sql_dot('v', c)} / (vnorm * {_dlit(math.sqrt(_pydot(c, c)))})"
+            for _cid, c in cents
+        ]
+        best = vecs.select(F.expr(f"greatest({', '.join(parts)})").alias("best"))
         return best.agg(F.avg("best")).collect()[0][0]
 
     one, three = mean_assigned_cos(1), mean_assigned_cos(3)

@@ -23,3 +23,13 @@ def round_half_up(col, scale: int = 2) -> Column:
 def sql_round_half_up(expr: str, scale: int = 2) -> str:
     factor = float(10**scale)
     return f"FLOOR(({expr}) * {factor} + 0.5) / {factor}"
+
+
+def py_round_half_up(x: float, scale: int = 2) -> float:
+    """Driver-side twin of round_half_up: identical IEEE operation
+    sequence (x*10^n, +0.5, floor, /10^n), so a value rounded on the
+    driver equals the same value rounded in an executor or the oracle."""
+    import math
+
+    factor = float(10**scale)
+    return math.floor(x * factor + 0.5) / factor

@@ -12,9 +12,12 @@ north-star ANN).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from user_feed_cdc_spark.functions.numeric import py_round_half_up
 from user_feed_cdc_spark.functions.numeric import round_half_up as r2
 from user_feed_cdc_spark.sources.tables import load_table
 
@@ -463,9 +466,64 @@ IVF_NPROBE = 2
 _CENT_SCALE = 6  # centroids stored rounded at 1e-6 → cross-engine-stable
 
 
+def _pydot(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of dot(): the SAME left fold from 0.0 that
+    F.aggregate performs, so driver-computed norms/cosines are
+    bit-identical to executor-computed ones (IEEE doubles, identical
+    operation order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal, and Spark's lexer parses <digits>D / <exp>D as DOUBLE."""
+    return repr(float(x)) + "D"
+
+
+def _sql_dot(vec_col: str, cvals: list[float]) -> str:
+    """SQL twin of dot() against a literal vector: identical zip_with
+    multiply + left fold from 0.0, so results are bit-identical."""
+    arr = ", ".join(_dlit(x) for x in cvals)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_r2(expr: str, scale: int) -> str:
+    """SQL twin of round_half_up (same op order as numeric.round_half_up)."""
+    factor = float(10**scale)
+    return f"FLOOR(({expr}) * {factor}D + 0.5D) / {factor}D"
+
+
+def _assign_cid(cents: list[tuple[int, list[float]]]) -> Column:
+    """Lloyd assignment as a PURE PROJECTION: the K centroids ride into
+    the task as array literals (they are K×dim doubles — the same
+    payload a broadcast would ship, minus the join machinery), each row
+    computes its K rounded cosines, and a greatest-of-structs picks the
+    argmax with the min-cid tiebreak. No join, no groupBy(vec_id)
+    shuffle — the whole assignment stays inside one codegen stage, so
+    at 100 TB it is embarrassingly parallel over the vector scan.
+
+    Scores are rounded at 1e-6 before comparison (struct fields: score
+    desc, then -cid) so the argmax matches the oracle's CTE exactly.
+    Built as ONE SQL string -> one parse call: constructing the same
+    tree Column-by-Column costs ~0.8 s of py4j round trips per
+    iteration, which dominates the whole query at small scale."""
+    structs = []
+    for cid, c in cents:
+        cnorm = _dlit(math.sqrt(_pydot(c, c)))
+        s = _sql_r2(f"{_sql_dot('v', c)} / (vnorm * {cnorm})", _CENT_SCALE)
+        structs.append(f"named_struct('s', {s}, 'nc', {-cid}, 'cid', {cid})")
+    return F.expr(f"greatest({', '.join(structs)}).cid")
+
+
 def _kmeans_centroids(
     spark: SparkSession, vecs: DataFrame, iters: int = KMEANS_ITERS
-) -> DataFrame:
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
     """Deterministic Lloyd k-means over the embedding column.
 
     - init: the K_CLUSTERS vectors with the smallest vec_ids (seeded,
@@ -476,58 +534,36 @@ def _kmeans_centroids(
       every update step stops 1-ulp summation-order drift from ever
       compounding across iterations.
 
-    Each iteration materializes the K×dim centroid table to the driver
-    and re-broadcasts it (exactly MLlib KMeans' loop shape): the
-    per-iteration cluster work is one broadcast join + one groupBy —
-    at 100 TB the vectors never shuffle, only K·dim doubles move.
-    `vecs` is (vec_id, v array<double>, vnorm) and should be persisted
-    by the caller (every iteration re-scans it). Returns the broadcast
-    (cid, centroid array<double>, cnorm) frame.
-    """
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    Per iteration: one narrow projection (assignment, see _assign_cid)
+    feeding one map-side-combinable (cid, pos) aggregate whose output
+    is exactly K×dim cells — the only data that ever reaches the
+    driver. The vectors themselves never shuffle at any scale.
 
+    Returns (prev, final): `final` is the post-update centroid set
+    (cent_iters, what the query probes), `prev` the set the LAST
+    in-loop assignment used (cent_{iters-1}) — the search reuses that
+    assignment rather than re-scoring against `final`, which both
+    saves a full pass and mirrors the oracle's assign{last} CTE
+    exactly instead of relying on convergence."""
     seed_rows = (
         vecs.orderBy("vec_id")
         .limit(K_CLUSTERS)
         .select(F.transform("v", lambda x: r2(x, _CENT_SCALE)).alias("centroid"))
         .collect()
     )
-    cent_schema = StructType(
-        [
-            StructField("cid", LongType()),
-            StructField("centroid", ArrayType(DoubleType())),
-        ]
-    )
     cents = [(i + 1, list(r.centroid)) for i, r in enumerate(seed_rows)]
+    prev = cents
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(cents, cent_schema).withColumn(
-                "cnorm", norm(F.col("centroid"))
-            )
-        )
-        score = r2(
-            dot(F.col("v"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm")),
-            _CENT_SCALE,
-        )
-        assigned = (
-            vecs.join(cdf)
-            .select("vec_id", "v", "cid", score.alias("s"))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by("cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias(
-                    "cid"
-                ),
-                F.first("v").alias("v"),
-            )
-        )
+        prev = cents
+        # Update = explode to (cid, pos, vv) and average per cell. The
+        # (cid, pos) agg is map-side combined down to K×dim cells before
+        # the shuffle, and its generated code is literal-free, so the
+        # compiled stage is reused across iterations (only the
+        # assignment literals change, and those live in the codegen
+        # references array, not the source).
         new_rows = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "vv"))
+            vecs.select(_assign_cid(prev).alias("cid"), "v")
+            .select("cid", F.posexplode("v").alias("pos", "vv"))
             .groupBy("cid", "pos")
             .agg(r2(F.avg("vv"), _CENT_SCALE).alias("cv"))
             .groupBy("cid")
@@ -535,68 +571,51 @@ def _kmeans_centroids(
             .select("cid", F.transform("pcs", lambda s: s.cv).alias("centroid"))
             .collect()
         )
-        cents = [(r.cid, list(r.centroid)) for r in new_rows]
-    return F.broadcast(
-        spark.createDataFrame(cents, cent_schema).withColumn(
-            "cnorm", norm(F.col("centroid"))
-        )
-    )
+        cents = sorted((r.cid, list(r.centroid)) for r in new_rows)
+    return prev, cents
 
 
 def _ivf_kmeans_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVF search against the k-means quantizer: assign every vector to
-    its nearest centroid (the inverted lists), probe the query's top
-    `nprobe` centroid lists, rank candidates by EXACT cosine. The
-    centroid id is the only join key — candidate volume is the probed
-    lists' size, never n."""
+    """IVF search against the k-means quantizer: reuse the final Lloyd
+    assignment as the inverted lists, probe the query's top `nprobe`
+    centroid lists, rank candidates by EXACT cosine. The probe is K
+    driver-side cosines (centroids already live there after the Lloyd
+    loop) and the search is one narrow scan: assign → isin(probed
+    cids) → exact cosine → top-10. Candidate volume is the probed
+    lists' size, never n; nothing shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         norm(F.col("embedding")).alias("vnorm"),
-    ).persist()  # scanned by every Lloyd iteration + the final search
-    cents = _kmeans_centroids(spark, vecs)
-    score = r2(
-        dot(F.col("v"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm")),
-        _CENT_SCALE,
+    ).persist()  # scanned by every Lloyd iteration
+    prev, final = _kmeans_centroids(spark, vecs)
+    qv = list(
+        vecs.filter(F.col("vec_id") == 0).select("v").collect()[0].v
     )
-    assigned = (
-        vecs.join(cents)
-        .select("vec_id", "v", "vnorm", "cid", score.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias(
-                "cid"
-            ),
-            F.first("v").alias("v"),
-            F.first("vnorm").alias("vnorm"),
-        )
+    qnorm = math.sqrt(_pydot(qv, qv))
+    scored = []
+    for cid, c in final:
+        s = _pydot(c, qv) / (math.sqrt(_pydot(c, c)) * qnorm)
+        scored.append((py_round_half_up(s, _CENT_SCALE), cid))
+    probe_cids = [
+        cid for s, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+    cos = F.expr(
+        _sql_r2(f"{_sql_dot('v', qv)} / (vnorm * {_dlit(qnorm)})", 4)
     )
-    q = vecs.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("vnorm").alias("qnorm")
-    )
-    probe = (
-        cents.join(F.broadcast(q))
-        .select(
-            "cid",
-            r2(
-                dot(F.col("centroid"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm")),
-                _CENT_SCALE,
-            ).alias("s"),
-        )
-        .orderBy(F.col("s").desc(), "cid")
-        .limit(nprobe)
-        .select(F.col("cid").alias("pcid"))
-    )
-    cos = dot(F.col("v"), F.col("qv")) / (F.col("vnorm") * F.col("qnorm"))
-    return (
-        assigned.join(F.broadcast(probe), F.col("cid") == F.col("pcid"))
-        .join(F.broadcast(q))
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", r2(cos, 4).alias("cos_sim"))
+    result = (
+        vecs.withColumn("cid", _assign_cid(prev))
+        .filter(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
+        .select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+    # The cache only serves the eager Lloyd jobs above; the lazy result
+    # recomputes from the parquet scan (one narrow pass). Unpersisting
+    # here keeps cached blocks from outliving the query (ADVICE r03).
+    vecs.unpersist(blocking=False)
+    return result
 
 
 def _ivf_kmeans_oracle() -> str:
