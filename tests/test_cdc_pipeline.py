@@ -224,6 +224,70 @@ def test_kafka_source_options():
     assert kafka_source_options("b", "x,y")["subscribe"] == "x,y"
 
 
+def test_kafka_frame_normalizes_like_file_source(spark):
+    """S1 contract: a kafka-shaped record frame (binary key/value +
+    topic/partition/offset/timestamp — the exact schema
+    spark-sql-kafka's load() emits) pushed through kafka_value_frame →
+    normalize_events must produce the SAME canonical rows as the
+    file-source path on identical payloads. No broker exists here, but
+    this pins the cast/rename and the schema contract so a regression
+    in either breaks CI, not production."""
+    from pyspark.sql import types as T
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import kafka_value_frame
+
+    lines = fixture_lines()
+    kafka_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    records = spark.createDataFrame(
+        [
+            (None, ln.encode("utf-8"), "postgres.public.likes", 0, i, None, 0)
+            for i, ln in enumerate(lines)
+        ],
+        kafka_schema,
+    )
+    via_kafka = kafka_value_frame(records)
+    assert via_kafka.schema.simpleString() == "struct<value:string>"
+    via_file = spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+    drop = {"activity_id", "_seq"}  # uuid / source-order id: per-run
+    cols = [c for c in normalize_events(via_file).columns if c not in drop]
+    got = sorted(map(tuple, normalize_events(via_kafka).select(cols).collect()))
+    want = sorted(map(tuple, normalize_events(via_file).select(cols).collect()))
+    assert got == want and len(got) == 6
+
+
+def test_pipeline_status_counters(spark, tmp_path):
+    """X1 status surface: after an availableNow run, pipeline_status
+    reports the processed-row counters the reference's GET /status
+    serves (main.py:79-83)."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import pipeline_status
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "batch1.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    q = run_cdc_pipeline(
+        spark, str(src), str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    status = pipeline_status(q)
+    assert status["running"] is False
+    assert status["n_batches"] >= 1
+    assert status["total_input_rows"] == len(fixture_lines())
+    assert status["last_batch_id"] is not None
+    assert status["exception"] is None
+    assert status["query_id"] == str(q.id)
+
+
 def test_sink_idempotent_replay(spark, tmp_path):
     """Replaying the same micro-batch (fresh checkpoint → same batch id)
     must NOT duplicate feed rows: the dynamic-overwrite-by-_batch_id sink

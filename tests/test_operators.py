@@ -197,9 +197,9 @@ def test_media_codecs_round_trip():
 
 
 def test_multimodal_real_decode_path(spark, sf_dir):
-    """E5 decode proven: image/audio payloads are REAL BMP/WAV containers
-    and their features come from the decoded content (non-fallback);
-    video has no decoder and takes the digest fallback."""
+    """E5 decode proven: image/audio/video payloads are REAL
+    BMP/WAV/RVID containers and their features come from the decoded
+    content (non-fallback) for all three modalities."""
     from user_feed_cdc_spark.operators.multimodal import (
         _block_features,
         decode_media,
@@ -214,17 +214,52 @@ def test_multimodal_real_decode_path(spark, sf_dir):
         decoded_by_modality.setdefault(r.modality, set()).add(r.decoded)
     assert decoded_by_modality["image"] == {True}
     assert decoded_by_modality["audio"] == {True}
-    assert decoded_by_modality["video"] == {False}
+    assert decoded_by_modality["video"] == {True}
 
-    # independently decode one image and one audio payload and check the
+    # independently decode one payload of each modality and check the
     # features match the decoded-content featurizer exactly
     payloads = {r.doc_id: (bytes(r.payload), r.modality)
                 for r in mm.filter(F.col("doc_id") < 6).collect()}
+    assert {m for _, m in payloads.values()} == {"image", "audio", "video"}
     for doc_id, (payload, modality) in payloads.items():
-        if modality == "video":
-            continue
         expect = [pytest.approx(v) for v in _block_features(decode_media(payload, modality))]
         assert list(by_doc[doc_id].features) == expect, (doc_id, modality)
+
+
+def test_corrupt_payload_takes_digest_fallback(spark, sf_dir):
+    """A truncated/corrupt container must flag decoded=false via the
+    digest fallback — struct.error from a short header may not escape
+    and fail the task."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        _fallback_features,
+        encode_bmp,
+        extract_features,
+    )
+
+    bad = [
+        (1, b"BM\x01"),                     # truncated BMP header
+        (2, b"RIFF\x10\x00\x00\x00WAVE"),   # WAV with no chunks
+        (3, b"RVID\x04\x00"),               # truncated RVID header
+        (4, encode_bmp(8, 4, bytes(96))[:30]),  # mid-header cut
+    ]
+    mods = {1: "image", 2: "audio", 3: "video", 4: "image"}
+    mm = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in bad],
+                "payload": [p for _, p in bad],
+                "modality": [mods[d] for d, _ in bad],
+            }
+        )
+    )
+    rows = {r.doc_id: r for r in extract_features(mm).collect()}
+    assert len(rows) == len(bad)
+    for doc_id, payload in bad:
+        assert not rows[doc_id].decoded, doc_id
+        expect = [pytest.approx(v) for v in _fallback_features(payload)]
+        assert list(rows[doc_id].features) == expect
 
 
 def test_minhash_lsh_skew_cap_keeps_all_docs(spark, sf_dir):
@@ -566,8 +601,27 @@ def test_media_codecs_property_round_trip():
     def wav_rt(samples, rate):
         assert decode_wav(encode_wav(samples, rate=rate)) == (rate, samples)
 
+    from user_feed_cdc_spark.operators.multimodal import decode_rvid, encode_rvid
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=6),
+        h=st.integers(min_value=1, max_value=4),
+        n_frames=st.integers(min_value=0, max_value=5),
+        fps=st.sampled_from([1, 12, 30]),
+        data=st.data(),
+    )
+    def rvid_rt(w, h, n_frames, fps, data):
+        fb = w * h * 3
+        frames = [
+            bytes(data.draw(st.lists(st.integers(0, 255), min_size=fb, max_size=fb)))
+            for _ in range(n_frames)
+        ]
+        assert decode_rvid(encode_rvid(w, h, frames, fps=fps)) == (w, h, fps, frames)
+
     bmp_rt()
     wav_rt()
+    rvid_rt()
 
 
 def test_kmeans_iterations_improve_quantization(spark, sf_dir):

@@ -308,7 +308,9 @@ _METADATA_MAP_ORACLE = """
     )
     SELECT activity_type, e.k AS key, COUNT(*) AS n,
            COUNT(DISTINCT e.v) AS n_vals, MAX(n_keys) AS n_keys
-    FROM kv GROUP BY activity_type, e.k
+    FROM kv
+    WHERE e.v IS NOT NULL AND e.v <> ''
+    GROUP BY activity_type, e.k
 """
 
 

@@ -20,6 +20,7 @@ materializing a partition in memory.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,14 +168,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real container codecs (pure stdlib: struct only) ----------------------
 #
-# The container has no PIL/soundfile/ffmpeg, but BMP and RIFF/WAVE are
-# simple enough to parse without them — so image and audio decode are
-# REAL format parsers over real container bytes, and only video remains
-# a documented plug point (an ffmpeg-class problem no header parser can
-# fake honestly).
+# The container has no PIL/soundfile/ffmpeg, but BMP, RIFF/WAVE, and a
+# raw-frame video container are simple enough to parse without them — so
+# all three modalities take a REAL format-parser decode path over real
+# container bytes. Compressed video (H.264-class) stays out of scope:
+# RVID is the uncompressed raw-frame transport a decode cluster would
+# produce, the same role raw RGB frames play after an ffmpeg demux step.
 
 IMG_W, IMG_H = 8, 4  # synthetic image dims: 96 RGB bytes of content
 WAV_RATE = 8000
+VID_W, VID_H, VID_FPS = 4, 2, 12  # synthetic video frame dims: 24 RGB bytes
 
 
 def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
@@ -258,21 +261,60 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     return rate, samples
 
 
+def encode_rvid(
+    width: int, height: int, frames: list[bytes], fps: int = VID_FPS
+) -> bytes:
+    """RVID raw-frame video container: fixed header (magic, dims, fps,
+    frame count) followed by n_frames × width*height*3 raw 24bpp RGB
+    frames — the uncompressed transport an ffmpeg demux/decode step
+    emits. Every frame must be exactly width*height*3 bytes."""
+    frame_bytes = width * height * 3
+    for i, fr in enumerate(frames):
+        if len(fr) != frame_bytes:
+            raise ValueError(
+                f"frame {i} is {len(fr)} bytes, expected {frame_bytes}"
+            )
+    header = struct.pack("<4sHHHI", b"RVID", width, height, fps, len(frames))
+    return header + b"".join(frames)
+
+
+def decode_rvid(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an RVID container: validate magic and that the body holds
+    exactly the declared frame count. Returns (width, height, fps,
+    frames)."""
+    magic, width, height, fps, n_frames = struct.unpack_from("<4sHHHI", payload, 0)
+    if magic != b"RVID":
+        raise ValueError("not an RVID payload")
+    frame_bytes = width * height * 3
+    body = payload[struct.calcsize("<4sHHHI") :]
+    if len(body) != n_frames * frame_bytes:
+        raise ValueError(
+            f"RVID body is {len(body)} bytes, expected "
+            f"{n_frames} x {frame_bytes}"
+        )
+    frames = [
+        body[i * frame_bytes : (i + 1) * frame_bytes] for i in range(n_frames)
+    ]
+    return width, height, fps, frames
+
+
 def decode_media(payload: bytes, modality: str) -> list[int]:
     """Decode real container bytes into content units: BMP → pixel
-    channel bytes (0..255), WAV → PCM16 samples. Video is the one
-    remaining documented plug point (frame extraction needs an
-    ffmpeg-class decoder; ``extract_features`` falls back to
-    deterministic digest features for it)."""
+    channel bytes (0..255), WAV → PCM16 samples, RVID video →
+    concatenated frame pixel bytes. Unknown modalities raise (the
+    caller's digest fallback handles them, flagged decoded=false)."""
     if modality == "image":
         _w, _h, pixels = decode_bmp(payload)
         return list(pixels)
     if modality == "audio":
         _rate, samples = decode_wav(payload)
         return samples
+    if modality == "video":
+        _w, _h, _fps, frames = decode_rvid(payload)
+        return list(b"".join(frames))
     raise NotImplementedError(
-        f"media decode for {modality!r} requires an ffmpeg-class decoder "
-        "not present in this environment; plug the real frame sampler here"
+        f"no decoder for modality {modality!r}; extract_features takes "
+        "the digest fallback for it"
     )
 
 
@@ -280,9 +322,10 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
     """documents → rows whose ``payload`` is a REAL media container:
     doc_id%3==0 → 24bpp BMP (pixels = the doc's utf-8 bytes),
     doc_id%3==1 → PCM16 WAV (samples derived from the doc's bytes),
-    else → raw undecodable bytes (the video stand-in). Built in an
-    Arrow-batched mapInPandas pass — container assembly is Python-side
-    by nature (it's what an ingestion job does once, at write time)."""
+    else → RVID raw-frame video (frames = the doc's bytes split into
+    VID_W×VID_H RGB frames). Built in an Arrow-batched mapInPandas
+    pass — container assembly is Python-side by nature (it's what an
+    ingestion job does once, at write time)."""
     import pandas as pd
 
     content_len = IMG_W * IMG_H * 3
@@ -298,7 +341,12 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
                 elif doc_id % 3 == 1:
                     payloads.append(encode_wav([(b - 128) * 256 for b in content]))
                 else:
-                    payloads.append(bytes(content))
+                    fb = VID_W * VID_H * 3
+                    frames = [
+                        bytes(content[i : i + fb])
+                        for i in range(0, content_len, fb)
+                    ]
+                    payloads.append(encode_rvid(VID_W, VID_H, frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     built = docs.select("doc_id", "text").mapInPandas(
@@ -337,8 +385,9 @@ def _fallback_features(payload: bytes) -> list[float]:
 def extract_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas). Per batch: run the REAL decoder (BMP/WAV parsers) and
-    featurize the decoded content; modalities without a decoder (video)
-    fall back to deterministic digest features, flagged ``decoded=false``.
+    featurize the decoded content; payloads that are not parseable
+    containers (raw bytes, truncation, unknown modality) fall back to
+    deterministic digest features, flagged ``decoded=false``.
     The batch shape is the real contract: payload arrives as a bytes
     Series per Arrow batch; output is a fixed-width ``array<float>``
     column — the shape an embedding model or image featurizer produces
@@ -359,7 +408,9 @@ def extract_features(mm: DataFrame) -> DataFrame:
                     content = decode_media(raw, modality)
                     feats.append(_block_features(content))
                     decoded_flags.append(True)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
+                    # struct.error: truncated/corrupt BMP/WAV headers
+                    # must take the digest fallback, not fail the task
                     feats.append(_fallback_features(raw))
                     decoded_flags.append(False)
             yield pd.DataFrame(
@@ -386,11 +437,12 @@ def extract_features(mm: DataFrame) -> DataFrame:
 @_register("multimodal_feature_extract", None)  # Python featurizer → rows-only
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction end-to-end over REAL media containers:
-    documents → BMP/WAV/raw payloads (with_media_payload) → mapInPandas
-    decode + featurize → per-item float vector + a JVM-side L2 norm over
-    the result (proving the extracted vectors flow back into built-in
-    higher-order fns). image/audio rows report decoded=true (the parser
-    ran), video rows report the digest fallback."""
+    documents → BMP/WAV/RVID payloads (with_media_payload) →
+    mapInPandas decode + featurize → per-item float vector + a JVM-side
+    L2 norm over the result (proving the extracted vectors flow back
+    into built-in higher-order fns). All three modalities report
+    decoded=true (each parser ran); the digest fallback remains for
+    unparseable payloads."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(with_media_payload(docs))
     norm = F.sqrt(

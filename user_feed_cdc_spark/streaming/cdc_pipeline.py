@@ -274,6 +274,16 @@ def kafka_source_options(
     }
 
 
+def kafka_value_frame(records: DataFrame) -> DataFrame:
+    """Kafka record frame (key/value binary, topic, partition, offset,
+    timestamp, timestampType — the schema every spark-sql-kafka load()
+    emits) → the `value: string` contract normalize_events expects.
+    Split from kafka_stream so the projection is pinned by a test on a
+    static kafka-shaped frame: no broker exists in CI, but a drift in
+    this cast/rename would break the live path identically."""
+    return records.select(F.col("value").cast("string").alias("value"))
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -285,7 +295,7 @@ def kafka_stream(
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topics).items():
         reader = reader.option(k, v)
-    return reader.load().select(F.col("value").cast("string").alias("value"))
+    return kafka_value_frame(reader.load())
 
 
 def jdbc_source_options(
@@ -603,3 +613,28 @@ def run_cdc_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pipeline_status(query) -> dict:
+    """Control-plane status surface (X1): map StreamingQuery progress to
+    the counters the reference's GET /status serves (main.py:79-83 —
+    running flag + per-connection processed-message counts backed by
+    connection_state.py:4-12). Spark already meters every micro-batch in
+    recentProgress, so the status endpoint is a projection of it, not
+    new bookkeeping.
+
+    total_input_rows sums numInputRows across the retained progress
+    window (spark.sql.streaming.numRecentProgressUpdates, default 100)
+    — the analog of the reference's messages_processed counter."""
+    progresses = query.recentProgress or []
+    last = query.lastProgress
+    return {
+        "query_id": str(query.id),
+        "running": bool(query.isActive),
+        "n_batches": len(progresses),
+        "total_input_rows": sum(int(p.get("numInputRows") or 0) for p in progresses),
+        "last_batch_id": last.get("batchId") if last else None,
+        "last_input_rows": int(last.get("numInputRows") or 0) if last else 0,
+        "last_timestamp": last.get("timestamp") if last else None,
+        "exception": query.exception().desc if query.exception() else None,
+    }
