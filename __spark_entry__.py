@@ -86,6 +86,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "agg_percentiles", "array_funcs", "grouping_sets_revenue",
         "window_range_frame", "agg_salted_hot_keys",
         "events_hourly_rollup", "unpivot_flag_measures",
+        # new in round 4 (no driver row yet)
+        "events_funnel_conversion", "text_bigram_top_terms",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -224,6 +224,62 @@ def test_kafka_source_options():
     assert kafka_source_options("b", "x,y")["subscribe"] == "x,y"
 
 
+def test_feed_cache_aside_invalidation(spark, tmp_path):
+    """C1 cache-aside analog (reference main.py:142-146/cache.py:5-10):
+    pages come from a persisted snapshot; a same-session CDC write
+    refreshes the cached relation automatically (Spark refreshByPath —
+    no Redis-style staleness window); an OUT-OF-BAND file drop is
+    invisible to the snapshot until invalidate()."""
+    import shutil
+    from pathlib import Path
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        FeedCache,
+        read_user_feed,
+    )
+
+    src = tmp_path / "cdc_in"
+    feed = str(tmp_path / "feed")
+    src.mkdir()
+    (src / "batch1.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck1")).awaitTermination()
+
+    cache = FeedCache(spark, feed)
+    direct = read_user_feed(spark, feed, "9", limit=10).collect()
+    cached = cache.page("9", limit=10).collect()
+    assert cached == direct
+    frame_before = cache._frame
+    assert frame_before is not None and frame_before.storageLevel.useMemory
+
+    # same-session write: the sink's refreshByPath updates the cached
+    # relation in place — the new user-9 row is visible WITHOUT eviction
+    time.sleep(1.1)
+    (src / "batch2.jsonl").write_text(
+        _ev("followers", id=21, follower_id="9", following_id="3", ts=BASE_TS + 9000)
+        + "\n"
+    )
+    run_cdc_pipeline(spark, str(src), feed, str(tmp_path / "ck2")).awaitTermination()
+    after_write = cache.page("9", limit=10).collect()
+    assert len(after_write) == len(cached) + 1
+    assert cache._frame is frame_before  # same cache entry, refreshed in place
+
+    # out-of-band write (no Spark session involved): duplicate a part
+    # file inside an existing partition dir — the snapshot can't see it
+    part = next(
+        p
+        for p in Path(feed).rglob("part-*.parquet")
+        if "user_bucket" in str(p.parent)
+    )
+    shutil.copy(part, part.with_name("part-oob-copy.parquet"))
+    assert cache.page("9", limit=10).collect() == after_write  # stale snapshot
+
+    cache.invalidate()
+    assert cache._frame is None
+    fresh = cache.page("9", limit=10).collect()
+    assert fresh == read_user_feed(spark, feed, "9", limit=10).collect()
+    assert cache._frame is not frame_before  # rebuilt after eviction
+
+
 def test_kafka_frame_normalizes_like_file_source(spark):
     """S1 contract: a kafka-shaped record frame (binary key/value +
     topic/partition/offset/timestamp — the exact schema

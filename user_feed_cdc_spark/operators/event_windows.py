@@ -151,3 +151,69 @@ def events_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+@_register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_viewed,
+           (SELECT COUNT(*) FROM s3) AS n_purchased
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): how many users reach
+    each step IN ORDER (a later step only counts at/after the earliest
+    time the previous step was reached; same-timestamp progression
+    counts, mirroring the oracle's `ts >= t_prev`).
+
+    Spark-first shape: instead of one self-join per funnel step (k-1
+    shuffles of the full event table, the naive SQL translation), each
+    user's (ts, step) pairs are collected once and a higher-order
+    `aggregate` walks them in (ts, step-rank) order advancing a stage
+    counter — ONE shuffle on user_id total, JVM-side lambdas, and the
+    shuffled payload is the projected (ts, rank) pairs, not events.
+    Per-user state is one int; skew ceiling is a user's event count
+    (bounded by retention in practice). The step list generalizes to
+    any k without adding shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    rank = (
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(2)
+    )
+    steps = ev.filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    ).select("user_id", F.struct("ts", rank.alias("rk")).alias("e"))
+    stage = F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.lit(0),
+        lambda acc, e: (
+            F.when((acc == 0) & (e.rk == 0), 1)
+            .when((acc == 1) & (e.rk == 1), 2)
+            .when((acc == 2) & (e.rk == 2), 3)
+            .otherwise(acc)
+        ),
+    )
+    stages = steps.groupBy("user_id").agg(stage.alias("stage"))
+    return stages.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n_signup"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n_viewed"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchased"),
+    )

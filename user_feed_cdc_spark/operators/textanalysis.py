@@ -503,3 +503,64 @@ def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+@_register(
+    "text_bigram_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               UNNEST(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        FROM toks
+    ),
+    agg AS (
+        SELECT lang, bigram, COUNT(*) AS n,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, n_docs FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram) AS rn
+        FROM agg
+    ) WHERE rn <= 3
+    """,
+)
+def text_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 word bigrams by occurrence count (doc
+    frequency alongside; min-bigram tiebreak) — the n-gram frequency
+    table an LM data pipeline builds for corpus inspection and
+    contamination screens.
+
+    Plan shape at 100 TB: bigrams are produced row-locally
+    (zip_with of two slices — no sequence() descending-range edge
+    cases, no UDF), the (lang, bigram) count is map-side partial before
+    its one shuffle, and WindowGroupLimit caps every language at 3 rows
+    before the final exchange, so the window stage sees k·|langs| rows,
+    never the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    grams = (
+        docs.select("doc_id", "lang", tokens.alias("tk"))
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+    )
+    agg = grams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

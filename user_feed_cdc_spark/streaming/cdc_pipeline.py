@@ -538,6 +538,12 @@ def read_user_feed(
             "silently return wrong pages"
         )
     feed = spark.read.parquet(feed_path)
+    return _page_from_frame(feed, user_id, limit, offset, n_user_buckets)
+
+
+def _page_from_frame(
+    feed: DataFrame, user_id: str, limit: int, offset: int, n_user_buckets: int
+) -> DataFrame:
     order = [
         F.col("event_timestamp").desc(),
         F.col("_batch_id").desc(),
@@ -561,6 +567,54 @@ def read_user_feed(
         .filter(F.col("_rn") > offset)
         .drop("_rn")
     )
+
+
+class FeedCache:
+    """Cache-aside feed serving (C1; reference main.py:142-146 backed by
+    cache.py:5-10): the reference checks Redis for a user's rendered
+    feed page, falls back to the Cassandra query on miss, and writes the
+    result back. The Spark-native analog caches the FEED TABLE, not
+    rendered pages: the first read materializes the parquet scan into
+    executor memory via persist(), and every subsequent page for ANY
+    user is a bucket-pruned filter over the cached columnar blocks.
+
+    Invalidation, unlike Redis, is mostly automatic: a write through
+    THIS session (the CDC sink) triggers Spark's refreshByPath on the
+    output path, which refreshes the cached relation in place — the
+    staleness window the reference papers over with TTLs doesn't exist
+    for same-session writers. `invalidate()` covers the case Spark
+    can't see: an out-of-band writer (another session/job/engine)
+    adding files under the feed path; call it on such signals to drop
+    the snapshot and re-list on next read.
+
+    Caching the table instead of per-user pages is the right granularity
+    for Spark: one cache entry serves every user (no per-key churn), and
+    the per-page work over cached blocks is a pruned in-memory filter."""
+
+    def __init__(self, spark: SparkSession, feed_path: str):
+        self.spark = spark
+        self.feed_path = feed_path
+        self._frame: DataFrame | None = None
+        self._buckets: int | None = None
+
+    def _materialized(self) -> tuple[DataFrame, int]:
+        if self._frame is None:
+            recorded = read_feed_meta(self.spark, self.feed_path)
+            self._buckets = recorded if recorded is not None else N_USER_BUCKETS
+            self._frame = self.spark.read.parquet(self.feed_path).persist()
+        return self._frame, self._buckets
+
+    def page(self, user_id: str, limit: int = 100, offset: int = 0) -> DataFrame:
+        feed, buckets = self._materialized()
+        return _page_from_frame(feed, user_id, limit, offset, buckets)
+
+    def invalidate(self) -> None:
+        """Evict the cached feed snapshot (call after a CDC batch lands,
+        like the reference's cache invalidation on new activity)."""
+        if self._frame is not None:
+            self._frame.unpersist(blocking=False)
+            self._frame = None
+            self._buckets = None
 
 
 def run_cdc_pipeline(
