@@ -43,7 +43,6 @@ def main() -> None:
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split():
-        # load_table, not bare spark.read: events carries TIMESTAMP(NANOS)
         load_table(spark, sf_dir, t).count()
     entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
     # warm the higher-order-function + conditionless-broadcast codegen
@@ -75,9 +74,18 @@ def main() -> None:
     # round for unchanged queries); the min of two is the steady-state
     # latency — the quantity that matters for throughput at scale,
     # where every compile is amortized across thousands of tasks.
+    from user_feed_cdc_spark.operators.cdc import evict_fixture_cache
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _pass in range(2):
+        # Start each pass from a clean cache: accumulated persisted state
+        # (per-query persists + the CDC fixture cache) otherwise crowds
+        # the storage pool and the late-registry queries pay eviction
+        # churn — BENCH_r04 showed the dedup family 3-12x slower in-suite
+        # than standalone from exactly this.
+        spark.catalog.clearCache()
+        evict_fixture_cache(spark)
         for name, fn in queries.items():
             if name in errors:
                 continue

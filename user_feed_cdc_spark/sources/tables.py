@@ -15,10 +15,11 @@ from pyspark.sql import functions as F, types as T
 
 from user_feed_cdc_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-# rejects as a timestamp; read it as raw nanos (legacy conf) and truncate
-# to microseconds — exactly what DuckDB's µs-native timestamps do, so the
-# oracle comparison sees identical values.
+# Legacy events files carry ts as raw int64 nanoseconds (either plain
+# INT64 or TIMESTAMP(NANOS)-annotated); current driver files store a
+# parquet TIMESTAMP(MICROS) that Spark reads natively. The footer is
+# sniffed once per path (pyarrow, no Spark job) and the result cached, so
+# the hot read path stays a single explicit-schema scan either way.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -30,15 +31,55 @@ _EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
+# path -> "native" (parquet TIMESTAMP µs/ms, read directly) | "long"
+# (plain int64 nanos) | "ns" (TIMESTAMP(NANOS) annotation, needs the
+# legacy nanosAsLong conf to surface as long)
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def _events_ts_kind(path: str) -> str:
+    kind = _EVENTS_TS_KIND.get(path)
+    if kind is None:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        t = pq.ParquetDataset(path).schema.field("ts").type
+        if pat.is_timestamp(t):
+            kind = "ns" if t.unit == "ns" else "native"
+        else:
+            kind = "long"
+        _EVENTS_TS_KIND[path] = kind
+    return kind
+
+
+def load_events(
+    spark: SparkSession,
+    path: str,
+    streaming: bool = False,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read an events parquet file/directory with `ts` as the canonical
+    session-zoned TimestampType, whatever the file's physical ts type.
+    DuckDB reads the same µs values, so the oracle comparison sees
+    identical wall-clock values (session tz is UTC)."""
+    kind = _events_ts_kind(path)
+    reader = spark.readStream if streaming else spark.read
+    if options:
+        reader = reader.options(**options)
+    if kind == "native":
+        return reader.schema(TABLE_SCHEMAS["events"]).parquet(path)
+    if kind == "ns":  # legacy branch only — never on current driver files
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return load_events(spark, path)
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

@@ -15,23 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from user_feed_cdc_spark.schemas import TABLE_SCHEMAS
-from user_feed_cdc_spark.sources.tables import _EVENTS_RAW_SCHEMA
+from user_feed_cdc_spark.sources.tables import load_events
 
 DEFAULT_WATERMARK = "10 minutes"
 
 
 def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
     """Replay an events parquet directory as a stream (test stand-in for
-    Kafka; same columns as the batch table). Handles the ns-timestamp
-    parquet quirk the same way as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(directory)
+    Kafka; same columns as the batch table). The footer-sniffed loader
+    handles both native TIMESTAMP files and legacy int64-nanos files."""
+    return load_events(
+        spark, directory, streaming=True, options={"maxFilesPerTrigger": "1"}
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
