@@ -23,6 +23,7 @@ NESTED_LOOP_WHITELIST = {
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
     "similarity_ivf_kmeans_topk",  # K=8 broadcast centroids / ≤nprobe probe rows
     "text_tfidf_top_terms",       # 1-row broadcast corpus-count scalar
+    "text_unigram_surprisal",     # 1-row broadcast total-token scalar
     "pipeline_source_mixture",    # 1-row broadcast mixture-floor scalar
 }
 
@@ -186,6 +187,52 @@ def test_metadata_map_stats_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert j not in plan, j
+
+
+def test_kafka_normalize_plan_is_narrow(spark):
+    """S1 plan shape: kafka_value_frame → normalize_events over a
+    kafka-schema-shaped frame must stay a single narrow pipeline — no
+    Exchange, no join. The live Kafka path differs only in the source
+    node, so a shuffle creeping into the normalize stage would break
+    source-parallelism there identically (no broker exists in CI; the
+    value-contract equivalence is pinned by test_cdc_pipeline)."""
+    from pyspark.sql import functions as F, types as T
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        kafka_value_frame,
+        normalize_events,
+    )
+
+    kafka_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    records = spark.createDataFrame(
+        [(None, b'{"id": 1}', "postgres.public.likes", 0, 0, None, 0)],
+        kafka_schema,
+    )
+    plan = _executed_plan(normalize_events(kafka_value_frame(records)))
+    assert "Exchange" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+
+
+def test_scd2_history_single_window(spark, sf_dir):
+    """cdc_scd2_history: both LEADs and the interval close must ride ONE
+    Window node over one shuffle — a second Exchange or Window would mean
+    the changelog is sorted twice per key."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["cdc_scd2_history"](spark, sf_dir))
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_repetition_scores_column_pruning(spark, sf_dir):

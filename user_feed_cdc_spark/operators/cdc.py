@@ -264,6 +264,66 @@ def cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE = """
+    SELECT key, event_id AS version_event_id,
+           FLOOR(value * 100.0 + 0.5) / 100.0 AS version_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY key ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY key ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM (
+        SELECT event_id % 500 AS key, event_id, ts, value,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op
+        FROM events
+    )
+    QUALIFY op <> 'd'
+"""
+
+
+@_register("cdc_scd2_history", _SCD2_ORACLE)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history materialization of the c/u/d change stream —
+    the companion to cdc_upsert_state (latest-state) and the natural
+    consumer of the delete tombstones the reference's Debezium config
+    retains in rewrite mode (debezium-postgres-connector.config.json:
+    17-18) but its consumer then drops (strategy.py:14-17). Every
+    create/update opens a version valid until the NEXT change of the
+    same key (delete included — a trailing 'd' closes the last interval,
+    so is_current=false for deleted keys); delete rows themselves emit
+    no version. valid_to is computed BEFORE dropping deletes so the
+    tombstone's timestamp closes the interval it terminates.
+
+    Plan: one shuffle on key + two same-window LEADs (single Window
+    node) — identical cost shape to the upsert; at 100 TB this is the
+    standard lake-history build (one pass over the changelog per key)."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("key"),
+        F.col("event_id").alias("version_event_id"),
+        F.col("ts").alias("valid_from"),
+        r2(F.col("value")).alias("version_value"),
+        _op().alias("op"),
+    )
+    w = W.partitionBy("key").orderBy("valid_from", "version_event_id")
+    return (
+        ev.withColumn("valid_to", F.lead("valid_from").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "key",
+            "version_event_id",
+            "version_value",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 _METADATA_MAP_ORACLE = """
     WITH base AS (
         SELECT event_type, event_id, props FROM events

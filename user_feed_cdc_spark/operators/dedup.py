@@ -528,6 +528,111 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(expr).alias("simhash32"))
 
 
+# md5-twin banding: 8 minhashes × 4 bands × 2 rows — small k so the
+# DuckDB oracle stays tractable; the production path (N_MINHASH=32)
+# uses the same construction with xxhash64 affine families.
+_MD5_K = 8
+_MD5_BANDS = 4
+_MD5_ROWS = _MD5_K // _MD5_BANDS
+
+_MINHASH_MD5_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(tk) - 3, 0) + 1),
+                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+               )) AS shs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, {_MD5_K}), i ->
+                   list_min(list_transform(shs, s ->
+                       CAST('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)
+                            AS BIGINT)))) AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b AS band_idx,
+               CAST(sig[2 * b + 1] AS VARCHAR) || ',' ||
+               CAST(sig[2 * b + 2] AS VARCHAR) AS band_val
+        FROM sig, range(0, {_MD5_BANDS}) AS t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band_idx, band_val)
+    WHERE a.doc_id < b.doc_id
+"""
+
+
+@_register("dedup_minhash_md5_pairs", _MINHASH_MD5_ORACLE)
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash+LSH candidate generation: word-3-gram
+    shingles → 8 md5-derived minhashes → 4 bands × 2 rows → bucket-join
+    → distinct candidate pairs. md5 exists bit-identically in DuckDB, so
+    the value-hash gate certifies the shingle construction, the
+    elementwise-min signature fold, the banding slice, AND the
+    same-bucket self-join — the full candidate pipeline the rows-only
+    dedup_minhash_lsh clustering builds on (that path swaps in xxhash64
+    affine families and connected components, neither SQL-expressible).
+    Plan shape is identical to the production path: the join keys on
+    (band_idx, band_val) — bounded buckets, never all-pairs."""
+    sh = shingles(F.col("text"), 3)
+    # single-pass: the shingle array appears once; each shingle fans out
+    # to its k hashes inside one transform, then an elementwise-min fold
+    # (re-referencing `sh` k times would re-inline its construction per
+    # hash — the round-1 32x CPU blowup)
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(_MD5_K - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat(s, F.lit("#"), i.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    )
+    sig = F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(None).cast("long"), _MD5_K),
+        lambda acc, h: F.zip_with(acc, h, lambda m, v: F.least(m, v)),
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", sig.alias("sig")
+    )
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MD5_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * _MD5_ROWS + 1, _MD5_ROWS),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 _INCREMENTAL_ORACLE = """
     WITH seen AS (
         SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0

@@ -564,3 +564,60 @@ def text_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@_register(
+    "text_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           FLOOR(CAST(SUM(FLOOR(LN(total * 1.0 / cnt) * 1000000.0 + 0.5)) AS DOUBLE)
+                 / COUNT(*) + 0.5) / 1000000.0 AS avg_surprisal
+    FROM toks JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean token surprisal -ln p(t)
+    under the corpus's own unigram distribution — the cheap LM-free
+    stand-in for a perplexity quality filter (low = repetitive/templated
+    text, high = rare-token noise; both tails get cut in corpus
+    curation). Two-pass: global token frequencies, then each token
+    stream scores against them. The frequency side is one row per vocab
+    entry, so Spark broadcasts it at test scale and AQE handles the
+    skewed hot-token keys (stopwords) when the vocabulary forces a
+    shuffle join at 100 TB.
+
+    Cross-engine determinism: per-token surprisal is rounded to 1e-6 and
+    summed as an INTEGER (deterministic under any partition/order), then
+    one final division + rounding — float summation order can never move
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    surp_int = F.floor(
+        F.log(F.col("total") * 1.0 / F.col("cnt")) * 1000000.0 + 0.5
+    ).cast("long")
+    return (
+        toks.join(freq, "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(F.sum(surp_int).cast("double") / F.count(F.lit(1)) + 0.5)
+                / 1000000.0
+            ).alias("avg_surprisal"),
+        )
+    )
