@@ -714,3 +714,57 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@_register(
+    "similarity_knn_join",
+    """
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id, e.label,
+               FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(q.qe, q.qe))) * 10000.0 + 0.5)
+                   / 10000.0 AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, label, cos_sim, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN: every query in a bounded query set (vec_id < 20)
+    gets its top-3 cosine neighbors from the full corpus — the batch
+    retrieval/cluster-assignment shape (eval-set retrieval, embedding
+    dedup seeding) that single-query topk doesn't cover. The query set
+    broadcasts (Q x dim doubles) and the corpus streams past it
+    map-side — the production plan for small-Q retrieval at any corpus
+    size; larger Q swaps in the LSH/IVF bucketed paths (ann_lsh,
+    ivf_kmeans). Per-query top-3 is a window on the ROUNDED score
+    (+neighbor tiebreak), WindowGroupLimit-capped before the exchange so
+    the shuffle sees k rows per (query, input partition), never Q x n."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            r2(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
