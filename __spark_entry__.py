@@ -77,6 +77,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # new in round 5 (no driver row yet)
         "dedup_minhash_md5_pairs", "cdc_scd2_history",
         "text_unigram_surprisal", "similarity_knn_join",
+        "pipeline_decontaminate_fuzzy",
         # absent from CORRECTNESS_r04 (last driver row: r03)
         "similarity_binary_hamming_topk", "similarity_rerank_topk",
         "similarity_ivf_kmeans_topk", "similarity_ann_lsh",

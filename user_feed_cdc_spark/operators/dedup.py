@@ -535,8 +535,13 @@ _MD5_K = 8
 _MD5_BANDS = 4
 _MD5_ROWS = _MD5_K // _MD5_BANDS
 
-_MINHASH_MD5_ORACLE = f"""
-    WITH toks AS (
+# Shared WITH-clause bodies — the oracle twins of md5_band_rows below.
+# MD5_SIG_CTES yields sig(doc_id, sig LIST<BIGINT>[k]); md5_band_ctes(r)
+# appends a bands(doc_id, band_idx, band_val) CTE with r rows per band.
+# Reused by the candidate-pair oracle here and the fuzzy-decontamination
+# oracle in operators/pipeline.py.
+MD5_SIG_CTES = f"""
+    toks AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t <> '') AS tk
         FROM documents
@@ -556,36 +561,45 @@ _MINHASH_MD5_ORACLE = f"""
                        CAST('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)
                             AS BIGINT)))) AS sig
         FROM sh
-    ),
-    bands AS (
-        SELECT doc_id, b AS band_idx,
-               CAST(sig[2 * b + 1] AS VARCHAR) || ',' ||
-               CAST(sig[2 * b + 2] AS VARCHAR) AS band_val
-        FROM sig, range(0, {_MD5_BANDS}) AS t(b)
     )
+"""
+
+
+def md5_band_ctes(rows_per_band: int = _MD5_ROWS) -> str:
+    n_bands = _MD5_K // rows_per_band
+    slices = " || ',' || ".join(
+        f"CAST(sig[{rows_per_band} * b + {i + 1}] AS VARCHAR)"
+        for i in range(rows_per_band)
+    )
+    return f"""{MD5_SIG_CTES},
+    bands AS (
+        SELECT doc_id, b AS band_idx, {slices} AS band_val
+        FROM sig, range(0, {n_bands}) AS t(b)
+    )
+"""
+
+
+_MINHASH_MD5_ORACLE = f"""
+    WITH {md5_band_ctes()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b USING (band_idx, band_val)
     WHERE a.doc_id < b.doc_id
 """
 
 
-@_register("dedup_minhash_md5_pairs", _MINHASH_MD5_ORACLE)
-def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked MinHash+LSH candidate generation: word-3-gram
-    shingles → 8 md5-derived minhashes → 4 bands × 2 rows → bucket-join
-    → distinct candidate pairs. md5 exists bit-identically in DuckDB, so
-    the value-hash gate certifies the shingle construction, the
-    elementwise-min signature fold, the banding slice, AND the
-    same-bucket self-join — the full candidate pipeline the rows-only
-    dedup_minhash_lsh clustering builds on (that path swaps in xxhash64
-    affine families and connected components, neither SQL-expressible).
-    Plan shape is identical to the production path: the join keys on
-    (band_idx, band_val) — bounded buckets, never all-pairs."""
+def md5_band_rows(docs: DataFrame, rows_per_band: int = _MD5_ROWS) -> DataFrame:
+    """(doc_id, band_idx, band_val) md5-minhash LSH band rows over a
+    documents frame — the DuckDB-reproducible twin of lsh_band_rows
+    (word-3-gram shingles, 8 md5 hashes, k/rows_per_band bands).
+    rows_per_band tunes precision: 2 (default) for candidate pairs,
+    1 for the high-recall single-hash collision probe fuzzy
+    decontamination uses. Single-pass: the shingle array appears once;
+    each shingle fans out to its k hashes inside one transform, then an
+    elementwise-min fold (re-referencing the shingle expression k times
+    would re-inline its construction per hash — the round-1 32x CPU
+    blowup)."""
+    n_bands = _MD5_K // rows_per_band
     sh = shingles(F.col("text"), 3)
-    # single-pass: the shingle array appears once; each shingle fans out
-    # to its k hashes inside one transform, then an elementwise-min fold
-    # (re-referencing `sh` k times would re-inline its construction per
-    # hash — the round-1 32x CPU blowup)
     per_shingle = F.transform(
         sh,
         lambda s: F.transform(
@@ -602,27 +616,46 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_repeat(F.lit(None).cast("long"), _MD5_K),
         lambda acc, h: F.zip_with(acc, h, lambda m, v: F.least(m, v)),
     )
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", sig.alias("sig")
+    return (
+        fan_out(docs)
+        .select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("band_val"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_idx", "band.band_val")
     )
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_MD5_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * _MD5_ROWS + 1, _MD5_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_val"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
+
+
+@_register("dedup_minhash_md5_pairs", _MINHASH_MD5_ORACLE)
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash+LSH candidate generation: word-3-gram
+    shingles → 8 md5-derived minhashes → 4 bands × 2 rows → bucket-join
+    → distinct candidate pairs. md5 exists bit-identically in DuckDB, so
+    the value-hash gate certifies the shingle construction, the
+    elementwise-min signature fold, the banding slice, AND the
+    same-bucket self-join — the full candidate pipeline the rows-only
+    dedup_minhash_lsh clustering builds on (that path swaps in xxhash64
+    affine families and connected components, neither SQL-expressible).
+    Plan shape is identical to the production path: the join keys on
+    (band_idx, band_val) — bounded buckets, never all-pairs."""
+    bands = md5_band_rows(load_table(spark, sf_dir, "documents"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
     return (

@@ -206,6 +206,76 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_decon_oracle() -> str:
+    from user_feed_cdc_spark.operators.dedup import md5_band_ctes
+
+    return f"""
+    WITH {md5_band_ctes(rows_per_band=1)},
+    eval_bands AS (
+        SELECT DISTINCT band_idx, band_val FROM bands
+        WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN eval_bands e USING (band_idx, band_val)
+        WHERE b.doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_train,
+           COUNT(c.doc_id) AS n_contaminated,
+           COUNT(*) - COUNT(c.doc_id) AS n_clean
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY d.lang, d.source
+    """
+
+
+@_register("pipeline_decontaminate_fuzzy", _fuzzy_decon_oracle())
+def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents that are
+    near-duplicates of any eval document — any shared MinHash value
+    (width-1 bands: each of the 8 md5 minhashes is its own collision
+    probe, P(flag) = 1-(1-j)^8 for shingle-Jaccard j — the high-RECALL
+    setting decontamination wants, vs width-2 candidate-pair precision).
+    md5 twin, so the whole near-dup probe is under the hash gate. This
+    is the production complement to the exact n-gram probe above
+    (pipeline_decontaminate): paraphrased/templated eval leakage doesn't
+    share exact 5-grams but does collide on minhashes (the
+    SlimPajama/Llama-report decontamination recipe).
+
+    Plan shape at 100 TB: identical posture to the exact probe — the
+    eval side is tiny, so its distinct band set BROADCASTS and the
+    training corpus's band stream left-semi-joins it map-side; one
+    groupBy on the doc key, one on (lang, source). Signatures are
+    computed in the scan stage (scan-shaped CPU), never shuffled."""
+    from user_feed_cdc_spark.operators.dedup import md5_band_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = md5_band_rows(docs, rows_per_band=1)
+    eval_bands = (
+        bands.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("band_idx", "band_val")
+        .distinct()
+    )
+    contaminated = (
+        bands.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_bands), ["band_idx", "band_val"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("_hit").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_clean"),
+        )
+    )
+
+
 _N_SHARDS = 16
 
 
