@@ -168,6 +168,18 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_fuzzy_decontaminate_broadcasts_eval_bands(spark, sf_dir):
+    """pipeline_decontaminate_fuzzy: the minhash collision probe must be
+    a BROADCAST semi-join on (band_idx, band_val) — a shuffled join here
+    would move the training corpus's whole band stream."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["pipeline_decontaminate_fuzzy"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_shuffle_shards_partial_aggregates(spark, sf_dir):
     """pipeline_shuffle_shards: the shard rollup must map-side combine
     (partial_count/partial_sum before the exchange) — shuffle volume is

@@ -67,6 +67,25 @@ def test_session_batch_stream_equivalence(spark, sf_dir, events_dir):
     assert _rows(stream) == _rows(batch)
 
 
+def test_native_timestamp_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stream reader's NATIVE-timestamp branch (parquet TIMESTAMP
+    ts, the current driver format — the legacy int64-nanos branch is
+    what every other streaming test exercises): re-materialize events
+    with a real timestamp column, stream it, and the tumbling rollup
+    must equal the batch run."""
+    d = tmp_path / "events_native"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(str(d))
+    batch = tumbling_counts(ev, "1 hour")
+    stream = run_to_memory(
+        spark,
+        tumbling_counts(events_file_stream(spark, str(d)), "1 hour"),
+        "native_ts_eq",
+        output_mode="complete",
+    )
+    assert _rows(stream) == _rows(batch)
+
+
 def _write_spaced_files(spark, d, batches):
     """Write one parquet file per batch with sequential names AND spaced
     mtimes so the file stream replays them in a deterministic order."""

@@ -31,9 +31,9 @@ _EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
-# path -> "native" (parquet TIMESTAMP µs/ms, read directly) | "long"
-# (plain int64 nanos) | "ns" (TIMESTAMP(NANOS) annotation, needs the
-# legacy nanosAsLong conf to surface as long)
+# path -> "native" (parquet TIMESTAMP µs/ms or INT96, read directly) |
+# "long" (plain int64 nanos) | "ns" (TIMESTAMP(NANOS) annotation, needs
+# the legacy nanosAsLong conf to surface as long)
 _EVENTS_TS_KIND: dict[str, str] = {}
 
 
@@ -41,11 +41,23 @@ def _events_ts_kind(path: str) -> str:
     kind = _EVENTS_TS_KIND.get(path)
     if kind is None:
         import pyarrow.parquet as pq
-        import pyarrow.types as pat
 
-        t = pq.ParquetDataset(path).schema.field("ts").type
-        if pat.is_timestamp(t):
-            kind = "ns" if t.unit == "ns" else "native"
+        # PHYSICAL type, not the arrow view: pyarrow reports both INT96
+        # (Spark's own historical timestamp encoding — Spark reads it
+        # natively) and TIMESTAMP(NANOS)-annotated INT64 (which Spark
+        # only reads via the legacy nanosAsLong conf) as timestamp[ns].
+        ds = pq.ParquetDataset(path)
+        sch = pq.ParquetFile(ds.files[0]).schema
+        col = next(
+            sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+        )
+        logical = str(col.logical_type)
+        if col.physical_type == "INT96":
+            kind = "native"
+        elif "nanoseconds" in logical:
+            kind = "ns"
+        elif logical.startswith("Timestamp"):
+            kind = "native"
         else:
             kind = "long"
         _EVENTS_TS_KIND[path] = kind
