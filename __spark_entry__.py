@@ -74,7 +74,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_attribution_join", "events_trending_users",
         "range_join_user_pairs", "asof_last_purchase",
         "asof_last_purchase_tolerance", "dedup_exact_latest_event",
-        # new in round 5 (no driver row yet)
+        # new in round 5 (no driver row yet; zorder overflows the 50-slot
+        # window and rides at position 51 — first driver row in round 6,
+        # which never breaks the two-round invariant for a new entry)
         "dedup_minhash_md5_pairs", "cdc_scd2_history",
         "text_unigram_surprisal", "similarity_knn_join",
         "pipeline_decontaminate_fuzzy",
@@ -94,6 +96,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
+        # position 51: new this round, certified locally, window-deferred
+        "pipeline_zorder_stats",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

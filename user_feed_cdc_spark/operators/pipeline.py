@@ -499,3 +499,78 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+_Z_BITS = 10  # per-dimension bits: user-bucket and hour-of-month both < 1024
+
+
+@_register(
+    "pipeline_zorder_stats",
+    f"""
+    WITH dims AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3) AS BIGINT)
+                   & 1023 AS x,
+               (CAST(day(ts) AS BIGINT) - 1) * 24 + hour(ts) AS y
+        FROM events
+    ),
+    z AS (
+        SELECT x, y,
+               CAST(list_sum(list_transform(range(0, {_Z_BITS}), i ->
+                   (((x >> i) & 1) << (2 * i)) +
+                   (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        FROM dims
+    )
+    SELECT zval >> {2 * _Z_BITS - 4} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z
+    GROUP BY z_bucket
+    """,
+)
+def pipeline_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics — the bit-interleave clustering
+    math behind multi-dimension data skipping (Delta OPTIMIZE ZORDER,
+    Hudi clustering): interleaving the bits of (user bucket, event hour)
+    gives a 1-D sort key whose ranges are 2-D locality tiles, so files
+    written in z-order carry tight min/max on BOTH dimensions and either
+    predicate prunes. The query certifies the z-value construction by
+    reporting per-z-range row counts and per-dimension min/max envelopes
+    (tight envelopes = the locality a range-partitioned z-write would
+    give each file; a plain 1-D sort would leave the other dimension's
+    envelope at full width).
+
+    All-integer math (bit extract/shift, integer fold) — bit-identical
+    across engines, no float anywhere. One scan, one groupBy on the
+    z-bucket: scan-shaped at 100 TB; the real write path would
+    repartitionByRange(zval) with the same expression."""
+    ev = load_table(spark, sf_dir, "events").select(
+        # md5-spread the user key over the full 10-bit grid axis: the raw
+        # id domain is data-dependent (149 users at sf0.01) and a
+        # low-cardinality dim would leave the top interleave bits
+        # constant — hash-spreading the key is the standard z-layout
+        # treatment, and pruning still works (point predicates hash to
+        # the same cell)
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(1023))
+        .alias("x"),
+        ((F.dayofmonth("ts") - 1).cast("long") * 24 + F.hour("ts")).alias("y"),
+    )
+    interleave = F.expr(
+        f"""
+        aggregate(sequence(0, {_Z_BITS - 1}), 0L,
+            (acc, i) -> acc + shiftleft(shiftright(x, i) & 1, 2 * i)
+                            + shiftleft(shiftright(y, i) & 1, 2 * i + 1))
+        """
+    )
+    z = ev.select("x", "y", interleave.alias("zval"))
+    return z.groupBy(
+        F.shiftright("zval", 2 * _Z_BITS - 4).alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
