@@ -96,8 +96,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
-        # position 51: new this round, certified locally, window-deferred
-        "pipeline_zorder_stats",
+        # positions 51+: new this round, certified locally,
+        # window-deferred (first driver row in round 6)
+        "pipeline_zorder_stats", "asof_next_purchase",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

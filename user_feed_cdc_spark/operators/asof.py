@@ -47,24 +47,36 @@ def asof_join(
     key: str,
     ts: str,
     marker_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join: probes ⟕ most-recent markers (same key,
-    marker ts <= probe ts). markers must be unique per (key, ts) for a
-    deterministic answer — dedup upstream. Returns the probe rows plus
-    ``marker_cols`` (null when no marker precedes the probe)."""
+    """Generic as-of join. ``backward`` (default): probes ⟕ most-recent
+    markers (same key, marker ts <= probe ts). ``forward``: probes ⟕
+    earliest marker STRICTLY after the probe (marker ts > probe ts) —
+    the time-to-next-event labeling direction. markers must be unique
+    per (key, ts) for a deterministic answer — dedup upstream. Returns
+    the probe rows plus ``marker_cols`` (null when no marker matches).
+
+    Both directions ride the same single shuffle: markers sort before
+    probes at equal ts, which gives <= semantics to the backward frame
+    (equal-ts marker is inside [unboundedPreceding, currentRow]) and
+    strict > to the forward frame (equal-ts marker falls BEFORE
+    currentRow, outside [currentRow, unboundedFollowing])."""
     p = probes.withColumn("_is_probe", F.lit(1))
     for c in marker_cols:
         p = p.withColumn(c, F.lit(None).cast(markers.schema[c].dataType))
     m = markers.withColumn("_is_probe", F.lit(0))
     u = m.unionByName(p, allowMissingColumns=True)
-    # marker (0) sorts before probe (1) at equal ts → <= semantics
-    w = (
-        W.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(key).orderBy(F.col(ts).asc(), F.col("_is_probe").asc())
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    elif direction == "forward":
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     for c in marker_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        u = u.withColumn(c, pick(c).over(w))
     return u.filter(F.col("_is_probe") == 1).drop("_is_probe")
 
 
@@ -197,3 +209,57 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         probes, markers, key="user_id", ts="ts", marker_cols=["last_purchase_id"]
     ).select("event_id", "user_id", "ts", "event_type", "last_purchase_id")
+
+
+_ASOF_FWD_ORACLE = """
+    WITH m AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           m.purchase_id AS next_purchase_id,
+           CAST(CASE WHEN m.purchase_id IS NOT NULL
+                THEN epoch_us(m.ts) - epoch_us(e.ts) END AS BIGINT)
+               AS us_until_purchase
+    FROM events e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts < m.ts
+"""
+
+
+@_register("asof_next_purchase", _ASOF_FWD_ORACLE)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every event annotated with the same user's
+    next purchase strictly after it, plus the microseconds until it —
+    the label-generation shape of a training pipeline ("did/when will
+    the user convert after this interaction"; a horizon cut on
+    us_until_purchase yields the binary label). Same single-shuffle
+    union/window composition as the backward join, mirrored frame.
+    Oracle: DuckDB native forward ASOF LEFT JOIN (e.ts < m.ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_purchase_id"))
+        .withColumn("_m_us", F.unix_micros("ts"))
+    )
+    probes = ev.select("event_id", "user_id", "ts", "event_type")
+    joined = asof_join(
+        probes,
+        markers,
+        key="user_id",
+        ts="ts",
+        marker_cols=["next_purchase_id", "_m_us"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "next_purchase_id",
+        F.when(
+            F.col("next_purchase_id").isNotNull(),
+            F.col("_m_us") - F.unix_micros("ts"),
+        ).alias("us_until_purchase"),
+    )
