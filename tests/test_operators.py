@@ -344,6 +344,36 @@ def test_asof_join_semantics(spark):
     # c: before any marker; d: different key → no marker
 
 
+def test_asof_join_forward_semantics(spark):
+    """Forward direction mirrors backward EXCEPT the tie rule: an
+    equal-ts marker is matched by backward (<=) but NOT by forward
+    (strict >) — the subtle frame/tie interaction that makes both
+    directions share one sort order."""
+    from user_feed_cdc_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        ["k", "ts", "tag"],
+    )
+    markers = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101)], ["k", "ts", "mval"]
+    )
+    out = {
+        r.tag: r.mval
+        for r in asof_join(
+            probes, markers, "k", "ts", ["mval"], direction="forward"
+        ).collect()
+    }
+    # a: equal-ts marker (10) EXCLUDED, next is 15; b: nothing after 20;
+    # c: earliest strictly-after is 10; d: different key
+    assert out == {"a": 101, "b": None, "c": 100, "d": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(probes, markers, "k", "ts", ["mval"], direction="sideways")
+
+
 def test_ann_lsh_scores_match_exact(spark, sf_dir):
     """Every ANN hit's reported cosine must equal the exact cosine
     computed directly (the bucketing may lose candidates — that's the
