@@ -768,3 +768,62 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+_LSH_MD5_ORACLE = f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    buck AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(range(0, {N_PLANES}), p ->
+                   CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+                            q[i] * (CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+                                        || CAST(i - 1 AS VARCHAR)), 1, 4) AS BIGINT)
+                                    % 1001 - 500))) > 0
+                        THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+        FROM qv
+    )
+    SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+    FROM buck GROUP BY bucket
+"""
+
+
+@_register("similarity_lsh_md5_buckets", _LSH_MD5_ORACLE)
+def similarity_lsh_md5_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked hyperplane-LSH bucketing: embeddings quantized to
+    integers (round(v*1000) — the int8-style fixed-point treatment),
+    projected onto 8 md5-derived INTEGER hyperplanes, sign bits packed
+    into a bucket id; output is the bucket histogram (size + distinct
+    labels). All-integer projections make the sign — the one thing LSH
+    depends on — bit-identical across engines, so the value-hash gate
+    certifies the exact bucket assignment the rows-only production paths
+    (similarity_ann_lsh, dedup_embedding_lsh: float planes from
+    xxhash64, no SQL twin) are built on. One scan, projections fused
+    into it, one groupBy on the bucket id — scan-shaped at 100 TB."""
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    # one SQL expr: quantize once, fold each plane's integer dot
+    plane_terms = " + ".join(
+        f"""CASE WHEN aggregate(
+                zip_with(q, sequence(0, size(q) - 1),
+                    (v, i) -> v * (CAST(conv(substr(md5(concat('{p}:', CAST(i AS STRING))), 1, 4), 16, 10) AS BIGINT) % 1001 - 500)),
+                0L, (acc, x) -> acc + x) > 0
+             THEN {1 << p}L ELSE 0L END"""
+        for p in range(N_PLANES)
+    )
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    bucketed = emb.select("label", F.expr(plane_terms).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("label").alias("n_labels"),
+    )
