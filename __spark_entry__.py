@@ -99,7 +99,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # positions 51+: new this round, certified locally,
         # window-deferred (first driver row in round 6)
         "pipeline_zorder_stats", "asof_next_purchase",
-        "similarity_lsh_md5_buckets",
+        "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

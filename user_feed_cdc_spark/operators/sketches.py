@@ -66,3 +66,36 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_HLL_BOUND_ORACLE = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("sketch_distinct_users_bounded", _HLL_BOUND_ORACLE)
+def sketch_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated error-bound certification for the HLL path: per
+    event_type, the EXACT distinct count (matching the oracle's) plus a
+    boolean asserting the HLL estimate landed within 5% of it. HLL
+    register merges are commutative (per-register max), so the estimate
+    is deterministic regardless of partitioning — if a Spark upgrade or
+    a conf change ever degraded the sketch beyond the bound, the boolean
+    flips and the value-hash gate fails. This is the strongest oracle an
+    approximate operator admits: the oracle can't reproduce the
+    estimate, but it can hold the estimator to its contract."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_approx"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.05
+    )
+    return agg.select("event_type", "exact_users", within.alias("within_5pct"))
