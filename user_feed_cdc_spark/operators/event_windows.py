@@ -217,3 +217,46 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("stage") >= 2).cast("long")).alias("n_viewed"),
         F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchased"),
     )
+
+
+_RETENTION_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT a.day,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained
+    FROM active a
+    LEFT JOIN active b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+"""
+
+
+@_register("events_daily_retention", _RETENTION_ORACLE)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention cohorts: for each activity day, how many
+    distinct users were active and how many of them returned the next
+    day — the D1-retention rollup every product-analytics pipeline
+    materializes. One distinct on (user, day) collapses the event
+    stream to ≤ users x days rows BEFORE the self-join, so the join
+    input is cohort-sized, not event-sized; the join is an equi-join on
+    (user, next-day) — hash-partitionable, no interval predicate. At
+    100 TB the distinct is the only event-volume shuffle and it partial-
+    aggregates map-side. Integer outputs only — nothing to round."""
+    active = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    nxt = active.select(
+        "user_id", F.date_sub("day", 1).alias("day"), F.lit(1).alias("_ret")
+    )
+    return (
+        active.join(nxt, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("_ret").alias("n_retained"),
+        )
+    )
