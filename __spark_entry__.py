@@ -100,7 +100,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # window-deferred (first driver row in round 6)
         "pipeline_zorder_stats", "asof_next_purchase",
         "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
-        "events_daily_retention",
+        "events_daily_retention", "events_cohort_matrix",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -260,3 +260,45 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_ret").alias("n_retained"),
         )
     )
+
+
+_COHORT_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN first_seen f USING (user_id)
+    WHERE a.day - f.cohort_day <= 7
+    GROUP BY f.cohort_day, day_offset
+"""
+
+
+@_register("events_cohort_matrix", _COHORT_ORACLE)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch cohort retention matrix: users grouped by the day
+    they first appeared (the acquisition cohort), counted on each
+    subsequent active day up to a week out — the triangle chart behind
+    every retention dashboard, and the companion to the pairwise
+    events_daily_retention. Two cohort-sized shuffles: min(day) per
+    user, then a user-keyed join back onto the distinct (user, day)
+    stream — the event stream itself is collapsed before anything
+    joins. Integer outputs only."""
+    active = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first_seen = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offs = (
+        active.join(first_seen, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+    )
+    return offs.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
