@@ -57,16 +57,46 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         oracles.update(mod.ORACLES)
 
     # Registration order is the driver's check order, and the driver only
-    # certifies a PREFIX of the registry (rounds 2-4 each covered exactly
+    # certifies a PREFIX of the registry (rounds 2-5 each covered exactly
     # the first 50 entries). Rotation invariant: no query goes two
-    # consecutive rounds without a driver row. Round-5 window = the 14
-    # queries re-fixed by the events.ts TIMESTAMP(MICROS) read fix
-    # (5 hash-failed in r04, 9 silently red locally — all must be
-    # certified green) + every entry absent from CORRECTNESS_r04
-    # (similarity/cdc/pipeline/sketch/dedup/text tail, last certified
-    # r03); r04-green entries fill the back and rotate in next round.
+    # consecutive rounds without a driver row. Round-6 window = the 5
+    # entries that have NEVER had a driver row (added in r5 at positions
+    # 51+) + the 45 entries last certified in r04 (absent from
+    # CORRECTNESS_r05) — exactly 50. The 50 r05-certified entries rotate
+    # to positions 51+ and come back in round 7; brand-new round-6
+    # entries sit at the head of the 51+ block for first rows in r07.
     priority = [
-        # re-fixed by the events.ts read fix (root cause: tables.py)
+        # never driver-certified (added r5 at positions 51+)
+        "asof_next_purchase", "similarity_lsh_md5_buckets",
+        "sketch_distinct_users_bounded", "events_daily_retention",
+        "events_cohort_matrix",
+        # last certified r04 (absent from CORRECTNESS_r05) — 45 entries
+        "pricing_summary", "filter_project", "join_inner",
+        "join_left_outer", "join_semi", "join_anti",
+        "join_broadcast_dim", "join_multiway_region_revenue",
+        "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
+        "rollup_flag_status", "cube_status_priority",
+        "grouping_sets_revenue", "case_when_pivot",
+        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
+        "window_rank_family", "window_running_analytics",
+        "window_range_frame", "window_topk_per_customer",
+        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
+        "date_funcs", "date_arithmetic", "json_extract",
+        "null_safe_funcs", "array_funcs",
+        "events_funnel_conversion",
+        "dedup_simhash_md5",
+        "multimodal_rollup",
+        "pipeline_pack_sequences", "pipeline_shuffle_shards",
+        "pipeline_source_mixture", "pipeline_mixture_weighted",
+        "similarity_cosine_topk", "similarity_ivf_topk",
+        "similarity_label_centroid_dist", "similarity_quantized_topk",
+        "text_bigram_top_terms", "text_chunk_documents",
+        "text_lang_rollup", "text_winnow_fingerprints",
+        # ---- positions 51+ ----
+        # new this round (first driver rows in r07)
+        "sketch_value_quantiles_bounded", "sketch_top_users",
+        "sketch_top_users_bounded",
+        # certified green in r05, rotate back in r07
         "feed_topk_per_user", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
         "events_hourly_rollup", "cdc_canonical_activities",
@@ -74,13 +104,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_attribution_join", "events_trending_users",
         "range_join_user_pairs", "asof_last_purchase",
         "asof_last_purchase_tolerance", "dedup_exact_latest_event",
-        # new in round 5 (no driver row yet; zorder overflows the 50-slot
-        # window and rides at position 51 — first driver row in round 6,
-        # which never breaks the two-round invariant for a new entry)
         "dedup_minhash_md5_pairs", "cdc_scd2_history",
         "text_unigram_surprisal", "similarity_knn_join",
         "pipeline_decontaminate_fuzzy",
-        # absent from CORRECTNESS_r04 (last driver row: r03)
         "similarity_binary_hamming_topk", "similarity_rerank_topk",
         "similarity_ivf_kmeans_topk", "similarity_ann_lsh",
         "multimodal_binary_stats", "multimodal_frame_sample",
@@ -96,11 +122,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
-        # positions 51+: new this round, certified locally,
-        # window-deferred (first driver row in round 6)
-        "pipeline_zorder_stats", "asof_next_purchase",
-        "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
-        "events_daily_retention", "events_cohort_matrix",
+        "pipeline_zorder_stats",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -565,6 +565,64 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
             assert frac_lt <= q + eps, (r.event_type, q, got, frac_lt)
 
 
+def test_cms_estimates_bounded(spark, sf_dir):
+    """Count-min sketch contracts: (1) structural — an estimate can
+    NEVER undercount (bucket count = key count + colliding keys); (2)
+    probabilistic — mean overestimate across all keys stays within
+    eps*N (eps = e/width), the standard CMS error bound, with generous
+    slack for the min-over-depths estimator."""
+    import math
+
+    from user_feed_cdc_spark.operators.sketches import (
+        _CMS_WIDTH,
+        _cms_estimates,
+    )
+
+    est = {
+        (r.event_type, r.user_id): r.est_count
+        for r in _cms_estimates(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact_rows = ev.groupBy("event_type", "user_id").count().collect()
+    exact = {(r.event_type, r.user_id): r["count"] for r in exact_rows}
+    assert set(est) == set(exact)
+    totals: dict = {}
+    for (t, _), c in exact.items():
+        totals[t] = totals.get(t, 0) + c
+    over: dict = {}
+    for k, e in exact.items():
+        assert est[k] >= e, (k, est[k], e)
+        over.setdefault(k[0], []).append(est[k] - e)
+    for t, os_ in over.items():
+        bound = math.e / _CMS_WIDTH * totals[t]
+        assert sum(os_) / len(os_) <= max(1.0, 3 * bound), (
+            t, sum(os_) / len(os_), bound,
+        )
+
+
+def test_cms_top_users_recall(spark, sf_dir):
+    """The CMS top-5 can only miss a true heavy hitter if collisions
+    promote a false one past it; with width >> keys that should be
+    rare — require the sketch's top-5 to recover most of the exact
+    top-5 per event_type."""
+    from user_feed_cdc_spark.operators.sketches import (
+        sketch_top_users,
+        sketch_top_users_bounded,
+    )
+
+    approx: dict = {}
+    for r in sketch_top_users(spark, sf_dir).collect():
+        approx.setdefault(r.event_type, set()).add(r.user_id)
+    exact: dict = {}
+    for r in sketch_top_users_bounded(spark, sf_dir).collect():
+        assert r.no_underestimate
+        exact.setdefault(r.event_type, set()).add(r.user_id)
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[t] & exact[t]) for t in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, (hits, total)
+
+
 def test_ivf_kmeans_nprobe_recall_monotone(spark, sf_dir):
     """Probing more inverted lists can only ADD candidates, so recall
     against the exact brute-force top-10 must be monotone in nprobe —

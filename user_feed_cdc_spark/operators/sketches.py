@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from user_feed_cdc_spark.functions.numeric import round_half_up as r2
 from user_feed_cdc_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -99,3 +100,226 @@ def sketch_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         <= 0.05
     )
     return agg.select("event_type", "exact_users", within.alias("within_5pct"))
+
+
+_GK_BOUND_ORACLE = """
+    SELECT event_type,
+           FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_exact,
+           FLOOR(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95_exact,
+           COUNT(*) AS n,
+           TRUE AS p50_in_rank_window,
+           TRUE AS p95_in_rank_window
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("sketch_value_quantiles_bounded", _GK_BOUND_ORACLE)
+def sketch_value_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated error-bound certification for the GK/approx_percentile
+    path (the quantile twin of sketch_distinct_users_bounded): per
+    event_type, the EXACT p50/p95 (matching the oracle's quantile_cont
+    bitwise — same linear interpolation, same half-up rounding) plus
+    booleans asserting the approx_percentile estimate landed inside the
+    exact ±1%-rank value window [percentile(p-0.01), percentile(p+0.01)].
+    approx_percentile(accuracy=1e4) contracts rank error ≤ n/1e4 ranks —
+    orders of magnitude tighter than the 1%-rank window at sf scale — so
+    the boolean is robustly TRUE unless the estimator itself breaks,
+    which is exactly when the value-hash gate should go red. All six
+    aggregates ride one 2-phase hash aggregate: one scan, one shuffle of
+    5 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_p50"),
+        F.expr("percentile(value, 0.95)").alias("_p95"),
+        F.count(F.lit(1)).alias("n"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("_a95"),
+        F.expr("percentile(value, 0.49)").alias("_lo50"),
+        F.expr("percentile(value, 0.51)").alias("_hi50"),
+        F.expr("percentile(value, 0.94)").alias("_lo95"),
+        F.expr("percentile(value, 0.96)").alias("_hi95"),
+    )
+    return agg.select(
+        "event_type",
+        r2(F.col("_p50"), 4).alias("p50_exact"),
+        r2(F.col("_p95"), 4).alias("p95_exact"),
+        "n",
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias(
+            "p50_in_rank_window"
+        ),
+        F.col("_a95").between(F.col("_lo95"), F.col("_hi95")).alias(
+            "p95_in_rank_window"
+        ),
+    )
+
+
+# Count-min sketch geometry: 3 independent md5-derived hash rows x 8192
+# buckets. At 1500 keys/row (sf0.1) the per-row collision rate is ~17%,
+# so the min-over-rows estimate is exact for >99% of keys; width scales
+# the memory/error trade-off (eps ~ e/width) without touching the plan.
+_CMS_DEPTH = 3
+_CMS_WIDTH = 8192
+
+# Spark-side bucket id for hash row d over a BIGINT user_id: fold the
+# first 8 hex chars of md5("d:user") into [0, width). Same construction
+# the oracle twin reproduces with DuckDB's '0x' cast (the
+# similarity_lsh_md5_buckets pattern).
+def _cms_bucket_expr(d: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('{d}:', CAST(user_id AS STRING))), 1, 8),"
+        f" 16, 10) AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_sql(d: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' ||"
+        f" CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE_BODY = f"""
+    WITH tbl AS (
+        SELECT event_type, d AS depth, {_cms_bucket_sql('d')} AS bucket,
+               COUNT(*) AS cnt
+        FROM events, range({_CMS_DEPTH}) t(d)
+        GROUP BY 1, 2, 3
+    ),
+    cand AS (SELECT DISTINCT event_type, user_id FROM events),
+    cand_b AS (
+        SELECT event_type, user_id, d AS depth, {_cms_bucket_sql('d')} AS bucket
+        FROM cand, range({_CMS_DEPTH}) t(d)
+    ),
+    est AS (
+        SELECT c.event_type, c.user_id, MIN(t.cnt) AS est_count
+        FROM cand_b c
+        JOIN tbl t USING (event_type, depth, bucket)
+        GROUP BY 1, 2
+    )
+"""
+
+_CMS_TOP_ORACLE = f"""
+    {_CMS_ORACLE_BODY},
+    ranked AS (
+        SELECT event_type, user_id, est_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY est_count DESC, user_id
+               ) AS rn
+        FROM est
+    )
+    SELECT event_type, user_id, est_count FROM ranked WHERE rn <= 5
+"""
+
+
+def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, user_id, est_count) for every key, from a
+    declarative count-min sketch: one pass builds the (depth, bucket)
+    count table — map-side partial agg collapses each input split to at
+    most depth x width rows before the shuffle, the sketch's whole point
+    — and the candidate keys probe it with an equi-join on (event_type,
+    depth, bucket), taking MIN over rows. Bucket counts are pure SUMs,
+    so per-day/per-shard sketch tables merge by addition at 100 TB; the
+    candidate-probe join stays proportional to DISTINCT keys, never to
+    raw events."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    depth_buckets = F.array(
+        *[F.expr(_cms_bucket_expr(d)) for d in range(_CMS_DEPTH)]
+    )
+    hashed = ev.select(
+        "event_type", "user_id", F.posexplode(depth_buckets).alias("depth", "bucket")
+    )
+    tbl = hashed.groupBy("event_type", "depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cand = (
+        ev.distinct()
+        .select(
+            "event_type",
+            "user_id",
+            F.posexplode(depth_buckets).alias("depth", "bucket"),
+        )
+    )
+    return (
+        cand.join(tbl, ["event_type", "depth", "bucket"])
+        .groupBy("event_type", "user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+@_register("sketch_top_users", _CMS_TOP_ORACLE)
+def sketch_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per event_type from the count-min sketch: top-5
+    users by CMS-estimated count (ties broken by user_id). The md5-
+    derived integer hash rows make every bucket id — and therefore every
+    estimate and the final ranking, collisions included — bit-identical
+    across engines, so the full sketch pipeline sits under the value-
+    hash gate: the mergeable-summary answer to 'who are the top posters'
+    that at 100 TB replaces a full (user, count) shuffle with a
+    depth x width table."""
+    from pyspark.sql import Window as W
+
+    est = _cms_estimates(spark, sf_dir)
+    win = W.partitionBy("event_type").orderBy(
+        F.desc("est_count"), F.asc("user_id")
+    )
+    return (
+        est.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "user_id", "est_count")
+    )
+
+
+_CMS_BOUND_ORACLE = f"""
+    {_CMS_ORACLE_BODY},
+    exact AS (
+        SELECT event_type, user_id, COUNT(*) AS exact_count
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT e.event_type, e.user_id, e.exact_count, s.est_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY e.exact_count DESC, e.user_id
+               ) AS rn
+        FROM exact e JOIN est s USING (event_type, user_id)
+    )
+    SELECT event_type, user_id, exact_count, est_count,
+           TRUE AS no_underestimate
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@_register("sketch_top_users_bounded", _CMS_BOUND_ORACLE)
+def sketch_top_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certification for the CMS path: the EXACT top-5 users
+    per event_type (plain groupBy count — the oracle's ground truth)
+    joined to their CMS estimates, plus a boolean asserting the sketch's
+    structural one-sided guarantee est >= exact (a CMS bucket count is
+    the key's count plus colliding keys' counts, so it can never
+    undercount; the oracle pins TRUE). Overestimate magnitude is
+    probabilistic (~eps x N) and is held to a tolerance by pytest, not
+    the hash gate — the HLL/GK bounded-entry division of labor."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    win = W.partitionBy("event_type").orderBy(
+        F.desc("exact_count"), F.asc("user_id")
+    )
+    top = (
+        exact.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    est = _cms_estimates(spark, sf_dir)
+    return top.join(est, ["event_type", "user_id"]).select(
+        "event_type",
+        "user_id",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("no_underestimate"),
+    )
