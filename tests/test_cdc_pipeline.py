@@ -151,6 +151,98 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
     assert out2.filter(F.col("user_id") == "9").count() == 1
 
 
+def test_upsert_pipeline_lifecycle(spark, tmp_path):
+    """Upsert-mode materialization: a row APPEARS on create, CHANGES on
+    update, VANISHES on delete — the c→u→d lifecycle the reference's
+    create-only consumer drops — while an untouched key persists
+    throughout; then a fresh-checkpoint replay of the same files
+    reconverges to the identical final state (idempotence)."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        compact_feed_state,
+        read_feed_state,
+        run_cdc_upsert_pipeline,
+    )
+
+    src = tmp_path / "cdc_in"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run():
+        q = run_cdc_upsert_pipeline(spark, str(src), state, ckpt)
+        q.awaitTermination()
+        return {
+            r.change_key: r for r in read_feed_state(spark, state).collect()
+        }
+
+    # batch 1: like created (+ a bystander follow that must survive)
+    (src / "b1.jsonl").write_text(
+        _ev("likes", id=7, shard_id=3, liked_by="2") + "\n"
+        + _ev("followers", id=10, follower_id="2", following_id="1") + "\n"
+    )
+    st = run()
+    assert set(st) == {"likes:7", "followers:10"}
+    assert st["likes:7"].target_id == "3"
+    assert st["likes:7"].activity_type == "LIKE_SHARD"
+
+    # batch 2: the like is updated (new shard target, later ts)
+    time.sleep(1.1)
+    (src / "b2.jsonl").write_text(
+        _ev("likes", op="u", id=7, shard_id=4, liked_by="2", ts=BASE_TS + 1000) + "\n"
+    )
+    st = run()
+    assert set(st) == {"likes:7", "followers:10"}
+    assert st["likes:7"].target_id == "4"  # changed
+
+    # batch 3: the like is deleted (tombstone with row image, rewrite mode)
+    time.sleep(1.1)
+    (src / "b3.jsonl").write_text(
+        _ev("likes", op="d", id=7, shard_id=4, liked_by="2", ts=BASE_TS + 2000) + "\n"
+    )
+    st = run()
+    assert set(st) == {"followers:10"}  # vanished; bystander intact
+
+    # idempotent replay: fresh checkpoint over the same files converges
+    # to the same state (per-file batches to mirror the original runs)
+    state2 = str(tmp_path / "state2")
+    q = run_cdc_upsert_pipeline(
+        spark, str(src), state2, str(tmp_path / "ckpt2"), max_files=1
+    )
+    q.awaitTermination()
+    replay = {r.change_key: r for r in read_feed_state(spark, state2).collect()}
+    assert set(replay) == {"followers:10"}
+    assert replay["followers:10"].user_id == st["followers:10"].user_id
+
+    # compaction snapshot answers identically without the window
+    compacted = str(tmp_path / "state_c")
+    compact_feed_state(spark, state, compacted)
+    snap = spark.read.parquet(compacted)
+    assert {r.change_key for r in snap.collect()} == {"followers:10"}
+
+
+def test_upsert_same_millisecond_arrival_order(spark, tmp_path):
+    """Two changes to one key in the SAME millisecond resolve by arrival
+    order (_batch_id, _seq) — the TIMEUUID-tiebreak contract carried
+    into upsert mode."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        read_feed_state,
+        run_cdc_upsert_pipeline,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    # same ts: create then update in one batch — update arrived later
+    (src / "b1.jsonl").write_text(
+        _ev("likes", id=7, shard_id=3, liked_by="2") + "\n"
+        + _ev("likes", op="u", id=7, shard_id=9, liked_by="2") + "\n"
+    )
+    q = run_cdc_upsert_pipeline(spark, str(src), state, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    st = {r.change_key: r for r in read_feed_state(spark, state).collect()}
+    assert st["likes:7"].target_id == "9"
+
+
 def test_feed_table_read_path(spark, tmp_path):
     """Feed query over the materialized feed table: per-user newest-first
     with deterministic tiebreak (the reference read path, main.py:136-168)."""

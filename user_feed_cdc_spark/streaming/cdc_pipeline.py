@@ -201,6 +201,151 @@ def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+UPSERT_OPS = ("c", "u", "d")
+
+
+def normalize_changes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Upsert-mode demux: the same single-pass transform as
+    normalize_events, but RETAINING the op for the full c/u/d changelog —
+    the mode the reference's Debezium config anticipates (delete
+    tombstones kept in rewrite mode, debezium-postgres-connector.
+    config.json:17-18) but its create-only consumer never built
+    (strategy.py:14-17, non-creates dropped).
+
+    Each change carries its identity `change_key` = (source_table, pk) —
+    the upsert key a lake table merges on. Debezium rewrite mode ships
+    the full row image on updates AND deletes, so the canonical columns
+    are populated for every op; a delete only strictly needs the key +
+    ordering columns. Validation matches normalize_events except the op
+    set; non-c/u/d ops (snapshot reads) and unknown tables still fall to
+    dead_letters."""
+    seq = (
+        F.lit(None).cast("long")
+        if raw.isStreaming
+        else F.monotonically_increasing_id()
+    )
+    if "_p" in raw.columns:
+        parsed = raw.select("_p", seq.alias("_seq"))
+    else:
+        parsed = raw.select(
+            F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
+            seq.alias("_seq"),
+        )
+    p = F.col("_p")
+    valid = parsed.filter(
+        p["__op"].isNotNull()
+        & p["__table"].isNotNull()
+        & p["__source_ts_ms"].isNotNull()
+        & p["__op"].isin(*UPSERT_OPS)
+        & p["__source_table"].isin(*CDC_TABLES)
+        & p["id"].isNotNull()
+    )
+    per_table = {t: canonical_columns(t, p) for t in CDC_TABLES}
+    out_cols = []
+    for i, name in enumerate(_CANONICAL_COL_NAMES):
+        col = F.when(p["__source_table"] == CDC_TABLES[0], per_table[CDC_TABLES[0]][i])
+        for t in CDC_TABLES[1:]:
+            col = col.when(p["__source_table"] == t, per_table[t][i])
+        out_cols.append(col.alias(name))
+    return valid.select(
+        F.concat(p["__source_table"], F.lit(":"), p["id"].cast("string")).alias(
+            "change_key"
+        ),
+        *out_cols,
+        p["__op"].alias("op"),
+        "_seq",
+    )
+
+
+def write_feed_upsert_stream(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Upsert-mode feed materialization: each micro-batch lands its
+    change rows as a `_batch_id=` partition with dynamic overwrite — the
+    same idempotent-replay unit as write_feed_stream — and the CURRENT
+    state is the certified upsert window over the changelog
+    (read_feed_state). This is merge-on-read, the lake-native shape of
+    the reference's would-be update path: writes stay append-cheap and
+    conflict-free at any scale (no read-modify-write of a 100 TB state
+    table inside a micro-batch), reads apply one window per key, and
+    compact_feed_state folds the log into a snapshot on whatever cadence
+    the read latency budget demands — exactly Delta/Iceberg
+    merge-on-read semantics built from the primitives."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df.withColumn("_batch_id", F.lit(batch_id)).withColumn(
+            "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+        )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_path)
+        )
+
+    writer = (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_feed_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Latest-state view of the upsert changelog: the certified
+    cdc_upsert_state window (operators/cdc.py:235, hash-green in
+    CORRECTNESS_r05) applied to the streamed log — newest change per
+    change_key wins, ordered by (event_timestamp, _batch_id, _seq) DESC
+    so same-millisecond changes resolve by arrival order, and a winning
+    delete removes the key entirely. One shuffle on change_key +
+    WindowGroupLimit; at 100 TB, read over (snapshot ∪ recent batches)
+    after compaction instead of the full log."""
+    from pyspark.sql import Window as W
+
+    log = spark.read.parquet(state_path)
+    w = W.partitionBy("change_key").orderBy(
+        F.col("event_timestamp").desc(),
+        F.col("_batch_id").desc(),
+        F.col("_seq").desc(),
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+        .drop("_rn", "op", "_batch_id", "_seq")
+    )
+
+
+def compact_feed_state(spark: SparkSession, state_path: str, compacted_path: str) -> None:
+    """Merge-on-write compaction for the upsert changelog: collapse the
+    log into its current-state snapshot so serving reads skip the
+    per-key window. Run per closed period, like compact_feed."""
+    read_feed_state(spark, state_path).write.mode("overwrite").parquet(
+        compacted_path
+    )
+
+
+def run_cdc_upsert_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files: int | None = None,
+):
+    """End-to-end upsert mode: file JSONL change stream (c/u/d) →
+    normalize_changes → idempotent changelog → read_feed_state view.
+    The streaming twin of the batch-certified cdc_upsert_state."""
+    raw = file_json_stream(spark, source_path, max_files=max_files)
+    return write_feed_upsert_stream(
+        normalize_changes(raw), state_path, checkpoint, available_now
+    )
+
+
 def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """(value, _p) — one merged-schema parse of the raw JSON, shareable
     between normalize_events and dead_letters (both accept the pre-parsed
