@@ -244,8 +244,65 @@ def test_scd2_history_single_window(spark, sf_dir):
     import __spark_entry__ as em
 
     plan = _executed_plan(em.queries()["cdc_scd2_history"](spark, sf_dir))
-    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    # AQE toString can print the tree twice (final + "== Initial Plan ==")
+    # once a plan materializes; counting the head section only keeps the
+    # gate from double-counting across Spark versions/print modes.
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Window") - head.count("WindowGroupLimit") <= 1
+    assert head.count("Exchange hashpartitioning") == 1
+
+
+def _assert_window_input_limited(plan: str) -> None:
+    """The two OFFSET-pagination paths use an unpartitioned window BY
+    CONTRACT over an input already bounded to <= offset+limit rows. This
+    gate pins that contract in the physical plan: every single-partition
+    Window node must have a limit operator (TakeOrderedAndProject /
+    GlobalLimit) BELOW it in the tree — so a future edit can't silently
+    unbound the window into a full-data single-partition sort."""
+    lines = plan.split("== Initial Plan ==")[0].splitlines()
+    win_rows = [
+        i
+        for i, ln in enumerate(lines)
+        if "Window [" in ln and "WindowGroupLimit" not in ln
+    ]
+    assert win_rows, "expected a Window node in the paged plan"
+    for i in win_rows:
+        below = "\n".join(lines[i + 1 :])
+        assert "TakeOrderedAndProject" in below or "GlobalLimit" in below, (
+            f"Window at plan line {i} is not fed by a limit:\n" + "\n".join(lines)
+        )
+
+
+def test_offset_page_window_is_limit_bounded(spark, sf_dir):
+    """feed_single_user_page_offset: the row_number slice rides a
+    bounded top-(offset+limit), never a global single-partition sort."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["feed_single_user_page_offset"](spark, sf_dir)
+    )
+    _assert_window_input_limited(plan)
+
+
+def test_feed_table_page_window_is_limit_bounded(spark):
+    """_page_from_frame (the feed-table/cache read path): same contract
+    on the streaming-materialized layout."""
+    from pyspark.sql import types as T
+
+    from user_feed_cdc_spark.streaming.cdc_pipeline import _page_from_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("user_bucket", T.LongType()),
+            T.StructField("event_timestamp", T.TimestampType()),
+            T.StructField("_batch_id", T.LongType()),
+            T.StructField("_seq", T.LongType()),
+        ]
+    )
+    feed = spark.createDataFrame([], schema)
+    plan = _executed_plan(_page_from_frame(feed, "7", limit=10, offset=10, n_user_buckets=32))
+    _assert_window_input_limited(plan)
 
 
 def test_repetition_scores_column_pruning(spark, sf_dir):

@@ -31,36 +31,60 @@ _EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
-# path -> "native" (parquet TIMESTAMP µs/ms or INT96, read directly) |
-# "long" (plain int64 nanos) | "ns" (TIMESTAMP(NANOS) annotation, needs
-# the legacy nanosAsLong conf to surface as long)
-_EVENTS_TS_KIND: dict[str, str] = {}
+# (path, max file mtime) -> "native" (parquet TIMESTAMP µs/ms or INT96,
+# read directly) | "long" (plain int64 nanos) | "ns" (TIMESTAMP(NANOS)
+# annotation, needs the legacy nanosAsLong conf to surface as long).
+# mtime in the key invalidates the cache if a file is regenerated in
+# place mid-session with a different physical type (the round-4 failure
+# class, this time closed even for in-place rewrites).
+_EVENTS_TS_KIND: dict[tuple[str, float], str] = {}
+
+
+def _ts_kind_of_file(pq, file_path: str) -> str:
+    # PHYSICAL type, not the arrow view: pyarrow reports both INT96
+    # (Spark's own historical timestamp encoding — Spark reads it
+    # natively) and TIMESTAMP(NANOS)-annotated INT64 (which Spark
+    # only reads via the legacy nanosAsLong conf) as timestamp[ns].
+    sch = pq.ParquetFile(file_path).schema
+    col = next(
+        sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+    )
+    logical = str(col.logical_type)
+    if col.physical_type == "INT96":
+        return "native"
+    if "nanoseconds" in logical:
+        return "ns"
+    if logical.startswith("Timestamp"):
+        return "native"
+    return "long"
 
 
 def _events_ts_kind(path: str) -> str:
-    kind = _EVENTS_TS_KIND.get(path)
-    if kind is None:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        # PHYSICAL type, not the arrow view: pyarrow reports both INT96
-        # (Spark's own historical timestamp encoding — Spark reads it
-        # natively) and TIMESTAMP(NANOS)-annotated INT64 (which Spark
-        # only reads via the legacy nanosAsLong conf) as timestamp[ns].
-        ds = pq.ParquetDataset(path)
-        sch = pq.ParquetFile(ds.files[0]).schema
-        col = next(
-            sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+    ds = pq.ParquetDataset(path)
+    if not ds.files:
+        raise FileNotFoundError(
+            f"events path {path!r} contains no parquet files to sniff"
         )
-        logical = str(col.logical_type)
-        if col.physical_type == "INT96":
-            kind = "native"
-        elif "nanoseconds" in logical:
-            kind = "ns"
-        elif logical.startswith("Timestamp"):
-            kind = "native"
-        else:
-            kind = "long"
-        _EVENTS_TS_KIND[path] = kind
+    mtime = max(os.path.getmtime(f) for f in ds.files)
+    key = (path, mtime)
+    kind = _EVENTS_TS_KIND.get(key)
+    if kind is None:
+        # every footer must agree: a directory mixing physical ts types
+        # (plausible for a streaming dir spanning a format change) would
+        # otherwise silently read some files with the wrong
+        # interpretation — 1970-range timestamps, not an error
+        kinds = {f: _ts_kind_of_file(pq, f) for f in ds.files}
+        distinct = set(kinds.values())
+        if len(distinct) > 1:
+            raise ValueError(
+                f"events path {path!r} mixes ts physical types {distinct}; "
+                "split the directory or rewrite to one format: "
+                + ", ".join(f"{os.path.basename(f)}={k}" for f, k in kinds.items())
+            )
+        kind = distinct.pop()
+        _EVENTS_TS_KIND[key] = kind
     return kind
 
 
@@ -80,9 +104,28 @@ def load_events(
         reader = reader.options(**options)
     if kind == "native":
         return reader.schema(TABLE_SCHEMAS["events"]).parquet(path)
-    if kind == "ns":  # legacy branch only — never on current driver files
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    if kind != "ns":
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Legacy TIMESTAMP(NANOS) branch — never on current driver files.
+    # nanosAsLong is session-wide; save/restore around plan definition so
+    # one legacy read doesn't silently turn every later NANOS read in the
+    # session into long. The conf is consulted when the scan relation is
+    # resolved (here), not at action time: with an explicit schema the
+    # restored conf never re-enters this plan. Batch reads of a kind="ns"
+    # file after restore would error loudly (the pre-sniff behavior) —
+    # which is the correct failure, they should come through this path.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        raw.schema  # force analysis while the conf is active
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
