@@ -174,23 +174,34 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams), so the distinct eval-gram set is BROADCAST and the
     training side never shuffles its grams — contamination is a
     broadcast left-semi join in the scan stage, then one groupBy on the
-    doc key. Nothing all-pairs, no global gram index."""
+    doc key. Nothing all-pairs, no global gram index.
+
+    The compared unit is xxhash64(gram), not the gram string: the
+    broadcast ships 8-byte longs instead of ~n-word strings (~4× less
+    to every executor at 10⁵-10⁶ eval grams) and the semi-join compares
+    longs, not variable-length text. A hash collision would flag one
+    extra doc with p ≈ |train_grams|·|eval_grams|/2⁶⁴ ≈ 10⁻⁹ at real
+    scale — deterministic, and the oracle still matches because the
+    OUTPUT is gram-free (per-group counts): collision-free hashing
+    yields the identical contaminated set."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
         "lang",
         "source",
-        shingles(F.col("text"), _DECON_NGRAM).alias("grams"),
+        F.transform(
+            shingles(F.col("text"), _DECON_NGRAM), lambda g: F.xxhash64(g)
+        ).alias("gram_hashes"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .select(F.explode("grams").alias("g"))
+        .select(F.explode("gram_hashes").alias("gh"))
         .distinct()
     )
     train = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
     contaminated = (
-        train.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(eval_grams), "g", "left_semi")
+        train.select("doc_id", F.explode("gram_hashes").alias("gh"))
+        .join(F.broadcast(eval_grams), "gh", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_hit", F.lit(1))
