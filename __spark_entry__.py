@@ -95,7 +95,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # ---- positions 51+ ----
         # new this round (first driver rows in r07)
         "sketch_value_quantiles_bounded", "sketch_top_users",
-        "sketch_top_users_bounded",
+        "sketch_top_users_bounded", "sketch_bloom_prefilter",
+        "agg_sorted_strings", "join_lateral_topk",
+        "text_boilerplate_ngrams",
         # certified green in r05, rotate back in r07
         "feed_topk_per_user", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -983,3 +983,74 @@ def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     )
+
+
+@_register(
+    "agg_sorted_strings",
+    """
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS keys_csv,
+           COUNT(*) AS n
+    FROM orders WHERE o_custkey <= 5
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_sorted_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP — the ANSI
+    form Spark 4 implements natively; DuckDB's twin is string_agg with
+    ORDER BY). The explicit within-group ORDER makes the concatenation
+    deterministic under any partitioning — without it the result depends
+    on merge order, the classic distributed-agg trap. Bounded input by
+    contract: string aggs materialize the whole group, so at 100 TB this
+    runs on pre-filtered/bucketed slices (here o_custkey <= 5), never on
+    raw fact tables."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 5)
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "join_lateral_topk",
+    """
+    SELECT n.n_name, t.c_custkey,
+           FLOOR(t.c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation by
+    balance) — the SQL-standard per-row-subquery join Spark 3.4+
+    decorrelates into a join + per-key limit instead of executing the
+    inner query once per outer row. Same answer as the window top-k
+    pattern (window_topk_per_customer) but exercises the decorrelation
+    path: a LATERAL the optimizer can't decorrelate would be a
+    per-row re-scan at 100 TB, so this entry pins that the rewrite
+    happens (no nested-loop in the plan gate)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    # rounding via r2 (not SQL-text FLOOR): a bare 100.0 literal in Spark
+    # SQL is DECIMAL, which would turn the result column decimal-typed
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM _lat_nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM _lat_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """
+    ).select("n_name", "c_custkey", r2(F.col("c_acctbal")).alias("acctbal"))

@@ -621,3 +621,62 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+_BOILER_N = 3  # n-gram width for boilerplate detection
+
+
+@_register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_BOILER_N} + 2, 2)),
+                   i -> array_to_string(toks[i:i + {_BOILER_N} - 1], ' ')
+               )) AS grams
+        FROM toks
+    ),
+    exploded AS (SELECT UNNEST(grams) AS gram FROM grams),
+    df AS (SELECT gram, COUNT(*) AS doc_freq FROM exploded GROUP BY 1)
+    SELECT gram, doc_freq FROM df
+    WHERE doc_freq >= 3
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram detection (the RefinedWeb/CCNet 'most common
+    paragraphs' removal signal): per-doc-distinct {3}-gram shingles →
+    corpus document frequency → top-20 grams appearing in >= 3 docs,
+    with a (doc_freq DESC, gram ASC) total order so the cut is
+    deterministic. Repeated grams across documents are navigation
+    chrome, license headers, templated spans — removing them is a
+    standard pre-training cleanup, and the df table built here is
+    exactly the broadcastable blocklist that removal step consumes.
+
+    Plan at 100 TB: shingling is scan-stage CPU; the df aggregation
+    map-side-combines per-doc-distinct grams before the shuffle, and
+    the top-k is a TakeOrderedAndProject, never a global sort. For a
+    real corpus, hash the grams (xxhash64, the decontamination
+    treatment) so the shuffle carries 8-byte keys; strings are kept
+    here because the output IS the gram text."""
+    from user_feed_cdc_spark.operators.dedup import shingles
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        F.explode(shingles(F.col("text"), _BOILER_N)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+        .orderBy(F.col("doc_freq").desc(), F.col("gram"))
+        .limit(20)
+    )
