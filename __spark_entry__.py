@@ -97,7 +97,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "sketch_value_quantiles_bounded", "sketch_top_users",
         "sketch_top_users_bounded", "sketch_bloom_prefilter",
         "agg_sorted_strings", "join_lateral_topk",
-        "text_boilerplate_ngrams",
+        "text_boilerplate_ngrams", "pipeline_boilerplate_filter",
+        "graph_two_hop_reach", "graph_triangle_count",
         # certified green in r05, rotate back in r07
         "feed_topk_per_user", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

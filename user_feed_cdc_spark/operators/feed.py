@@ -201,6 +201,90 @@ def feed_single_user_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_two_hop_reach",
+    _FOLLOWERS_CTE
+    + """
+    , reach AS (
+        SELECT follower_id AS src, following_id AS dst FROM followers
+        UNION
+        SELECT a.follower_id AS src, b.following_id AS dst
+        FROM followers a JOIN followers b ON a.following_id = b.follower_id
+    )
+    SELECT src AS user_id, COUNT(*) AS n_reachable
+    FROM reach WHERE dst <> src
+    GROUP BY src
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach over the follow graph (reference domain:
+    followers table, postgres-init.sql:61-67): per user, how many
+    distinct accounts are within <= 2 follow hops — the audience a
+    repost reaches, and the fan-out bound a feed precompute must plan
+    for. Edges ⨝ edges on the shared midpoint (hash equi-join), UNION
+    dedups the 1-hop/2-hop overlap, then one count per source.
+
+    At 100 TB this is the canonical hop-join: shuffle keyed by the
+    midpoint, so a celebrity midpoint concentrates its neighborhood on
+    one reducer — AQE skew-split handles moderate skew, and beyond
+    that the standard fix is splitting high-degree vertices (salting
+    the midpoint and re-aggregating), which composes here without
+    changing the query shape."""
+    e = derived_followers(spark, sf_dir)
+    a = e.select(F.col("follower_id").alias("src"), F.col("following_id").alias("mid"))
+    b = e.select(F.col("follower_id").alias("mid"), F.col("following_id").alias("dst"))
+    two = a.join(b, "mid").select("src", "dst")
+    one = e.select(F.col("follower_id").alias("src"), F.col("following_id").alias("dst"))
+    reach = one.unionByName(two).distinct().filter(F.col("dst") != F.col("src"))
+    return reach.groupBy(F.col("src").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_reachable")
+    )
+
+
+@_register(
+    "graph_triangle_count",
+    _FOLLOWERS_CTE
+    + """
+    , undirected AS (
+        SELECT DISTINCT LEAST(follower_id, following_id) AS a,
+               GREATEST(follower_id, following_id) AS b
+        FROM followers
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM undirected e1
+    JOIN undirected e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN undirected e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected follow graph — the classic
+    graph-analytics scale benchmark (clustering coefficient's
+    numerator). Rank-ordered enumeration: each undirected edge is
+    canonicalized to (low, high), wedges are built only as a < b < c
+    (e2.b > e1.b), and the closing edge is an equi-join — every
+    triangle is counted exactly once with NO post-hoc dedup.
+
+    At 100 TB: all three joins are hash equi-joins keyed on vertices;
+    the wedge join keyed on the low vertex is where degree skew lives,
+    and the standard mitigation (orienting edges from lower- to
+    higher-degree endpoints so every wedge pivot has bounded out-degree)
+    drops in without changing the plan shape."""
+    e = derived_followers(spark, sf_dir)
+    und = e.select(
+        F.least("follower_id", "following_id").alias("a"),
+        F.greatest("follower_id", "following_id").alias("b"),
+    ).distinct()
+    e1 = und
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b"))).select(
+        "a", "b", "c"
+    )
+    e3 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    return wedges.join(e3, ["b", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the all-users feed top-k."""
     return feed_topk_per_user(spark, sf_dir)

@@ -585,3 +585,88 @@ def pipeline_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+_BP_N = 3  # must match text_boilerplate_ngrams' width
+_BP_DF = 3  # corpus doc-frequency threshold for "boilerplate"
+
+
+@_register(
+    "pipeline_boilerplate_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_BP_N} + 2, 2)),
+                   i -> array_to_string(toks[i:i + {_BP_N} - 1], ' ')
+               )) AS grams
+        FROM toks
+    ),
+    exploded AS (SELECT doc_id, UNNEST(grams) AS gram FROM grams),
+    block AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(*) AS c FROM exploded GROUP BY 1
+        ) WHERE c >= {_BP_DF}
+    ),
+    per AS (
+        SELECT e.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_blocked
+        FROM exploded e LEFT JOIN block b USING (gram)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_blocked,
+           FLOOR((n_blocked * 1.0 / n_grams) * 10000.0 + 0.5) / 10000.0
+               AS blocked_ratio,
+           n_blocked * 2 < n_grams AS kept
+    FROM per
+    """,
+)
+def pipeline_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consuming half of boilerplate detection
+    (text_boilerplate_ngrams): per document, the share of its distinct
+    {3}-grams that are corpus-common (doc freq >= {3}), and a keep/drop
+    verdict (kept iff under half its grams are boilerplate — compared
+    in integers, 2·blocked < total, so no float threshold edge). This
+    is the RefinedWeb/CCNet 'remove docs dominated by common spans'
+    gate as one composition: detection feeds filtering.
+
+    Plan at 100 TB: the blocklist (grams above the df threshold) is
+    tiny by construction — common spans are few — so it BROADCASTS and
+    the per-doc tally is a map-side left join over the scan-stage gram
+    stream; two shuffles total (corpus df, per-doc rollup), both on
+    fixed-width keys after map-side combine."""
+    from user_feed_cdc_spark.operators.dedup import shingles
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), _BP_N)).alias("gram")
+    )
+    block = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _BP_DF)
+        .select("gram")
+        .withColumn("_b", F.lit(1))
+    )
+    per = (
+        exploded.join(F.broadcast(block), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_b").alias("n_blocked"),
+        )
+    )
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_blocked",
+        r2(F.col("n_blocked") * 1.0 / F.col("n_grams"), 4).alias("blocked_ratio"),
+        (F.col("n_blocked") * 2 < F.col("n_grams")).alias("kept"),
+    )
