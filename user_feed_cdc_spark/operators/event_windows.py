@@ -302,3 +302,70 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offs.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@_register(
+    "events_rfm_segments",
+    """
+    WITH per AS (
+        SELECT user_id,
+               COUNT(*) AS frequency,
+               FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS monetary,
+               MAX(ts) AS last_purchase
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    med AS (
+        SELECT quantile_cont(frequency, 0.5) AS med_f,
+               quantile_cont(monetary, 0.5) AS med_m
+        FROM per
+    )
+    SELECT user_id, frequency, monetary, last_purchase,
+           CASE WHEN frequency >= med_f AND monetary >= med_m THEN 'core'
+                WHEN frequency >= med_f THEN 'frequent'
+                WHEN monetary >= med_m THEN 'big_basket'
+                ELSE 'casual' END AS segment
+    FROM per, med
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-analytics rollup a feed product runs weekly): per
+    purchasing user, purchase count, rounded spend, last-purchase time,
+    and a segment label from median splits on frequency and spend.
+    Medians are computed over the per-user aggregates (one 1-row frame)
+    and BROADCAST back — the tfidf/corpus-scalar pattern — so the plan
+    is one shuffle on user_id, one tiny agg, one map-side CASE: no
+    second shuffle, no single-partition window (an ntile() over all
+    users would be exactly the unbounded window this repo plan-gates
+    against). Spend is rounded half-up BEFORE the median so both
+    engines interpolate over identical doubles."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            r2(F.sum("value")).alias("monetary"),
+            F.max("ts").alias("last_purchase"),
+        )
+    )
+    med = per.agg(
+        F.expr("percentile(frequency, 0.5)").alias("med_f"),
+        F.expr("percentile(monetary, 0.5)").alias("med_m"),
+    )
+    seg = (
+        F.when(
+            (F.col("frequency") >= F.col("med_f"))
+            & (F.col("monetary") >= F.col("med_m")),
+            "core",
+        )
+        .when(F.col("frequency") >= F.col("med_f"), "frequent")
+        .when(F.col("monetary") >= F.col("med_m"), "big_basket")
+        .otherwise("casual")
+    )
+    return per.join(F.broadcast(med)).select(
+        "user_id", "frequency", "monetary", "last_purchase", seg.alias("segment")
+    )

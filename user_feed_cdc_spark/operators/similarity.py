@@ -827,3 +827,71 @@ def similarity_lsh_md5_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+_MATRYOSHKA_DIMS = 16  # stage-1 prefix length (full dim = 64 → 4× cheaper)
+_MATRYOSHKA_POOL = 50
+
+
+@_register(
+    "similarity_matryoshka_topk",
+    f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    pool AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, q.qv
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY list_dot_product(
+                     (CAST(e.embedding AS DOUBLE[]))[1:{_MATRYOSHKA_DIMS}],
+                     q.qv[1:{_MATRYOSHKA_DIMS}]) DESC, e.vec_id
+        LIMIT {_MATRYOSHKA_POOL}
+    )
+    SELECT vec_id,
+           FLOOR(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM pool
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: stage 1 ranks on the dot
+    product of the FIRST {16} dimensions only — the truncation trick of
+    Matryoshka Representation Learning, where nested prefixes of a
+    trained embedding are themselves usable embeddings — and keeps a
+    top-{50} pool; stage 2 re-ranks the pool with full-dimension cosine.
+    The dimension-sliced sibling of similarity_rerank_topk's int8
+    ladder: 4× fewer multiply-adds AND 4× less vector I/O in stage 1 if
+    the prefix is stored as its own column/file at scale. Both stages
+    deterministic (same left-fold dot both engines, vec_id tiebreaks),
+    so pool membership itself is under the hash gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    mdot = dot(
+        F.slice(F.col("v"), 1, _MATRYOSHKA_DIMS),
+        F.slice(F.col("qv"), 1, _MATRYOSHKA_DIMS),
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "qv",
+        )
+        .withColumn("_m", mdot)
+        .orderBy(F.col("_m").desc(), "vec_id")
+        .limit(_MATRYOSHKA_POOL)
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (norm(F.col("v")) * norm(F.col("qv")))
+    return (
+        pool.select("vec_id", r2(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
