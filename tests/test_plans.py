@@ -15,6 +15,8 @@ import pytest
 # Everything else must plan hash/sort-merge joins only.
 NESTED_LOOP_WHITELIST = {
     "dedup_ngram_jaccard",        # doc_id < 200 bounded exact baseline
+    "text_edit_distance_pairs",   # doc_id < 30 bounded exact baseline
+    "events_value_histogram",     # 1-row broadcast min/max bounds
     "dedup_embedding_cosine",     # vec_id < 400 bounded exact baseline
     "similarity_cosine_topk",     # 1-row broadcast query vector
     "similarity_quantized_topk",  # 1-row broadcast quantized query vector

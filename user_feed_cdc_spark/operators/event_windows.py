@@ -369,3 +369,53 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(F.broadcast(med)).select(
         "user_id", "frequency", "monetary", "last_purchase", seg.alias("segment")
     )
+
+
+_HIST_BUCKETS = 10
+
+
+@_register(
+    "events_value_histogram",
+    f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    )
+    SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {_HIST_BUCKETS}.0))
+                      AS BIGINT), {_HIST_BUCKETS - 1}) AS bucket,
+           COUNT(*) AS n,
+           FLOOR(MIN(value) * 10000.0 + 0.5) / 10000.0 AS bucket_min,
+           FLOOR(MAX(value) * 10000.0 + 0.5) / 10000.0 AS bucket_max
+    FROM events, bounds
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram: global min/max (one tiny agg,
+    BROADCAST back as a 1-row frame) define {10} equal buckets; every
+    event maps to its bucket in the scan projection and one groupBy
+    rolls up count + actual per-bucket extrema. The bucket arithmetic
+    keeps the identical float operation order on both engines, so even
+    edge-of-bucket assignments hash-match. At 100 TB this is the
+    profile pass before choosing range-partition bounds or building
+    equi-width monitoring distributions — two scans total (bounds +
+    histogram), both full-parallel, shuffle bounded by bucket count."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / float(_HIST_BUCKETS))
+        ).cast("long"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.min("value"), 4).alias("bucket_min"),
+            r2(F.max("value"), 4).alias("bucket_max"),
+        )
+    )

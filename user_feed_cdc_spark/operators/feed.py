@@ -285,6 +285,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "feed_ranked_personalized",
+    _FOLLOWERS_CTE
+    + """
+    , author_counts AS (
+        SELECT user_id, COUNT(*) AS author_n FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT f.follower_id, e.event_id, e.user_id AS author_id,
+               FLOOR(e.value * 100.0 + 0.5) / 100.0 + a.author_n / 100.0
+                   AS raw_score
+        FROM followers f
+        JOIN events e ON e.user_id = f.following_id
+        JOIN author_counts a ON a.user_id = e.user_id
+    )
+    SELECT follower_id, event_id, author_id,
+           FLOOR(raw_score * 10000.0 + 0.5) / 10000.0 AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY follower_id
+                      ORDER BY raw_score DESC, event_id DESC) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def feed_ranked_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked personalized feed — the product query the reference's
+    time-ordered read (main.py:136-168) grows into: per follower, the
+    top-5 events of followed authors scored by engagement value PLUS an
+    author-activity prior (author's corpus event count / 100), not by
+    recency alone. Composition: follow-edge equi-join, author-frequency
+    aggregate joined back author-side (it enriches the event BEFORE the
+    per-follower fan-out, so the prior is computed once per author, not
+    once per (follower, event)), then the per-key top-k window —
+    WindowGroupLimit caps each follower's candidates before the final
+    shuffle. Score arithmetic keeps one float operation order on both
+    engines; ties break on event_id so the page is stable. At 100 TB:
+    two author-keyed hash joins (AQE skew-splits celebrity authors) +
+    one follower-keyed window — the same shapes the flagship and
+    trending queries already scale on."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = derived_followers(spark, sf_dir)
+    author_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("author_n")
+    )
+    scored = (
+        ev.join(edges, ev["user_id"] == edges["following_id"])
+        .join(author_counts, "user_id")
+        .select(
+            "follower_id",
+            "event_id",
+            F.col("user_id").alias("author_id"),
+            (r2(F.col("value")) + F.col("author_n") / 100.0).alias("raw_score"),
+        )
+    )
+    w = W.partitionBy("follower_id").orderBy(
+        F.col("raw_score").desc(), F.col("event_id").desc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "follower_id",
+            "event_id",
+            "author_id",
+            r2(F.col("raw_score"), 4).alias("score"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the all-users feed top-k."""
     return feed_topk_per_user(spark, sf_dir)

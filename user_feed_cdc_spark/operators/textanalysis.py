@@ -680,3 +680,52 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("gram"))
         .limit(20)
     )
+
+
+_EDIT_PREFIX = 40  # compared prefix length
+_EDIT_MAXID = 30  # bounded all-pairs contract (435 pairs)
+
+
+@_register(
+    "text_edit_distance_pairs",
+    f"""
+    WITH pref AS (
+        SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p
+        FROM documents WHERE doc_id < {_EDIT_MAXID}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.p, b.p) AS edit_dist
+    FROM pref a JOIN pref b ON a.doc_id < b.doc_id
+    ORDER BY edit_dist, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) similarity — the character-level
+    fuzzy-match family the token-level MinHash/SimHash paths don't
+    cover (typos, OCR noise, templated ids). Unit-cost Levenshtein is
+    engine-exact integers, so the closest-20 pairs are hash-gated.
+    Bounded all-pairs BY CONTRACT (doc_id < {30}, the
+    dedup_ngram_jaccard treatment): O(n²·L²) dynamic programming is the
+    ground-truth tier — at corpus scale candidate pairs come from the
+    banded LSH paths first, and edit distance re-verifies only those
+    survivors (Spark's levenshtein(l, r, threshold) form caps the DP
+    early for exactly that use)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _EDIT_MAXID
+    )
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "doc_a", "doc_b")
+        .limit(20)
+    )
