@@ -58,13 +58,17 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     # Registration order is the driver's check order, and the driver only
     # certifies a PREFIX of the registry (rounds 2-5 each covered exactly
-    # the first 50 entries). Rotation invariant: no query goes two
-    # consecutive rounds without a driver row. Round-6 window = the 5
+    # the first 50 entries). Rotation policy: never-certified entries
+    # first, then stalest-certification-first. Round-6 window = the 5
     # entries that have NEVER had a driver row (added in r5 at positions
     # 51+) + the 45 entries last certified in r04 (absent from
-    # CORRECTNESS_r05) — exactly 50. The 50 r05-certified entries rotate
-    # to positions 51+ and come back in round 7; brand-new round-6
-    # entries sit at the head of the 51+ block for first rows in r07.
+    # CORRECTNESS_r05) — exactly 50. With the registry now past 100
+    # entries, a 50-slot window makes the old two-round invariant
+    # arithmetically impossible (115 > 2×50); the rotation period is 3
+    # rounds: r07 leads with the 15 new round-6 entries + the 35 stalest
+    # r05 entries, r08 takes the remaining r05 tail + this round's
+    # window. Every entry still passes the full local oracle gate
+    # (tools/check_correctness.py, all entries, every round).
     priority = [
         # never driver-certified (added r5 at positions 51+)
         "asof_next_purchase", "similarity_lsh_md5_buckets",
