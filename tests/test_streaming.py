@@ -530,3 +530,57 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
     again = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
     assert again == got
     assert spark.read.parquet(ledger).count() == 3
+
+
+def test_streaming_sketch_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Ingest-time HLL sketching: per-micro-batch sketch rows merged at
+    read time must give EXACTLY the batch-computed estimate (register
+    merges are associative/commutative/idempotent — batch boundaries
+    cannot move the estimate), and a fresh-checkpoint replay must
+    reconverge bit-identically."""
+    from user_feed_cdc_spark.streaming.sketch_rollup import (
+        read_distinct_rollup,
+        write_sketch_stream,
+    )
+    from user_feed_cdc_spark.streaming.windows import events_file_stream
+
+    sk_path = str(tmp_path / "sketches")
+    q = write_sketch_stream(
+        events_file_stream(spark, events_dir), sk_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r.event_type: r.approx_users
+        for r in read_distinct_rollup(spark, sk_path).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    assert got == expect  # exact equality: same registers either way
+
+    # several micro-batches actually contributed sketch rows
+    import os
+
+    batches = [d for d in os.listdir(sk_path) if d.startswith("_batch_id=")]
+    assert len(batches) >= 2, batches
+
+    # replay with a fresh checkpoint: merged estimates identical
+    sk2 = str(tmp_path / "sketches2")
+    q2 = write_sketch_stream(
+        events_file_stream(spark, events_dir), sk2, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    got2 = {
+        r.event_type: r.approx_users
+        for r in read_distinct_rollup(spark, sk2).collect()
+    }
+    assert got2 == got
+
+    # per-day grouping exposes the finer rollup without rescanning events
+    by_day = read_distinct_rollup(spark, sk_path, by_day=True)
+    assert by_day.count() > len(got)
