@@ -196,6 +196,46 @@ def test_media_codecs_round_trip():
     assert (rate2, got2) == (8000, samples)
 
 
+def test_gif_lzw_round_trip():
+    """The compressed-codec tier: GIF-flavor LZW must round-trip data
+    that crosses every code-width boundary (9→10→11→12 bits) and the
+    4096-entry dictionary reset, and the GIF container must survive an
+    interleaved extension block (real GIFs carry them)."""
+    import random
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    random.seed(7)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaa",
+        bytes(range(256)) * 40,  # 9->10->11 bit growth
+        b"ab" * 6000,  # repetitive: 12-bit cap + clear/reset
+        bytes(random.randrange(256) for _ in range(20000)),  # dict to 4096
+    ]
+    for c in cases:
+        assert _lzw_decode(_lzw_encode(c)) == c, len(c)
+
+    gray = bytes((i * 7) % 256 for i in range(32))
+    w, h, rgb = decode_gif(encode_gif(8, 4, gray))
+    assert (w, h) == (8, 4)
+    assert rgb == b"".join(bytes((g, g, g)) for g in gray)
+
+    # splice a GIF89a-style comment extension before the image
+    # descriptor: the decoder must walk past it
+    gif = bytearray(encode_gif(8, 4, gray))
+    img_at = gif.index(0x2C, 13 + 768)  # first descriptor after the GCT
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = bytes(gif[:img_at]) + ext + bytes(gif[img_at:])
+    assert decode_gif(spliced) == (8, 4, rgb)
+
+
 def test_multimodal_real_decode_path(spark, sf_dir):
     """E5 decode proven: image/audio/video payloads are REAL
     BMP/WAV/RVID containers and their features come from the decoded
@@ -238,13 +278,18 @@ def test_corrupt_payload_takes_digest_fallback(spark, sf_dir):
         extract_features,
     )
 
+    from user_feed_cdc_spark.operators.multimodal import encode_gif
+
     bad = [
         (1, b"BM\x01"),                     # truncated BMP header
         (2, b"RIFF\x10\x00\x00\x00WAVE"),   # WAV with no chunks
         (3, b"RVID\x04\x00"),               # truncated RVID header
         (4, encode_bmp(8, 4, bytes(96))[:30]),  # mid-header cut
+        (5, b"GIF87a\x08\x00"),             # truncated GIF header
+        (6, encode_gif(8, 4, bytes(32))[:100]),  # GIF cut mid-LZW
     ]
-    mods = {1: "image", 2: "audio", 3: "video", 4: "image"}
+    mods = {1: "image", 2: "audio", 3: "video", 4: "image",
+            5: "image", 6: "image"}
     mm = spark.createDataFrame(
         pd.DataFrame(
             {

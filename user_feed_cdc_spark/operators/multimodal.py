@@ -168,12 +168,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real container codecs (pure stdlib: struct only) ----------------------
 #
-# The container has no PIL/soundfile/ffmpeg, but BMP, RIFF/WAVE, and a
-# raw-frame video container are simple enough to parse without them — so
-# all three modalities take a REAL format-parser decode path over real
-# container bytes. Compressed video (H.264-class) stays out of scope:
-# RVID is the uncompressed raw-frame transport a decode cluster would
-# produce, the same role raw RGB frames play after an ffmpeg demux step.
+# The container has no PIL/soundfile/ffmpeg, but BMP, GIF (with a real
+# LZW codec), RIFF/WAVE, and a raw-frame video container are simple
+# enough to parse without them — so all three modalities take a REAL
+# format-parser decode path over real container bytes, and the image
+# path includes genuine compression. Compressed video (H.264-class)
+# stays out of scope: RVID is the uncompressed raw-frame transport a
+# decode cluster would produce, the same role raw RGB frames play after
+# an ffmpeg demux step.
 
 IMG_W, IMG_H = 8, 4  # synthetic image dims: 96 RGB bytes of content
 WAV_RATE = 8000
@@ -298,13 +300,209 @@ def decode_rvid(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, fps, frames
 
 
+GIF_MAX_CODE = 4096  # 12-bit LZW cap (GIF spec)
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable-width codes starting at
+    min_code_size+1 bits, LSB-first bit packing, CLEAR/EOI control
+    codes, dictionary reset at the 12-bit cap. Paired with _lzw_decode
+    (growth conditions derived for exact symmetry and pinned by
+    boundary-crossing round-trip tests)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < GIF_MAX_CODE:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no EOI)")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            if len(table) < GIF_MAX_CODE:
+                table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        # decoder table is one entry behind the encoder at read time,
+        # so it widens one entry earlier than the encoder's condition
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+
+
+def encode_gif(width: int, height: int, gray: bytes) -> bytes:
+    """GIF87a, one image, 256-entry grayscale global color table, pixel
+    indices = gray levels, REAL LZW-compressed image data in ≤255-byte
+    sub-blocks. `gray` is width*height bytes. The compressed-codec tier
+    of the media matrix (BMP/WAV/RVID are uncompressed transports)."""
+    if len(gray) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(gray)}")
+    out = bytearray(b"GIF87a")
+    # logical screen: GCT present, 8-bit color resolution, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(gray, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a non-interlaced GIF87a/89a: walk the block structure
+    (skipping 0x21 extension blocks), LZW-decompress the first image's
+    indices, expand through the active color table. Returns
+    (width, height, rgb bytes)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    try:
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                _l, _t, iw, ih, ipacked = struct.unpack_from(
+                    "<HHHHB", payload, pos + 1
+                )
+                pos += 10
+                if ipacked & 0x80:  # local color table wins
+                    n = 2 ** ((ipacked & 0x07) + 1)
+                    palette = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                if ipacked & 0x40:
+                    raise ValueError("interlaced GIF unsupported")
+                mcs = payload[pos]
+                pos += 1
+                data = bytearray()
+                while True:
+                    blen = payload[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    data += payload[pos : pos + blen]
+                    pos += blen
+                idx = _lzw_decode(bytes(data), mcs)
+                if len(idx) != iw * ih:
+                    raise ValueError(
+                        f"GIF decoded {len(idx)} pixels, expected {iw * ih}"
+                    )
+                if palette is None:
+                    raise ValueError("GIF image without a color table")
+                rgb = bytearray()
+                for i in idx:
+                    rgb += palette[3 * i : 3 * i + 3]
+                return iw, ih, bytes(rgb)
+            elif b0 == 0x3B:
+                break
+            else:
+                raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+    except IndexError as e:  # truncated mid-structure
+        raise ValueError("truncated GIF body") from e
+    raise ValueError("GIF carries no image descriptor")
+
+
 def decode_media(payload: bytes, modality: str) -> list[int]:
     """Decode real container bytes into content units: BMP → pixel
     channel bytes (0..255), WAV → PCM16 samples, RVID video →
     concatenated frame pixel bytes. Unknown modalities raise (the
     caller's digest fallback handles them, flagged decoded=false)."""
     if modality == "image":
-        _w, _h, pixels = decode_bmp(payload)
+        # container sniffing by magic — image corpora mix formats
+        if payload[:3] == b"GIF":
+            _w, _h, pixels = decode_gif(payload)
+        else:
+            _w, _h, pixels = decode_bmp(payload)
         return list(pixels)
     if modality == "audio":
         _rate, samples = decode_wav(payload)
@@ -320,7 +518,9 @@ def decode_media(payload: bytes, modality: str) -> list[int]:
 
 def with_media_payload(docs: DataFrame) -> DataFrame:
     """documents → rows whose ``payload`` is a REAL media container:
-    doc_id%3==0 → 24bpp BMP (pixels = the doc's utf-8 bytes),
+    doc_id%3==0 → image, alternating LZW-compressed GIF87a (doc_id%6==0)
+    and uncompressed 24bpp BMP — decode_media dispatches on the magic
+    bytes, as an image pipeline must on a mixed corpus;
     doc_id%3==1 → PCM16 WAV (samples derived from the doc's bytes),
     else → RVID raw-frame video (frames = the doc's bytes split into
     VID_W×VID_H RGB frames). Built in an Arrow-batched mapInPandas
@@ -337,7 +537,16 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")
                 content = (raw * (content_len // max(len(raw), 1) + 1))[:content_len]
                 if doc_id % 3 == 0:
-                    payloads.append(encode_bmp(IMG_W, IMG_H, content))
+                    # image corpora mix formats: alternate the
+                    # LZW-compressed GIF and the uncompressed BMP
+                    if doc_id % 6 == 0:
+                        payloads.append(
+                            encode_gif(
+                                IMG_W, IMG_H, bytes(content[: IMG_W * IMG_H])
+                            )
+                        )
+                    else:
+                        payloads.append(encode_bmp(IMG_W, IMG_H, content))
                 elif doc_id % 3 == 1:
                     payloads.append(encode_wav([(b - 128) * 256 for b in content]))
                 else:
