@@ -330,8 +330,25 @@ def dedup_minhash_lsh(
       typical); ``max_rounds`` bounds pathological chains.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    all_docs = docs.select("doc_id")
     bands = lsh_band_rows(docs, n_shingle=3)
+    return _cluster_by_bands(
+        bands, docs.select("doc_id"), max_bucket, max_rounds, materialize
+    )
+
+
+def _cluster_by_bands(
+    bands: DataFrame,
+    all_docs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    max_rounds: int = 8,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """Shared clustering core: (doc_id, band_idx, band_hash) rows →
+    (doc_id, rep_id) connected components over same-bucket
+    co-membership, with the skew guard, min-label propagation,
+    pointer-jumping, and Σ-convergence exit described in
+    dedup_minhash_lsh. Used by both the production xxhash path and the
+    oracle-certified md5 twin (dedup_minhash_md5_clusters)."""
     # skew guard: drop degenerate buckets before any join
     bands = (
         bands.withColumn(
@@ -664,6 +681,49 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+_MINHASH_MD5_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {md5_band_ctes()},
+    sized AS (
+        SELECT doc_id, band_idx, band_val,
+               COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands
+    ),
+    kept AS (
+        SELECT doc_id, band_idx, band_val FROM sized WHERE bsz <= {MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b USING (band_idx, band_val)
+        WHERE a.doc_id <> b.doc_id
+    ),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT p.id_a, r.r FROM pairs p JOIN reach r ON r.doc_id = p.id_b
+    )
+    SELECT doc_id, MIN(r) AS rep_id FROM reach GROUP BY doc_id
+"""
+
+
+@_register("dedup_minhash_md5_clusters", _MINHASH_MD5_CLUSTERS_ORACLE)
+def dedup_minhash_md5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash dedup pipeline under the hash gate — including
+    the clustering step the candidate-pair twin stops short of:
+    md5-minhash band rows → skew guard → min-label propagation with
+    pointer jumping (_cluster_by_bands, the SAME code the production
+    xxhash path runs) → (doc_id, rep_id) cluster assignment. The oracle
+    re-derives the identical components with a recursive CTE (min
+    reachable doc over the same-bucket co-membership graph, transitive
+    closure) — iterative Spark clustering certified against recursive
+    SQL. With this twin, every stage of the production rows-only path
+    (dedup_minhash_lsh) has an oracle-checked counterpart: shingles,
+    signature fold, banding, bucket join (dedup_minhash_md5_pairs), and
+    now the connected-components contraction itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = md5_band_rows(docs).withColumnRenamed("band_val", "band_hash")
+    return _cluster_by_bands(bands, docs.select("doc_id"))
 
 
 _INCREMENTAL_ORACLE = """
