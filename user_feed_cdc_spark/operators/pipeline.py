@@ -670,3 +670,79 @@ def pipeline_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("n_blocked") * 1.0 / F.col("n_grams"), 4).alias("blocked_ratio"),
         (F.col("n_blocked") * 2 < F.col("n_grams")).alias("kept"),
     )
+
+
+# quality-mixture bands (token-count thresholds) and per-band keep rates
+_QM_SHORT, _QM_LONG = 40, 70
+_QM_KEEP = {"short": 0.5, "mid": 0.8, "long": 1.0}
+
+
+@_register(
+    "pipeline_quality_mixture",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t <> '')) < {_QM_SHORT} THEN 'short'
+                    WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t <> '')) < {_QM_LONG} THEN 'mid'
+                    ELSE 'long' END AS band
+        FROM documents
+    ),
+    ranked AS (
+        SELECT band,
+               ROW_NUMBER() OVER (PARTITION BY band
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY band) AS n_band
+        FROM scored
+    )
+    SELECT band, COUNT(*) AS n_total,
+           COUNT(CASE WHEN rn <= CEIL(
+               CASE band WHEN 'short' THEN {_QM_KEEP["short"]}
+                         WHEN 'mid' THEN {_QM_KEEP["mid"]}
+                         ELSE {_QM_KEEP["long"]} END * n_band) THEN 1 END)
+               AS n_kept
+    FROM ranked
+    GROUP BY band
+    """,
+)
+def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture sampling (the DoReMi/quality-bucket
+    recipe): band documents by a quality proxy (token count:
+    short/mid/long), then keep a band-specific deterministic fraction —
+    {50}% of short docs, {80}% of mid, all long — via the same
+    content-independent md5-rank the stratified split uses. Exact
+    per-band fractions, reproducible across engines and runs. One
+    window shuffle on the band key; the kept flag becomes a partition
+    column at write time. Composes the text-quality scoring and
+    mixture-rebalancing operators into the single pass a corpus build
+    actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    band = (
+        F.when(n_tokens < _QM_SHORT, "short")
+        .when(n_tokens < _QM_LONG, "mid")
+        .otherwise("long")
+    )
+    scored = docs.select("doc_id", band.alias("band"))
+    w = W.partitionBy("band").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    keep_frac = (
+        F.when(F.col("band") == "short", _QM_KEEP["short"])
+        .when(F.col("band") == "mid", _QM_KEEP["mid"])
+        .otherwise(_QM_KEEP["long"])
+    )
+    ranked = scored.select(
+        "band",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("band")).alias("n_band"),
+        keep_frac.alias("kf"),
+    )
+    return ranked.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(
+            F.when(F.col("rn") <= F.ceil(F.col("kf") * F.col("n_band")), 1)
+        ).alias("n_kept"),
+    )

@@ -1054,3 +1054,48 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     ).select("n_name", "c_custkey", r2(F.col("c_acctbal")).alias("acctbal"))
+
+
+@_register(
+    "window_value_functions",
+    """
+    SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber,
+           FLOOR(FIRST_VALUE(l_extendedprice) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ) * 100.0 + 0.5) / 100.0 AS first_price,
+           FLOOR(LAST_VALUE(l_extendedprice) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) * 100.0 + 0.5) / 100.0 AS last_price,
+           FLOOR(NTH_VALUE(l_extendedprice, 2) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) * 100.0 + 0.5) / 100.0 AS second_price
+    FROM lineitem WHERE l_suppkey <= 10
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-picking window family (first_value / last_value /
+    nth_value). The frame matters and is explicit: first_value rides
+    the default running frame, but last_value and nth_value over the
+    default frame see only up to the CURRENT row (the classic
+    last_value gotcha — it returns the current row's value), so both
+    take an explicit unbounded-both-ends frame to mean "the partition's
+    last / second". Full tiebreak ordering keeps every pick
+    deterministic; one shuffle+sort per partition key serves all three."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return li.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.first("l_extendedprice").over(w)).alias("first_price"),
+        r2(F.last("l_extendedprice").over(full)).alias("last_price"),
+        r2(F.nth_value("l_extendedprice", 2).over(full)).alias("second_price"),
+    )
