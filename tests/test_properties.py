@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the pure-deterministic tiers:
+container codecs, the cross-engine rounding twins, and the as-of join
+core against a brute-force reference. These guard the INVARIANTS the
+oracle diff can't see — arbitrary inputs, not the fixed testdata."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from user_feed_cdc_spark.operators.multimodal import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_bmp,
+    decode_gif,
+    decode_wav,
+    encode_bmp,
+    encode_gif,
+    encode_wav,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_lzw_round_trip_any_bytes(data):
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=6),
+    st.data(),
+)
+def test_bmp_round_trip_any_dims(w, h, data):
+    """Row padding must be correct for every width mod 4."""
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert decode_bmp(encode_bmp(w, h, pixels)) == (w, h, pixels)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), max_size=400))
+def test_wav_round_trip_any_samples(samples):
+    rate, got = decode_wav(encode_wav(samples))
+    assert (rate, got) == (8000, samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=6),
+    st.data(),
+)
+def test_gif_round_trip_any_dims(w, h, data):
+    gray = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    _w, _h, rgb = decode_gif(encode_gif(w, h, gray))
+    assert (_w, _h) == (w, h)
+    assert rgb == b"".join(bytes((g, g, g)) for g in gray)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_round_half_up_matches_duckdb(x, scale):
+    """The driver-side rounding twin must equal the oracle-side SQL
+    formula bit for bit — the invariant every hash-gated rounded column
+    rests on."""
+    from user_feed_cdc_spark.functions.numeric import py_round_half_up
+
+    factor = float(10**scale)
+    (got,) = duckdb.sql(
+        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {factor} + 0.5) / {factor}"
+    ).fetchone()
+    expect = py_round_half_up(x, scale)
+    assert (got == expect) or (math.isnan(got) and math.isnan(expect)), (
+        x, scale, got, expect,
+    )
+
+
+def _brute_asof(probes, markers, direction):
+    """Reference semantics: per probe, the latest marker at-or-before
+    (backward) / earliest strictly-after (forward) for the same key;
+    ties impossible (unique marker ts per key by construction)."""
+    out = {}
+    for pid, key, pts in probes:
+        best = None
+        for key_m, mts, val in markers:
+            if key_m != key:
+                continue
+            if direction == "backward" and mts <= pts:
+                if best is None or mts > best[0]:
+                    best = (mts, val)
+            elif direction == "forward" and mts > pts:
+                if best is None or mts < best[0]:
+                    best = (mts, val)
+        out[pid] = None if best is None else best[1]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_brute_force(spark, direction):
+    """40 randomized key/timestamp layouts (boundary-heavy: equal ts,
+    no-marker keys, marker-only keys) checked against the brute force in
+    ONE Spark job — the union+window composition must agree exactly,
+    including its <= / strict-> tie rules."""
+    from user_feed_cdc_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    probes, markers = [], []
+    pid = 0
+    for case in range(40):
+        keys = [f"c{case}_k{i}" for i in range(rng.randint(1, 4))]
+        for key in keys:
+            marker_ts = rng.sample(range(20), rng.randint(0, 5))
+            for mts in marker_ts:
+                markers.append((key, mts, f"m_{key}_{mts}"))
+            for _ in range(rng.randint(0, 5)):
+                # equal-ts collisions with markers are likely by design
+                probes.append((pid, key, rng.randrange(20)))
+                pid += 1
+
+    p_df = spark.createDataFrame(probes, "pid long, key string, ts long")
+    m_df = spark.createDataFrame(markers, "key string, ts long, val string")
+    got = {
+        r.pid: r.val
+        for r in asof_join(
+            p_df, m_df, key="key", ts="ts", marker_cols=["val"],
+            direction=direction,
+        ).collect()
+    }
+    expect = _brute_asof(probes, markers, direction)
+    assert got == expect
