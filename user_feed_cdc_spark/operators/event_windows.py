@@ -419,3 +419,62 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.max("value"), 4).alias("bucket_max"),
         )
     )
+
+
+@_register(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               FLOOR(SUM(value) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS mu,
+               FLOOR(sqrt((SUM(value * value) - SUM(value) * SUM(value)
+                           / COUNT(*)) / (COUNT(*) - 1)) * 10000.0 + 0.5)
+                   / 10000.0 AS sd
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           FLOOR((value - mu) / sd * 10000.0 + 0.5) / 10000.0 AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY ABS(FLOOR((value - mu) / sd * 10000.0 + 0.5) / 10000.0) DESC,
+             event_id
+    LIMIT 20
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: top-20 events by |standard score|
+    within their event_type. The variance is computed EXPLICITLY from
+    (Σv, Σv², n) with the identical operation order in both engines —
+    native stddev implementations differ (Welford vs naive) in their
+    float paths, so the naive two-pass formula IS the cross-engine
+    contract here — and mean/sd are rounded before the per-row score so
+    partition-order ULP noise in the sums can't reach the output. Plan:
+    one partial-agged groupBy for stats, broadcast back (5 rows), score
+    in the scan projection, TakeOrderedAndProject for the top-20 — the
+    monitoring query a pipeline runs per ingest batch at any scale."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum("value").alias("_s"),
+        F.sum(F.col("value") * F.col("value")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    stats = stats.select(
+        "event_type",
+        r2(F.col("_s") / F.col("_n"), 4).alias("mu"),
+        r2(
+            F.sqrt(
+                (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+                / (F.col("_n") - 1)
+            ),
+            4,
+        ).alias("sd"),
+    )
+    z = r2((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+    )

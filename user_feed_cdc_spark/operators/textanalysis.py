@@ -729,3 +729,70 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "doc_a", "doc_b")
         .limit(20)
     )
+
+
+_HASH_DIM = 16  # hashed feature-vector width
+
+
+@_register(
+    "text_hashed_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {_HASH_DIM}
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           list_transform(range(0, {_HASH_DIM}),
+               b -> CAST(coalesce(list_sum(list_transform(
+                        list_filter(
+                            list_zip(list(bucket), list(cnt)),
+                            p -> p[1] = b),
+                        p -> p[2])), 0) AS BIGINT))
+               AS features
+    FROM bucketed
+    GROUP BY doc_id
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (HashingVectorizer / feature hashing):
+    tokens hash into a fixed {16}-bucket count vector per document —
+    the vocabulary-free featurization that needs no global dictionary,
+    which is exactly why it scales: no vocab table to build, broadcast,
+    or keep consistent across a 100 TB corpus; the output width is
+    fixed at write time. md5-derived buckets make the vectors
+    bit-identical across engines, so the full vectorization is
+    hash-gated. Plan: explode → (doc, bucket) partial-agged count →
+    one array_agg pivot per doc; the shuffle carries (doc_id, bucket,
+    count) triples, never tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT) % {_HASH_DIM}"
+    )
+    counts = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # pivot the sparse (bucket, cnt) pairs into a dense fixed-width array
+    pairs = counts.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("cnt")
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
+        lambda b: F.coalesce(F.col("m")[b.cast("long")], F.lit(0)),
+    )
+    return pairs.select("doc_id", dense.alias("features"))
