@@ -108,6 +108,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "feed_ranked_personalized", "dedup_minhash_md5_clusters",
         "window_value_functions", "pipeline_quality_mixture",
         "events_anomaly_zscore", "text_hashed_features",
+        "graph_pagerank",
         # certified green in r05, rotate back in r07
         "feed_topk_per_user", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

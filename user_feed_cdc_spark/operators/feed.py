@@ -356,6 +356,92 @@ def feed_ranked_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled PageRank iterations as chained CTEs (the k-means-oracle
+    treatment for iterative algorithms): r_{k+1}(v) = 0.15/N + 0.85 *
+    Σ_{u→v} r_k(u)/outdeg(u), dangling mass dropped identically on both
+    engines."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    r{k + 1} AS (
+        SELECT u.user_id,
+               0.15 / n.n + 0.85 * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+        FROM users u
+        CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.following_id AS user_id, SUM(p.r / d.d) AS s
+            FROM followers e
+            JOIN r{k} p ON p.user_id = e.follower_id
+            JOIN deg d ON d.follower_id = e.follower_id
+            GROUP BY e.following_id
+        ) c ON c.user_id = u.user_id
+    )""")
+    return (
+        _FOLLOWERS_CTE
+        + """
+    , deg AS (SELECT follower_id, COUNT(*) AS d FROM followers GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM users),
+    r0 AS (SELECT user_id, 1.0 / n.n AS r FROM users CROSS JOIN n),"""
+        + ",".join(steps)
+        + f"""
+    SELECT user_id, FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@_register("graph_pagerank", _pagerank_oracle(_PAGERANK_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the follow graph, {3} deterministic power
+    iterations (damping 0.85, dangling mass dropped) — the canonical
+    iterative graph-analytics benchmark, certified against an oracle
+    that UNROLLS the same iterations as chained CTEs (the k-means-
+    quantizer treatment for iterative algorithms). Cross-engine float
+    determinism holds because every per-node contribution SUM here has
+    at most 2 addends (in-degree ≤ 2 in this graph) — IEEE addition of
+    two terms is commutative, so accumulation order cannot move a bit;
+    only the final rank is rounded.
+
+    At 100 TB: each iteration is one equi-join of the rank vector with
+    the edge list + one partial-agged groupBy on the destination — the
+    classic Pregel-on-dataframes shape. The rank vector (|V| rows, 2
+    fixed-width cols) is the only iterating state; edges are reused
+    unchanged each round, so on a cluster you persist the edge frame
+    partitioned by follower_id once and every iteration co-locates.
+    High-in-degree celebrity vertices are AQE-skew-split; the
+    convergence loop at scale adds the dedup_minhash_lsh treatment
+    (per-round materialize + Σ-delta early exit)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    edges = derived_followers(spark, sf_dir)
+    deg = edges.groupBy("follower_id").agg(F.count(F.lit(1)).alias("d"))
+    n = users.count()  # one scalar; the oracle's CROSS JOIN n twin
+    rank = users.withColumn("r", F.lit(1.0) / F.lit(float(n)))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(rank, edges["follower_id"] == rank["user_id"])
+            .join(deg, "follower_id")
+            .select(
+                F.col("following_id").alias("user_id"),
+                (F.col("r") / F.col("d")).alias("c"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = users.join(contrib, "user_id", "left").select(
+            "user_id",
+            (
+                F.lit(0.15) / F.lit(float(n))
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return rank.select("user_id", r2(F.col("r"), 6).alias("rank"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the all-users feed top-k."""
     return feed_topk_per_user(spark, sf_dir)
