@@ -37,6 +37,56 @@ def test_registry_invariants():
     assert sum(len(m.QUERIES) for m in mods) == len(qs)
 
 
+def test_oracles_emit_driver_hashable_types():
+    """The r03 failure class, pinned at test time instead of
+    check-correctness time: DuckDB HUGEINT (un-cast integer SUM /
+    list_sum) and DECIMAL hash differently than BIGINT/DOUBLE in the
+    driver's normalizer. Bind every oracle against empty views and
+    reject those types in the result schema — no data needed, so this
+    is fast enough to run on every pytest invocation."""
+    import duckdb
+
+    from user_feed_cdc_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+    _SPARK_TO_DUCK = {
+        "LongType()": "BIGINT",
+        "IntegerType()": "INTEGER",
+        "DoubleType()": "DOUBLE",
+        "FloatType()": "FLOAT",
+        "StringType()": "VARCHAR",
+        "TimestampType()": "TIMESTAMP",
+        "DateType()": "DATE",
+        "BooleanType()": "BOOLEAN",
+        "BinaryType()": "BLOB",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        cols = []
+        for f in TABLE_SCHEMAS[t].fields:
+            duck_t = _SPARK_TO_DUCK.get(repr(f.dataType))
+            if duck_t is None:  # array<float> embedding etc.
+                duck_t = "FLOAT[]" if "Array" in repr(f.dataType) else "VARCHAR"
+            cols.append(f"CAST(NULL AS {duck_t}) AS {f.name}")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT {', '.join(cols)} WHERE FALSE"
+        )
+    offenders = {}
+    for name, sql in em.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+        except Exception as e:  # noqa: BLE001 — surface which oracle broke
+            offenders[name] = f"bind error: {type(e).__name__}: {e}"[:160]
+            continue
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, (str(t) for t in rel.types))
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = str(bad)
+    assert not offenders, f"driver-unhashable oracle outputs: {offenders}"
+
+
 def test_entry_flagship(spark):
     df = em.entry(spark)
     assert df.columns == ["follower_id", "event_id", "author_id", "event_type", "ts", "rn"]
