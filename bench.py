@@ -67,6 +67,24 @@ def main() -> None:
         .save()
     )
 
+    # warm the Python-worker path (fork + Arrow init on every task
+    # slot the mapInPandas stage uses) — the multimodal featurizer is
+    # otherwise charged up to a dozen worker cold-starts, which is
+    # spawn cost, not query cost (workers are reused on a warm cluster)
+    def _noop_batches(it):
+        for pdf in it:
+            yield pdf
+
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(8)
+        .mapInPandas(_noop_batches, "doc_id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     # Two passes per query, report the per-query MIN. One pass charges
     # whichever queries run first with the remaining JIT/codegen
     # compiles their operator mix triggers first (the registry order
