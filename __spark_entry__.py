@@ -64,11 +64,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # 51+) + the 45 entries last certified in r04 (absent from
     # CORRECTNESS_r05) — exactly 50. With the registry now past 100
     # entries, a 50-slot window makes the old two-round invariant
-    # arithmetically impossible (120 > 2×50); the rotation period is 3
-    # rounds: r07 leads with the 20 new round-6 entries + the 30 stalest
-    # r05 entries, r08 takes the remaining r05 tail + the head of this
-    # round's window. Every entry still passes the full local oracle
-    # gate (tools/check_correctness.py, all entries, every round).
+    # arithmetically impossible (121 > 2×50); the rotation period is 3
+    # rounds: r07 leads with the 21 new round-6 entries (positions
+    # 51-71, never certified) + the 29 stalest r05 entries, r08 takes
+    # the remaining r05 tail + the head of this round's window. Every
+    # entry still passes the full local oracle gate
+    # (tools/check_correctness.py, all entries, every round).
     priority = [
         # never driver-certified (added r5 at positions 51+)
         "asof_next_purchase", "similarity_lsh_md5_buckets",
