@@ -40,7 +40,8 @@ TRAIN_FRACTION = 0.9
                CASE WHEN ROW_NUMBER() OVER (
                         PARTITION BY lang, source
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-                    <= CEIL({TRAIN_FRACTION} * COUNT(*) OVER (PARTITION BY lang, source))
+                    <= FLOOR(((9 * COUNT(*) OVER (PARTITION BY lang, source)
+                               + 9) * 1.0) / 10)
                     THEN 'train' ELSE 'holdout' END AS split
         FROM documents
     )
@@ -54,14 +55,25 @@ def split_stratified_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions (a global random split skews small strata), reproducible
     across engines and runs (md5 of the id, not RNG state). One window
     shuffle on the stratum key; the split column would be written back as
-    a partition column in production. Output: per-stratum split sizes."""
+    a partition column in production. Output: per-stratum split sizes.
+
+    The ceil(0.9·n) threshold is computed as floor((9n+9)/10) over
+    exact integers on BOTH engines rather than ceil(double(0.9)·n):
+    the float form happens to be safe for this constant (a parsed
+    decimal literal sits within half an ulp, so the product rounds
+    back onto exact integers), but that safety is a proof about
+    literal error bounds Spark doubles vs DuckDB DECIMALs — the
+    integer form needs no proof and survives any future fraction."""
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     n_in_stratum = F.count(F.lit(1)).over(W.partitionBy("lang", "source"))
+    train_cap = F.floor(
+        ((F.lit(9) * n_in_stratum + F.lit(9)) * F.lit(1.0)) / F.lit(10)
+    )
     split = F.when(
-        F.row_number().over(w) <= F.ceil(F.lit(TRAIN_FRACTION) * n_in_stratum),
+        F.row_number().over(w) <= train_cap,
         "train",
     ).otherwise("holdout")
     return (
@@ -698,11 +710,13 @@ _QM_KEEP = {"short": 0.5, "mid": 0.8, "long": 1.0}
         FROM scored
     )
     SELECT band, COUNT(*) AS n_total,
-           COUNT(CASE WHEN rn <= CEIL(
-               CASE band WHEN 'short' THEN {_QM_KEEP["short"]}
-                         WHEN 'mid' THEN {_QM_KEEP["mid"]}
-                         ELSE {_QM_KEEP["long"]} END * n_band) THEN 1 END)
-               AS n_kept
+           COUNT(CASE WHEN rn <= FLOOR(((
+               CASE band WHEN 'short' THEN 1 WHEN 'mid' THEN 4 ELSE 1 END
+               * n_band
+               + CASE band WHEN 'short' THEN 2 WHEN 'mid' THEN 5 ELSE 1 END
+               - 1) * 1.0)
+               / CASE band WHEN 'short' THEN 2 WHEN 'mid' THEN 5 ELSE 1 END)
+           THEN 1 END) AS n_kept
     FROM ranked
     GROUP BY band
     """,
@@ -717,7 +731,13 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle on the band key; the kept flag becomes a partition
     column at write time. Composes the text-quality scoring and
     mixture-rebalancing operators into the single pass a corpus build
-    actually runs."""
+    actually runs.
+
+    The per-band keep threshold ceil(f·n) is computed as
+    floor((num·n + den - 1)/den) over exact integers (1/2, 4/5, 1/1)
+    on BOTH engines — no float fraction ever multiplies a count, so
+    the cut cannot depend on literal rounding (the
+    split_stratified_train treatment)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     band = (
@@ -729,20 +749,28 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("band").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    keep_frac = (
-        F.when(F.col("band") == "short", _QM_KEEP["short"])
-        .when(F.col("band") == "mid", _QM_KEEP["mid"])
-        .otherwise(_QM_KEEP["long"])
+    numer = (
+        F.when(F.col("band") == "short", 1)
+        .when(F.col("band") == "mid", 4)
+        .otherwise(1)
+    )
+    denom = (
+        F.when(F.col("band") == "short", 2)
+        .when(F.col("band") == "mid", 5)
+        .otherwise(1)
     )
     ranked = scored.select(
         "band",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("band")).alias("n_band"),
-        keep_frac.alias("kf"),
+        numer.alias("kn"),
+        denom.alias("kd"),
+    )
+    cap = F.floor(
+        ((F.col("kn") * F.col("n_band") + F.col("kd") - F.lit(1)) * F.lit(1.0))
+        / F.col("kd")
     )
     return ranked.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.count(
-            F.when(F.col("rn") <= F.ceil(F.col("kf") * F.col("n_band")), 1)
-        ).alias("n_kept"),
+        F.count(F.when(F.col("rn") <= cap, 1)).alias("n_kept"),
     )
