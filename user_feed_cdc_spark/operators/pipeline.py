@@ -28,9 +28,8 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
-TRAIN_FRACTION = 0.9
-
-
+# train split keeps ceil(9/10 · n) docs per stratum (see the entry's
+# integer-threshold note)
 @_register(
     "split_stratified_train",
     f"""
