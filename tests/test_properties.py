@@ -87,8 +87,13 @@ def test_round_half_up_matches_duckdb(x, scale):
     from user_feed_cdc_spark.functions.numeric import py_round_half_up
 
     factor = float(10**scale)
-    (got,) = duckdb.sql(
-        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {factor} + 0.5) / {factor}"
+    # Bind x as a parameter: a repr-interpolated literal parses as
+    # DECIMAL, and the decimal->double conversion loses a ulp once the
+    # scaled mantissa passes 2^53 (e.g. -900719925.7421875 at scale 7).
+    # The real oracle gate reads parquet doubles, never decimal literals,
+    # so the binding channel is the faithful model of it.
+    (got,) = duckdb.execute(
+        f"SELECT FLOOR(CAST(? AS DOUBLE) * {factor} + 0.5) / {factor}", [x]
     ).fetchone()
     expect = py_round_half_up(x, scale)
     assert (got == expect) or (math.isnan(got) and math.isnan(expect)), (
