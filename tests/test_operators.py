@@ -791,3 +791,55 @@ def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     one, three = mean_assigned_cos(1), mean_assigned_cos(3)
     vecs.unpersist()
     assert three >= one - 1e-9, (one, three)
+
+
+def test_resize_kernels_exact():
+    """Nearest-neighbor kernels: identity at same dims, exact integer
+    pixel picks on a known grid, fixed-length resample."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        resample_nearest,
+        resize_nearest,
+    )
+
+    px = bytes(i % 256 for i in range(8 * 4 * 3))
+    assert resize_nearest(8, 4, px, 8, 4) == px
+    # 2x2 -> 1x1 picks the top-left source pixel (0*2//1 = 0)
+    four = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+    assert resize_nearest(2, 2, four, 1, 1) == bytes([1, 1, 1])
+    # 2x2 -> 4x4 upsample: each source pixel becomes a 2x2 block
+    up = resize_nearest(2, 2, four, 4, 4)
+    assert len(up) == 4 * 4 * 3
+    assert up[:6] == bytes([1, 1, 1, 1, 1, 1])  # row 0: 1 1 2 2
+    assert up[3 * 4 * 3 : 3 * 4 * 3 + 3] == bytes([3, 3, 3])  # row 3 starts 3
+    assert resample_nearest([5, 6, 7, 8], 2) == [5, 7]
+    assert resample_nearest([], 4) == [0, 0, 0, 0]
+    assert resample_nearest([9], 3) == [9, 9, 9]
+
+
+def test_multimodal_resize_end_to_end(spark, sf_dir):
+    """multimodal_resize over real containers: every modality decodes
+    and resizes, output unit counts match the fixed thumbnail/resample
+    contract, and the resized digest differs from a no-op."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        OUT_IMG_H,
+        OUT_IMG_W,
+        OUT_SAMPLES,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, sf_dir).collect()
+    assert rows and all(r.resized for r in rows)
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.modality, []).append(r)
+    assert set(by_mod) == {"image", "audio", "video"}
+    for r in by_mod["image"]:
+        assert r.out_units == OUT_IMG_W * OUT_IMG_H * 3
+    for r in by_mod["audio"]:
+        assert r.out_units == OUT_SAMPLES
+    for r in by_mod["video"]:
+        # frame count preserved: out units divisible by the frame size
+        assert r.out_units % (OUT_IMG_W * OUT_IMG_H * 3) == 0
+    # deterministic: same input -> same digests
+    again = {r.doc_id: r.resized_digest for r in multimodal_resize(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.resized_digest for r in rows)

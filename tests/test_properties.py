@@ -154,3 +154,31 @@ def test_asof_join_matches_brute_force(spark, direction):
     }
     expect = _brute_asof(probes, markers, direction)
     assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.data(),
+)
+def test_resize_nearest_properties(w, h, ow, oh, data):
+    """Identity at equal dims; every output pixel is copied verbatim
+    from the source pixel set; output length is exact."""
+    from user_feed_cdc_spark.operators.multimodal import resize_nearest
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert resize_nearest(w, h, px, w, h) == px
+    out = resize_nearest(w, h, px, ow, oh)
+    assert len(out) == ow * oh * 3
+    src_pixels = {px[i : i + 3] for i in range(0, len(px), 3)}
+    for i in range(0, len(out), 3):
+        assert out[i : i + 3] in src_pixels

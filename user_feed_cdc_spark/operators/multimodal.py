@@ -664,3 +664,143 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "modality", F.round(norm, 4).alias("feature_norm"), "decoded"
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize / resample (the remaining op of the mandated decode /
+# feature-extract / resize / frame-sample multimodal quartet)
+# ---------------------------------------------------------------------------
+
+OUT_IMG_W, OUT_IMG_H = 4, 2  # fixed thumbnail dims, the write-time contract
+OUT_SAMPLES = 16  # fixed audio resample length
+
+
+def resize_nearest(
+    width: int, height: int, pixels: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor RGB resize: output pixel (x, y) copies source
+    pixel (x*W//out_w, y*H//out_h) — integer-exact index math, so the
+    result is bit-deterministic everywhere. Pure helper (no Spark), unit-
+    and property-tested directly."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = 3 * sy * width
+        for x in range(out_w):
+            sx = x * width // out_w
+            i = row + 3 * sx
+            out += pixels[i : i + 3]
+    return bytes(out)
+
+
+def resample_nearest(samples: list[int], out_n: int) -> list[int]:
+    """Nearest-neighbor PCM resample to a fixed length (same integer
+    index rule as resize_nearest); empty input yields silence."""
+    n = len(samples)
+    if n == 0:
+        return [0] * out_n
+    return [samples[i * n // out_n] for i in range(out_n)]
+
+
+def resize_media(
+    mm: DataFrame,
+    out_w: int = OUT_IMG_W,
+    out_h: int = OUT_IMG_H,
+    out_samples: int = OUT_SAMPLES,
+) -> DataFrame:
+    """Arrow-batched media resize over binary payloads (mapInPandas):
+    images (GIF/BMP, sniffed by magic) resize to ``out_w``x``out_h``
+    nearest-neighbor; audio resamples to ``out_samples`` PCM16 points;
+    video resizes EVERY frame (frame count preserved). Unparseable
+    payloads pass through with ``resized=false`` and the original digest
+    — the same fallback contract as extract_features.
+
+    Output carries the resized payload's md5 plus in/out unit counts, so
+    downstream can verify volume reduction without touching bytes. At
+    100 TB this is the classic thumbnail/feature-prep pass: payload bytes
+    stream through Python workers batch-by-batch, never shuffle, and the
+    emitted rows are a fixed few dozen bytes regardless of media size."""
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, modality string, in_units int, out_units int, "
+        "resized_digest string, mean_unit double, resized boolean"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from user_feed_cdc_spark.functions.numeric import py_round_half_up
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "in_units", "out_units", "resized_digest", "mean_unit",
+                "resized",
+            )}
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                raw = bytes(payload)
+                try:
+                    if modality == "image":
+                        if raw[:3] == b"GIF":
+                            w, h, px = decode_gif(raw)
+                        else:
+                            w, h, px = decode_bmp(raw)
+                        resized = resize_nearest(w, h, px, out_w, out_h)
+                        units = list(resized)
+                        in_n = w * h * 3
+                    elif modality == "audio":
+                        _rate, samples = decode_wav(raw)
+                        units = resample_nearest(samples, out_samples)
+                        resized = encode_wav(units)[44:]  # data chunk only
+                        in_n = len(samples)
+                    elif modality == "video":
+                        w, h, _fps, frames = decode_rvid(raw)
+                        out_frames = [
+                            resize_nearest(w, h, f, out_w, out_h)
+                            for f in frames
+                        ]
+                        resized = b"".join(out_frames)
+                        units = list(resized)
+                        in_n = w * h * 3 * len(frames)
+                    else:
+                        raise NotImplementedError(modality)
+                    rows["in_units"].append(in_n)
+                    rows["out_units"].append(len(units))
+                    rows["resized_digest"].append(
+                        hashlib.md5(resized).hexdigest()
+                    )
+                    mean = sum(units) / len(units) if units else 0.0
+                    rows["mean_unit"].append(py_round_half_up(mean, 4))
+                    rows["resized"].append(True)
+                except (NotImplementedError, ValueError, struct.error):
+                    rows["in_units"].append(len(raw))
+                    rows["out_units"].append(len(raw))
+                    rows["resized_digest"].append(
+                        hashlib.md5(raw).hexdigest()
+                    )
+                    rows["mean_unit"].append(0.0)
+                    rows["resized"].append(False)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": pdf["modality"], **rows}
+            )
+
+    src = mm
+    if "modality" not in mm.columns:
+        src = mm.withColumn("modality", F.col("meta.modality"))
+    flat = fan_out(src.select("doc_id", "payload", "modality"), min_parallelism=8)
+    return flat.mapInPandas(batches, out_schema)
+
+
+@_register("multimodal_resize", None)  # Python resizer → rows-only
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize end-to-end over REAL media containers: documents →
+    GIF/BMP/WAV/RVID payloads (with_media_payload) → mapInPandas
+    nearest-neighbor resize/resample (resize_media). Every modality
+    reports resized=true (each decoder + resizer ran); the in/out unit
+    counts expose the data-volume reduction the pass exists for. The
+    resize kernels themselves are pure helpers certified by unit +
+    hypothesis tests (identity at same dims, exact pixel picks, block
+    structure) — the Spark entry certifies the distributed plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(with_media_payload(docs)).select(
+        "doc_id", "modality", "in_units", "out_units", "resized_digest",
+        "mean_unit", "resized",
+    )
