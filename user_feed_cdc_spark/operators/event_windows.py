@@ -478,3 +478,63 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "event_id")
         .limit(20)
     )
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           FLOOR(n / SUM(n) OVER (PARTITION BY from_type) * 1000000.0
+                 + 0.5) / 1000000.0 AS p
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event_type | current event_type) — the
+    sequence-modeling rollup behind next-action prediction features and
+    behavioral-drift monitors. LEAD over (user_id, ts, event_id) pairs
+    each event with its successor (event_id breaks equal-ts ties, so the
+    sequence is total-ordered and engine-exact); one groupBy counts each
+    (from, to) edge; the row-conditional probability normalizes by the
+    from-type total via a window SUM over the tiny transition table.
+
+    Scale: ONE shuffle on user_id orders every user's history (the same
+    partitioning the session/attribution family rides); the transition
+    table after the count is |event_types|² rows, so the normalizing
+    window and everything after it is driver-trivial no matter the
+    corpus size. The probability divides two exact integers in one float
+    op, rounded half-up at 6 — bit-stable across engines."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        round_half_up(F.col("n") / tot, 6).alias("p"),
+    )

@@ -442,6 +442,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select("user_id", r2(F.col("r"), 6).alias("rank"))
 
 
+_CC_BLOCK = 8  # per-shard follow subgraph: edges kept within id-blocks of 8
+
+
+@_register(
+    "graph_connected_components",
+    # standalone WITH RECURSIVE (DuckDB requires the keyword for the
+    # reach CTE; _FOLLOWERS_CTE is a plain WITH, so it can't be reused)
+    f"""
+    WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+    followers AS (
+        SELECT a.user_id AS follower_id, b.user_id AS following_id
+        FROM users a JOIN users b
+          ON b.user_id = a.user_id + 1 OR b.user_id = a.user_id + 2
+    ),
+    edges AS (
+        SELECT follower_id AS a, following_id AS b FROM followers
+        WHERE follower_id // {_CC_BLOCK} = following_id // {_CC_BLOCK}
+    ),
+    und AS (
+        SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+    ),
+    reach(u, r) AS (
+        SELECT user_id, user_id FROM users
+        UNION
+        SELECT e.a, r.r FROM und e JOIN reach r ON r.u = e.b
+    )
+    SELECT u AS user_id, MIN(r) AS component_id FROM reach GROUP BY u
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the per-shard follow subgraph: follow
+    edges restricted to same id-block-of-{_CC_BLOCK} (the shard-local
+    social graph — cross-shard edges dropped), each node labeled with
+    the minimum user_id reachable from it. Components here are chains of
+    up to {_CC_BLOCK} consecutive users (diameter ~{_CC_BLOCK - 1}), so
+    this entry exercises the pointer-jumping path for real: plain
+    min-label propagation needs diameter rounds, path-halving converges
+    in O(log diameter).
+
+    Implementation IS the certified dedup clustering core
+    (_cluster_by_bands — skew guard, hyperedge min-label step, pointer
+    jump, Σ-convergence exit): each undirected edge becomes a 2-member
+    bucket, which makes edge-contraction CC and same-bucket dedup CC the
+    one algorithm. The oracle re-derives components via recursive-CTE
+    transitive closure — the third iterative-algorithm certification
+    (after k-means IVF and PageRank) where Spark iteration is held to
+    unrolled/recursive SQL. At 100 TB: label frames shuffle on doc_id
+    (uniform), every round materializes before the next (no lineage
+    blowup), and only a scalar convergence sum reaches the driver."""
+    from user_feed_cdc_spark.operators.dedup import _cluster_by_bands
+
+    e = derived_followers(spark, sf_dir).filter(
+        F.expr(f"follower_id div {_CC_BLOCK} = following_id div {_CC_BLOCK}")
+    )
+    # every edge is a 2-member bucket: (band_idx=0, band_hash=edge key)
+    edge_key = F.col("follower_id") * 4 + (
+        F.col("following_id") - F.col("follower_id")
+    )
+    bands = (
+        e.select(
+            F.col("follower_id").alias("doc_id"),
+            F.lit(0).alias("band_idx"),
+            edge_key.alias("band_hash"),
+        )
+        .unionByName(
+            e.select(
+                F.col("following_id").alias("doc_id"),
+                F.lit(0).alias("band_idx"),
+                edge_key.alias("band_hash"),
+            )
+        )
+    )
+    nodes = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    cc = _cluster_by_bands(bands, nodes.withColumnRenamed("user_id", "doc_id"))
+    return cc.select(
+        F.col("doc_id").alias("user_id"), F.col("rep_id").alias("component_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the all-users feed top-k."""
     return feed_topk_per_user(spark, sf_dir)

@@ -773,3 +773,50 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(F.col("rn") <= cap, 1)).alias("n_kept"),
     )
+
+
+_RESERVOIR_K = 20
+
+
+@_register(
+    "pipeline_reservoir_sample",
+    f"""
+    SELECT lang, doc_id, sample_rank
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {_RESERVOIR_K}
+    """,
+)
+def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-stratum sample: exactly {_RESERVOIR_K} documents per
+    language, the eval-set/spot-check draw every corpus pipeline needs.
+    Realized as a hash-rank top-k — rank docs by a salted
+    content-independent md5 of their id, keep the k smallest — which has
+    the same marginal property as Vitter's reservoir (every doc equally
+    likely under the hash's uniformity) while being fully deterministic
+    and engine-reproducible: re-running the pipeline, or running it on
+    the oracle engine, draws the IDENTICAL sample. The salt ('smp:')
+    decorrelates this draw from the stratified split's ranking so the
+    sample isn't biased toward the train side.
+
+    Scale: this is a per-group top-k, so it plans the WindowGroupLimit
+    pattern — each map partition keeps only its local top-k per lang
+    BEFORE the shuffle, so the exchange carries O(strata x k) rows, not
+    the corpus; a global random sort would shuffle everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= _RESERVOIR_K)
+    )

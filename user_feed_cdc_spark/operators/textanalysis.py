@@ -796,3 +796,66 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b: F.coalesce(F.col("m")[b.cast("long")], F.lit(0)),
     )
     return pairs.select("doc_id", dense.alias("features"))
+
+
+_BPE_TOP = 30
+
+
+@_register(
+    "text_bpe_merge_pairs",
+    f"""
+    SELECT pair, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(
+            list_transform(
+                range(1, length(w)),
+                i -> substring(w, CAST(i AS INT), 2)
+            )
+        ) AS pair
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        )
+        WHERE length(w) >= 2
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training primitive: the first merge-selection round
+    of byte-pair encoding — count adjacent symbol pairs WITHIN words
+    (never across word boundaries, the standard BPE pre-tokenization
+    rule) and rank the top candidates deterministically (count DESC,
+    pair ASC). Each iteration of real BPE training is exactly this
+    count-and-pick over the current symbol sequence; round one over raw
+    characters is the shape that matters for the engine, and it is
+    engine-exact (integer counts, character substrings), so the full
+    pipeline sits under the value-hash gate.
+
+    Pairs come from character-position substrings
+    (``substr(w, i, 2)`` for i in 1..len-1) — no char-array explode, so
+    the only data that ever shuffles is the 2-char pair strings, with
+    map-side partial counts collapsing them to distinct-pair cardinality
+    (bounded: alphabet²) per partition. At 100 TB this is a word-count
+    whose key space is tiny — the shuffle is negligible regardless of
+    corpus size; successive BPE rounds would re-run the same plan over a
+    re-segmented symbol column."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
