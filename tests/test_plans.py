@@ -24,6 +24,7 @@ NESTED_LOOP_WHITELIST = {
     "similarity_rerank_topk",     # 1-row broadcast query (both stages)
     "similarity_matryoshka_topk",  # 1-row broadcast query (both stages)
     "events_rfm_segments",        # 1-row broadcast median thresholds
+    "sketch_distinct_overlap_bounded",  # 1-row sketch-aggregate crossJoins
     "similarity_knn_join",        # ≤20-row broadcast query set (bounded Q)
     "similarity_ivf_topk",        # ≤|labels| broadcast centroid set
     "similarity_ivf_kmeans_topk",  # K=8 broadcast centroids / ≤nprobe probe rows

@@ -1099,3 +1099,42 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.last("l_extendedprice").over(full)).alias("last_price"),
         r2(F.nth_value("l_extendedprice", 2).over(full)).alias("second_price"),
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "pivot_event_type_revenue",
+    """
+    SELECT user_id % 10 AS user_bucket,
+    """
+    + ",\n".join(
+        f"       ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2)"
+        f" AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def pivot_event_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot API (`RelationalGroupedDataset.pivot`) — per
+    user-id bucket, total event value pivoted into one column per
+    event_type. The pivot values are passed EXPLICITLY: without the
+    list, Spark first runs a separate distinct-scan job to discover
+    the columns — an extra full pass over the fact table that at
+    100 TB costs as much as the query itself and makes the output
+    schema data-dependent (schema drift when a new type appears).
+    With explicit values the pivot compiles to exactly the
+    CASE-WHEN conditional aggregation of `case_when_pivot` — one
+    scan, one shuffle on the group key, map-side partials — while
+    keeping the ergonomic wide-table API. The oracle IS that
+    CASE-WHEN form, pinning the equivalence."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 2))
+    )

@@ -431,3 +431,89 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("is_member") | F.col("pass"), 1).otherwise(0)
         ).cast("boolean").alias("no_false_negatives"),
     )
+
+
+_OVERLAP_BOUND_ORACLE = """
+    WITH pc AS (
+        SELECT user_id, COUNT(*) AS f FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    vc AS (
+        SELECT user_id, COUNT(*) AS f FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    mp AS (SELECT quantile_cont(f, 0.5) AS m FROM pc),
+    mv AS (SELECT quantile_cont(f, 0.5) AS m FROM vc),
+    ha AS (SELECT user_id FROM pc, mp WHERE f >= m),
+    hb AS (SELECT user_id FROM vc, mv WHERE f >= m)
+    SELECT (SELECT COUNT(*) FROM ha) AS n_a,
+           (SELECT COUNT(*) FROM hb) AS n_b,
+           (SELECT COUNT(*) FROM ha JOIN hb USING (user_id))
+               AS exact_overlap,
+           TRUE AS within_15pct
+"""
+
+
+@_register("sketch_distinct_overlap_bounded", _OVERLAP_BOUND_ORACLE)
+def sketch_distinct_overlap_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set-intersection estimation by HLL inclusion-exclusion —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) — held to a ±15% bound against
+    the exact overlap, hash-gated like the other error-bound certs.
+    This is the audience-overlap question (how many heavy purchasers
+    are also heavy viewers?) answered from three mergeable sketches:
+    at 100 TB the two cohort sketches and their union sketch are each
+    a few KB of pre-aggregated state per segment, so ANY pairwise
+    overlap query runs driver-side over stored sketches instead of
+    re-joining user sets — inclusion-exclusion is what makes HLL a
+    set algebra, not just a counter. The tolerance is wider than the
+    single-set cert's 5% because subtraction compounds the relative
+    error of three estimates against a smaller denominator.
+
+    Cohorts: users with above-median purchase / view frequency (the
+    RFM median-broadcast pattern — data-derived, engine-exact integer
+    counts compared against an interpolated median)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def heavy(event_type: str) -> DataFrame:
+        per = (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        med = per.agg(F.expr("percentile(f, 0.5)").alias("m"))
+        return (
+            per.join(F.broadcast(med))
+            .filter(F.col("f") >= F.col("m"))
+            .select("user_id")
+        )
+
+    ha, hb = heavy("purchase"), heavy("view")
+    est = lambda df, name: df.agg(  # noqa: E731
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(f"_e_{name}"),
+        F.count(F.lit(1)).alias(f"n_{name}"),
+    )
+    exact = (
+        ha.join(hb, "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    row = (
+        est(ha, "a")
+        .crossJoin(est(hb, "b"))
+        .crossJoin(
+            ha.unionByName(hb).agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_e_u")
+            )
+        )
+        .crossJoin(exact)
+    )
+    est_overlap = F.col("_e_a") + F.col("_e_b") - F.col("_e_u")
+    within = (
+        F.abs(est_overlap - F.col("exact_overlap"))
+        / F.col("exact_overlap")
+        <= 0.15
+    )
+    return row.select(
+        "n_a", "n_b", "exact_overlap", within.alias("within_15pct")
+    )
