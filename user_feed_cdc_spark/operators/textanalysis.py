@@ -859,3 +859,94 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+@_register(
+    "text_bigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    bis AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(tk)),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+               )) AS bigram
+        FROM toks
+    ),
+    bi_freq AS (SELECT bigram, COUNT(*) AS cnt FROM bis GROUP BY bigram),
+    head_freq AS (
+        SELECT string_split(bigram, ' ')[1] AS head, COUNT(*) AS hcnt
+        FROM bis GROUP BY head
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           FLOOR(CAST(SUM(FLOOR(LN(hcnt * 1.0 / cnt) * 1000000.0 + 0.5))
+                      AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS avg_surprisal
+    FROM bis
+    JOIN bi_freq USING (bigram)
+    JOIN head_freq ON string_split(bigram, ' ')[1] = head
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM surprisal per document — the CCNet-style
+    LM quality filter one order up from text_unigram_surprisal:
+    score_i = -ln P(w_i | w_{i-1}) with P = cnt(w_{i-1} w_i) /
+    cnt(w_{i-1} as a bigram head), averaged per doc. Low scores mark
+    fluent/templated text, high scores mark noise — the signal CCNet
+    thresholds to tier Common Crawl.
+
+    Cross-engine float contract (the unigram entry's trick, one level
+    deeper): each bigram's surprisal is frozen to an INTEGER —
+    floor(ln(hcnt/cnt)·1e6 + 0.5) — before the per-doc SUM, so the
+    only order-sensitive accumulation is over exact integers; one
+    float division and one rounding close each doc. Plan: bigrams are
+    produced row-locally (the slice/zip_with composition — no UDF),
+    the model tables (bigram counts, head counts) are groupBys with
+    map-side partials whose key spaces are vocabulary-sized, and the
+    score join re-streams the gram rows against those two tables —
+    at 100 TB the model tables are the broadcast/bucketed side and
+    the corpus side never shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    grams = (
+        docs.select("doc_id", tokens.alias("tk"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bi_freq = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    head = F.substring_index("bigram", " ", 1)
+    head_freq = grams.groupBy(head.alias("head")).agg(
+        F.count(F.lit(1)).alias("hcnt")
+    )
+    scored = (
+        grams.join(bi_freq, "bigram")
+        .withColumn("head", head)
+        .join(head_freq, "head")
+        .withColumn(
+            "s_int",
+            F.floor(
+                F.log(F.col("hcnt") * F.lit(1.0) / F.col("cnt"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("s_int").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_surprisal"),
+    )
