@@ -1138,3 +1138,106 @@ def pivot_event_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(_EVENT_TYPES))
         .agg(F.round(F.sum("value"), 2))
     )
+
+
+@_register(
+    "agg_argmax_funcs",
+    """
+    SELECT event_type,
+           arg_max(user_id,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 10000000
+                   + user_id) AS top_value_user,
+           arg_min(user_id,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 10000000
+                   + user_id) AS bottom_value_user,
+           FLOOR(MAX(value) * 100.0 + 0.5) / 100.0 AS max_value,
+           FLOOR(MIN(value) * 100.0 + 0.5) / 100.0 AS min_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax aggregate family (max_by / min_by — SQL:2023 ANY_VALUE
+    cousins Spark ships natively): per event_type, WHICH user produced
+    the highest / lowest event value. Equal values are real in this data
+    (2-decimal values collide), and bare max_by ties are
+    partition-order-dependent — the classic distributed-argmax trap —
+    so the ordering key packs (value_cents, user_id) into one bigint:
+    deterministic under any partitioning, and expressible identically
+    in the oracle (whose arg_max takes only scalar keys). One groupBy
+    with map-side partial max_by merges; argmax never sorts or windows
+    — at 100 TB this replaces the ROW_NUMBER()-then-filter idiom with
+    a single agg whose state is one (key, arg) pair per group."""
+    ev = load_table(spark, sf_dir, "events")
+    key = (
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        * F.lit(10000000)
+        + F.col("user_id")
+    )
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", key).alias("top_value_user"),
+        F.min_by("user_id", key).alias("bottom_value_user"),
+        (F.floor(F.max("value") * 100.0 + F.lit(0.5)) / 100.0).alias(
+            "max_value"
+        ),
+        (F.floor(F.min("value") * 100.0 + F.lit(0.5)) / 100.0).alias(
+            "min_value"
+        ),
+    )
+
+
+_JOIN_SALTS = 8
+
+
+@_register(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type, length(event_type) AS weight
+        FROM events
+    )
+    SELECT e.event_type, d.weight,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(e.value) * d.weight * 100.0 + 0.5) / 100.0
+               AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact-dim join — the join-side twin of
+    agg_salted_hot_keys: a low-cardinality/skewed join key (5 event
+    types over millions of rows) concentrates each key's rows on one
+    task in a plain shuffle join, so the fact side is salted with
+    pmod(xxhash64(event_id), {_JOIN_SALTS}) and the dim side is
+    replicated x{_JOIN_SALTS} (explode of the salt sequence) — the join
+    runs on (key, salt), spreading every hot key over {_JOIN_SALTS}
+    tasks. The oracle is the UNSALTED logical join: certifying that
+    salting is a pure physical rewrite (same rows, same aggregates,
+    exact-sum float path preserved because the per-key SUM is computed
+    before the single weight multiply). At 100 TB the dim stays
+    broadcast-sized after replication (|dim| x salts rows); when even
+    that outgrows broadcast, the same (key, salt) equi-join shuffles
+    both sides with the skew already dissolved — which is what AQE
+    skew-join does adaptively, expressed here as an explicit,
+    planner-independent rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1)))
+    )
+    salted = ev.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALTS)).cast("int"),
+    )
+    joined = salted.join(F.broadcast(dim_rep), ["event_type", "_salt"])
+    return joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(F.sum("value") * F.col("weight") * 100.0 + F.lit(0.5))
+            / 100.0
+        ).alias("weighted_value"),
+    )
