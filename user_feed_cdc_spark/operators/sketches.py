@@ -517,3 +517,55 @@ def sketch_distinct_overlap_bounded(
     return row.select(
         "n_a", "n_b", "exact_overlap", within.alias("within_15pct")
     )
+
+
+_UNION_BOUND_ORACLE = """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+"""
+
+
+@_register("sketch_union_daily_to_weekly", _UNION_BOUND_ORACLE)
+def sketch_union_daily_to_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The mergeable-sketch rollup that justifies sketches at 100 TB:
+    per-DAY HLL sketches of active users are built once (the expensive
+    pass over raw events), then WEEKLY actives come from
+    hll_union_agg over the 7 stored daily sketches — no second scan of
+    the events. This entry runs both levels in one plan and holds the
+    merged weekly estimate to ±5% of the exact weekly distinct, hash-
+    gated like the other error-bound certs (register-wise max is
+    commutative/associative, so the merged estimate is deterministic
+    under any partitioning or merge order).
+
+    In production the daily sketch column IS the stored rollup table
+    (a few KB per day); month/quarter/arbitrary-range actives are
+    further unions of the same sketches — count-distinct becomes an
+    algebra over stored state instead of a scan. The exact weekly
+    count exists here only as the certification witness."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    joined = weekly_est.join(weekly_exact, "week")
+    within = (
+        F.abs(F.col("_est") - F.col("exact_users")) / F.col("exact_users")
+        <= 0.05
+    )
+    return joined.select(
+        "week", "n_days", "exact_users", within.alias("within_5pct")
+    )
