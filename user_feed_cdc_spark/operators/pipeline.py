@@ -820,3 +820,82 @@ def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= _RESERVOIR_K)
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@_register(
+    "pipeline_pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7' AS t
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_digest
+    FROM aug
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the pre-training privacy scrub): emails, phone
+    numbers, and IPv4 addresses are regex-redacted to typed
+    placeholders, with per-doc match counts and an md5 of the scrubbed
+    text — so the certification is byte-for-byte: the hash gate passes
+    only if BOTH engines find the same spans and rewrite them
+    identically. The input is fixture-augmented (each doc gets a
+    deterministic doc_id-derived email/phone/IP appended) so every row
+    exercises all three scrubbers against known-positive spans while
+    the original text still flows through them — the md5-twin
+    treatment applied to redaction.
+
+    The patterns stay inside the regex subset Java (Spark) and RE2
+    (DuckDB oracle) interpret identically: character classes, bounded
+    repetition, word boundaries — no backrefs, no lookaround. Plan:
+    pure scan-stage projection (regexp_replace/extract_all are
+    codegen'd JVM calls, zero Python, zero shuffles) — at 100 TB this
+    is embarrassingly parallel and I/O-bound, exactly what a scrub
+    pass should be; redaction order (emails → IPs → phones) is fixed
+    so composed rewrites are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    t = docs.select("doc_id", "lang", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_digest"),
+    )
