@@ -418,3 +418,111 @@ def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (the anti-`except: pass`, reference event_processor.py:111-113)."""
     raw = cdc_fixture_json(spark, sf_dir)
     return dead_letters(raw).groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+_TIMETRAVEL_ORACLE = """
+    WITH changes AS (
+        SELECT event_id % 500 AS key, event_id, ts,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS val,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op
+        FROM events
+    ),
+    probes AS (
+        SELECT event_id AS probe_id, event_id % 500 AS key, ts AS pts
+        FROM events WHERE event_id % 7 = 3
+    ),
+    latest AS (
+        SELECT p.probe_id, p.key, p.pts,
+               arg_max(c.op, lpad(CAST(epoch_us(c.ts) AS VARCHAR), 20, '0')
+                             || lpad(CAST(c.event_id AS VARCHAR), 12, '0'))
+                   AS op,
+               arg_max(c.event_id,
+                       lpad(CAST(epoch_us(c.ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(c.event_id AS VARCHAR), 12, '0'))
+                   AS ch_event_id,
+               arg_max(c.val, lpad(CAST(epoch_us(c.ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(c.event_id AS VARCHAR), 12, '0'))
+                   AS ch_val
+        FROM probes p JOIN changes c
+          ON c.key = p.key AND c.ts <= p.pts
+        GROUP BY p.probe_id, p.key, p.pts
+    )
+    SELECT probe_id, key, pts,
+           CASE WHEN op = 'd' THEN NULL ELSE ch_event_id END
+               AS version_event_id,
+           CASE WHEN op = 'd' THEN NULL ELSE ch_val END AS version_value,
+           op = 'd' AS was_deleted
+    FROM latest
+"""
+
+
+@_register("cdc_timetravel_lookup", _TIMETRAVEL_ORACLE)
+def cdc_timetravel_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read of the CDC changelog — the
+    consuming half of the upsert/SCD2 pair: for each probe (key,
+    timestamp), the key's table state AS OF that instant — the latest
+    c/u change at-or-before it, or nothing if that change was a delete.
+    This is the lake-table `VERSION AS OF` read expressed over the raw
+    changelog, and the label-generation shape for training on
+    historical features without leakage (features as they stood at the
+    example's own timestamp, never later).
+
+    Plan: the as-of union+window core (operators/asof.py's shape, with
+    the equal-ts rule extended by event_id so concurrent changes of one
+    key resolve deterministically): changes and probes union into one
+    (key)-partitioned stream ordered by (ts, is_probe, event_id),
+    last(state, ignorenulls) carries the newest change state onto every
+    probe row — ONE shuffle, |probes| output rows, never a
+    probe×version-chain join. The oracle computes the same lookup as a
+    per-probe argmax over a packed (epoch_us, event_id) string key —
+    join+argmax semantics certifying the window form. At 100 TB the
+    window form wins precisely because it never materializes the
+    quadratic probe×chain pairs the oracle's join does."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        (F.col("event_id") % 500).alias("key"),
+        "ts",
+        F.lit(0).alias("_is_probe"),
+        F.col("event_id").alias("_ord_id"),
+        F.struct(
+            F.col("event_id").alias("ch_event_id"),
+            r2(F.col("value")).alias("ch_val"),
+            _op().alias("op"),
+        ).alias("st"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = ev.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("event_id") % 500).alias("key"),
+        "ts",
+        F.lit(1).alias("_is_probe"),
+        F.col("event_id").alias("_ord_id"),
+        F.lit(None)
+        .cast("struct<ch_event_id:bigint,ch_val:double,op:string>")
+        .alias("st"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("ts", "_is_probe", "_ord_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        changes.unionByName(probes)
+        .withColumn("_last", F.last("st", ignorenulls=True).over(w))
+        .filter(F.col("_is_probe") == 1)
+    )
+    deleted = F.col("_last.op") == "d"
+    return carried.select(
+        "probe_id",
+        "key",
+        F.col("ts").alias("pts"),
+        F.when(~deleted, F.col("_last.ch_event_id")).alias("version_event_id"),
+        F.when(~deleted, F.col("_last.ch_val")).alias("version_value"),
+        deleted.alias("was_deleted"),
+    )
