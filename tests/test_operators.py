@@ -843,3 +843,70 @@ def test_multimodal_resize_end_to_end(spark, sf_dir):
     # deterministic: same input -> same digests
     again = {r.doc_id: r.resized_digest for r in multimodal_resize(spark, sf_dir).collect()}
     assert all(again[r.doc_id] == r.resized_digest for r in rows)
+
+
+def test_connected_components_block_structure(spark, sf_dir):
+    """graph_connected_components: edges exist only within id-blocks of
+    8 and +1 edges chain every block internally, so each user's
+    component representative must be the smallest user id in its block
+    present in the data."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["graph_connected_components"](spark, sf_dir).collect()
+    assert rows
+    users = sorted(r.user_id for r in rows)
+    block_min = {}
+    for u in users:
+        block_min.setdefault(u // 8, u)
+    for r in rows:
+        assert r.component_id == block_min[r.user_id // 8], r
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    """events_markov_transitions: per from_type the conditional
+    probabilities must sum to 1 within rounding slack, and counts must
+    equal the (n_events - n_users) successor total."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["events_markov_transitions"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    p_sum, n_sum = defaultdict(float), 0
+    for r in rows:
+        p_sum[r.from_type] += r.p
+        n_sum += r.n
+    for ft, s in p_sum.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+    ev = em.queries()  # total transitions = events - users (one tail each)
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    expect = events.count() - events.select("user_id").distinct().count()
+    assert n_sum == expect
+
+
+def test_reservoir_sample_exact_k_and_stable(spark, sf_dir):
+    """pipeline_reservoir_sample: exactly k per lang (or the whole
+    stratum when smaller), and the draw is identical across runs."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.pipeline import _RESERVOIR_K
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["pipeline_reservoir_sample"](spark, sf_dir).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    strata = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(__import__("pyspark.sql.functions", fromlist=["f"]).count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(_RESERVOIR_K, strata[lang]), (lang, n)
+    again = {
+        (r.lang, r.doc_id)
+        for r in em.queries()["pipeline_reservoir_sample"](spark, sf_dir).collect()
+    }
+    assert again == {(r.lang, r.doc_id) for r in rows}

@@ -538,3 +538,61 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round_half_up(F.col("n") / tot, 6).alias("p"),
     )
+
+
+@_register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INT) AS island
+        FROM days
+    )
+    SELECT user_id,
+           MAX(streak_len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM (
+        SELECT user_id, island, COUNT(*) AS streak_len
+        FROM islands GROUP BY user_id, island
+    )
+    GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (the retention/engagement feature next to
+    the cohort family): collapse events to distinct (user, day), then
+    ``day - row_number()`` is constant exactly within a run of
+    consecutive days (both advance by 1), so grouping on that island
+    key measures every streak with NO self-join and NO per-day window
+    walk. Two cheap aggregations after the collapse.
+
+    Scale: the distinct-(user, day) collapse happens FIRST (the
+    events_daily_retention treatment), shrinking event volume to
+    at-most users×days rows before any window; everything downstream
+    shuffles on user_id once and the island arithmetic is a scan-stage
+    projection. Integer day arithmetic is engine-exact."""
+    from pyspark.sql import Window as W
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    island = F.date_sub(
+        "day", F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    )
+    streaks = (
+        days.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -1241,3 +1241,61 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("weighted_value"),
     )
+
+
+@_register(
+    "join_null_aware_anti",
+    """
+    WITH s AS (
+        SELECT CASE WHEN o_custkey % 100 = 37 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders
+    )
+    SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM s)) AS n_not_in_raw,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM s WHERE k IS NOT NULL))
+               AS n_not_in_filtered
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery — the null-aware anti join, the
+    one join whose SEMANTICS (not just plan) differ from LEFT ANTI:
+    ``x NOT IN (S)`` is never TRUE once S contains a NULL (x <> NULL is
+    UNKNOWN), so the raw count is provably ZERO while the
+    null-filtered form returns the real customers-without-orders count.
+    Both counts ride one row under the hash gate: the zero certifies
+    that Spark implements the tri-valued semantics (Spark plans this as
+    a null-aware anti join — a broadcast hash join variant that
+    short-circuits on the null flag rather than scanning per probe),
+    and the filtered count certifies the useful form every style guide
+    rewrites NOT IN into. Nulls are injected deterministically
+    (custkey % 100 = 37) since the testdata has none.
+
+    At 100 TB the lesson IS the operator: an accidental nullable NOT IN
+    column turns the whole query into a constant-empty result after a
+    full build-side scan — the filtered rewrite (or LEFT ANTI, which
+    treats NULL as simply non-matching) is the production form."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH s AS (
+            SELECT CASE WHEN o_custkey % 100 = 37 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM {o}
+        )
+        SELECT (SELECT COUNT(*) FROM {c}) AS n_customers,
+               (SELECT COUNT(*) FROM {c2}
+                WHERE c_custkey NOT IN (SELECT k FROM s)) AS n_not_in_raw,
+               (SELECT COUNT(*) FROM {c3}
+                WHERE c_custkey NOT IN
+                      (SELECT k FROM s WHERE k IS NOT NULL))
+                   AS n_not_in_filtered
+        """,
+        o=orders,
+        c=customer,
+        c2=customer,
+        c3=customer,
+    )
