@@ -557,6 +557,35 @@ _MD5_ROWS = _MD5_K // _MD5_BANDS
 # appends a bands(doc_id, band_idx, band_val) CTE with r rows per band.
 # Reused by the candidate-pair oracle here and the fuzzy-decontamination
 # oracle in operators/pipeline.py.
+def md5_sig_ctes(src: str = "documents") -> str:
+    """The toks/sh/sig CTE chain over an arbitrary source CTE/table —
+    parameterized so compositions (pipeline_training_funnel) can run
+    the signature build over a survivor set instead of raw documents."""
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM {src}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(tk) - 3, 0) + 1),
+                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+               )) AS shs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, {_MD5_K}), i ->
+                   list_min(list_transform(shs, s ->
+                       CAST('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)
+                            AS BIGINT)))) AS sig
+        FROM sh
+    )
+"""
+
+
 MD5_SIG_CTES = f"""
     toks AS (
         SELECT doc_id,

@@ -899,3 +899,212 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_digest"),
     )
+
+
+def _funnel_oracle() -> str:
+    from user_feed_cdc_spark.operators.dedup import (
+        MAX_BUCKET,
+        _MD5_K,
+        _MD5_ROWS,
+        md5_sig_ctes,
+    )
+
+    n_bands = _MD5_K // _MD5_ROWS
+    slices = " || ',' || ".join(
+        f"CAST(sig[{_MD5_ROWS} * b + {i + 1}] AS VARCHAR)"
+        for i in range(_MD5_ROWS)
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    scored AS (
+        SELECT doc_id, text, lang,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_sql_list(EN_STOPWORDS)})))
+                   AS stop_hits
+        FROM corpus
+    ),
+    s1 AS (
+        SELECT doc_id, text FROM scored
+        WHERE n_tokens >= 20 AND stop_hits * 1.0 / n_tokens < 0.5
+    ),
+    s2 AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM s1
+        ) WHERE rn = 1
+    ),
+    {md5_sig_ctes("s2")},
+    bands AS (
+        SELECT doc_id, b AS band_idx, {slices} AS band_val
+        FROM sig, range(0, {n_bands}) AS t(b)
+    ),
+    sized AS (
+        SELECT doc_id, band_idx, band_val,
+               COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands
+    ),
+    kept AS (
+        SELECT doc_id, band_idx, band_val FROM sized WHERE bsz <= {MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b USING (band_idx, band_val)
+        WHERE a.doc_id <> b.doc_id
+    ),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM s2
+        UNION
+        SELECT p.id_a, r.r FROM pairs p JOIN reach r ON r.doc_id = p.id_b
+    ),
+    s3 AS (
+        SELECT s2.doc_id, s2.text FROM s2
+        JOIN (SELECT doc_id, MIN(r) AS rep FROM reach GROUP BY doc_id) c
+          USING (doc_id)
+        WHERE c.rep = c.doc_id
+    ),
+    egrams AS (
+        SELECT DISTINCT UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))
+                              - {_DECON_NGRAM} + 2, 2)),
+            i -> array_to_string(
+                list_filter(string_split(text, ' '), t -> t <> '')
+                    [i:i + {_DECON_NGRAM} - 1], ' ')
+        ))) AS g
+        FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+                range(1, greatest(len(list_filter(string_split(text, ' '),
+                                                  t -> t <> ''))
+                                  - {_DECON_NGRAM} + 2, 2)),
+                i -> array_to_string(
+                    list_filter(string_split(text, ' '), t -> t <> '')
+                        [i:i + {_DECON_NGRAM} - 1], ' ')
+            ))) AS g
+            FROM s3
+        ) t JOIN egrams e ON t.g = e.g
+    ),
+    s4 AS (
+        SELECT doc_id FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           (SELECT COUNT(*) FROM corpus) AS n_docs
+    UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'near_dup', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM s4)
+    """
+
+
+@_register("pipeline_training_funnel", _funnel_oracle())
+def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data funnel — the whole preprocessing pipeline a
+    pre-training corpus runs, as ONE Spark plan with per-stage survivor
+    accounting: raw → quality gate (length + stopword ratio) → exact
+    dedup (min-doc_id per content digest) → near-dup collapse (md5
+    MinHash banding + connected-components, cluster representatives
+    survive) → benchmark decontamination (5-gram overlap with the
+    held-out eval slice). Every stage is an operator certified on its
+    own elsewhere (pipeline_corpus_clean, dedup_exact_docs,
+    dedup_minhash_md5_clusters, pipeline_decontaminate); this entry
+    certifies their COMPOSITION — survivor sets feed forward, so a
+    semantics drift in any stage moves the downstream counts and fails
+    the hash gate. The oracle replays the identical funnel in SQL
+    (recursive CTE for the clustering stage).
+
+    Scale posture is inherited from the parts: narrow scan predicate →
+    digest-keyed shuffle → band-bucketed clustering over the ALREADY
+    twice-shrunk survivor set (each stage cuts the data the next stage
+    pays for — the reason production funnels run in this order) →
+    broadcast gram semi-join. Nothing quadratic, nothing collected."""
+    from user_feed_cdc_spark.operators.dedup import (
+        _cluster_by_bands,
+        md5_band_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "text"
+    )
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_hits = F.size(F.filter(tokens, lambda t: t.isin(*EN_STOPWORDS)))
+    s1 = (
+        corpus.withColumn("n_tokens", F.size(tokens))
+        .withColumn("stop_hits", stop_hits)
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stop_hits") / F.col("n_tokens") < 0.5)
+        )
+        .select("doc_id", "text")
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    # the clustering stage re-reads s2 twice (bands + membership) and the
+    # decon stage once more; persist the small survivor frame
+    s2 = s2.persist()
+    clusters = _cluster_by_bands(
+        md5_band_rows(s2).withColumnRenamed("band_val", "band_hash"),
+        s2.select("doc_id"),
+    )
+    s3 = (
+        s2.join(clusters, "doc_id")
+        .filter(F.col("rep_id") == F.col("doc_id"))
+        .select("doc_id", "text")
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(
+            F.explode(
+                F.transform(
+                    shingles(F.col("text"), _DECON_NGRAM),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    contaminated = (
+        s3.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    shingles(F.col("text"), _DECON_NGRAM),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("gh"),
+        )
+        .join(F.broadcast(eval_grams), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = s3.join(contaminated, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    out = (
+        stage(0, "raw", corpus)
+        .unionByName(stage(1, "quality", s1))
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "near_dup", s3))
+        .unionByName(stage(4, "decontaminated", s4))
+    )
+    return out
