@@ -325,3 +325,43 @@ def test_repetition_scores_column_pruning(spark, sf_dir):
     assert read_schemas
     for rs in read_schemas:
         assert "lang" not in rs and "source" not in rs  # unreferenced → pruned
+
+
+def test_timetravel_single_shuffle(spark, sf_dir):
+    """cdc_timetravel_lookup: the as-of union+window form must ride ONE
+    key shuffle — a second Exchange or any join would mean the lookup
+    degenerated into the quadratic probe x version-chain shape the
+    oracle uses."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["cdc_timetravel_lookup"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in head, j
+
+
+def test_reservoir_sample_group_limit(spark, sf_dir):
+    """pipeline_reservoir_sample: the per-stratum top-k must plan
+    WindowGroupLimit (map-side k-per-group before the exchange) over a
+    single stratum shuffle."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["pipeline_reservoir_sample"](spark, sf_dir)
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in head
+    assert head.count("Exchange hashpartitioning") == 1
+
+
+def test_null_aware_anti_join_planned(spark, sf_dir):
+    """join_null_aware_anti: the raw NOT IN must plan Spark's
+    null-aware anti join (BroadcastHashJoin LeftAnti with the
+    isNullAwareAntiJoin flag) — a fallback to BNL here would be the
+    per-probe-scan regression this entry exists to pin."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["join_null_aware_anti"](spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
