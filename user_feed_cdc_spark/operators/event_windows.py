@@ -596,3 +596,62 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@_register(
+    "events_daily_spine",
+    """
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS u
+        FROM events GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n, 0) AS n_events,
+           COALESCE(d.u, 0) AS n_users,
+           d.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def events_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification — the monitoring/gap-detection
+    primitive every ingestion pipeline needs: generate EVERY day
+    between the corpus's first and last event (sequence over the
+    broadcast min/max bounds) and left-join the per-day rollup, so
+    days with ZERO events appear as explicit gap rows instead of
+    silently missing — a groupBy alone cannot distinguish 'no data
+    arrived' from 'no row emitted', which is exactly the failure an
+    ingestion monitor exists to catch.
+
+    Scale: the spine is days-sized (tiny at any corpus scale) and
+    generated from a 1-row broadcast bounds aggregate; the daily
+    rollup is one shuffle on the day key with map-side partials;
+    the densifying join is broadcast. Date arithmetic is
+    integer-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("u", F.lit(0)).alias("n_users"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -1029,6 +1029,7 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast gram semi-join. Nothing quadratic, nothing collected."""
     from user_feed_cdc_spark.operators.dedup import (
         _cluster_by_bands,
+        _materialize,
         md5_band_rows,
     )
 
@@ -1054,8 +1055,10 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     # the clustering stage re-reads s2 twice (bands + membership) and the
-    # decon stage once more; persist the small survivor frame
-    s2 = s2.persist()
+    # decon stage once more; materialize the small survivor frame once
+    # (lineage-truncating local checkpoint, GC-cleaned — the clustering
+    # core's own materializer; at 100 TB use its persist mode instead)
+    s2 = _materialize(s2, "local_checkpoint")
     clusters = _cluster_by_bands(
         md5_band_rows(s2).withColumnRenamed("band_val", "band_hash"),
         s2.select("doc_id"),
