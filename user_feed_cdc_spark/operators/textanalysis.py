@@ -552,7 +552,8 @@ def text_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = (
         docs.select("doc_id", "lang", tokens.alias("tk"))
-        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", "lang", F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
     )
     agg = grams.groupBy("lang", "bigram").agg(
         F.count(F.lit(1)).alias("n"),
@@ -671,8 +672,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
-        F.explode(shingles(F.col("text"), _BOILER_N)).alias("gram")
-    )
+        F.explode_outer(shingles(F.col("text"), _BOILER_N)).alias("gram")
+    ).filter(F.col("gram").isNotNull())  # outer + guard: one shingle
+    # evaluation per row instead of two (explode's implicit size filter
+    # re-evaluates the array expr), same rows out
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -921,7 +924,8 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = (
         docs.select("doc_id", tokens.alias("tk"))
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
     )
     bi_freq = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
     head = F.substring_index("bigram", " ", 1)
