@@ -365,3 +365,43 @@ def test_null_aware_anti_join_planned(spark, sf_dir):
     plan = _executed_plan(em.queries()["join_null_aware_anti"](spark, sf_dir))
     assert "LeftAnti, BuildRight, true" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Fact table partitioned by day joined to a filtered dim must plan
+    dynamic partition pruning (the runtime subquery filter on the scan's
+    partition column) — at 100 TB this is what turns a full-fact scan
+    into reading only the dim-selected partitions."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    fact_path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # DPP requires a SELECTIVE filter on the dim side (a bare limit
+    # doesn't qualify as a pruning-worthy build) and a broadcastable dim
+    dim = ev.select("day").distinct().filter(F.dayofmonth("day") <= 3)
+    j = fact.join(dim, "day").groupBy("day").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_training_funnel_monotone(spark, sf_dir):
+    """pipeline_training_funnel: stages only ever shrink the corpus, and
+    the five stages arrive in order."""
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.queries()["pipeline_training_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dup", "decontaminated",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[0] > 0
