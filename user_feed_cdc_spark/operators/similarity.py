@@ -895,3 +895,62 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_register(
+    "similarity_pandas_udf_normalize",
+    """
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               FLOOR(CAST(x AS DOUBLE)
+                     / sqrt(list_sum(list_transform(embedding,
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                     * 1000000.0 + 0.5) / 1000000.0
+           ) AS unit_vec
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+)
+def similarity_pandas_udf_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L2 normalization through a SCALAR Arrow `@pandas_udf` — the
+    vectorized-UDF surface the mapInPandas featurizer doesn't cover:
+    embeddings arrive as a pandas Series of numpy arrays per Arrow
+    batch, numpy does the math batch-wise, and the result is certified
+    VALUE-EXACT against the SQL oracle. Cross-engine float contract:
+    the squared-norm accumulates with np.cumsum (strictly sequential
+    fp64 adds — numpy's default pairwise-tree sum would differ from
+    DuckDB's sequential list_sum in ULPs), np.sqrt/np.floor are
+    correctly-rounded like both engines' sqrt/floor, and each element
+    is rounded half-up at 1e-6 inside the UDF. Bounded to vec_id<200
+    by contract only to keep the oracle cheap — the UDF itself is the
+    per-row O(dim) scan-stage pass that runs at any scale.
+
+    When to use this tier at 100 TB: built-in higher-order fns
+    (`F.aggregate`/`zip_with`, the cosine family here) stay JVM-side
+    and win when expressible; the scalar pandas_udf is the next rung —
+    one Arrow round-trip per batch, numpy inside — for math that
+    outgrows SQL expressions (model scoring, learned tokenizers)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations on the inner fn: PEP-563 lazy annotations (active
+    # module-wide) stringify them, which pandas_udf can't introspect;
+    # the explicit returnType carries the schema
+    @pandas_udf("array<double>")
+    def l2_normalize(vecs):
+        out = []
+        for v in vecs:
+            e = np.asarray(v, dtype=np.float64)
+            # cumsum = sequential adds; [-1] is the full squared norm
+            norm = np.sqrt(np.cumsum(e * e)[-1])
+            unit = e / norm
+            out.append(np.floor(unit * 1e6 + 0.5) / 1e6)
+        return pd.Series(out)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("unit_vec")
+    )
