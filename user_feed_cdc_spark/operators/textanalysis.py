@@ -954,3 +954,61 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_surprisal"),
     )
+
+
+_UDTF_DOC_CAP = 50  # bounded by contract: keeps the oracle's unnest cheap
+
+
+@_register(
+    "text_udtf_sentences",
+    f"""
+    WITH parts AS (
+        SELECT doc_id, string_split(text, '.') AS ps
+        FROM documents WHERE doc_id < {_UDTF_DOC_CAP}
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sent_idx,
+           trim(ps[CAST(i AS INT)]) AS sentence,
+           length(trim(ps[CAST(i AS INT)])) AS n_chars
+    FROM parts, UNNEST(range(1, len(ps) + 1)) AS t(i)
+    WHERE trim(ps[CAST(i AS INT)]) <> ''
+    """,
+)
+def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a PYTHON UDTF — the table-function
+    rung of the UDF ladder (scalar pandas_udf, grouped applyInPandas,
+    mapInPandas, and now one-row-to-many-rows): each document explodes
+    into (sent_idx, sentence, n_chars) rows from a generator, certified
+    row-exact against the SQL unnest twin. sent_idx numbers the RAW
+    split positions (empties keep their index but emit no row), so the
+    index is stable under any segmenter that later drops more spans.
+
+    Bounded to doc_id < {_UDTF_DOC_CAP} BY CONTRACT — not because the
+    UDTF can't scale (it streams rows per input row, state-free, so it
+    partitions like any projection) but because this tier is
+    row-at-a-time Python: at 100 TB the same split belongs in
+    `explode(split(...))` (JVM, used by the chunking entry) or an
+    Arrow-batched mapInPandas; a UDTF earns its cost only when the
+    expansion logic is genuinely imperative (parsers, tokenizers with
+    carry-over state per row)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType=(
+        "doc_id: bigint, sent_idx: int, sentence: string, n_chars: int"
+    ))
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, raw in enumerate(text.split(".")):
+                s = raw.strip(" ")
+                if s:
+                    yield doc_id, i, s, len(s)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _UDTF_DOC_CAP
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs d, "
+        "LATERAL split_sentences(d.doc_id, d.text) s"
+    )
