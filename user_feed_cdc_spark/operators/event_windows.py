@@ -655,3 +655,66 @@ def events_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("u", F.lit(0)).alias("n_users"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@_register(
+    "streaming_hourly_rollup_live",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIVE Structured Streaming run under the oracle hash gate — not
+    a batch twin: the events parquet replays as a file stream
+    (maxFilesPerTrigger=1), the SAME tumbling_counts used by the
+    streaming pipeline aggregates it with a 10-minute watermark, an
+    availableNow trigger drains the backlog through the memory sink,
+    and the materialized sink table is what the driver hashes against
+    the batch SQL. Batch-stream equivalence holds exactly here because
+    the replay is one file -> one micro-batch, so no row can arrive
+    behind the watermark; with multi-file replays the same query drops
+    late data — the semantics tests/test_streaming.py pins.
+
+    At 100 TB this is the nightly-replay/backfill shape: availableNow
+    processes a bounded backlog with streaming semantics (watermarks,
+    state eviction, exactly-once sink batches) and shuts down —
+    the same code that runs the 24/7 pipeline, certified against the
+    batch oracle instead of trusted by analogy."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        tumbling_counts,
+    )
+
+    import hashlib
+    import os
+    import tempfile
+
+    # FileStreamSource needs a DIRECTORY (it reuses the path as
+    # basePath for partition discovery); expose just the events file
+    # through a per-sf symlink directory so the sniffer and the stream
+    # see only event files
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = events_file_stream(spark, link_dir)
+    agg = tumbling_counts(stream, "1 hour", watermark="10 minutes")
+    name = "streaming_hourly_rollup_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
