@@ -910,3 +910,26 @@ def test_reservoir_sample_exact_k_and_stable(spark, sf_dir):
         for r in em.queries()["pipeline_reservoir_sample"](spark, sf_dir).collect()
     }
     assert again == {(r.lang, r.doc_id) for r in rows}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake posture: a parquet dataset whose later files add a column
+    must read cleanly with mergeSchema — old rows surface NULL for the
+    new column, and the explicit-schema read path stays narrow (only
+    requested columns reach the scan)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("lang")
+    ).write.mode("append").parquet(p)
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("lang"),
+        F.lit(0.9).alias("quality"),
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "lang", "quality"}
+    rows = {r.doc_id: r.quality for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 0.9
+    assert merged.filter(F.col("quality").isNull()).count() == 5

@@ -182,3 +182,23 @@ def test_resize_nearest_properties(w, h, ow, oh, data):
     src_pixels = {px[i : i + 3] for i in range(0, len(px), 3)}
     for i in range(0, len(out), 3):
         assert out[i : i + 3] in src_pixels
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab c", max_size=60))
+def test_bpe_pair_trick_matches_reference(text):
+    """The positional-substring pair construction used by
+    text_bpe_merge_pairs must equal the naive zip(chars, chars[1:])
+    reference for arbitrary word content, including multi-space runs
+    (words shorter than 2 chars contribute nothing)."""
+    from collections import Counter
+
+    expect = Counter()
+    for w in text.split(" "):
+        if len(w) >= 2:
+            expect.update(a + b for a, b in zip(w, w[1:]))
+    got = Counter()
+    for w in text.split(" "):
+        if len(w) >= 2:
+            got.update(w[i : i + 2] for i in range(len(w) - 1))
+    assert got == expect
