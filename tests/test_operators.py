@@ -877,7 +877,7 @@ def test_markov_probabilities_sum_to_one(spark, sf_dir):
         n_sum += r.n
     for ft, s in p_sum.items():
         assert abs(s - 1.0) < 1e-4, (ft, s)
-    ev = em.queries()  # total transitions = events - users (one tail each)
+    # total transitions = events - users (one tail per user)
     from user_feed_cdc_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")

@@ -124,6 +124,9 @@ def main() -> int:
         if problems:
             failures.append(name)
 
+    if name_filter and n_checked == 0:
+        print(f"no registry entry matches filter {name_filter!r}")
+        return 1
     print(f"\n{n_checked - len(failures)}/{n_checked} checked queries match")
     return 1 if failures else 0
 

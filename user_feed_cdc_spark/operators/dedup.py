@@ -586,29 +586,7 @@ def md5_sig_ctes(src: str = "documents") -> str:
 """
 
 
-MD5_SIG_CTES = f"""
-    toks AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(0, greatest(len(tk) - 3, 0) + 1),
-                   i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
-               )) AS shs
-        FROM toks
-    ),
-    sig AS (
-        SELECT doc_id,
-               list_transform(range(0, {_MD5_K}), i ->
-                   list_min(list_transform(shs, s ->
-                       CAST('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)
-                            AS BIGINT)))) AS sig
-        FROM sh
-    )
-"""
+MD5_SIG_CTES = md5_sig_ctes()
 
 
 def md5_band_ctes(rows_per_band: int = _MD5_ROWS) -> str:

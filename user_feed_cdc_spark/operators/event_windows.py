@@ -704,8 +704,10 @@ def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.islink(link):
+    try:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass  # concurrent caller (or a previous run) won the race
     stream = events_file_stream(spark, link_dir)
     agg = tumbling_counts(stream, "1 hour", watermark="10 minutes")
     name = "streaming_hourly_rollup_live_sink"

@@ -1287,15 +1287,13 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {o}
         )
         SELECT (SELECT COUNT(*) FROM {c}) AS n_customers,
-               (SELECT COUNT(*) FROM {c2}
+               (SELECT COUNT(*) FROM {c}
                 WHERE c_custkey NOT IN (SELECT k FROM s)) AS n_not_in_raw,
-               (SELECT COUNT(*) FROM {c3}
+               (SELECT COUNT(*) FROM {c}
                 WHERE c_custkey NOT IN
                       (SELECT k FROM s WHERE k IS NOT NULL))
                    AS n_not_in_filtered
         """,
         o=orders,
         c=customer,
-        c2=customer,
-        c3=customer,
     )

@@ -509,7 +509,9 @@ def sketch_distinct_overlap_bounded(
         .crossJoin(exact)
     )
     est_overlap = F.col("_e_a") + F.col("_e_b") - F.col("_e_u")
-    within = (
+    # zero overlap makes the relative bound undefined (Divide -> NULL
+    # would hash-mismatch the oracle's TRUE); the cert is vacuous there
+    within = F.when(F.col("exact_overlap") == 0, F.lit(True)).otherwise(
         F.abs(est_overlap - F.col("exact_overlap"))
         / F.col("exact_overlap")
         <= 0.15

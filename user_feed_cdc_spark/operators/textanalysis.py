@@ -991,7 +991,7 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas; a UDTF earns its cost only when the
     expansion logic is genuinely imperative (parsers, tokenizers with
     carry-over state per row)."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType=(
         "doc_id: bigint, sent_idx: int, sentence: string, n_chars: int"
