@@ -720,3 +720,76 @@ def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@_register(
+    "streaming_session_stats_live",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL-MERGE streaming operator live under the oracle gate:
+    session_window aggregation — where the streaming engine must MERGE
+    adjacent session state as events arrive, not just accumulate a
+    keyed counter — replayed over the events file stream in complete
+    mode and drained with availableNow into the memory sink; the
+    materialized sessions are value-hashed against the gaps-and-islands
+    SQL. Complete mode needs no watermark (session state is re-emitted
+    each trigger), which is exactly what makes the single-batch replay
+    equal the batch run; the watermarked append form and its late-data
+    drops are pinned by tests/test_streaming.py. Together with
+    streaming_hourly_rollup_live this certifies both streaming
+    aggregation families — fixed windows and merging windows — by
+    driver hash, not analogy."""
+    import hashlib
+    import os
+    import tempfile
+
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        session_counts,
+    )
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    stream = events_file_stream(spark, link_dir)
+    agg = session_counts(stream, "30 minutes")
+    name = "streaming_session_stats_live_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
