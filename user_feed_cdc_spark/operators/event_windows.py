@@ -793,3 +793,58 @@ def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@_register(
+    "streaming_dedup_live",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup state live under the oracle gate — the third
+    streaming operator family after fixed and merging windows: the
+    events file stream passes through dropDuplicates on
+    (user_id, event_type), availableNow drains it through the memory
+    sink in append mode (dedup emits first-occurrences immediately;
+    the watermark's only job is state eviction), and the surviving key
+    set is hashed against SELECT DISTINCT. Only the KEYS are emitted:
+    which physical row survives depends on partition arrival order, so
+    the deterministic contract — and therefore the certifiable one —
+    is the key set itself. The within/cross-batch replay semantics and
+    watermark-horizon eviction are pinned by tests/test_streaming.py;
+    at 100 TB the state store holds one entry per live key within the
+    watermark horizon, the bound that keeps an open keyspace finite."""
+    import hashlib
+    import os
+    import tempfile
+
+    from user_feed_cdc_spark.streaming.windows import events_file_stream
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    stream = events_file_stream(spark, link_dir)
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "streaming_dedup_live_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
