@@ -687,28 +687,11 @@ def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch oracle instead of trusted by analogy."""
     from user_feed_cdc_spark.streaming.windows import (
         events_file_stream,
+        events_stream_dir,
         tumbling_counts,
     )
 
-    import hashlib
-    import os
-    import tempfile
-
-    # FileStreamSource needs a DIRECTORY (it reuses the path as
-    # basePath for partition discovery); expose just the events file
-    # through a per-sf symlink directory so the sniffer and the stream
-    # see only event files
-    link_dir = os.path.join(
-        tempfile.gettempdir(),
-        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    except FileExistsError:
-        pass  # concurrent caller (or a previous run) won the race
-    stream = events_file_stream(spark, link_dir)
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
     agg = tumbling_counts(stream, "1 hour", watermark="10 minutes")
     name = "streaming_hourly_rollup_live_sink"
     q = (
@@ -762,26 +745,13 @@ def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_hourly_rollup_live this certifies both streaming
     aggregation families — fixed windows and merging windows — by
     driver hash, not analogy."""
-    import hashlib
-    import os
-    import tempfile
-
     from user_feed_cdc_spark.streaming.windows import (
         events_file_stream,
+        events_stream_dir,
         session_counts,
     )
 
-    link_dir = os.path.join(
-        tempfile.gettempdir(),
-        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    except FileExistsError:
-        pass
-    stream = events_file_stream(spark, link_dir)
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
     agg = session_counts(stream, "30 minutes")
     name = "streaming_session_stats_live_sink"
     q = (
@@ -815,23 +785,12 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-horizon eviction are pinned by tests/test_streaming.py;
     at 100 TB the state store holds one entry per live key within the
     watermark horizon, the bound that keeps an open keyspace finite."""
-    import hashlib
-    import os
-    import tempfile
-
-    from user_feed_cdc_spark.streaming.windows import events_file_stream
-
-    link_dir = os.path.join(
-        tempfile.gettempdir(),
-        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
     )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    except FileExistsError:
-        pass
-    stream = events_file_stream(spark, link_dir)
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .select("user_id", "event_type", "ts")

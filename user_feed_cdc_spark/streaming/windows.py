@@ -20,6 +20,30 @@ from user_feed_cdc_spark.sources.tables import load_events
 DEFAULT_WATERMARK = "10 minutes"
 
 
+def events_stream_dir(sf_dir: str) -> str:
+    """A directory exposing ONLY the events parquet of an sf dir, for
+    file-stream replay: FileStreamSource requires a directory (it
+    reuses the path as basePath), and pointing it at the whole sf dir
+    would sweep non-event tables into the footer sniff. Built once per
+    sf dir as a symlink under the system temp dir; concurrent creators
+    tolerate each other."""
+    import hashlib
+    import os
+    import tempfile
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    return link_dir
+
+
 def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
     """Replay an events parquet directory as a stream (test stand-in for
     Kafka; same columns as the batch table). The footer-sniffed loader
