@@ -1297,3 +1297,83 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=orders,
         c=customer,
     )
+
+
+@_register(
+    "sql_udf_pricing",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           FLOOR(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) / 100.0) * 100.0 + 0.5) / 100.0
+               AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN <expr> — the
+    catalog-resident function surface Spark 4 added): the
+    rounded-net-price formula is DEFINED ONCE as a named SQL function
+    and referenced from the query; Catalyst INLINES the body into the
+    plan, so unlike Python UDFs this abstraction costs nothing — the
+    optimized plan is byte-identical to writing the expression inline,
+    which the oracle (inlined formula) certifies. This is how shared
+    business logic (pricing rules, scoring formulas) is centralized
+    across a 100 TB warehouse without a per-row function-call tax or a
+    Python runtime on the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE "
+        "RETURN FLOOR(p * (1.0 - d) * 100.0 + 0.5) / 100.0"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               -- SQL-text literals are DECIMAL (unlike DataFrame lit):
+               -- cast the rounded quotient back to the double the
+               -- oracle computes (exact int / 100 -> same nearest double)
+               CAST(FLOOR(SUM(net_price(l_extendedprice, l_discount))
+                          * 100.0 + 0.5) / 100.0 AS DOUBLE) AS net_revenue
+        FROM {li}
+        GROUP BY l_returnflag
+        """,
+        li=li,
+    )
+
+
+@_register(
+    "json_variant_stats",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4's
+    open-format answer to shredded JSON columns): `parse_json` turns
+    `events.props` into a VARIANT once, `variant_get` extracts typed
+    paths without re-parsing the text per access — the difference that
+    matters when a query touches many paths of the same document. At
+    100 TB the VARIANT column is stored parsed (binary-encoded), so
+    path access is a sub-column read rather than a JSON parse of every
+    row — this entry certifies the extraction semantics against the
+    string-path oracle (get_json_object twin `json_extract` pins the
+    older API; this pins the VARIANT one)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("max_k"),
+        )
+    )
