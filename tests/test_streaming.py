@@ -584,3 +584,45 @@ def test_streaming_sketch_rollup_matches_batch(spark, sf_dir, events_dir, tmp_pa
     # per-day grouping exposes the finer rollup without rescanning events
     by_day = read_distinct_rollup(spark, sk_path, by_day=True)
     assert by_day.count() > len(got)
+
+
+def test_dedup_within_watermark_state_evicts(spark, tmp_path):
+    """The bounded-state claim of streaming_dedup_live, pinned: with
+    dropDuplicatesWithinWatermark, a key whose last sighting falls
+    behind the advancing watermark is REMOVED from the state store
+    (plain dropDuplicates without the event-time column in the key
+    never evicts — verified during review with numRowsRemoved=0)."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    t0 = 1704067200000000000  # 2024-01-01 in ns
+    m = 60_000_000_000  # one minute in ns
+    _write_spaced_files(
+        spark,
+        d,
+        [
+            [(1, t0, 1, "click", 1.0, "{}")],
+            [(2, t0 + 100 * m, 2, "view", 1.0, "{}")],  # watermark jumps
+        ],
+    )
+    stream = events_file_stream(spark, str(d))
+    dd = (
+        stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_evict_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    total_left = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed >= 1, (removed, total_left)
+    assert total_left <= 1

@@ -59,9 +59,7 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(ev, "1 hour", "30 minutes")
 
 
-@_register(
-    "events_session_stats",
-    """
+_SESSION_STATS_ORACLE = """
     WITH seq AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -83,7 +81,12 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2) AS total_value
     FROM islands
     GROUP BY user_id, session_id
-    """,
+    """
+
+
+@_register(
+    "events_session_stats",
+    _SESSION_STATS_ORACLE,
 )
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap sessions via session_window; the oracle is
@@ -688,48 +691,20 @@ def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from user_feed_cdc_spark.streaming.windows import (
         events_file_stream,
         events_stream_dir,
+        run_to_memory,
         tumbling_counts,
     )
 
     stream = events_file_stream(spark, events_stream_dir(sf_dir))
     agg = tumbling_counts(stream, "1 hour", watermark="10 minutes")
-    name = "streaming_hourly_rollup_live_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(
+        spark, agg, "streaming_hourly_rollup_live_sink", "complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_register(
     "streaming_session_stats_live",
-    """
-    WITH seq AS (
-        SELECT user_id, ts, value,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    islands AS (
-        SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM seq
-    )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
-    FROM islands
-    GROUP BY user_id, session_id
-    """,
+    _SESSION_STATS_ORACLE,
 )
 def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL-MERGE streaming operator live under the oracle gate:
@@ -748,21 +723,15 @@ def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from user_feed_cdc_spark.streaming.windows import (
         events_file_stream,
         events_stream_dir,
+        run_to_memory,
         session_counts,
     )
 
     stream = events_file_stream(spark, events_stream_dir(sf_dir))
     agg = session_counts(stream, "30 minutes")
-    name = "streaming_session_stats_live_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(
+        spark, agg, "streaming_session_stats_live_sink", "complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_register(
@@ -776,34 +745,29 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operator family after fixed and merging windows: the
     events file stream passes through dropDuplicates on
     (user_id, event_type), availableNow drains it through the memory
-    sink in append mode (dedup emits first-occurrences immediately;
-    the watermark's only job is state eviction), and the surviving key
-    set is hashed against SELECT DISTINCT. Only the KEYS are emitted:
-    which physical row survives depends on partition arrival order, so
-    the deterministic contract — and therefore the certifiable one —
-    is the key set itself. The within/cross-batch replay semantics and
-    watermark-horizon eviction are pinned by tests/test_streaming.py;
-    at 100 TB the state store holds one entry per live key within the
-    watermark horizon, the bound that keeps an open keyspace finite."""
+    sink in append mode, and the surviving key set is hashed against
+    SELECT DISTINCT. dropDuplicatesWithinWatermark is the form whose
+    state ACTUALLY evicts: plain dropDuplicates only expires state when
+    the event-time column is part of the dedup key, so on an open
+    keyspace it grows forever — the WithinWatermark variant guarantees
+    exact dedup for duplicates closer than the delay threshold and
+    at-least-once beyond it, holding state to one entry per key seen
+    within the horizon. The single-batch replay here makes that
+    contract coincide with exact DISTINCT (all duplicates share the
+    batch). Only the KEYS are emitted: which physical row survives
+    depends on partition arrival order, so the key set is the
+    deterministic — and therefore certifiable — contract."""
     from user_feed_cdc_spark.streaming.windows import (
         events_file_stream,
         events_stream_dir,
+        run_to_memory,
     )
 
     stream = events_file_stream(spark, events_stream_dir(sf_dir))
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .select("user_id", "event_type", "ts")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = "streaming_dedup_live_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(spark, deduped, "streaming_dedup_live_sink")

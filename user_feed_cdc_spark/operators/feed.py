@@ -541,7 +541,7 @@ _REACH_MAX_HOPS = 8
           ON b.user_id = a.user_id + 1 OR b.user_id = a.user_id + 2
     ),
     reach(u, d) AS (
-        SELECT MIN(user_id), 0 FROM users
+        SELECT MIN(f), 0 FROM followers
         UNION ALL
         SELECT fo.t, r.d + 1
         FROM reach r JOIN followers fo ON fo.f = r.u
@@ -553,8 +553,10 @@ _REACH_MAX_HOPS = 8
 )
 def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS reachability through Spark's NATIVE recursive CTE (WITH
-    RECURSIVE landed in Spark 4): minimum hop count from the smallest
-    user to every account within {_REACH_MAX_HOPS} follow hops,
+    RECURSIVE landed in Spark 4): minimum hop count from the
+    smallest following user (both engines seed from MIN over the SAME
+    edge table, so the seed rule cannot diverge on sparse ids) to every
+    account within _REACH_MAX_HOPS (= 8) follow hops,
     certified against DuckDB running the IDENTICAL recursive SQL —
     the one entry where both engines execute the same iterative
     construct natively, rather than Spark iteration vs unrolled/
@@ -562,17 +564,17 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The follow graph is a DAG (edges only increase user_id), so the
     recursion terminates structurally; the depth bound caps the
-    UNION ALL path expansion (≤ Fibonacci({_REACH_MAX_HOPS}) path
+    UNION ALL path expansion (<= Fibonacci(hop bound) path
     copies per node before the final MIN collapses them). At 100 TB
-    the same recursion runs as {_REACH_MAX_HOPS} chained hash
+    the same recursion runs as hop-bound-many chained hash
     equi-joins with the frontier re-partitioned each step — the
     BFS-frontier shape — and a production variant would dedupe the
     frontier per level (the pointer-jump CC core here) to kill the
     path multiplicity UNION ALL carries."""
     # materialize the edge table ONCE: non-recursive CTEs referenced
-    # inside the recursion re-evaluate at every level, which turns a
-    # 13-level loop into 13 distinct-scans of events (measured 12.5 s
-    # -> 1.5 s at sf0.1)
+    # inside the recursion re-evaluate at every level, which turns the
+    # 9-level loop into 9 distinct-scans of events (measured 12.5 s
+    # -> 2.7 s at sf0.1, before the hop bound came down from 12)
     followers = derived_followers(spark, sf_dir).localCheckpoint(eager=True)
     return spark.sql(
         f"""

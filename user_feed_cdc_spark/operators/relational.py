@@ -1367,7 +1367,9 @@ def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-path oracle (get_json_object twin `json_extract` pins the
     older API; this pins the VARIANT one)."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: lenient like the oracle CAST path and the
+    # try_variant_get below — a malformed row yields NULLs, not an error
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
