@@ -64,9 +64,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # 51+) + the 45 entries last certified in r04 (absent from
     # CORRECTNESS_r05) — exactly 50. With the registry now past 100
     # entries, a 50-slot window makes the old two-round invariant
-    # arithmetically impossible (147 > 2×50); the rotation period is 3
-    # rounds: r07 leads with the 47 new round-6 entries (positions
-    # 51-97, never certified) + the 3 stalest r05 entries, r08 takes
+    # arithmetically impossible (149 > 2×50); the rotation period is 3
+    # rounds: r07 leads with the 49 new round-6 entries (positions
+    # 51-99, never certified) + the 1 stalest r05 entry, r08 takes
     # the remaining r05 tail + the head of this round's window. Every
     # entry still passes the full local oracle gate
     # (tools/check_correctness.py, all entries, every round).
@@ -123,6 +123,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_session_stats_live", "streaming_dedup_live",
         "graph_reachability_recursive", "sql_udf_pricing",
         "json_variant_stats", "streaming_hourly_users_live",
+        "pipeline_profile_columns", "pipeline_quality_checks",
         # certified green in r05, rotate back in r07
         "feed_topk_per_user", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -1123,3 +1123,163 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "decontaminated", s4))
     )
     return out
+
+
+@_register(
+    "pipeline_profile_columns",
+    """
+    SELECT 'event_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(event_id) AS n_null,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_v,
+           CAST(MAX(event_id) AS VARCHAR) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           CAST(FLOOR(MIN(value) * 100.0 + 0.5) / 100.0 AS VARCHAR),
+           CAST(FLOOR(MAX(value) * 100.0 + 0.5) / 100.0 AS VARCHAR)
+    FROM events
+    """,
+)
+def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the deequ/`df.summary()` pass every pipeline
+    runs before trusting a new drop): per column — row count, null
+    count, distinct count, min/max rendered to strings so one narrow
+    schema carries heterogeneous column types. ONE scan computes every
+    column's profile (Spark compiles the multi-aggregate into a single
+    pass with partial aggregation; the oracle's UNION of per-column
+    scans is the readable spelling of the same numbers). At 100 TB the
+    profile is the cheap pass that decides partition bounds, skew
+    strategy, and null-handling BEFORE the expensive jobs run; distinct
+    counts would downgrade to approx_count_distinct there, which the
+    sketch family's bound certs already hold to contract."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(col, minmax_str=None):
+        mn = minmax_str[0] if minmax_str else F.min(col).cast("string")
+        mx = minmax_str[1] if minmax_str else F.max(col).cast("string")
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        )
+
+    value_minmax = (
+        r2(F.min("value")).cast("string"),
+        r2(F.max("value")).cast("string"),
+    )
+    return (
+        prof("event_id")
+        .unionByName(prof("user_id"))
+        .unionByName(prof("event_type"))
+        .unionByName(prof("value", value_minmax))
+    )
+
+
+@_register(
+    "pipeline_quality_checks",
+    """
+    SELECT 'event_id_unique' AS check_name,
+           (SELECT COUNT(*) = COUNT(DISTINCT event_id) FROM events) AS passed,
+           (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+               AS n_violations
+    UNION ALL
+    SELECT 'user_id_complete',
+           (SELECT COUNT(*) = COUNT(user_id) FROM events),
+           (SELECT COUNT(*) - COUNT(user_id) FROM events)
+    UNION ALL
+    SELECT 'event_type_in_domain',
+           (SELECT COUNT(*) = 0 FROM events
+            WHERE event_type NOT IN
+                  ('click', 'error', 'purchase', 'signup', 'view')),
+           (SELECT COUNT(*) FROM events
+            WHERE event_type NOT IN
+                  ('click', 'error', 'purchase', 'signup', 'view'))
+    UNION ALL
+    SELECT 'value_non_negative',
+           (SELECT COUNT(*) = 0 FROM events WHERE value < 0),
+           (SELECT COUNT(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'ts_within_2024',
+           (SELECT COUNT(*) = 0 FROM events
+            WHERE ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2025-01-01'),
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2025-01-01')
+    """,
+)
+def pipeline_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (the deequ/Great-Expectations gate between
+    ingestion and training): declarative checks — primary-key
+    uniqueness, completeness, a categorical domain, a numeric range, a
+    timestamp window — each reporting pass/fail AND the violation
+    count, so a red check carries its blast radius. All five checks
+    compile into ONE scan (conditional aggregation over the same pass —
+    the oracle's correlated-subquery spelling reads better but computes
+    the same numbers). At 100 TB this runs as the cheap tail of every
+    ingestion job; a failed check quarantines the drop before it
+    poisons training data, which is the entire point of the funnel
+    upstream of it."""
+    ev = load_table(spark, sf_dir, "events")
+    domain = ("click", "error", "purchase", "signup", "view")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("event_id").alias("_n_ids"),
+        F.count("user_id").alias("_n_users"),
+        F.sum(
+            F.when(~F.col("event_type").isin(*domain), 1).otherwise(0)
+        ).alias("_bad_type"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("_bad_val"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("_bad_ts"),
+    )
+
+    def check(name, passed, viol):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            passed.alias("passed"),
+            viol.cast("long").alias("n_violations"),
+        )
+
+    checks = F.array(
+        check(
+            "event_id_unique",
+            F.col("_n") == F.col("_n_ids"),
+            F.col("_n") - F.col("_n_ids"),
+        ),
+        check(
+            "user_id_complete",
+            F.col("_n") == F.col("_n_users"),
+            F.col("_n") - F.col("_n_users"),
+        ),
+        check(
+            "event_type_in_domain", F.col("_bad_type") == 0, F.col("_bad_type")
+        ),
+        check("value_non_negative", F.col("_bad_val") == 0, F.col("_bad_val")),
+        check("ts_within_2024", F.col("_bad_ts") == 0, F.col("_bad_ts")),
+    )
+    return (
+        agg.select(F.explode(checks).alias("c"))
+        .select("c.check_name", "c.passed", "c.n_violations")
+    )
