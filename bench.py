@@ -104,6 +104,12 @@ def main() -> None:
         # than standalone from exactly this.
         spark.catalog.clearCache()
         evict_fixture_cache(spark)
+        # Ask the JVM to collect before timing: accumulated
+        # local-checkpoint blocks and memory-sink tables from the
+        # previous pass otherwise surface as a multi-second GC pause
+        # charged to whichever query triggers it (observed: an 11 s
+        # outlier on a 1.9 s query).
+        spark.sparkContext._jvm.System.gc()
         for name, fn in queries.items():
             if name in errors:
                 continue

@@ -789,7 +789,8 @@ def streaming_hourly_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming aggregation (its state is unmergeable), so the streaming
     form is approx_count_distinct, whose HLL++ state merges across
     micro-batches (rsd=0.01: sparse-mode exact through the small
-    early-morning windows that break the default 5%% rsd at n≈10). The live run drains through the memory sink, then a
+    early-morning windows; rsd=0.02 already misses the 5% bound on the
+    n=10 window at sf0.01, measured). The live run drains through the memory sink, then a
     BATCH join against the exact per-hour distinct certifies the
     estimate to ±5% under the hash gate — the sketch error-bound
     pattern (sketch_distinct_users_bounded) applied to a live
