@@ -473,10 +473,10 @@ _CC_BLOCK = 8  # per-shard follow subgraph: edges kept within id-blocks of 8
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the per-shard follow subgraph: follow
-    edges restricted to same id-block-of-{_CC_BLOCK} (the shard-local
+    edges restricted to same id-block-of-8 (_CC_BLOCK) (the shard-local
     social graph — cross-shard edges dropped), each node labeled with
     the minimum user_id reachable from it. Components here are chains of
-    up to {_CC_BLOCK} consecutive users (diameter ~{_CC_BLOCK - 1}), so
+    up to 8 consecutive users (diameter ~7), so
     this entry exercises the pointer-jumping path for real: plain
     min-label propagation needs diameter rounds, path-halving converges
     in O(log diameter).

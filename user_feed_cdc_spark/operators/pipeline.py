@@ -805,7 +805,7 @@ _RESERVOIR_K = 20
     """,
 )
 def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-k per-stratum sample: exactly {_RESERVOIR_K} documents per
+    """Fixed-k per-stratum sample: exactly _RESERVOIR_K (= 20) documents per
     language, the eval-set/spot-check draw every corpus pipeline needs.
     Realized as a hash-rank top-k — rank docs by a salted
     content-independent md5 of their id, keep the k smallest — which has

@@ -1209,7 +1209,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_salted_hot_keys: a low-cardinality/skewed join key (5 event
     types over millions of rows) concentrates each key's rows on one
     task in a plain shuffle join, so the fact side is salted with
-    pmod(xxhash64(event_id), {_JOIN_SALTS}) and the dim side is
+    pmod(xxhash64(event_id), 8) and the dim side is
     replicated x{_JOIN_SALTS} (explode of the salt sequence) — the join
     runs on (key, salt), spreading every hot key over {_JOIN_SALTS}
     tasks. The oracle is the UNSALTED logical join: certifying that

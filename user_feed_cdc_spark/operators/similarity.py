@@ -543,7 +543,7 @@ def _kmeans_centroids(
     (cent_iters, what the query probes), `prev` the set the LAST
     in-loop assignment used (cent_{iters-1}) — the search reuses that
     assignment rather than re-scoring against `final`, which both
-    saves a full pass and mirrors the oracle's assign{last} CTE
+    saves a full pass and mirrors the oracle's final assign<i> CTE
     exactly instead of relying on convergence."""
     seed_rows = (
         vecs.orderBy("vec_id")
