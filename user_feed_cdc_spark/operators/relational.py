@@ -1210,8 +1210,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     types over millions of rows) concentrates each key's rows on one
     task in a plain shuffle join, so the fact side is salted with
     pmod(xxhash64(event_id), 8) and the dim side is
-    replicated x{_JOIN_SALTS} (explode of the salt sequence) — the join
-    runs on (key, salt), spreading every hot key over {_JOIN_SALTS}
+    replicated x8 (explode of the salt sequence) — the join
+    runs on (key, salt), spreading every hot key over 8
     tasks. The oracle is the UNSALTED logical join: certifying that
     salting is a pure physical rewrite (same rows, same aggregates,
     exact-sum float path preserved because the per-key SUM is computed

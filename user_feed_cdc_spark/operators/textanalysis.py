@@ -983,7 +983,7 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     split positions (empties keep their index but emit no row), so the
     index is stable under any segmenter that later drops more spans.
 
-    Bounded to doc_id < {_UDTF_DOC_CAP} BY CONTRACT — not because the
+    Bounded to doc_id < 50 BY CONTRACT — not because the
     UDTF can't scale (it streams rows per input row, state-free, so it
     partitions like any projection) but because this tier is
     row-at-a-time Python: at 100 TB the same split belongs in
