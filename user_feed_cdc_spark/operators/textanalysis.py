@@ -964,7 +964,7 @@ _UDTF_DOC_CAP = 50  # bounded by contract: keeps the oracle's unnest cheap
     f"""
     WITH parts AS (
         SELECT doc_id, string_split(text, '.') AS ps
-        FROM documents WHERE doc_id < _UDTF_DOC_CAP (= 50)
+        FROM documents WHERE doc_id < {_UDTF_DOC_CAP}
     )
     SELECT doc_id,
            CAST(i - 1 AS INT) AS sent_idx,
