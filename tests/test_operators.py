@@ -933,3 +933,57 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r.doc_id: r.quality for r in merged.collect()}
     assert rows[0] is None and rows[7] == 0.9
     assert merged.filter(F.col("quality").isNull()).count() == 5
+
+
+def test_quality_checks_pass_on_pristine_data(spark, sf_dir):
+    """pipeline_quality_checks: generated testdata satisfies every
+    declared constraint — all five checks pass with zero violations."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["pipeline_quality_checks"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.passed and r.n_violations == 0 for r in rows), rows
+
+
+def test_profile_columns_consistent(spark, sf_dir):
+    """pipeline_profile_columns: every column profiles the same row
+    count, nulls are zero on this data, and distinct <= n."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["pipeline_profile_columns"](spark, sf_dir).collect()
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        assert r.n_null == 0 and 0 < r.n_distinct <= r.n, r
+
+
+def test_pii_scrub_finds_planted_spans(spark, sf_dir):
+    """pipeline_pii_scrub: the fixture augmentation plants exactly one
+    email/phone/IP per doc, so every row reports >= 1 of each and the
+    scrubbed digest differs from the raw text's digest."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["pipeline_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1, r
+
+
+def test_daily_spine_contiguous(spark, sf_dir):
+    """events_daily_spine: the spine is a contiguous run of days from
+    the corpus min to max, and gap rows are exactly the zero-event
+    days."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.queries()["events_daily_spine"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    days = [r.day for r in rows]
+    assert days == [
+        days[0] + dt.timedelta(days=i) for i in range(len(days))
+    ]
+    for r in rows:
+        assert r.is_gap == (r.n_events == 0)
