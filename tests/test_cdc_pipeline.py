@@ -549,3 +549,24 @@ def test_parse_tolerates_schema_drift(spark):
     assert "brand_new_field" not in like.metadata
     comment = acts["COMMENT_SHARD"]
     assert comment.metadata.get("message") == ""  # nulled → coalesced empty
+
+
+def test_pipeline_status_renders_failure():
+    """The status surface must REPORT a failed query, not crash on it:
+    PySpark 4.x CapturedException has no public .desc, so the exception
+    is rendered via str() (caught in review; the happy path alone never
+    exercises this)."""
+    from user_feed_cdc_spark.streaming.cdc_pipeline import pipeline_status
+
+    class FakeQuery:
+        id = "q-1"
+        isActive = False
+        recentProgress = [{"numInputRows": 5}]
+        lastProgress = {"batchId": 3, "numInputRows": 5, "timestamp": "t"}
+
+        def exception(self):
+            return RuntimeError("source path vanished")
+
+    status = pipeline_status(FakeQuery())
+    assert status["exception"] == "source path vanished"
+    assert status["total_input_rows"] == 5 and not status["running"]

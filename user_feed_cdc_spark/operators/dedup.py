@@ -217,31 +217,9 @@ def lsh_candidate_pairs(
     n_shingle picks the similarity space the minhash approximates:
     1 → token-set Jaccard (matches the verify metric used here);
     3-5 → trigram+ shingles for order-sensitive near-dup."""
-    docs = fan_out(docs)
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col("text"), n_shingle)).alias("sig"),
-    )
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    # the ONE certified band construction (lsh_band_rows) — a local copy
+    # here would silently diverge from what dedup_minhash_lsh certifies
+    bands = lsh_band_rows(docs, id_col, n_shingle)
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )

@@ -142,6 +142,56 @@ _CANONICAL_COL_NAMES = (
 )
 
 
+def _parsed_with_seq(raw: DataFrame, value_col: str) -> DataFrame:
+    """Shared scaffold of both normalize paths: the streaming-safe _seq
+    assignment (monotonically_increasing_id is illegal on streaming
+    plans — there the sink assigns it per micro-batch) and acceptance of
+    a pre-parsed `_p` column (parse_cdc) so batch callers parse once and
+    share the frame with dead_letters."""
+    seq = (
+        F.lit(None).cast("long")
+        if raw.isStreaming
+        else F.monotonically_increasing_id()
+    )
+    if "_p" in raw.columns:
+        return raw.select("_p", seq.alias("_seq"))
+    return raw.select(
+        F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
+        seq.alias("_seq"),
+    )
+
+
+def _demux_columns(p) -> list[Column]:
+    """The single-pass when/otherwise demux: each canonical column picks
+    its table's transform expression by __source_table. ONE definition —
+    normalize_events and normalize_changes must demux identically, and a
+    change here propagates to both (they diverge only in validation and
+    output shape)."""
+    per_table = {t: canonical_columns(t, p) for t in CDC_TABLES}
+    out_cols = []
+    for i, name in enumerate(_CANONICAL_COL_NAMES):
+        col = F.when(
+            p["__source_table"] == CDC_TABLES[0], per_table[CDC_TABLES[0]][i]
+        )
+        for t in CDC_TABLES[1:]:
+            col = col.when(p["__source_table"] == t, per_table[t][i])
+        out_cols.append(col.alias(name))
+    return out_cols
+
+
+def _with_batch_seq(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """foreachBatch _seq/_batch_id assignment, shared by the append and
+    upsert sinks: per-batch monotonically_increasing_id (legal again in
+    foreachBatch where the frame is batch), coalesced under any _seq the
+    batch-mode normalize already assigned."""
+    df = batch_df.withColumn("_batch_id", F.lit(batch_id))
+    if "_seq" in df.columns:
+        return df.withColumn(
+            "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+        )
+    return df.withColumn("_seq", F.monotonically_increasing_id())
+
+
 def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """value (JSON string) → canonical activity records.
 
@@ -165,34 +215,10 @@ def normalize_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     partition, which is exactly the reference's per-consumer arrival
     order guarantee.
     """
-    # monotonically_increasing_id is illegal on streaming plans; there the
-    # sink assigns _seq per micro-batch (write_feed_stream), paired with
-    # _batch_id so ordering is (ts, _batch_id, _seq).
-    seq = (
-        F.lit(None).cast("long")
-        if raw.isStreaming
-        else F.monotonically_increasing_id()
-    )
-    # accept a pre-parsed `_p` column (parse_cdc) so batch callers can
-    # parse once and share between this and dead_letters
-    if "_p" in raw.columns:
-        parsed = raw.select("_p", seq.alias("_seq"))
-    else:
-        parsed = raw.select(
-            F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
-            seq.alias("_seq"),
-        )
+    parsed = _parsed_with_seq(raw, value_col)
     p = F.col("_p")
     valid = parsed.filter(is_valid(p) & p["__source_table"].isin(*CDC_TABLES))
-
-    per_table = {t: canonical_columns(t, p) for t in CDC_TABLES}
-    out_cols = []
-    for i, name in enumerate(_CANONICAL_COL_NAMES):
-        col = F.when(p["__source_table"] == CDC_TABLES[0], per_table[CDC_TABLES[0]][i])
-        for t in CDC_TABLES[1:]:
-            col = col.when(p["__source_table"] == t, per_table[t][i])
-        out_cols.append(col.alias(name))
-
+    out_cols = _demux_columns(p)
     return valid.select(
         out_cols[0],  # user_id
         F.expr("uuid()").alias("activity_id"),
@@ -219,18 +245,7 @@ def normalize_changes(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ordering columns. Validation matches normalize_events except the op
     set; non-c/u/d ops (snapshot reads) and unknown tables still fall to
     dead_letters."""
-    seq = (
-        F.lit(None).cast("long")
-        if raw.isStreaming
-        else F.monotonically_increasing_id()
-    )
-    if "_p" in raw.columns:
-        parsed = raw.select("_p", seq.alias("_seq"))
-    else:
-        parsed = raw.select(
-            F.from_json(F.col(value_col), MERGED_CDC_SCHEMA).alias("_p"),
-            seq.alias("_seq"),
-        )
+    parsed = _parsed_with_seq(raw, value_col)
     p = F.col("_p")
     valid = parsed.filter(
         p["__op"].isNotNull()
@@ -240,13 +255,7 @@ def normalize_changes(raw: DataFrame, value_col: str = "value") -> DataFrame:
         & p["__source_table"].isin(*CDC_TABLES)
         & p["id"].isNotNull()
     )
-    per_table = {t: canonical_columns(t, p) for t in CDC_TABLES}
-    out_cols = []
-    for i, name in enumerate(_CANONICAL_COL_NAMES):
-        col = F.when(p["__source_table"] == CDC_TABLES[0], per_table[CDC_TABLES[0]][i])
-        for t in CDC_TABLES[1:]:
-            col = col.when(p["__source_table"] == t, per_table[t][i])
-        out_cols.append(col.alias(name))
+    out_cols = _demux_columns(p)
     return valid.select(
         F.concat(p["__source_table"], F.lit(":"), p["id"].cast("string")).alias(
             "change_key"
@@ -276,9 +285,7 @@ def write_feed_upsert_stream(
     merge-on-read semantics built from the primitives."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df = batch_df.withColumn("_batch_id", F.lit(batch_id)).withColumn(
-            "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
-        )
+        df = _with_batch_seq(batch_df, batch_id)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -590,13 +597,7 @@ def _write_feed_batch(
 ) -> None:
     """One micro-batch of canonical activities (already carrying
     activity_date/user_bucket) → idempotent partitioned write."""
-    df = batch_df.withColumn("_batch_id", F.lit(batch_id))
-    if "_seq" in df.columns:
-        df = df.withColumn(
-            "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
-        )
-    else:
-        df = df.withColumn("_seq", F.monotonically_increasing_id())
+    df = _with_batch_seq(batch_df, batch_id)
     if sink_format == "cassandra":
         # connector path (untestable without a cluster): primary-key
         # upsert is naturally idempotent, no _batch_id partitioning
@@ -787,6 +788,11 @@ def run_cdc_pipeline(
         return write_feed_stream(activities, feed_path, checkpoint, available_now)
 
     parsed = parse_cdc(raw)
+    # same bucket-contract sidecar the single-output path writes: without
+    # it read_feed_meta returns None and a reader pruning with a different
+    # modulus gets no mismatch error (the silent failure the sidecar
+    # exists to prevent)
+    write_feed_meta(spark, feed_path, N_USER_BUCKETS)
 
     def write_both(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()  # parse once, serve both outputs
@@ -835,5 +841,8 @@ def pipeline_status(query) -> dict:
         "last_batch_id": last.get("batchId") if last else None,
         "last_input_rows": int(last.get("numInputRows") or 0) if last else 0,
         "last_timestamp": last.get("timestamp") if last else None,
-        "exception": query.exception().desc if query.exception() else None,
+        # CapturedException exposes no public .desc in PySpark 4.x;
+        # str() renders the same message (and one call avoids a second
+        # RPC to the JVM)
+        "exception": (lambda e: str(e) if e else None)(query.exception()),
     }

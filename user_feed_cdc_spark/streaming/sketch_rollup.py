@@ -77,12 +77,15 @@ def read_distinct_rollup(
     Register merges are per-register max — associative, commutative,
     idempotent — so estimates are independent of batch boundaries,
     merge order, and replay history."""
+    keys = ["event_type", "day"] if by_day else ["event_type"]
     try:
         sk = spark.read.parquet(sketch_path)
     except AnalysisException:
-        schema = "event_type string, day date, approx_users long"
-        return spark.createDataFrame([], schema)
-    keys = ["event_type", "day"] if by_day else ["event_type"]
+        # cold start: match the REAL result schema for this by_day mode,
+        # so callers can union/select identically across runs
+        cols = ("event_type string, day date, approx_users long"
+                if by_day else "event_type string, approx_users long")
+        return spark.createDataFrame([], cols)
     return (
         sk.groupBy(*keys)
         .agg(F.hll_union_agg("sk").alias("sk"))
