@@ -483,6 +483,7 @@ def test_read_user_feed_order_pagination_pruning(spark, tmp_path):
     assert [r.metadata["primary_key_value"] for r in page.collect()] == ["17", "16"]
 
     plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "scan lost its PartitionFilters section"
     assert "user_bucket" in plan.split("PartitionFilters", 1)[1][:200]
 
 

@@ -34,8 +34,10 @@ def test_dedup_idempotent(spark, sf_dir):
 
 def test_lsh_recall_against_exact_jaccard(spark, sf_dir):
     """Every high-similarity pair found by the exact O(n²) baseline must
-    be surfaced by the LSH path (recall at jaccard ≥ 0.6 with 8×4 bands
-    should be ~1 at this scale; we require 100% on the bounded set)."""
+    be surfaced by the LSH path. Gate set at jaccard >= 0.8, where 8×4
+    banding's per-pair catch probability (1-(1-s^4)^8 ≈ 0.985) rounds to
+    certainty on this bounded set; at 0.6 the theoretical recall is only
+    ~0.67, so a 100%-recall gate there would be flaky by construction."""
     exact = {
         (r.doc_a, r.doc_b)
         for r in dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8).collect()
@@ -704,28 +706,13 @@ def test_media_codecs_property_round_trip():
     from hypothesis import given, settings, strategies as st
 
     from user_feed_cdc_spark.operators.multimodal import (
-        decode_bmp,
         decode_wav,
-        encode_bmp,
         encode_wav,
     )
 
-    @settings(max_examples=50, deadline=None)
-    @given(
-        w=st.integers(min_value=1, max_value=9),
-        h=st.integers(min_value=1, max_value=5),
-        data=st.data(),
-    )
-    def bmp_rt(w, h, data):
-        pixels = bytes(
-            data.draw(
-                st.lists(
-                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
-                )
-            )
-        )
-        assert decode_bmp(encode_bmp(w, h, pixels)) == (w, h, pixels)
-
+    # (BMP round-trip lives in tests/test_properties.py::
+    # test_bmp_round_trip_any_dims — not duplicated here; this test keeps
+    # the parts test_properties doesn't cover: WAV rate sampling + RVID)
     @settings(max_examples=50, deadline=None)
     @given(
         samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
@@ -752,7 +739,6 @@ def test_media_codecs_property_round_trip():
         ]
         assert decode_rvid(encode_rvid(w, h, frames, fps=fps)) == (w, h, fps, frames)
 
-    bmp_rt()
     wav_rt()
     rvid_rt()
 
@@ -900,9 +886,12 @@ def test_reservoir_sample_exact_k_and_stable(spark, sf_dir):
         r.lang: r.n
         for r in load_table(spark, sf_dir, "documents")
         .groupBy("lang")
-        .agg(__import__("pyspark.sql.functions", fromlist=["f"]).count("*").alias("n"))
+        .agg(F.count("*").alias("n"))
         .collect()
     }
+    # every stratum must appear — a dropped language would otherwise
+    # never be compared
+    assert set(sizes) == set(strata), (set(sizes), set(strata))
     for lang, n in sizes.items():
         assert n == min(_RESERVOIR_K, strata[lang]), (lang, n)
     again = {
@@ -967,6 +956,23 @@ def test_pii_scrub_finds_planted_spans(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1, r
+    # the scrub must actually rewrite the text, not just count spans:
+    # rebuild one row's augmented input and check its digest differs
+    import hashlib
+
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    aug = (
+        f"{doc.text} contact user{doc.doc_id}@example.com or "
+        f"+1-555-{doc.doc_id % 10000:04d} from 10.0.{doc.doc_id % 256}.7"
+    )
+    raw_digest = hashlib.md5(aug.encode()).hexdigest()
+    scrubbed = {r.doc_id: r.scrubbed_digest for r in rows}[doc.doc_id]
+    assert scrubbed != raw_digest
 
 
 def test_daily_spine_contiguous(spark, sf_dir):

@@ -41,6 +41,11 @@ def _executed_plan(df) -> str:
 def test_no_unbounded_nested_loop_joins(spark, sf_dir):
     import __spark_entry__ as em
 
+    # stale whitelist entries would silently pre-authorize future
+    # queries under a dead name
+    assert NESTED_LOOP_WHITELIST <= set(em.queries()), (
+        NESTED_LOOP_WHITELIST - set(em.queries())
+    )
     offenders = {}
     for name, fn in em.queries().items():
         plan = _executed_plan(fn(spark, sf_dir))
@@ -66,8 +71,15 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     pruned to the referenced columns (at 100 TB: read 6 columns, not 11)."""
     import __spark_entry__ as em
 
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    plan = _executed_plan(em.queries()["filter_project"](spark, sf_dir))
+    try:
+        plan = _executed_plan(em.queries()["filter_project"](spark, sf_dir))
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
     assert "PushedFilters: [" in plan
     assert "GreaterThan(l_discount" in plan
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
@@ -264,6 +276,9 @@ def _assert_window_input_limited(plan: str) -> None:
     Window node must have a limit operator (TakeOrderedAndProject /
     GlobalLimit) BELOW it in the tree — so a future edit can't silently
     unbound the window into a full-data single-partition sort."""
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*"))
+
     lines = plan.split("== Initial Plan ==")[0].splitlines()
     win_rows = [
         i
@@ -272,9 +287,19 @@ def _assert_window_input_limited(plan: str) -> None:
     ]
     assert win_rows, "expected a Window node in the paged plan"
     for i in win_rows:
-        below = "\n".join(lines[i + 1 :])
+        # only the Window's OWN subtree counts: walk following lines while
+        # they are more deeply indented — a limit in a sibling subtree
+        # must not satisfy this gate
+        base = indent(lines[i])
+        subtree = []
+        for ln in lines[i + 1 :]:
+            if ln.strip() and indent(ln) <= base:
+                break
+            subtree.append(ln)
+        below = "\n".join(subtree)
         assert "TakeOrderedAndProject" in below or "GlobalLimit" in below, (
-            f"Window at plan line {i} is not fed by a limit:\n" + "\n".join(lines)
+            f"Window at plan line {i} is not fed by a limit in its own "
+            "subtree:\n" + "\n".join(lines)
         )
 
 
@@ -315,8 +340,17 @@ def test_repetition_scores_column_pruning(spark, sf_dir):
     signals must not drag the full documents schema through the scan."""
     import __spark_entry__ as em
 
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    plan = _executed_plan(em.queries()["text_repetition_scores"](spark, sf_dir))
+    try:
+        plan = _executed_plan(
+            em.queries()["text_repetition_scores"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
     read_schemas = [
         line.split("ReadSchema:", 1)[1]
         for line in plan.splitlines()
