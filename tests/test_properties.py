@@ -184,21 +184,42 @@ def test_resize_nearest_properties(w, h, ow, oh, data):
         assert out[i : i + 3] in src_pixels
 
 
-@settings(max_examples=100, deadline=None)
-@given(st.text(alphabet="ab c", max_size=60))
-def test_bpe_pair_trick_matches_reference(text):
-    """The positional-substring pair construction used by
-    text_bpe_merge_pairs must equal the naive zip(chars, chars[1:])
-    reference for arbitrary word content, including multi-space runs
-    (words shorter than 2 chars contribute nothing)."""
+def test_bpe_pair_expr_matches_reference(spark):
+    """The PRODUCTION Spark pair expression (sequence + substr, the body
+    of text_bpe_merge_pairs) must equal the naive zip(chars, chars[1:])
+    reference — exercised on boundary-heavy fixed texts (multi-space
+    runs, 1-char words, unicode, repeats), driving the real engine
+    expression rather than a second in-test re-implementation."""
     from collections import Counter
 
+    from pyspark.sql import functions as F
+
+    texts = [
+        "abc ab a  b",
+        "  double  spaces  ",
+        "aaaa",
+        "x",
+        "",
+        "héllo wörld déjà",
+        "ab ab ab ba",
+        "tab\there newline",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = df.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    got = Counter(r.pair for r in pairs.collect())
     expect = Counter()
-    for w in text.split(" "):
-        if len(w) >= 2:
-            expect.update(a + b for a, b in zip(w, w[1:]))
-    got = Counter()
-    for w in text.split(" "):
-        if len(w) >= 2:
-            got.update(w[i : i + 2] for i in range(len(w) - 1))
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                expect.update(a + b for a, b in zip(w, w[1:]))
     assert got == expect
