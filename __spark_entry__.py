@@ -57,75 +57,49 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         oracles.update(mod.ORACLES)
 
     # Registration order is the driver's check order, and the driver only
-    # certifies a PREFIX of the registry (rounds 2-5 each covered exactly
+    # certifies a PREFIX of the registry (rounds 2-6 each covered exactly
     # the first 50 entries). Rotation policy: never-certified entries
-    # first, then stalest-certification-first. Round-6 window = the 5
-    # entries that have NEVER had a driver row (added in r5 at positions
-    # 51+) + the 45 entries last certified in r04 (absent from
-    # CORRECTNESS_r05) — exactly 50. With the registry now past 100
-    # entries, a 50-slot window makes the old two-round invariant
-    # arithmetically impossible (149 > 2×50); the rotation period is 3
-    # rounds: r07 leads with the 49 new round-6 entries (positions
-    # 51-99, never certified) + the 1 stalest r05 entry, r08 takes
-    # the remaining r05 tail + the head of this round's window. Every
-    # entry still passes the full local oracle gate
-    # (tools/check_correctness.py, all entries, every round).
+    # first, then stalest-certification-first. Round-7 window = the 49
+    # round-6 additions that have NEVER had a driver row + the stalest
+    # r05-certified entry — exactly 50. With 149 entries and a 50-slot
+    # window the rotation period is 3 rounds: r08 leads with the 49
+    # remaining r05-certified entries (positions 51-99 below) + 1 from
+    # the r06 batch. Every entry additionally passes the full local
+    # oracle gate every round (tools/check_correctness.py, all entries;
+    # output committed as CORRECTNESS_LOCAL_r{N}.json so new entries
+    # always have recorded certification before their driver row).
     priority = [
-        # never driver-certified (added r5 at positions 51+)
-        "asof_next_purchase", "similarity_lsh_md5_buckets",
-        "sketch_distinct_users_bounded", "events_daily_retention",
-        "events_cohort_matrix",
-        # last certified r04 (absent from CORRECTNESS_r05) — 45 entries
-        "pricing_summary", "filter_project", "join_inner",
-        "join_left_outer", "join_semi", "join_anti",
-        "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
-        "rollup_flag_status", "cube_status_priority",
-        "grouping_sets_revenue", "case_when_pivot",
-        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
-        "window_rank_family", "window_running_analytics",
-        "window_range_frame", "window_topk_per_customer",
-        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract",
-        "null_safe_funcs", "array_funcs",
-        "events_funnel_conversion",
-        "dedup_simhash_md5",
-        "multimodal_rollup",
-        "pipeline_pack_sequences", "pipeline_shuffle_shards",
-        "pipeline_source_mixture", "pipeline_mixture_weighted",
-        "similarity_cosine_topk", "similarity_ivf_topk",
-        "similarity_label_centroid_dist", "similarity_quantized_topk",
-        "text_bigram_top_terms", "text_chunk_documents",
-        "text_lang_rollup", "text_winnow_fingerprints",
-        # ---- positions 51+ ----
-        # new this round (first driver rows in r07)
+        # never driver-certified (added in round 6) — 49 entries
         "sketch_value_quantiles_bounded", "sketch_top_users",
         "sketch_top_users_bounded", "sketch_bloom_prefilter",
-        "agg_sorted_strings", "join_lateral_topk",
-        "text_boilerplate_ngrams", "pipeline_boilerplate_filter",
-        "graph_two_hop_reach", "graph_triangle_count",
-        "similarity_matryoshka_topk", "events_rfm_segments",
-        "text_edit_distance_pairs", "events_value_histogram",
-        "feed_ranked_personalized", "dedup_minhash_md5_clusters",
-        "window_value_functions", "pipeline_quality_mixture",
-        "events_anomaly_zscore", "text_hashed_features",
-        "graph_pagerank",
-        "multimodal_resize", "text_bpe_merge_pairs",
-        "events_markov_transitions", "graph_connected_components",
-        "pipeline_reservoir_sample", "sketch_distinct_overlap_bounded",
-        "pivot_event_type_revenue", "text_bigram_surprisal",
-        "agg_argmax_funcs", "join_salted_skew",
-        "sketch_union_daily_to_weekly", "pipeline_pii_scrub",
-        "cdc_timetravel_lookup", "join_null_aware_anti",
-        "events_activity_streaks", "pipeline_training_funnel",
-        "events_daily_spine", "similarity_pandas_udf_normalize",
-        "text_udtf_sentences", "streaming_hourly_rollup_live",
-        "streaming_session_stats_live", "streaming_dedup_live",
-        "graph_reachability_recursive", "sql_udf_pricing",
-        "json_variant_stats", "streaming_hourly_users_live",
-        "pipeline_profile_columns", "pipeline_quality_checks",
-        # certified green in r05, rotate back in r07
-        "feed_topk_per_user", "feed_single_user_page",
+        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
+        "agg_sorted_strings", "agg_argmax_funcs",
+        "join_lateral_topk", "join_salted_skew", "join_null_aware_anti",
+        "window_value_functions", "pivot_event_type_revenue",
+        "graph_two_hop_reach", "graph_triangle_count", "graph_pagerank",
+        "graph_connected_components", "graph_reachability_recursive",
+        "events_rfm_segments", "events_value_histogram",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized",
+        "similarity_matryoshka_topk", "similarity_pandas_udf_normalize",
+        "dedup_minhash_md5_clusters",
+        "multimodal_resize",
+        "text_boilerplate_ngrams", "text_edit_distance_pairs",
+        "text_hashed_features", "text_bpe_merge_pairs",
+        "text_bigram_surprisal", "text_udtf_sentences",
+        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
+        "pipeline_reservoir_sample", "pipeline_pii_scrub",
+        "pipeline_training_funnel", "pipeline_profile_columns",
+        "pipeline_quality_checks",
+        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
+        "streaming_hourly_rollup_live", "streaming_session_stats_live",
+        "streaming_dedup_live", "streaming_hourly_users_live",
+        # stalest r05-certified entry fills slot 50
+        "feed_topk_per_user",
+        # ---- positions 51+ ----
+        # certified green in r05; these lead the r08 window
+        "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
         "events_hourly_rollup", "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
@@ -151,6 +125,31 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats",
+        # certified green in r06 (freshest; rotate back in r09)
+        "asof_next_purchase", "similarity_lsh_md5_buckets",
+        "sketch_distinct_users_bounded", "events_daily_retention",
+        "events_cohort_matrix",
+        "pricing_summary", "filter_project", "join_inner",
+        "join_left_outer", "join_semi", "join_anti",
+        "join_broadcast_dim", "join_multiway_region_revenue",
+        "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
+        "rollup_flag_status", "cube_status_priority",
+        "grouping_sets_revenue", "case_when_pivot",
+        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
+        "window_rank_family", "window_running_analytics",
+        "window_range_frame", "window_topk_per_customer",
+        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
+        "date_funcs", "date_arithmetic", "json_extract",
+        "null_safe_funcs", "array_funcs",
+        "events_funnel_conversion",
+        "dedup_simhash_md5",
+        "multimodal_rollup",
+        "pipeline_pack_sequences", "pipeline_shuffle_shards",
+        "pipeline_source_mixture", "pipeline_mixture_weighted",
+        "similarity_cosine_topk", "similarity_ivf_topk",
+        "similarity_label_centroid_dist", "similarity_quantized_topk",
+        "text_bigram_top_terms", "text_chunk_documents",
+        "text_lang_rollup", "text_winnow_fingerprints",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

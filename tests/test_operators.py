@@ -309,6 +309,54 @@ def test_corrupt_payload_takes_digest_fallback(spark, sf_dir):
         assert list(rows[doc_id].features) == expect
 
 
+def test_corrupt_payload_passes_through_resize(spark, sf_dir):
+    """resize_media's pass-through contract (ADVICE r06): unparseable
+    payloads emit resized=false with the ORIGINAL digest — including
+    corruption that surfaces as IndexError/KeyError from deep inside a
+    decoder, not just the normalized ValueError/struct.error set."""
+    import hashlib
+
+    import pandas as pd
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        DECODE_FALLBACK_ERRORS,
+        encode_bmp,
+        encode_gif,
+        resize_media,
+    )
+
+    # the widened contract: container-walk errors are data errors here
+    assert IndexError in DECODE_FALLBACK_ERRORS
+    assert KeyError in DECODE_FALLBACK_ERRORS
+
+    bad = [
+        (1, b"BM\x01"),
+        (2, b"RIFF\x10\x00\x00\x00WAVE"),
+        (3, b"RVID\x04\x00"),
+        (4, encode_bmp(8, 4, bytes(96))[:30]),
+        (5, b"GIF87a\x08\x00"),
+        (6, encode_gif(8, 4, bytes(32))[:100]),
+    ]
+    mods = {1: "image", 2: "audio", 3: "video", 4: "image",
+            5: "image", 6: "image"}
+    mm = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in bad],
+                "payload": [p for _, p in bad],
+                "modality": [mods[d] for d, _ in bad],
+            }
+        )
+    )
+    rows = {r.doc_id: r for r in resize_media(mm).collect()}
+    assert len(rows) == len(bad)
+    for doc_id, payload in bad:
+        r = rows[doc_id]
+        assert not r.resized, doc_id
+        assert r.resized_digest == hashlib.md5(payload).hexdigest(), doc_id
+        assert r.in_units == r.out_units == len(payload), doc_id
+
+
 def test_minhash_lsh_skew_cap_keeps_all_docs(spark, sf_dir):
     """With an aggressive bucket cap every doc still gets a cluster row
     (skew-dropped docs fall back to singleton self-clusters)."""

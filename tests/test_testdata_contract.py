@@ -172,3 +172,31 @@ def test_load_events_resniffs_after_inplace_rewrite(spark, tmp_path):
     _os.utime(p)  # ensure a new mtime even on coarse filesystems
     got = [r.ts.year for r in load_events(spark, p).collect()]
     assert got == [2024, 2024], f"stale sniff misread rewritten file: {got}"
+
+
+def test_argmax_packed_key_preconditions(spark):
+    """agg_argmax_funcs packs (value_cents, user_id) into one bigint
+    ordering key: cents * 10^9 + user_id. That is a valid lexicographic
+    order only while user_id < 10^9 (no bleed into the cents bits) and
+    cents < ~9.2*10^9 (bigint headroom). Pin both on the driver data so
+    a generator change that violates the packing fails HERE, not as a
+    silent wrong-argmax."""
+    from pyspark.sql import functions as F
+
+    row = (
+        load_table(spark, SF_DIR, "events")
+        .agg(
+            F.max("user_id").alias("max_uid"),
+            F.max(F.floor(F.col("value") * 100.0 + F.lit(0.5))).alias(
+                "max_cents"
+            ),
+        )
+        .first()
+    )
+    assert row.max_uid < 1_000_000_000, (
+        f"user_id {row.max_uid} >= 10^9: agg_argmax_funcs packed ordering "
+        "key would bleed into the value bits — switch to the struct form"
+    )
+    assert row.max_cents < 9_200_000_000, (
+        f"value_cents {row.max_cents} risks bigint overflow in the packed key"
+    )

@@ -6,7 +6,14 @@ column-name set, and an order-insensitive value hash (columns sorted by
 name, rows sorted, floats rounded to 9 significant-ish decimals before
 hashing). Exit 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter]
+Usage: python tools/check_correctness.py [sf_dir] [name_filter] [--json PATH]
+
+--json PATH additionally writes a driver-artifact-shaped record
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
+so full local gate runs can be committed alongside the driver's
+50-entry windowed CORRECTNESS_r{N}.json (ADVICE r06: new registry
+entries should always have recorded certification before their first
+driver row).
 """
 
 from __future__ import annotations
@@ -52,8 +59,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    name_filter = argv[1] if len(argv) > 1 else None
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -71,15 +84,32 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     n_checked = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
             continue
         n_checked += 1
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # a broken query must not void the run
+            print(f"  {name:35s} ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
+            continue
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(srows)} rows")
+            record[name] = {
+                "rows_match": True, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             continue
         # Type gate FIRST: the driver hashes DuckDB HUGEINT (int128,
         # from un-cast SUM/list_sum over integers) and DECIMAL
@@ -123,11 +153,25 @@ def main() -> int:
             print(f"     {p}")
         if problems:
             failures.append(name)
+        record[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems)[:300] if problems else None,
+        }
 
     if name_filter and n_checked == 0:
         print(f"no registry entry matches filter {name_filter!r}")
         return 1
     print(f"\n{n_checked - len(failures)}/{n_checked} checked queries match")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(record)} entries)")
     return 1 if failures else 0
 
 

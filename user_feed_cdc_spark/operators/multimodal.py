@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
+# The one exception set every decode fallback catches. The contract is
+# "unparseable payloads pass through, never fail the stage": the
+# decoders normalize most corruption to ValueError, but a malformed
+# container can surface IndexError/KeyError from deep inside (e.g. a
+# corrupt LZW table walk) before a length check fires — those are data
+# errors too, not code bugs, when raised while decoding untrusted bytes.
+DECODE_FALLBACK_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    struct.error,
+    IndexError,
+    KeyError,
+)
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
@@ -617,9 +631,9 @@ def extract_features(mm: DataFrame) -> DataFrame:
                     content = decode_media(raw, modality)
                     feats.append(_block_features(content))
                     decoded_flags.append(True)
-                except (NotImplementedError, ValueError, struct.error):
-                    # struct.error: truncated/corrupt BMP/WAV headers
-                    # must take the digest fallback, not fail the task
+                except DECODE_FALLBACK_ERRORS:
+                    # corrupt/truncated payloads must take the digest
+                    # fallback, not fail the task
                     feats.append(_fallback_features(raw))
                     decoded_flags.append(False)
             yield pd.DataFrame(
@@ -770,7 +784,7 @@ def resize_media(
                     mean = sum(units) / len(units) if units else 0.0
                     rows["mean_unit"].append(py_round_half_up(mean, 4))
                     rows["resized"].append(True)
-                except (NotImplementedError, ValueError, struct.error):
+                except DECODE_FALLBACK_ERRORS:
                     rows["in_units"].append(len(raw))
                     rows["out_units"].append(len(raw))
                     rows["resized_digest"].append(

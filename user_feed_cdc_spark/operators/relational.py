@@ -1145,10 +1145,10 @@ def pivot_event_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            arg_max(user_id,
-                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 10000000
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 1000000000
                    + user_id) AS top_value_user,
            arg_min(user_id,
-                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 10000000
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 1000000000
                    + user_id) AS bottom_value_user,
            FLOOR(MAX(value) * 100.0 + 0.5) / 100.0 AS max_value,
            FLOOR(MIN(value) * 100.0 + 0.5) / 100.0 AS min_value
@@ -1164,14 +1164,21 @@ def agg_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-dependent — the classic distributed-argmax trap —
     so the ordering key packs (value_cents, user_id) into one bigint:
     deterministic under any partitioning, and expressible identically
-    in the oracle (whose arg_max takes only scalar keys). One groupBy
+    in the oracle (whose arg_max takes only scalar keys — DuckDB rejects
+    struct keys). PRECONDITION: the packing is a valid lexicographic
+    (value_cents, user_id) order only while user_id < 10^9 and
+    value_cents < 9.2*10^9 (bigint headroom); the testdata contract
+    test pins both. At id ranges beyond that, the production form is
+    max_by(user_id, struct(value_cents, user_id)) — Spark structs
+    compare lexicographically — which the scalar-keyed oracle cannot
+    express, so the packed form is what gets hash-certified. One groupBy
     with map-side partial max_by merges; argmax never sorts or windows
     — at 100 TB this replaces the ROW_NUMBER()-then-filter idiom with
     a single agg whose state is one (key, arg) pair per group."""
     ev = load_table(spark, sf_dir, "events")
     key = (
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
-        * F.lit(10000000)
+        * F.lit(1000000000)
         + F.col("user_id")
     )
     return ev.groupBy("event_type").agg(

@@ -37,10 +37,19 @@ def events_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
     try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(target, link)
     except FileExistsError:
-        pass
+        # A pre-existing link must point where we expect: a stale link
+        # (md5-prefix collision, or a dead target from a regenerated
+        # testdata tree) would silently stream wrong or no data.
+        # Replace atomically — symlink to a temp name, then rename over
+        # the old one — so concurrent creators still tolerate each other.
+        if os.path.realpath(link) != os.path.realpath(target):
+            tmp = link + f".tmp{os.getpid()}"
+            os.symlink(target, tmp)
+            os.replace(tmp, link)
     return link_dir
 
 
