@@ -98,7 +98,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # stalest r05-certified entry fills slot 50
         "feed_topk_per_user",
         # ---- positions 51+ ----
-        # certified green in r05; these lead the r08 window
+        # new in round 7 (never certified — these lead the r08 window
+        # under the never-certified-first policy)
+        "dedup_substring_windows", "dedup_semantic",
+        "pipeline_dsir_weights", "text_zipf_slope",
+        "streaming_enrich_join_live",
+        # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
         "events_hourly_rollup", "cdc_canonical_activities",

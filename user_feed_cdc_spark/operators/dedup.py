@@ -925,3 +925,110 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: embedding k-means + within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_THRESH = 0.4  # cosine-to-representative above this = semantic dup
+
+
+def _semantic_oracle() -> str:
+    """Unrolled-CTE twin: the SHARED certified Lloyd prefix
+    (similarity.kmeans_oracle_parts) + min-id representative per
+    cluster + cosine-to-representative verdicts."""
+    from user_feed_cdc_spark.operators.similarity import (
+        _ORACLE_COS,
+        kmeans_oracle_parts,
+    )
+
+    parts, last = kmeans_oracle_parts()
+    cos = _ORACLE_COS.format(a="e.v", b="rv.rv")
+    return (
+        ",\n".join(parts)
+        + f""",
+    reps AS (SELECT cid, MIN(vec_id) AS rep_id FROM assign{last} GROUP BY cid),
+    repv AS (
+        SELECT r.cid, r.rep_id, v.v AS rv
+        FROM reps r JOIN v ON v.vec_id = r.rep_id
+    )
+    SELECT e.vec_id, CAST(a.cid AS BIGINT) AS cid, rv.rep_id,
+           FLOOR(({cos}) * 10000.0 + 0.5) / 10000.0 AS cos_to_rep,
+           (e.vec_id <> rv.rep_id
+            AND FLOOR(({cos}) * 10000.0 + 0.5) / 10000.0 >= {_SEMANTIC_THRESH})
+               AS is_dup
+    FROM v e
+    JOIN assign{last} a USING (vec_id)
+    JOIN repv rv ON a.cid = rv.cid
+    """
+    )
+
+
+@_register("dedup_semantic", _semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means, then WITHIN each cluster mark members too
+    cosine-close to the cluster representative as semantic duplicates
+    — paraphrases and near-copies that share no literal n-grams, the
+    redundancy tier MinHash/SimHash (lexical) and exact-cosine pair
+    dedup (O(cluster²) verify) sit below. The paper keeps one exemplar
+    per tight semantic neighborhood; the min-vec_id representative here
+    is that deterministic exemplar.
+
+    Reuses the CERTIFIED deterministic Lloyd quantizer from the IVF
+    entry — same seeded init, same 1e-6-rounded assignment, and the
+    oracle builds on the SAME shared CTE prefix
+    (similarity.kmeans_oracle_parts), so the k-means trajectory is
+    hash-certified once and consumed twice. Per-vector cost after the
+    Lloyd loop: one projection (assignment), one K-row broadcast join
+    (representative vectors), one cosine — candidate volume is n, not
+    n²/K: the representative acts as each cluster's pivot, which is
+    what lets SemDeDup scale where pairwise within-cluster cosine
+    explodes at 100 TB."""
+    from user_feed_cdc_spark.operators.similarity import (
+        _assign_cid,
+        _kmeans_centroids,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        norm(F.col("embedding").cast("array<double>")).alias("vnorm"),
+    ).persist()  # scanned by every Lloyd iteration + the final pass
+    prev, _final = _kmeans_centroids(spark, vecs)
+    assigned = vecs.select(
+        "vec_id", "v", _assign_cid(prev).cast("long").alias("cid")
+    )
+    reps = assigned.groupBy("cid").agg(F.min("vec_id").alias("rep_id"))
+    repv = (
+        reps.join(
+            assigned.select(
+                F.col("vec_id").alias("rep_id"), F.col("v").alias("rv")
+            ),
+            "rep_id",
+        )
+    )
+    cos = r2(dot(F.col("v"), F.col("rv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("rv"), F.col("rv")))
+    ), 4)
+    out = (
+        assigned.join(F.broadcast(repv), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            "rep_id",
+            cos.alias("cos_to_rep"),
+            (
+                (F.col("vec_id") != F.col("rep_id"))
+                & (cos >= _SEMANTIC_THRESH)
+            ).alias("is_dup"),
+        )
+    )
+    vecs.unpersist()
+    return out

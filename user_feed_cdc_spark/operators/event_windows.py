@@ -826,3 +826,65 @@ def streaming_hourly_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "window_start", "exact_users", within.alias("within_5pct")
     )
+
+
+@_register(
+    "streaming_enrich_join_live",
+    """
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(e.value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join live under the oracle gate — the
+    fourth streaming family after fixed windows, merging windows, and
+    dedup state: each micro-batch of the events file stream joins a
+    static dimension (customer: user_id = c_custkey) BEFORE the
+    windowed aggregation, the enrichment-then-rollup shape of every
+    production metrics pipeline. Stream-static joins are stateless —
+    the static side is planned per micro-batch (broadcast here, a
+    1500-row dim), no join state accumulates, and the watermark governs
+    only the downstream window state; that statelessness is why this
+    form scales to a 100 TB stream against a dimension table where a
+    stream-stream join would need unbounded state on the static side.
+    availableNow drains the backlog through the memory sink in complete
+    mode and the materialized rollup is value-hashed against the batch
+    join SQL. Segment totals use the FLOOR half-up contract so the
+    cross-engine float paths agree."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.withWatermark("ts", "10 minutes").join(
+        F.broadcast(dim), "user_id"
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 100.0 + F.lit(0.5)) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(
+        spark, agg, "streaming_enrich_join_live_sink", "complete"
+    )

@@ -1283,3 +1283,124 @@ def pipeline_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.explode(checks).alias("c"))
         .select("c.check_name", "c.passed", "c.n_violations")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for language models)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64  # hashed-feature dimensionality (vocabulary-free)
+
+_DSIR_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    bis AS (
+        SELECT doc_id, lang,
+               UNNEST(list_transform(
+                   range(1, len(tk)),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+               )) AS bigram
+        FROM toks
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT) % 64 AS b
+        FROM bis
+    ),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM feat WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM feat GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS rt
+        FROM feat
+    ),
+    lam AS (
+        SELECT r.b,
+               CAST(FLOOR(LN(((COALESCE(t.tc, 0) + 1.0) / (tot.tt + 64.0)) /
+                             ((r.rc + 1.0) / (tot.rt + 64.0))) * 1000000.0 + 0.5)
+                    AS BIGINT) AS lam_micro
+        FROM raw r LEFT JOIN tgt t USING (b), tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(l.lam_micro) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+               AS dsir_weight
+    FROM feat f JOIN lam l USING (b)
+    GROUP BY f.doc_id
+"""
+
+
+@_register("pipeline_dsir_weights", _DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc mean
+    log-likelihood ratio between a TARGET distribution (here lang='en'
+    docs — the stand-in for "looks like my eval/domain corpus") and the
+    RAW corpus, both modeled as Laplace-smoothed multinomials over
+    HASHED bigram features. Positive weight = more target-like; sampling
+    ∝ exp(weight) is the importance-resampling recipe that lifted
+    pretraining quality in the paper.
+
+    The hashing trick makes this 100 TB-shaped: 64 md5-derived buckets
+    (the CMS/bloom construction, engine-exact) mean NO vocabulary is
+    built, the model is two 64-row count tables (one scan with map-side
+    partials — target is a filtered sum over the same pass), and the
+    per-bucket log-ratio λ_b joins back as a broadcast. Per-bigram λ is
+    frozen to integer micro-units before the per-doc SUM (the surprisal
+    contract), so only exact bigints accumulate; one double division
+    closes each doc. Docs too short for any bigram carry no evidence
+    and are omitted, same as the oracle's inner join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    feat = (
+        docs.select("doc_id", "lang", tokens.alias("tk"))
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr("CAST(conv(substr(md5(bigram), 1, 8), 16, 10) AS BIGINT)")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    is_tgt = (F.col("lang") == "en").cast("long")
+    # one scan builds both count tables: raw = count, target = sum(flag)
+    counts = feat.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"), F.sum(is_tgt).alias("tc")
+    )
+    tot = feat.agg(
+        F.sum(is_tgt).alias("tt"), F.count(F.lit(1)).alias("rt")
+    )
+    bf = float(_DSIR_BUCKETS)
+    lam_micro = F.floor(
+        F.log(
+            ((F.col("tc") + 1.0) / (F.col("tt") + bf))
+            / ((F.col("rc") + 1.0) / (F.col("rt") + bf))
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    lam = counts.join(F.broadcast(tot)).select("b", lam_micro.alias("lam_micro"))
+    return (
+        feat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("lam_micro").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("dsir_weight"),
+        )
+    )

@@ -618,13 +618,20 @@ def _ivf_kmeans_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFra
     return result
 
 
-def _ivf_kmeans_oracle() -> str:
-    """Unrolled-CTE DuckDB twin of the deterministic Lloyd loop."""
+_ORACLE_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def kmeans_oracle_parts() -> tuple[list[str], int]:
+    """Shared unrolled-CTE DuckDB prefix of the deterministic Lloyd
+    loop: `v` (cast vectors), `cent0` (seeded init), and
+    assign1..N / cent1..N for the N iterations. Every oracle that
+    certifies a k-means-derived operator (IVF search, semantic dedup)
+    builds on this prefix so the certified trajectory is ONE shared
+    definition, not two that could drift. Returns (parts, last_iter)."""
     rnd = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    cos = (
-        "list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
     parts = [
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""cent0 AS (
@@ -634,7 +641,7 @@ def _ivf_kmeans_oracle() -> str:
         )""",
     ]
     for i in range(1, KMEANS_ITERS + 1):
-        c = cos.format(a="e.v", b="c.centroid")
+        c = _ORACLE_COS.format(a="e.v", b="c.centroid")
         parts.append(f"""assign{i} AS (
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
@@ -652,7 +659,14 @@ def _ivf_kmeans_oracle() -> str:
                 GROUP BY a.cid, d.pos
             ) GROUP BY cid
         )""")
-    last = KMEANS_ITERS
+    return parts, KMEANS_ITERS
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the deterministic Lloyd loop."""
+    rnd = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    cos = _ORACLE_COS
+    parts, last = kmeans_oracle_parts()
     qc = cos.format(a="c.centroid", b="q.qv")
     fc = cos.format(a="e.v", b="q.qv")
     parts.append(f"""q AS (SELECT v AS qv FROM v WHERE vec_id = 0)""")

@@ -1012,3 +1012,102 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM _udtf_docs d, "
         "LATERAL split_sentences(d.doc_id, d.text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit per source (corpus health statistic)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 20  # OLS over the head of the rank-frequency curve
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT source, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, token) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT source,
+               CAST(FLOOR(LN(r) * 1000000.0 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(LN(cnt) * 1000000.0 + 0.5) AS BIGINT) AS y
+        FROM ranked WHERE r <= 20
+    ),
+    sums AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_terms,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS zipf_slope
+    FROM sums
+"""
+
+
+@_register("text_zipf_slope", _ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over
+    each source's top-20 terms — the rank-frequency power-law fit. A
+    natural corpus sits near -1; a slope far from the fleet flags
+    machine-generated, boilerplate-heavy, or template text, which makes
+    this the distribution-shape quality signal beside the per-doc
+    ratio checks (text_quality_scores) and LM surprisal filters.
+
+    Cross-engine determinism is the unigram-surprisal trick applied to
+    regression: each ln() is frozen to integer micro-units BEFORE any
+    sum, so Σx, Σy, Σxy, Σx² are exact bigints and the closed-form
+    slope (nΣxy - ΣxΣy)/(nΣx² - (Σx)²) is one double division per
+    source — no float accumulation order to diverge. Magnitudes are
+    bounded: |x|,|y| ≤ ~20e6 micro-units, so nΣxy < 10^16 « bigint.
+
+    At 100 TB: one shuffle to (source, token) counts (map-side
+    partials), a per-source top-20 window (WindowGroupLimit caps the
+    exchange), then a 20-rows-per-source agg — output is |sources| rows
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), "token")
+    micro = lambda c: F.floor(F.log(c) * 1000000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            "source",
+            micro(F.col("r")).alias("x"),
+            micro(F.col("cnt")).alias("y"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        r2(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+    )
