@@ -102,7 +102,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # under the never-certified-first policy)
         "dedup_substring_windows", "dedup_semantic",
         "pipeline_dsir_weights", "text_zipf_slope",
-        "streaming_enrich_join_live",
+        "streaming_enrich_join_live", "asof_nearest_purchase",
+        "sql_pipe_pricing", "multimodal_phash_dedup",
         # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -1041,3 +1041,65 @@ def test_daily_spine_contiguous(spark, sf_dir):
     ]
     for r in rows:
         assert r.is_gap == (r.n_events == 0)
+
+
+def test_dhash64_kernel_properties():
+    """dhash64: deterministic, uniform-brightness-invariant (gradient
+    bits don't move when every pixel shifts equally), resize-stable
+    (the 9x8 resample makes scaled copies collide), sensitive to
+    content reversal, and always in signed-64 range."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        dhash64,
+        resize_nearest,
+    )
+
+    img = bytes([(i * 7) % 256 for i in range(8 * 4 * 3)])
+    h = dhash64(8, 4, img)
+    assert h == dhash64(8, 4, img)
+    assert -(1 << 63) <= h < (1 << 63)
+    brighter = bytes([min(255, b + 10) for b in img])
+    assert dhash64(8, 4, brighter) == h, "brightness shift must not move bits"
+    upscaled = resize_nearest(8, 4, img, 16, 8)
+    assert dhash64(16, 8, upscaled) == h, "nearest 2x upscale must collide"
+    assert dhash64(8, 4, bytes(reversed(img))) != h
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash64(8, 4, img[:10])  # truncated content
+
+
+def test_phash_dedup_groups_identical_texts(spark, sf_dir):
+    """multimodal_phash_dedup over a corpus with byte-identical image
+    payloads: copies share a phash, the min-doc_id exemplar is kept,
+    every other group member is flagged."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.operators import multimodal as mmod
+
+    # doc_ids all ≡ 0 (mod 3) → image modality; 0 and 6 same text
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 6, 12],
+                "text": ["same text here", "same text here", "другой"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [14, 14, 6],
+            }
+        )
+    )
+    fn = mmod.QUERIES["multimodal_phash_dedup"]
+
+    # run the pipeline body directly on the fixture via monkeypatched load
+    import user_feed_cdc_spark.operators.multimodal as m
+
+    orig = m.load_table
+    m.load_table = lambda _s, _d, _n: docs
+    try:
+        rows = {r.doc_id: r for r in fn(spark, "unused").collect()}
+    finally:
+        m.load_table = orig
+    assert rows[0].phash == rows[6].phash
+    assert not rows[0].is_dup and rows[0].exemplar_id == 0
+    assert rows[6].is_dup and rows[6].exemplar_id == 0
+    assert rows[12].group_size == 1 and not rows[12].is_dup

@@ -31,6 +31,7 @@ NESTED_LOOP_WHITELIST = {
     "text_tfidf_top_terms",       # 1-row broadcast corpus-count scalar
     "text_unigram_surprisal",     # 1-row broadcast total-token scalar
     "pipeline_source_mixture",    # 1-row broadcast mixture-floor scalar
+    "pipeline_dsir_weights",      # 1-row broadcast corpus-total scalars
 }
 
 
@@ -439,3 +440,47 @@ def test_training_funnel_monotone(spark, sf_dir):
     counts = [r.n_docs for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[0] > 0
+
+
+def test_zipf_slope_group_limit(spark, sf_dir):
+    """text_zipf_slope: the per-source top-20 rank cut must plan
+    WindowGroupLimit so the exchange carries ~20 rows per source, not
+    every (source, token) count."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["text_zipf_slope"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_semantic_dedup_broadcasts_representatives(spark, sf_dir):
+    """dedup_semantic: the representative-vector join must BROADCAST
+    (K rows) — a shuffled join would move every vector a second time
+    after the Lloyd scan."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["dedup_semantic"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_weights_broadcast_model(spark, sf_dir):
+    """pipeline_dsir_weights: the 64-row log-ratio model joins back as
+    a broadcast; the only BNL join is the 1-row totals scalar."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["pipeline_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_windows_single_hash_shuffle_feeds_rollup(spark, sf_dir):
+    """dedup_substring_windows: first-owner is a window MIN over the
+    hash partition — the same exchange then feeds the per-doc rollup;
+    the plan must not contain a second join against a firsts table."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["dedup_substring_windows"](spark, sf_dir))
+    # one Window (min over wh), and the only join is the final left
+    # join back to the doc list
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+    assert "CartesianProduct" not in plan

@@ -263,3 +263,99 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m_us") - F.unix_micros("ts"),
         ).alias("us_until_purchase"),
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH m AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    b AS (
+        SELECT e.event_id, m.purchase_id AS bid, epoch_us(m.ts) AS bus
+        FROM events e
+        ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    ),
+    f AS (
+        SELECT e.event_id, m.purchase_id AS fid, epoch_us(m.ts) AS fus
+        FROM events e
+        ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts < m.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           CASE WHEN bid IS NOT NULL
+                     AND (fid IS NULL
+                          OR epoch_us(e.ts) - bus <= fus - epoch_us(e.ts))
+                THEN bid ELSE fid END AS nearest_purchase_id,
+           CASE WHEN bid IS NOT NULL
+                     AND (fid IS NULL
+                          OR epoch_us(e.ts) - bus <= fus - epoch_us(e.ts))
+                THEN epoch_us(e.ts) - bus
+                WHEN fid IS NOT NULL THEN fus - epoch_us(e.ts) END
+               AS us_to_purchase
+    FROM events e
+    LEFT JOIN b USING (event_id)
+    LEFT JOIN f USING (event_id)
+"""
+
+
+@_register("asof_nearest_purchase", _ASOF_NEAREST_ORACLE)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — both directions at once: every event
+    annotated with the temporally closest purchase by the same user,
+    backward or forward, ties preferring the backward (already-seen)
+    marker. This is the sensor-fusion/alignment direction the
+    backward-only and forward-only entries can't express: "match each
+    reading to the closest calibration sample", pandas merge_asof
+    direction='nearest'.
+
+    One shuffle serves BOTH directions: the same union + (ts, probe-
+    flag) sort carries a backward frame (last marker ≤ ts) and a
+    forward frame (first marker > ts) — two Window frames over one
+    Exchange+Sort, then a projection picks the smaller time gap. The
+    oracle runs DuckDB's native ASOF twice and reproduces the same
+    tie rule. Scale posture matches the certified asof core: |probes| +
+    |markers| rows through one hash partition on the key, output
+    |probes| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+        .withColumn("_m_us", F.unix_micros("ts"))
+        .withColumn("_is_probe", F.lit(0))
+    )
+    probes = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("_is_probe", F.lit(1))
+    )
+    u = markers.unionByName(probes, allowMissingColumns=True)
+    base = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("_is_probe").asc()
+    )
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    u = (
+        u.withColumn("bid", F.last("pid", ignorenulls=True).over(wb))
+        .withColumn("bus", F.last("_m_us", ignorenulls=True).over(wb))
+        .withColumn("fid", F.first("pid", ignorenulls=True).over(wf))
+        .withColumn("fus", F.first("_m_us", ignorenulls=True).over(wf))
+    )
+    eus = F.unix_micros("ts")
+    back_wins = F.col("bid").isNotNull() & (
+        F.col("fid").isNull() | ((eus - F.col("bus")) <= (F.col("fus") - eus))
+    )
+    return (
+        u.filter(F.col("_is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.when(back_wins, F.col("bid"))
+            .otherwise(F.col("fid"))
+            .alias("nearest_purchase_id"),
+            F.when(back_wins, eus - F.col("bus"))
+            .when(F.col("fid").isNotNull(), F.col("fus") - eus)
+            .alias("us_to_purchase"),
+        )
+    )

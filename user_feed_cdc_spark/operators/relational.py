@@ -1386,3 +1386,44 @@ def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@_register(
+    "sql_pipe_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5)
+               / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+)
+def sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (|>, Spark 4 / GoogleSQL "Pipe Query Syntax",
+    Shute et al. VLDB 2024): the filtered-aggregate-having pricing
+    rollup written as a linear pipeline — FROM |> WHERE |> AGGREGATE
+    |> WHERE |> SELECT — instead of inside-out SQL. Each |> stage
+    lowers to exactly the clause it names, so the optimized plan is
+    the same scan → partial agg → final agg → filter Catalyst builds
+    for the HAVING form; the oracle IS that classic form, certifying
+    the pipe surface is pure syntax with zero plan tax. The post-
+    AGGREGATE WHERE is the HAVING equivalent — semantics pinned by the
+    hash gate, not by analogy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM {li}
+        |> WHERE l_quantity > 10
+        |> AGGREGATE
+               COUNT(*) AS n,
+               CAST(FLOOR(SUM(l_extendedprice * (1.0 - l_discount))
+                          * 100.0 + 0.5) / 100.0 AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        """,
+        li=li,
+    )
