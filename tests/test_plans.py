@@ -32,6 +32,7 @@ NESTED_LOOP_WHITELIST = {
     "text_unigram_surprisal",     # 1-row broadcast total-token scalar
     "pipeline_source_mixture",    # 1-row broadcast mixture-floor scalar
     "pipeline_dsir_weights",      # 1-row broadcast corpus-total scalars
+    "text_bm25_topk",             # 1-row broadcast corpus-stats scalar
 }
 
 

@@ -1111,3 +1111,164 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_terms"),
         r2(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: inverted index build + BM25 ranking
+# ---------------------------------------------------------------------------
+
+_IDX_MIN_DF = 50  # index only corpus-common terms (bounds output width)
+_IDX_HEAD = 20  # postings-head length carried per term
+
+_INVERTED_INDEX_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY term, doc_id),
+    idx AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings_head
+        FROM tf GROUP BY term
+    )
+    SELECT * FROM idx WHERE df >= 50
+"""
+
+
+@_register("text_inverted_index", _INVERTED_INDEX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the INVERTED INDEX — the term → postings structure search
+    engines and TF-IDF/BM25 retrieval run on: per corpus-common term
+    (df ≥ 50), document frequency, total term frequency, and the first
+    20 postings in doc_id order. The postings HEAD is window-limited
+    (row_number ≤ 20 per term → WindowGroupLimit caps the exchange at
+    20 rows/term) BEFORE any collect_list, so no executor ever
+    materializes a full postings list — the trap a naive
+    sort-inside-collect build hits when a stopword's postings are the
+    whole corpus. df/total_tf come from a plain partial-agged groupBy
+    over the same (term, doc) counts; at 100 TB production shards full
+    postings into bucketed segment files and this plan IS the
+    per-segment build."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    heads = (
+        tf.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _IDX_HEAD)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings_head"))
+    )
+    return (
+        stats.filter(F.col("df") >= _IDX_MIN_DF)
+        .join(heads, "term")
+        .select("term", "df", "total_tf", "postings_head")
+    )
+
+
+_BM25_TERMS = ("data", "the", "model")  # the fixed probe query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dlen) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    q(term) AS (VALUES ('data'), ('the'), ('model')),
+    tf AS (
+        SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / s.total_len)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) / 1000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
+@_register("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson-Spärck Jones, the lexical-retrieval
+    baseline every dense-retrieval paper reports against): top-15 docs
+    for a fixed 3-term probe query, k1=1.2, b=0.75, with the
+    Lucene-style non-negative idf ln((N-df+0.5)/(df+0.5)+1). This is
+    the scoring consumer of the inverted-index build — together they
+    make the engine's retrieval story: index, score, and the ANN
+    family for the dense side.
+
+    Engine-exactness: every per-(doc, term) BM25 contribution is one
+    float expression with IDENTICAL operation order in both engines,
+    frozen to integer micro-units BEFORE the per-doc sum (the surprisal
+    contract — a float sum's order is not reproducible across engines,
+    an integer sum is). Plan: the query-term filter prunes the token
+    stream in the scan stage (3 terms survive), df is a 3-row broadcast
+    back onto tf, doc lengths join doc-keyed, corpus stats ride a 1-row
+    broadcast, and TakeOrderedAndProject closes — no global sort, no
+    unbounded state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (
+            (1.0 - _BM25_B)
+            + _BM25_B * F.col("dlen") * F.col("n_docs") / F.col("total_len")
+        )
+    )
+    s_micro = F.floor(idf * tf_part * 1000000.0 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.sum("s_micro").cast("bigint") / 1000000.0).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
