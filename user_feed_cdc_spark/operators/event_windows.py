@@ -888,3 +888,59 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         spark, agg, "streaming_enrich_join_live_sink", "complete"
     )
+
+
+@_register(
+    "events_groupmap_ranks",
+    """
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY value DESC, event_id
+           ) AS BIGINT) AS value_rank,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    """,
+)
+def events_groupmap_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-MAP applyInPandas, VALUE-EXACT under the oracle gate —
+    the last rung of the Python-execution ladder (scalar pandas_udf,
+    UDTF, mapInPandas, applyInPandasWithState are each certified
+    elsewhere): per-user dense event ranking by (value DESC, event_id)
+    computed with pandas sort_values inside each group, certified
+    row-identical against the ROW_NUMBER window twin. Integer outputs
+    only — ranks and counts — so there is no float path to drift.
+
+    The point is the CONTRACT, not the ranking (the built-in window
+    IS the right tool for this query — see window_rank_family): when a
+    per-group computation genuinely needs imperative pandas (scipy
+    fits, model scoring), applyInPandas is the tier that receives each
+    group as one DataFrame, and this entry pins its semantics — one
+    group per key, Arrow-batched both ways, deterministic within-group
+    order imposed explicitly (never assumed from shuffle order). Scale
+    caveat documented: a group must fit one executor's memory — keys
+    here are users (bounded events each); a hot key needs salting or
+    the built-in window instead."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value_rank": range(1, len(pdf) + 1),
+                "n_events": len(pdf),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group,
+        "user_id long, event_id long, value_rank long, n_events long",
+    )
