@@ -1103,3 +1103,124 @@ def test_phash_dedup_groups_identical_texts(spark, sf_dir):
     assert not rows[0].is_dup and rows[0].exemplar_id == 0
     assert rows[6].is_dup and rows[6].exemplar_id == 0
     assert rows[12].group_size == 1 and not rows[12].is_dup
+
+
+def test_substring_windows_flags_copied_span(spark):
+    """dedup_substring_windows semantics on a controlled corpus: a doc
+    that copies a verbatim 8-token span from an earlier doc is flagged;
+    a doc sharing only shorter overlaps is not; short docs (<8 tokens)
+    emit a zero-window row instead of vanishing."""
+    import pandas as pd
+
+    import user_feed_cdc_spark.operators.dedup as d
+
+    span = "one two three four five six seven eight"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"intro {span} outro tokens here",
+                f"fresh opening then {span} and a different tail",  # copies span
+                "totally unrelated words that share no long span at all ok",
+                "tiny doc",  # < 8 tokens
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [10] * 4,
+        }
+    )
+    orig = d.load_table
+    d.load_table = lambda _s, _d, _n: spark.createDataFrame(docs)
+    try:
+        rows = {
+            r.doc_id: r
+            for r in d.QUERIES["dedup_substring_windows"](spark, "x").collect()
+        }
+    finally:
+        d.load_table = orig
+    assert not rows[0].is_dup  # first owner keeps the span
+    assert rows[1].is_dup and rows[1].n_shared >= 1
+    assert not rows[2].is_dup
+    assert rows[3].n_windows == 0 and not rows[3].is_dup
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """asof_nearest_purchase tie rule: equidistant markers resolve to
+    the BACKWARD (already-seen) purchase; strictly nearer forward
+    markers win; equal-ts markers count as backward with gap 0."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import user_feed_cdc_spark.operators.asof as a
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    ev = pd.DataFrame(
+        [
+            # purchases at t0-10s (id 100) and t0+10s (id 200)
+            {"event_id": 100, "ts": t0 - 10 * sec, "user_id": 1,
+             "event_type": "purchase", "value": 1.0, "props": "{}"},
+            {"event_id": 200, "ts": t0 + 10 * sec, "user_id": 1,
+             "event_type": "purchase", "value": 1.0, "props": "{}"},
+            # probe exactly midway: tie -> backward marker 100
+            {"event_id": 1, "ts": t0, "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            # probe 2s from the forward marker: forward wins
+            {"event_id": 2, "ts": t0 + 8 * sec, "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            # probe at the backward marker's exact ts: gap 0 backward
+            {"event_id": 3, "ts": t0 - 10 * sec, "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            # user with no purchases: both sides null
+            {"event_id": 4, "ts": t0, "user_id": 2,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+        ]
+    )
+    orig = a.load_table
+    a.load_table = lambda _s, _d, _n: spark.createDataFrame(ev)
+    try:
+        rows = {
+            r.event_id: r
+            for r in a.QUERIES["asof_nearest_purchase"](spark, "x").collect()
+            if r.event_type == "view"
+        }
+    finally:
+        a.load_table = orig
+    assert rows[1].nearest_purchase_id == 100  # tie -> backward
+    assert rows[1].us_to_purchase == 10_000_000
+    assert rows[2].nearest_purchase_id == 200  # strictly nearer forward
+    assert rows[2].us_to_purchase == 2_000_000
+    assert rows[3].nearest_purchase_id == 100 and rows[3].us_to_purchase == 0
+    assert rows[4].nearest_purchase_id is None and rows[4].us_to_purchase is None
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """pipeline_dsir_weights direction check: docs made of the target
+    language's bigrams score higher than docs of out-of-target bigrams
+    on a corpus where the two populations share no features."""
+    import pandas as pd
+
+    import user_feed_cdc_spark.operators.pipeline as pl
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    de = "der schnelle braune fuchs springt wieder uber den faulen hund"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [en, en, en, en, en, de, de, de],
+            "lang": ["en"] * 5 + ["de"] * 3,
+            "source": ["s"] * 8,
+            "n_chars": [len(en)] * 5 + [len(de)] * 3,
+        }
+    )
+    orig = pl.load_table
+    pl.load_table = lambda _s, _d, _n: spark.createDataFrame(docs)
+    try:
+        rows = {
+            r.doc_id: r.dsir_weight
+            for r in pl.QUERIES["pipeline_dsir_weights"](spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+    assert min(rows[i] for i in range(5)) > max(rows[i] for i in (5, 6, 7))
