@@ -1224,3 +1224,31 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     finally:
         pl.load_table = orig
     assert min(rows[i] for i in range(5)) > max(rows[i] for i in (5, 6, 7))
+
+
+def test_substring_dedup_subsumes_exact_dedup(spark, sf_dir):
+    """Recall invariant on real data: every byte-identical copy of an
+    earlier doc (the dedup_exact_docs signal) with at least one full
+    8-token window must also be flagged by dedup_substring_windows —
+    the span detector is a strict superset of whole-doc exact dedup on
+    window-bearing docs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.operators.dedup import QUERIES
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    dup_copies = (
+        docs.select("doc_id", F.md5("text").alias("h"), F.size(toks).alias("nt"))
+        .withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("h")))
+        .filter((F.col("doc_id") != F.col("first_doc")) & (F.col("nt") >= 8))
+    )
+    expected = {r.doc_id for r in dup_copies.collect()}
+    flagged = {
+        r.doc_id
+        for r in QUERIES["dedup_substring_windows"](spark, sf_dir).collect()
+        if r.is_dup
+    }
+    assert expected <= flagged, sorted(expected - flagged)[:10]

@@ -223,3 +223,39 @@ def test_bpe_pair_expr_matches_reference(spark):
             if len(w) >= 2:
                 expect.update(a + b for a, b in zip(w, w[1:]))
     assert got == expect
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash64_invariances(w, h, data):
+    """dhash64 holds its contract on arbitrary images: deterministic,
+    signed-64, invariant to uniform brightness shifts that don't clip,
+    and stable under integer nearest-neighbor upscaling."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        dhash64,
+        resize_nearest,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=200),  # headroom for +50
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    hsh = dhash64(w, h, rgb)
+    assert hsh == dhash64(w, h, rgb)
+    assert -(1 << 63) <= hsh < (1 << 63)
+    shift = data.draw(st.integers(min_value=1, max_value=50))
+    shifted = bytes(b + shift for b in rgb)
+    assert dhash64(w, h, shifted) == hsh
+    kx = data.draw(st.integers(min_value=1, max_value=3))
+    ky = data.draw(st.integers(min_value=1, max_value=3))
+    up = resize_nearest(w, h, rgb, w * kx, h * ky)
+    assert dhash64(w * kx, h * ky, up) == hsh
