@@ -900,6 +900,7 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS BIGINT) AS value_rank,
            CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
     FROM events
+    WHERE user_id < 40
     """,
 )
 def events_groupmap_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,8 +924,13 @@ def events_groupmap_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the built-in window instead."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # bounded slice by contract (the UDTF-entry convention): the
+        # certification needs the tier's semantics pinned, not the full
+        # corpus pushed through Python serialization
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "value")
     )
 
     def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
