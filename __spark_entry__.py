@@ -105,7 +105,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_enrich_join_live", "asof_nearest_purchase",
         "sql_pipe_pricing", "multimodal_phash_dedup",
         "text_inverted_index", "text_bm25_topk",
-        "events_groupmap_ranks",
+        "events_groupmap_ranks", "pipeline_curriculum_order",
         # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -1404,3 +1404,77 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (global total-order rank without a global sort)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+    WITH banded AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars < 150 THEN 0
+                    WHEN n_chars < 250 THEN 1
+                    WHEN n_chars < 350 THEN 2
+                    ELSE 3 END AS band
+        FROM documents
+    )
+    SELECT doc_id, band, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY band, n_chars, doc_id) AS BIGINT)
+               AS curriculum_rank
+    FROM banded
+"""
+
+
+@_register("pipeline_curriculum_order", _CURRICULUM_ORACLE)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — every doc gets its GLOBAL easy→hard rank
+    (short docs first: the length-as-difficulty proxy of curriculum-
+    learning recipes) WITHOUT a global sort: the classic two-level
+    distributed ranking. Docs band into 4 fixed difficulty buckets;
+    per-band counts (a 4-row aggregate) turn into cumulative offsets
+    via a tiny running-sum window and broadcast back; the global rank
+    is band_offset + within-band ROW_NUMBER. One data shuffle (on
+    band, parallel within bands) replaces the all-rows range-exchange
+    + skew risk a bare ROW_NUMBER() OVER (ORDER BY ...) pays — at
+    100 TB that single-total-order window is the canonical scale
+    killer, and this decomposition is the standard fix (same
+    cumulative-offset idea as range partitioning's sampled bounds,
+    but exact). Oracle IS the naive global ROW_NUMBER, certifying the
+    decomposition reproduces the total order bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 250, 1)
+        .when(F.col("n_chars") < 350, 2)
+        .otherwise(3)
+    )
+    banded = docs.select("doc_id", "n_chars", band.alias("band"))
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("band").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "band_offset")
+    )
+    w = W.partitionBy("band").orderBy("n_chars", "doc_id")
+    return (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "band",
+            "n_chars",
+            (F.col("band_offset") + F.row_number().over(w)).alias(
+                "curriculum_rank"
+            ),
+        )
+    )
