@@ -58,16 +58,18 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     # Registration order is the driver's check order, and the driver only
     # certifies a PREFIX of the registry (rounds 2-6 each covered exactly
-    # the first 50 entries). Rotation policy: never-certified entries
+    # the first 50 entries). Rotation policy: NEVER-CERTIFIED entries
     # first, then stalest-certification-first. Round-7 window = the 49
-    # round-6 additions that have NEVER had a driver row + the stalest
-    # r05-certified entry — exactly 50. With 149 entries and a 50-slot
-    # window the rotation period is 3 rounds: r08 leads with the 49
-    # remaining r05-certified entries (positions 51-99 below) + 1 from
-    # the r06 batch. Every entry additionally passes the full local
-    # oracle gate every round (tools/check_correctness.py, all entries;
-    # output committed as CORRECTNESS_LOCAL_r{N}.json so new entries
-    # always have recorded certification before their driver row).
+    # round-6 additions that have never had a driver row + the stalest
+    # r05-certified entry — exactly 50. The registry is now 161 entries,
+    # so full driver coverage takes 4 windows; per the policy, the r08
+    # window = the 12 round-7 additions (never certified, listed right
+    # after position 50 below) + the first 38 of the r05-certified
+    # block; the remaining r05 tail and the r06 batch follow in r09/r10.
+    # Every entry additionally passes the full local oracle gate every
+    # round (tools/check_correctness.py, all entries; output committed
+    # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
+    # certification before their driver row).
     priority = [
         # never driver-certified (added in round 6) — 49 entries
         "sketch_value_quantiles_bounded", "sketch_top_users",

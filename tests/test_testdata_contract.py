@@ -187,8 +187,12 @@ def test_argmax_packed_key_preconditions(spark):
         load_table(spark, SF_DIR, "events")
         .agg(
             F.max("user_id").alias("max_uid"),
+            F.min("user_id").alias("min_uid"),
             F.max(F.floor(F.col("value") * 100.0 + F.lit(0.5))).alias(
                 "max_cents"
+            ),
+            F.min(F.floor(F.col("value") * 100.0 + F.lit(0.5))).alias(
+                "min_cents"
             ),
         )
         .first()
@@ -197,6 +201,12 @@ def test_argmax_packed_key_preconditions(spark):
         f"user_id {row.max_uid} >= 10^9: agg_argmax_funcs packed ordering "
         "key would bleed into the value bits — switch to the struct form"
     )
+    assert row.min_uid >= 0, (
+        f"user_id {row.min_uid} < 0: negative ids bleed into the cents bits"
+    )
     assert row.max_cents < 9_200_000_000, (
         f"value_cents {row.max_cents} risks bigint overflow in the packed key"
+    )
+    assert row.min_cents > -9_200_000_000, (
+        f"value_cents {row.min_cents} risks bigint underflow in the packed key"
     )

@@ -63,6 +63,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: --json requires a PATH operand", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
@@ -116,15 +119,26 @@ def main() -> int:
         # differently than BIGINT, a class invisible to the Python-int
         # normalization below (r03 verdict: 7/7 hash failures were
         # exactly the HUGEINT-output oracles). Reject them locally.
-        rel = con.sql(oracles[name])
-        bad_types = [
-            f"{c}:{t}"
-            for c, t in zip(rel.columns, (str(t) for t in rel.types))
-            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
-        ]
-        dres = con.execute(oracles[name])
-        dcols = [d[0] for d in dres.description]
-        drows = dres.fetchall()
+        try:
+            rel = con.sql(oracles[name])
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, (str(t) for t in rel.types))
+                if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+            ]
+            dres = con.execute(oracles[name])
+            dcols = [d[0] for d in dres.description]
+            drows = dres.fetchall()
+        except Exception as e:  # a broken ORACLE must not void the run either
+            print(f"  {name:35s} ORACLE-ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"oracle: {type(e).__name__}: {e}"[:300],
+            }
+            continue
         problems = []
         if bad_types:
             problems.append(

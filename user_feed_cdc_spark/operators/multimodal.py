@@ -904,24 +904,21 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = fan_out(mm, min_parallelism=8).mapInPandas(
         batches, "doc_id long, phash long, decoded boolean"
     )
+    # ONE phash-partitioned window pass computes group size and exemplar
+    # — no self-join, so the Python decode stage executes exactly once
+    # (undecoded rows share the NULL-phash partition, but their stats
+    # are gated to 0/NULL by the decoded flag: a non-null phash implies
+    # decoded, so within a real group count(*) == decoded count).
     w = W.partitionBy("phash")
-    grouped = hashed.filter(F.col("decoded")).select(
+    exemplar = F.when(F.col("decoded"), F.min("doc_id").over(w))
+    return hashed.select(
         "doc_id",
         "phash",
-        F.count(F.lit(1)).over(w).alias("group_size"),
-        F.min("doc_id").over(w).alias("exemplar_id"),
-    )
-    return (
-        hashed.select("doc_id", "phash", "decoded")
-        .join(grouped.select("doc_id", "group_size", "exemplar_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "phash",
-            "decoded",
-            F.coalesce("group_size", F.lit(0)).alias("group_size"),
-            "exemplar_id",
-            (
-                F.col("decoded") & (F.col("doc_id") != F.coalesce("exemplar_id", F.col("doc_id")))
-            ).alias("is_dup"),
-        )
+        "decoded",
+        F.when(F.col("decoded"), F.count(F.lit(1)).over(w))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("group_size"),
+        exemplar.alias("exemplar_id"),
+        (F.col("decoded") & (F.col("doc_id") != exemplar)).alias("is_dup"),
     )
