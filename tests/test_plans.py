@@ -33,6 +33,7 @@ NESTED_LOOP_WHITELIST = {
     "pipeline_source_mixture",    # 1-row broadcast mixture-floor scalar
     "pipeline_dsir_weights",      # 1-row broadcast corpus-total scalars
     "text_bm25_topk",             # 1-row broadcast corpus-stats scalar
+    "events_type_cooccurrence",   # 1-row broadcast distinct-user total
 }
 
 

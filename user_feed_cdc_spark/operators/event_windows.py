@@ -950,3 +950,151 @@ def events_groupmap_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_group,
         "user_id long, event_id long, value_rank long, n_events long",
     )
+
+
+_WILSON_Z = 1.96  # 95% two-sided
+_WILSON_Z2 = 3.8416  # z², exactly 1.96² — same literal in both engines
+
+_WILSON_ORACLE = """
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           FLOOR(k * 1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS rate,
+           FLOOR(((k * 1.0 / n + 3.8416 / (2.0 * n)
+                   - 1.96 * sqrt((k * 1.0 / n * (1.0 - k * 1.0 / n)
+                                  + 3.8416 / (4.0 * n)) / n))
+                  / (1.0 + 3.8416 / n)) * 1000000.0 + 0.5) / 1000000.0
+               AS wilson_lo,
+           FLOOR(((k * 1.0 / n + 3.8416 / (2.0 * n)
+                   + 1.96 * sqrt((k * 1.0 / n * (1.0 - k * 1.0 / n)
+                                  + 3.8416 / (4.0 * n)) / n))
+                  / (1.0 + 3.8416 / n)) * 1000000.0 + 0.5) / 1000000.0
+               AS wilson_hi
+    FROM agg
+"""
+
+
+@_register("events_conversion_wilson_ci", _WILSON_ORACLE)
+def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment conversion rate WITH a 95% Wilson score interval —
+    the uncertainty-aware form of every dashboard rate metric, and the
+    interval that stays valid at small n and extreme rates where the
+    naive normal approximation lies (the reason A/B platforms ship
+    Wilson or Jeffreys, not ±1.96·SE). Conversion here = value > 50.
+
+    Everything reduces to one groupBy producing exact integer (n, k)
+    per segment — the interval is a pure per-row projection from those
+    two bigints, written with IDENTICAL literals and operation order in
+    both engines (z=1.96, z²=3.8416 exactly), so the floats agree at
+    the 1e-6 gate without any accumulation-order exposure. At 100 TB
+    the cost IS the count: map-side partials, |segments| output rows,
+    the CI math free."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k * 1.0 / n
+    half = _WILSON_Z * F.sqrt((p * (1.0 - p) + _WILSON_Z2 / (4.0 * n)) / n)
+    center = p + _WILSON_Z2 / (2.0 * n)
+    denom = 1.0 + _WILSON_Z2 / n
+    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        r6(p).alias("rate"),
+        r6((center - half) / denom).alias("wilson_lo"),
+        r6((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+_COOCCUR_ORACLE = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM ut GROUP BY event_type),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_all FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.support,
+           FLOOR(p.support * 1.0 / ta.n_users * 1000000.0 + 0.5) / 1000000.0
+               AS confidence_a_to_b,
+           FLOOR((p.support * 1.0 / n.n_all)
+                 / ((ta.n_users * 1.0 / n.n_all) * (tb.n_users * 1.0 / n.n_all))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs p
+    JOIN totals ta ON p.type_a = ta.event_type
+    JOIN totals tb ON p.type_b = tb.event_type
+    CROSS JOIN n
+"""
+
+
+@_register("events_type_cooccurrence", _COOCCUR_ORACLE)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type co-occurrence with support / confidence /
+    lift — the market-basket association triple (the 2-itemset core of
+    Apriori/FP-growth) over the per-user behavior basket: which
+    activity types travel together, and is the pairing more than
+    chance (lift > 1)?
+
+    Shape at scale: the ONLY per-row work is the distinct (user, type)
+    collapse — event volume compresses to ≤|types| rows per user
+    BEFORE the pair join, so the self-join on user_id fans out to at
+    most C(|types|, 2) = 10 pairs per user here (bounded by the type
+    vocabulary, not by traffic). Type totals are a |types|-row
+    broadcast; lift's float path is identical-order in both engines
+    over exact bigint counts. The canonical wrong plan — pairing raw
+    events — explodes quadratically in per-user volume; pairing the
+    distinct basket is the standard fix."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    n_all = ev.agg(
+        F.countDistinct("user_id").alias("n_all")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    sup = F.col("support")
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n_all))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            r6(sup * 1.0 / F.col("na")).alias("confidence_a_to_b"),
+            r6(
+                (sup * 1.0 / F.col("n_all"))
+                / (
+                    (F.col("na") * 1.0 / F.col("n_all"))
+                    * (F.col("nb") * 1.0 / F.col("n_all"))
+                )
+            ).alias("lift"),
+        )
+    )
