@@ -109,6 +109,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_inverted_index", "text_bm25_topk",
         "events_groupmap_ranks", "pipeline_curriculum_order",
         "events_conversion_wilson_ci", "events_type_cooccurrence",
+        "events_lag_features", "events_multitouch_attribution",
         # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -13,7 +13,7 @@ streaming mode; these batch twins are what the driver's oracle can check
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.sources.tables import load_table
@@ -1097,4 +1097,131 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("lift"),
         )
+    )
+
+
+_LAG_FEATURES_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           LAG(cents, 1) OVER w AS lag1_cents,
+           LAG(cents, 2) OVER w AS lag2_cents,
+           LAG(cents, 3) OVER w AS lag3_cents,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS prev3_sum_cents,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS prev3_n
+    FROM ordered
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_register("events_lag_features", _LAG_FEATURES_ORACLE)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-feature frame generation — the feature-engineering pass that
+    turns an event stream into supervised-learning rows: per user in
+    (ts, event_id) order, the previous three values plus the
+    trailing-3 sum/count (the rolling-mean numerator/denominator, kept
+    as exact integers so the frame is engine-exact; the model divides).
+    Every sequence model and gradient-boosted churn/uplift pipeline
+    starts with exactly this wide frame.
+
+    The event_id tiebreak makes LAG deterministic under duplicate
+    timestamps — the classic silent bug in lag features. ONE shuffle on
+    user_id serves all five window expressions (same partition + order
+    → one Window node, one sort); values are frozen to cents BEFORE
+    windowing so no float accumulation crosses rows. At 100 TB this is
+    a single sorted pass per user partition, output 1:1 with input."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    base = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-3, -1)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.lag("cents", 1).over(w).alias("lag1_cents"),
+        F.lag("cents", 2).over(w).alias("lag2_cents"),
+        F.lag("cents", 3).over(w).alias("lag3_cents"),
+        F.sum("cents").over(wr).alias("prev3_sum_cents"),
+        F.count(F.lit(1)).over(wr).alias("prev3_n"),
+    )
+
+
+_MULTITOUCH_ORACLE = """
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id AS touch_id, user_id, ts AS tts, event_type
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    matched AS (
+        SELECT p.purchase_id, t.touch_id, t.event_type,
+               CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+                   AS n_touches
+        FROM purchases p
+        JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 30 MINUTE
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(FLOOR(1000000.0 / n_touches + 0.5) AS BIGINT))
+                AS BIGINT) AS credit_micro
+    FROM matched GROUP BY event_type
+"""
+
+
+@_register("events_multitouch_attribution", _MULTITOUCH_ORACLE)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every purchase splits one unit
+    of credit equally across the same user's touches in the preceding
+    30 minutes, rolled up per channel (event_type) — the multi-touch
+    generalization of events_attribution_join's last-touch interval
+    join, and the batch twin of the stream-stream form. Credit
+    fractions are frozen to integer micro-units per (purchase, touch)
+    BEFORE the channel rollup, so the split sums are exact bigints.
+
+    Plan: a user-keyed equi-join carries the interval as a residual
+    range predicate (per-user fan-out bounded by touches-per-window,
+    never quadratic in traffic), one purchase-partitioned window counts
+    the split denominator, one groupBy closes. The same watermark
+    bounds make this incremental in streaming form."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    matched = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "purchase_id",
+            "event_type",
+            F.count(F.lit(1))
+            .over(W.partitionBy("purchase_id"))
+            .alias("n_touches"),
+        )
+    )
+    credit = F.floor(1000000.0 / F.col("n_touches") + F.lit(0.5)).cast("long")
+    return matched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit).alias("credit_micro"),
     )
