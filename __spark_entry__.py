@@ -61,10 +61,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the first 50 entries). Rotation policy: NEVER-CERTIFIED entries
     # first, then stalest-certification-first. Round-7 window = the 49
     # round-6 additions that have never had a driver row + the stalest
-    # r05-certified entry — exactly 50. The registry is now 161 entries,
+    # r05-certified entry — exactly 50. The registry is now 165 entries,
     # so full driver coverage takes 4 windows; per the policy, the r08
-    # window = the 12 round-7 additions (never certified, listed right
-    # after position 50 below) + the first 38 of the r05-certified
+    # window = the 16 round-7 additions (never certified, listed right
+    # after position 50 below) + the first 34 of the r05-certified
     # block; the remaining r05 tail and the r06 batch follow in r09/r10.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
