@@ -2,14 +2,16 @@
 BASELINE at the same scale factor").
 
 Compares a fresh BENCH_FULL.json against the committed per-query
-baseline BENCH_BASELINE.json (first full-registry measurement, sf0.1,
-local[32]; BENCH_r01's parsed line predates the full registry and only
-covered 40 queries). Queries new since the baseline are reported as
-"new" and appended on --update so every entry acquires a baseline the
-round it ships.
+baseline BENCH_BASELINE.json (sf0.1, local[32]): the r01 parsed values
+for the 40 queries BENCH_r01 recorded — the true first measurement —
+and each later query's first full-registry measurement otherwise.
+Queries new since the baseline are reported as "new" and appended on
+--update so every entry acquires a baseline the round it ships.
 
 Usage: python tools/bench_regress.py [--threshold 2.0] [--update]
-Exit 1 if any common query exceeds threshold x its baseline.
+Exit 1 if any query exceeds threshold x its baseline OR any baselined
+query is missing from the fresh run (a partial bench must not certify
+the hold); exit 2 on usage errors.
 """
 
 from __future__ import annotations
@@ -27,7 +29,12 @@ def main() -> int:
     threshold = 2.0
     update = "--update" in sys.argv
     if "--threshold" in sys.argv:
-        threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
+        i = sys.argv.index("--threshold")
+        try:
+            threshold = float(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: --threshold requires a numeric operand", file=sys.stderr)
+            return 2
 
     full = json.load(open(FULL))["queries"]
     base = json.load(open(BASE))["queries"] if os.path.exists(BASE) else {}
@@ -44,9 +51,15 @@ def main() -> int:
             improved += 1
     for name, (b, s, r) in sorted(regressions.items(), key=lambda kv: -kv[1][2]):
         print(f"  REGRESSION {name}: {b}s -> {s}s ({r}x)")
+    # a baselined query absent from the fresh run means the bench was
+    # partial (or a query was dropped/renamed) — not a certified hold
+    unmeasured = sorted(set(base) - set(full))
+    for name in unmeasured:
+        print(f"  UNMEASURED {name}: baselined but absent from BENCH_FULL.json")
     print(
         f"{len(full)} benched | {len(base)} baselined | {len(new)} new | "
-        f"{improved} faster than baseline | {len(regressions)} over {threshold}x"
+        f"{improved} faster than baseline | {len(regressions)} over {threshold}x | "
+        f"{len(unmeasured)} unmeasured"
     )
     if update:
         merged = dict(base)
@@ -57,7 +70,7 @@ def main() -> int:
             open(BASE, "w"), indent=1, sort_keys=True,
         )
         print(f"wrote {BASE} (+{len(new)} new baselines)")
-    return 1 if regressions else 0
+    return 1 if regressions or unmeasured else 0
 
 
 if __name__ == "__main__":

@@ -23,6 +23,12 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _r6(c):
+    """Half-up micro-rounding (1e-6), the oracle-load-bearing freeze:
+    FLOOR(x*1e6 + 0.5)/1e6 with the identical literal in every twin."""
+    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
 def _register(name: str, oracle: str | None):
     def deco(fn):
         QUERIES[name] = fn
@@ -147,8 +153,6 @@ def events_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("hour").orderBy(F.col("n").desc(), "user_id")
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -520,8 +524,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and everything after it is driver-trivial no matter the
     corpus size. The probability divides two exact integers in one float
     op, rounded half-up at 6 — bit-stable across engines."""
-    from pyspark.sql import Window as W
-
     from user_feed_cdc_spark.functions.numeric import round_half_up
 
     ev = load_table(spark, sf_dir, "events")
@@ -580,8 +582,6 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-most users×days rows before any window; everything downstream
     shuffles on user_id once and the island arithmetic is a scan-stage
     projection. Integer day arithmetic is engine-exact."""
-    from pyspark.sql import Window as W
-
     days = (
         load_table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
@@ -1003,14 +1003,13 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _WILSON_Z * F.sqrt((p * (1.0 - p) + _WILSON_Z2 / (4.0 * n)) / n)
     center = p + _WILSON_Z2 / (2.0 * n)
     denom = 1.0 + _WILSON_Z2 / n
-    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
     return agg.select(
         "event_type",
         "n",
         "k",
-        r6(p).alias("rate"),
-        r6((center - half) / denom).alias("wilson_lo"),
-        r6((center + half) / denom).alias("wilson_hi"),
+        _r6(p).alias("rate"),
+        _r6((center - half) / denom).alias("wilson_lo"),
+        _r6((center + half) / denom).alias("wilson_hi"),
     )
 
 
@@ -1078,7 +1077,6 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = totals.select(
         F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
     )
-    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
     sup = F.col("support")
     return (
         pairs.join(F.broadcast(ta), "type_a")
@@ -1088,8 +1086,8 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "support",
-            r6(sup * 1.0 / F.col("na")).alias("confidence_a_to_b"),
-            r6(
+            _r6(sup * 1.0 / F.col("na")).alias("confidence_a_to_b"),
+            _r6(
                 (sup * 1.0 / F.col("n_all"))
                 / (
                     (F.col("na") * 1.0 / F.col("n_all"))
