@@ -37,6 +37,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         sketches,
         textanalysis,
     )
+    from user_feed_cdc_spark.sources import formats
 
     merged: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -52,6 +53,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         textanalysis,
         feed,
         relational,
+        formats,
     ):
         merged.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
@@ -61,10 +63,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the first 50 entries). Rotation policy: NEVER-CERTIFIED entries
     # first, then stalest-certification-first. Round-7 window = the 49
     # round-6 additions that have never had a driver row + the stalest
-    # r05-certified entry — exactly 50. The registry is now 165 entries,
+    # r05-certified entry — exactly 50. The registry is now 168 entries,
     # so full driver coverage takes 4 windows; per the policy, the r08
-    # window = the 16 round-7 additions (never certified, listed right
-    # after position 50 below) + the first 34 of the r05-certified
+    # window = the 19 round-7 additions (never certified, listed right
+    # after position 50 below) + the first 31 of the r05-certified
     # block; the remaining r05 tail and the r06 batch follow in r09/r10.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
@@ -110,6 +112,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_groupmap_ranks", "pipeline_curriculum_order",
         "events_conversion_wilson_ci", "events_type_cooccurrence",
         "events_lag_features", "events_multitouch_attribution",
+        "source_orc_roundtrip", "source_csv_roundtrip",
+        "source_json_roundtrip",
         # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
