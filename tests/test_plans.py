@@ -486,3 +486,24 @@ def test_substring_windows_single_hash_shuffle_feeds_rollup(spark, sf_dir):
     # join back to the doc list
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_layout_prunes(spark, sf_dir):
+    """source_partitioned_pruned: the event_type predicate must resolve
+    as a PARTITION filter (directory pruning — zero IO for the other
+    types), not a post-scan data filter."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _executed_plan(
+            em.queries()["source_partitioned_pruned"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]

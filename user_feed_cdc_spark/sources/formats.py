@@ -151,3 +151,54 @@ def _make_entry(fmt: str):
 
 for _fmt in ("orc", "csv", "json"):
     _register(f"source_{_fmt}_roundtrip", _ROUNDTRIP_ORACLE)(_make_entry(_fmt))
+
+
+_PARTITIONED_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@_register("source_partitioned_pruned", _PARTITIONED_ORACLE)
+def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED lake layout + partition pruning, certified:
+    events written `partitionBy(event_type)` (the directory-per-value
+    layout every lake organizes hot dimensions into; cached per
+    (sf, source mtime)), then a single-type query reads it back — the
+    event_type predicate resolves against DIRECTORY NAMES, so only
+    1/|types| of the data is ever opened (PartitionFilters in the scan,
+    plan-gated in tests/test_plans.py), and the hourly rollup over the
+    surviving rows is hashed against the oracle over the original
+    un-partitioned parquet. Certifies BOTH the layout write (the
+    partition column round-trips through directory names, including
+    re-attachment to the schema on read) and the pruning read.
+
+    At 100 TB this is the first-order scan optimization: partition
+    pruning removes whole files before any IO, where a parquet row-
+    group filter still reads footers. The partition column should be
+    low-cardinality and hot in predicates — exactly event_type here;
+    high-cardinality partitioning (user_id) produces the small-files
+    problem the z-order entry's clustering math addresses instead."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"part:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(_scratch_dir(), f"events_part_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return df.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+    )
