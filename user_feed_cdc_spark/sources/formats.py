@@ -202,3 +202,133 @@ def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
         ).alias("cents_sum"),
     )
+
+
+_EVOLUTION_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) * 2 AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_with_source,
+           CAST(COUNT(*) AS BIGINT) AS n_null_source
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("source_schema_evolution", _EVOLUTION_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across files, certified: a lake directory whose
+    older files predate a column (v1 = events without `ingest_source`)
+    and whose newer files carry it (v2 = same events + the column) is
+    read with `mergeSchema` — the reader must union the footers'
+    schemas, surface the new column, and fill NULL for the old files.
+    The certificate counts, per type, total rows (both generations),
+    rows where the column is present, and rows where it is NULL — a
+    reader that dropped old files, defaulted instead of NULLing, or
+    failed the merge moves a column.
+
+    This is the append-only lake's schema lifecycle: producers deploy
+    the new writer, history stays readable, and consumers see one
+    merged schema. At 100 TB mergeSchema's footer union is the cost —
+    production pins the merged schema in a catalog instead of
+    re-deriving it per read, which is exactly what reading with an
+    explicit evolved schema (no mergeSchema) does; the certified
+    behavior (NULL-fill on old files) is identical on both paths."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"evo:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(_scratch_dir(), f"events_evo_{key}")
+    v1, v2 = os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    if not (
+        os.path.exists(os.path.join(v1, "_SUCCESS"))
+        and os.path.exists(os.path.join(v2, "_SUCCESS"))
+    ):
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(v1)
+        ev.withColumn("ingest_source", F.lit("cdc_v2")).write.mode(
+            "overwrite"
+        ).parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ingest_source").alias("n_with_source"),
+        F.sum(
+            F.when(F.col("ingest_source").isNull(), 1).otherwise(0)
+        ).alias("n_null_source"),
+    )
+
+
+_N_CORRUPT = 7  # malformed lines appended per scratch build (literal in oracle)
+
+_PERMISSIVE_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST({_N_CORRUPT} AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) + {_N_CORRUPT} AS BIGINT) AS n_total
+    FROM events
+"""
+
+
+@_register("source_json_permissive", _PERMISSIVE_ORACLE)
+def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD handling at the reader, certified: a JSON-lines
+    landing file salted with malformed lines (truncated JSON, bare
+    text, unclosed braces — what real ingest directories contain) is
+    read in PERMISSIVE mode with a `_corrupt_record` column: good rows
+    parse, bad lines land whole in the corrupt column instead of
+    failing the job, and the certificate pins the exact good/corrupt
+    split. This is the reader-level twin of the pipeline's dead-letter
+    demux (F1): FAILFAST is for sealed lakes, DROPMALFORMED silently
+    loses data (the audit-hostile option), PERMISSIVE + corrupt-column
+    quarantine is the production posture — same triage contract as the
+    CDC dead-letter table, one level earlier in the stack.
+
+    Mechanics pinned by Spark's semantics: counting corrupt rows
+    requires referencing the corrupt column AFTER materializing the
+    parse (Spark refuses `count()` on a corrupt-only projection of a
+    lazy parse), and the corrupt column must be in the explicit
+    schema."""
+    import json as _json
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"perm:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(_scratch_dir(), f"events_perm_{key}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("timestampFormat", _TS_FMT)
+            .json(path)
+        )
+        bad_lines = [
+            '{"event_id": 1, "ts": "not-a-timestamp…' ,
+            "plain text line, not JSON at all",
+            '{"unclosed": ',
+            '[1, 2, 3',
+            '{"event_id": "}", "broken',
+            "}{",
+            '{"trailing": 1,}',
+        ]
+        assert len(bad_lines) == _N_CORRUPT
+        with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
+            f.write("\n".join(bad_lines) + "\n")
+        _json.dump({}, open(marker, "w"))
+    schema = TABLE_SCHEMAS["events"].add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # materialize the parse before corrupt-only projection
+    )
+    out = df.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return out
