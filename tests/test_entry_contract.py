@@ -29,10 +29,12 @@ def test_registry_invariants():
         sketches,
         textanalysis,
     )
+    from user_feed_cdc_spark.sources import formats
 
     mods = [
         relational, feed, textanalysis, dedup, similarity,
         multimodal, pipeline, sketches, asof, cdc, event_windows,
+        formats,
     ]
     assert sum(len(m.QUERIES) for m in mods) == len(qs)
 
@@ -91,3 +93,21 @@ def test_entry_flagship(spark):
     df = em.entry(spark)
     assert df.columns == ["follower_id", "event_id", "author_id", "event_type", "ts", "rn"]
     assert df.count() > 0
+
+
+def test_canonical_schemas_immutable_across_registry(spark):
+    """The permissive-reader regression class: a query that derives a
+    variant schema must COPY, never mutate, the shared TABLE_SCHEMAS
+    entries — a mutation silently rides along for every later read in
+    the session (and a second derivation duplicates the column and
+    fails them all). Run the corrupt-record entry twice and pin the
+    canonical schema's field count."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.schemas import TABLE_SCHEMAS
+
+    before = {n: len(s.fields) for n, s in TABLE_SCHEMAS.items()}
+    fn = em.queries()["source_json_permissive"]
+    fn(spark, "/root/testdata/sf0.01").collect()
+    fn(spark, "/root/testdata/sf0.01").collect()
+    after = {n: len(s.fields) for n, s in TABLE_SCHEMAS.items()}
+    assert before == after, "a registry entry mutated TABLE_SCHEMAS"

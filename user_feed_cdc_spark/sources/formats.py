@@ -313,7 +313,17 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
             f.write("\n".join(bad_lines) + "\n")
         _json.dump({}, open(marker, "w"))
-    schema = TABLE_SCHEMAS["events"].add("_corrupt_record", "string")
+    # COPY the canonical schema — StructType.add MUTATES in place, and
+    # appending _corrupt_record to the shared TABLE_SCHEMAS["events"]
+    # poisons every later events read in the session (a second call
+    # even duplicates the column and fails them all with
+    # COLUMN_ALREADY_EXISTS — caught by the two-pass bench).
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(TABLE_SCHEMAS["events"].fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
     df = (
         spark.read.schema(schema)
         .option("timestampFormat", _TS_FMT)
