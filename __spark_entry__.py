@@ -63,9 +63,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the first 50 entries). Rotation policy: NEVER-CERTIFIED entries
     # first, then stalest-certification-first. Round-7 window = the 49
     # round-6 additions that have never had a driver row + the stalest
-    # r05-certified entry — exactly 50. The registry is now 171 entries,
+    # r05-certified entry — exactly 50. The registry is now 173 entries,
     # so full driver coverage takes 4 windows; per the policy, the r08
-    # window = the 22 round-7 additions (never certified, listed right
+    # window = the 24 round-7 additions (never certified, listed right
     # after position 50 below) + the first 31 of the r05-certified
     # block; the remaining r05 tail and the r06 batch follow in r09/r10.
     # Every entry additionally passes the full local oracle gate every
@@ -115,6 +115,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_orc_roundtrip", "source_csv_roundtrip",
         "source_json_roundtrip", "source_partitioned_pruned",
         "source_schema_evolution", "source_json_permissive",
+        "source_python_datasource", "events_grouped_agg_mad",
         # certified green in r05; the r08 window tail draws from here
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",

@@ -342,3 +342,84 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
     )
     return out
+
+
+_PY_DATASOURCE_ORACLE = """
+    SELECT CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekend
+    FROM (SELECT UNNEST(generate_series(DATE '2024-01-01',
+                                        DATE '2024-12-31',
+                                        INTERVAL 1 DAY))::DATE AS d)
+    GROUP BY 1
+"""
+
+
+@_register("source_python_datasource", _PY_DATASOURCE_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4's pyspark.sql.datasource API
+    — the pluggable-connector surface that previously required a JVM
+    DataSourceV2 implementation): a calendar-spine source generating
+    the 2024 day grid across 4 InputPartitions, registered with
+    spark.dataSource.register and read through the normal
+    spark.read.format(...) path — schema declaration, option passing,
+    partition planning, and per-partition generator reads all exercised.
+    The monthly day/weekend rollup is hashed against DuckDB's
+    generate_series: a partition-planning bug (dropped/duplicated
+    stripes) or a date-arithmetic drift moves the counts.
+
+    This is how a 100 TB engine ingests bespoke feeds (internal APIs,
+    proprietary formats) without JVM code: partitions define the
+    parallelism exactly like file splits, each executor runs one
+    generator, and the rows enter Catalyst as a normal scan. Batch
+    generators must be DETERMINISTIC per partition (as here) or a task
+    retry yields different data — the same replayability contract the
+    CDC fixture sources pin."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class CalendarReader(DataSourceReader):
+        def __init__(self, options):
+            self.year = int(options.get("year", "2024"))
+            self.n_parts = int(options.get("partitions", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            import datetime as dt
+
+            start = dt.date(self.year, 1, 1)
+            n_days = (dt.date(self.year + 1, 1, 1) - start).days
+            for off in range(partition.value, n_days, self.n_parts):
+                day = start + dt.timedelta(days=off)
+                yield (day, day.isoweekday())
+
+    class CalendarSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "calendar_spine"
+
+        def schema(self):
+            return "day date, isodow int"
+
+        def reader(self, schema):
+            return CalendarReader(self.options)
+
+    spark.dataSource.register(CalendarSource)
+    cal = (
+        spark.read.format("calendar_spine")
+        .option("year", "2024")
+        .option("partitions", "4")
+        .load()
+    )
+    return cal.groupBy(F.month("day").cast("long").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("isodow") >= 6, 1).otherwise(0)).alias(
+            "n_weekend"
+        ),
+    )
