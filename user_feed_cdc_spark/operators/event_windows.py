@@ -1261,24 +1261,11 @@ def events_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes GROUPED_AGG through a full shuffle on the key — the
     documented cost vs mergeable built-ins; for 100 TB-safe dispersion
     use approx_percentile-based MAD, certified in the sketch family)."""
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # functionType passed explicitly: this module's
-    # `from __future__ import annotations` stringifies type hints, which
-    # defeats pandas_udf's signature-based eval-type inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def mad_cents(cents):
-        a = cents.to_numpy(dtype=np.float64)
-        med = np.median(a)
-        return float(np.median(np.abs(a - med)))
-
-    # Spark refuses mixing GROUPED_AGG pandas UDFs with built-in
-    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
-    # count is a pandas aggregate too — the whole agg runs one tier
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def n_rows(cents):
-        return len(cents)
+    # UDAFs live in functions/udafs.py: that module keeps REAL type
+    # hints (no future-annotations stringification), which is what
+    # lets pandas_udf infer GROUPED_AGG from the Series -> scalar
+    # signature instead of the deprecated PandasUDFType enum
+    from user_feed_cdc_spark.functions.udafs import mad_cents, n_rows
 
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
