@@ -82,11 +82,43 @@ def test_oracles_emit_driver_hashable_types():
         bad = [
             f"{c}:{t}"
             for c, t in zip(rel.columns, (str(t) for t in rel.types))
-            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+            if "HUGEINT" in str(t).upper()
+            or "DECIMAL" in str(t).upper()
+            # the r07 failure class: the driver's canonicalizer
+            # (pandas sort_values over every column) crashes on
+            # unhashable list/dict cells, so NO oracle-backed entry
+            # may emit ARRAY/MAP/STRUCT columns — CSV-join or
+            # posexplode them to scalars on both sides
+            or "[]" in str(t)
+            or str(t).upper().startswith(("MAP", "STRUCT", "LIST"))
         ]
         if bad:
             offenders[name] = str(bad)
     assert not offenders, f"driver-unhashable oracle outputs: {offenders}"
+
+
+def test_reshaped_entries_emit_scalar_columns(spark, sf_dir):
+    """Spark-side twin of the array/map oracle gate for the three
+    entries the r07 driver window crashed on (unhashable list cells in
+    its canonicalizer): their certified output schemas must stay
+    scalar-only after the CSV-join reshape. The registry-wide sweep
+    lives in tools/check_correctness.py (runs every entry per round);
+    these three are the known regression surface."""
+    from pyspark.sql import types as T
+
+    qs = em.queries()
+    for name in (
+        "similarity_pandas_udf_normalize",
+        "text_hashed_features",
+        "text_inverted_index",
+    ):
+        schema = qs[name](spark, sf_dir).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        assert not complex_cols, (name, complex_cols)
 
 
 def test_entry_flagship(spark):

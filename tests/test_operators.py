@@ -313,21 +313,41 @@ def test_corrupt_payload_passes_through_resize(spark, sf_dir):
     """resize_media's pass-through contract (ADVICE r06): unparseable
     payloads emit resized=false with the ORIGINAL digest — including
     corruption that surfaces as IndexError/KeyError from deep inside a
-    decoder, not just the normalized ValueError/struct.error set."""
+    decoder, which the decoder boundary normalizes to DecodeError
+    (ADVICE r07: the fallback catches exactly bad-data signals, never
+    raw IndexError/KeyError from consuming code)."""
     import hashlib
 
     import pandas as pd
 
     from user_feed_cdc_spark.operators.multimodal import (
         DECODE_FALLBACK_ERRORS,
+        DecodeError,
+        decode_bmp,
+        decode_gif,
+        decode_rvid,
+        decode_wav,
         encode_bmp,
         encode_gif,
         resize_media,
     )
 
-    # the widened contract: container-walk errors are data errors here
-    assert IndexError in DECODE_FALLBACK_ERRORS
-    assert KeyError in DECODE_FALLBACK_ERRORS
+    # the narrowed contract: only the boundary-normalized data-error
+    # signal (plus the modality plug point) routes to the fallback —
+    # a bug in featurize/resize/hash code must stay loud
+    assert DecodeError in DECODE_FALLBACK_ERRORS
+    assert IndexError not in DECODE_FALLBACK_ERRORS
+    assert KeyError not in DECODE_FALLBACK_ERRORS
+    assert ValueError not in DECODE_FALLBACK_ERRORS
+    # every decoder normalizes low-level walk errors at its boundary
+    for decoder, corrupt in [
+        (decode_bmp, b"BM\x01"),
+        (decode_wav, b"RIFF\x10\x00\x00\x00WAVE"),
+        (decode_rvid, b"RVID\x04\x00"),
+        (decode_gif, encode_gif(8, 4, bytes(32))[:100]),
+    ]:
+        with pytest.raises(DecodeError):
+            decoder(corrupt)
 
     bad = [
         (1, b"BM\x01"),

@@ -88,8 +88,9 @@ def main() -> int:
     failures = []
     n_checked = 0
     record: dict[str, dict] = {}
+    wanted = name_filter.split(",") if name_filter else None
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if wanted and not any(w in name for w in wanted):
             continue
         n_checked += 1
         try:
@@ -140,6 +141,24 @@ def main() -> int:
             }
             continue
         problems = []
+        # The DRIVER's canonicalizer (pandas sort_values over all
+        # columns) cannot hash list/map cells — an ARRAY/MAP-typed
+        # output column crashes it even when the local gate passes
+        # (r07: similarity_pandas_udf_normalize, text_hashed_features).
+        # Reject them here so the failure surfaces before the driver.
+        from pyspark.sql import types as _T
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (_T.ArrayType, _T.MapType))
+        ]
+        if complex_cols:
+            problems.append(
+                f"oracle-backed entry returns ARRAY/MAP columns "
+                f"{complex_cols} — the driver canonicalizer cannot hash "
+                "them; reshape to scalar columns (posexplode / array_join)"
+            )
         if bad_types:
             problems.append(
                 f"oracle emits driver-unhashable types {bad_types} — "

@@ -1033,5 +1033,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_dup"),
         )
     )
-    vecs.unpersist()
+    # NOTE: no vecs.unpersist() here — the returned frame is lazy, so an
+    # eager release would evict the cache before the caller's final pass
+    # ever reads it (round-7 ADVICE); the persist expires with the
+    # session, which is the right lifetime for a registry entry.
     return out

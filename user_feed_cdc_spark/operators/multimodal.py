@@ -28,18 +28,44 @@ from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
+class DecodeError(ValueError):
+    """Any failure to parse an untrusted media payload. The container
+    decoders raise it directly for validated corruption and their
+    boundary wrapper converts low-level walk errors (struct.error /
+    IndexError / KeyError from e.g. a corrupt LZW table walk) into it —
+    so the fallback handlers can catch EXACTLY "bad data" without also
+    swallowing programming errors in the consuming featurize/resize/
+    hash code (round-7 ADVICE: a regression there must stay loud)."""
+
+
+def _decode_boundary(fn):
+    """Decorator for the public decoders: anything the untrusted-bytes
+    walk raises is, by definition at this boundary, a data error —
+    normalize it to DecodeError so callers distinguish corrupt payloads
+    from bugs in their own post-decode logic."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DecodeError:
+            raise
+        except (ValueError, struct.error, IndexError, KeyError) as e:
+            raise DecodeError(str(e) or type(e).__name__) from e
+
+    return wrapper
+
+
 # The one exception set every decode fallback catches. The contract is
-# "unparseable payloads pass through, never fail the stage": the
-# decoders normalize most corruption to ValueError, but a malformed
-# container can surface IndexError/KeyError from deep inside (e.g. a
-# corrupt LZW table walk) before a length check fires — those are data
-# errors too, not code bugs, when raised while decoding untrusted bytes.
+# "unparseable payloads pass through, never fail the stage":
+# DecodeError is the decoders' boundary-normalized data-error signal;
+# NotImplementedError is the documented video/modality plug point.
+# Deliberately NOT ValueError/IndexError/KeyError — those escaping the
+# consuming code are bugs and must fail the stage loudly.
 DECODE_FALLBACK_ERRORS = (
     NotImplementedError,
-    ValueError,
-    struct.error,
-    IndexError,
-    KeyError,
+    DecodeError,
 )
 
 QUERIES: dict = {}
@@ -214,6 +240,7 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + rows
 
 
+@_decode_boundary
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a 24bpp uncompressed BMP: validate magic/bpp/compression,
     strip per-row padding, return (width, height, pixel bytes)."""
@@ -251,6 +278,7 @@ def encode_wav(samples: list[int], rate: int = WAV_RATE) -> bytes:
     )
 
 
+@_decode_boundary
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     """Parse RIFF/WAVE by walking chunks (not fixed offsets — real WAV
     files carry LIST/fact chunks before data). Returns (rate, samples)."""
@@ -294,6 +322,7 @@ def encode_rvid(
     return header + b"".join(frames)
 
 
+@_decode_boundary
 def decode_rvid(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse an RVID container: validate magic and that the body holds
     exactly the declared frame count. Returns (width, height, fps,
@@ -441,6 +470,7 @@ def encode_gif(width: int, height: int, gray: bytes) -> bytes:
     return bytes(out)
 
 
+@_decode_boundary
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a non-interlaced GIF87a/89a: walk the block structure
     (skipping 0x21 extension blocks), LZW-decompress the first image's
@@ -836,8 +866,11 @@ def dhash64(w: int, h: int, rgb: bytes) -> int:
     (unlike content digests) stable under resizing — the property that
     makes it a near-dup key where md5 only finds byte-exact copies.
     Pure integer arithmetic end to end: no float, no platform drift."""
+    # DecodeError, not bare ValueError: zero-dim or short content out of
+    # a crafted-but-parseable container is still a data error and must
+    # take the fallback path, not fail the stage
     if w <= 0 or h <= 0 or len(rgb) < w * h * 3:
-        raise ValueError("dhash64: malformed decoded content")
+        raise DecodeError("dhash64: malformed decoded content")
     gray = [
         (rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
         for i in range(w * h)

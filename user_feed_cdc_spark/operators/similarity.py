@@ -915,12 +915,12 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_pandas_udf_normalize",
     """
     SELECT vec_id,
-           list_transform(embedding, x ->
-               FLOOR(CAST(x AS DOUBLE)
+           array_to_string(list_transform(embedding, x ->
+               CAST(CAST(FLOOR(CAST(x AS DOUBLE)
                      / sqrt(list_sum(list_transform(embedding,
                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-                     * 1000000.0 + 0.5) / 1000000.0
-           ) AS unit_vec
+                     * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+               AS unit_vec_csv
     FROM embeddings
     WHERE vec_id < 200
     """,
@@ -937,9 +937,14 @@ def similarity_pandas_udf_normalize(
     fp64 adds — numpy's default pairwise-tree sum would differ from
     DuckDB's sequential list_sum in ULPs), np.sqrt/np.floor are
     correctly-rounded like both engines' sqrt/floor, and each element
-    is rounded half-up at 1e-6 inside the UDF. Bounded to vec_id<200
-    by contract only to keep the oracle cheap — the UDF itself is the
-    per-row O(dim) scan-stage pass that runs at any scale.
+    is frozen half-up to integer MICRO-UNITS inside the UDF. The
+    certified output is the CSV join of those micro-units — scalar
+    STRING, never ARRAY: the driver's canonicalizer sorts on raw
+    column values and cannot hash list cells (r07 failure), so every
+    oracle-backed entry keeps scalar-only output columns. Bounded to
+    vec_id<200 by contract only to keep the oracle cheap — the UDF
+    itself is the per-row O(dim) scan-stage pass that runs at any
+    scale.
 
     When to use this tier at 100 TB: built-in higher-order fns
     (`F.aggregate`/`zip_with`, the cosine family here) stay JVM-side
@@ -953,18 +958,22 @@ def similarity_pandas_udf_normalize(
     # no annotations on the inner fn: PEP-563 lazy annotations (active
     # module-wide) stringify them, which pandas_udf can't introspect;
     # the explicit returnType carries the schema
-    @pandas_udf("array<double>")
-    def l2_normalize(vecs):
+    @pandas_udf("array<long>")
+    def l2_normalize_micro(vecs):
         out = []
         for v in vecs:
             e = np.asarray(v, dtype=np.float64)
             # cumsum = sequential adds; [-1] is the full squared norm
             norm = np.sqrt(np.cumsum(e * e)[-1])
             unit = e / norm
-            out.append(np.floor(unit * 1e6 + 0.5) / 1e6)
+            out.append(np.floor(unit * 1e6 + 0.5).astype(np.int64))
         return pd.Series(out)
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    micro = l2_normalize_micro(F.col("embedding"))
     return emb.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("unit_vec")
+        "vec_id",
+        F.array_join(
+            F.transform(micro, lambda x: x.cast("string")), ","
+        ).alias("unit_vec_csv"),
     )

@@ -753,13 +753,13 @@ _HASH_DIM = 16  # hashed feature-vector width
         FROM toks GROUP BY 1, 2
     )
     SELECT doc_id,
-           list_transform(range(0, {_HASH_DIM}),
-               b -> CAST(coalesce(list_sum(list_transform(
+           array_to_string(list_transform(range(0, {_HASH_DIM}),
+               b -> CAST(CAST(coalesce(list_sum(list_transform(
                         list_filter(
                             list_zip(list(bucket), list(cnt)),
                             p -> p[1] = b),
-                        p -> p[2])), 0) AS BIGINT))
-               AS features
+                        p -> p[2])), 0) AS BIGINT) AS VARCHAR)), ',')
+               AS features_csv
     FROM bucketed
     GROUP BY doc_id
     """,
@@ -774,7 +774,11 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, so the full vectorization is
     hash-gated. Plan: explode → (doc, bucket) partial-agged count →
     one array_agg pivot per doc; the shuffle carries (doc_id, bucket,
-    count) triples, never tokens."""
+    count) triples, never tokens. The certified column is the CSV
+    join of the dense vector — scalar STRING, never ARRAY: the
+    driver's canonicalizer cannot sort/hash list cells (r07
+    failure), so the fixed-width vector ships as comma-joined
+    bigints; a consumer splits it back losslessly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -796,9 +800,13 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
-        lambda b: F.coalesce(F.col("m")[b.cast("long")], F.lit(0)),
+        lambda b: F.coalesce(F.col("m")[b.cast("long")], F.lit(0)).cast(
+            "string"
+        ),
     )
-    return pairs.select("doc_id", dense.alias("features"))
+    return pairs.select(
+        "doc_id", F.array_join(dense, ",").alias("features_csv")
+    )
 
 
 _BPE_TOP = 30
@@ -1054,6 +1062,7 @@ _ZIPF_ORACLE = """
                  CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
                / 1000000.0 AS zipf_slope
     FROM sums
+    WHERE n >= 2
 """
 
 
@@ -1106,7 +1115,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return sums.select(
+    # n == 1 makes den exactly 0: Spark yields NULL but DuckDB's IEEE
+    # division yields inf — skip degenerate single-term sources in
+    # BOTH engines rather than hash-diverge on them
+    return sums.filter(F.col("n") >= 2).select(
         "source",
         F.col("n").alias("n_terms"),
         r2(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
@@ -1131,7 +1143,9 @@ _INVERTED_INDEX_ORACLE = """
         SELECT term,
                CAST(COUNT(*) AS BIGINT) AS df,
                CAST(SUM(tf) AS BIGINT) AS total_tf,
-               list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings_head
+               array_to_string(list_transform(
+                   list_slice(list(doc_id ORDER BY doc_id), 1, 20),
+                   d -> CAST(d AS VARCHAR)), ',') AS postings_head
         FROM tf GROUP BY term
     )
     SELECT * FROM idx WHERE df >= 50
@@ -1163,11 +1177,21 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )
     w = W.partitionBy("term").orderBy("doc_id")
+    # CSV-joined head, not ARRAY: the driver canonicalizer can only
+    # hash scalar cells (r07 lesson) — numeric sort FIRST, then cast
     heads = (
         tf.select("term", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _IDX_HEAD)
         .groupBy("term")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings_head"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
     )
     return (
         stats.filter(F.col("df") >= _IDX_MIN_DF)

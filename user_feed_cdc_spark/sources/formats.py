@@ -69,6 +69,24 @@ def _scratch_dir() -> str:
     return d
 
 
+def _scratch_path(prefix: str, sf_dir: str, key: str) -> str:
+    """Scratch dir for one (prefix, sf, cache-key) triple, pruning stale
+    same-(prefix, sf) siblings first — the mtime-keyed entries would
+    otherwise accumulate forever as testdata regenerates (r07 ADVICE).
+    The SF tag is part of the prune scope so a test run at sf0.001
+    never evicts the still-valid bench cache at sf0.1."""
+    import shutil
+
+    root = _scratch_dir()
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    scoped = f"{prefix}_{sf_tag}"
+    want = f"{scoped}_{key}"
+    for name in os.listdir(root):
+        if name.startswith(f"{scoped}_") and name != want:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return os.path.join(root, want)
+
+
 def roundtrip_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """events → write as `fmt` (cached per (fmt, sf dir, source mtime))
     → read back with the canonical explicit schema. Returns the
@@ -77,7 +95,7 @@ def roundtrip_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(f"{fmt}:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
-    path = os.path.join(_scratch_dir(), f"events_{fmt}_{key}")
+    path = _scratch_path(f"events_{fmt}", sf_dir, key)
 
     opts = {}
     if fmt in ("csv", "json"):
@@ -187,7 +205,7 @@ def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(f"part:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
-    path = os.path.join(_scratch_dir(), f"events_part_{key}")
+    path = _scratch_path("events_part", sf_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
@@ -236,7 +254,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(f"evo:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
-    path = os.path.join(_scratch_dir(), f"events_evo_{key}")
+    path = _scratch_path("events_evo", sf_dir, key)
     v1, v2 = os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
     if not (
         os.path.exists(os.path.join(v1, "_SUCCESS"))
@@ -291,7 +309,7 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(f"perm:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
-    path = os.path.join(_scratch_dir(), f"events_perm_{key}")
+    path = _scratch_path("events_perm", sf_dir, key)
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
         (
@@ -312,7 +330,8 @@ def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(bad_lines) == _N_CORRUPT
         with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
             f.write("\n".join(bad_lines) + "\n")
-        _json.dump({}, open(marker, "w"))
+        with open(marker, "w") as f:
+            _json.dump({}, f)
     # COPY the canonical schema — StructType.add MUTATES in place, and
     # appending _corrupt_record to the shared TABLE_SCHEMAS["events"]
     # poisons every later events read in the session (a second call
