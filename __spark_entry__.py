@@ -59,51 +59,25 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         oracles.update(mod.ORACLES)
 
     # Registration order is the driver's check order, and the driver only
-    # certifies a PREFIX of the registry (rounds 2-6 each covered exactly
-    # the first 50 entries). Rotation policy: NEVER-CERTIFIED entries
-    # first, then stalest-certification-first. Round-7 window = the 49
-    # round-6 additions that have never had a driver row + the stalest
-    # r05-certified entry — exactly 50. The registry is now 173 entries,
-    # so full driver coverage takes 4 windows; per the policy, the r08
-    # window = the 24 round-7 additions (never certified, listed right
-    # after position 50 below) + the first 31 of the r05-certified
-    # block; the remaining r05 tail and the r06 batch follow in r09/r10.
+    # certifies a PREFIX of the registry (each round covers the first 50
+    # entries). Rotation policy: NEW + DRIVER-FAILED entries first, then
+    # never-certified, then stalest-certification-first. Round-8 window
+    # = new r08 entries + the two r07 driver failures (both reshaped to
+    # scalar output this round) + the 24 round-7 additions that have
+    # never had a driver row + stale-r05 fill to 50. The r05 tail and
+    # the r06 batch follow in r09/r10.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # never driver-certified (added in round 6) — 49 entries
-        "sketch_value_quantiles_bounded", "sketch_top_users",
-        "sketch_top_users_bounded", "sketch_bloom_prefilter",
-        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
-        "agg_sorted_strings", "agg_argmax_funcs",
-        "join_lateral_topk", "join_salted_skew", "join_null_aware_anti",
-        "window_value_functions", "pivot_event_type_revenue",
-        "graph_two_hop_reach", "graph_triangle_count", "graph_pagerank",
-        "graph_connected_components", "graph_reachability_recursive",
-        "events_rfm_segments", "events_value_histogram",
-        "events_anomaly_zscore", "events_markov_transitions",
-        "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized",
-        "similarity_matryoshka_topk", "similarity_pandas_udf_normalize",
-        "dedup_minhash_md5_clusters",
-        "multimodal_resize",
-        "text_boilerplate_ngrams", "text_edit_distance_pairs",
-        "text_hashed_features", "text_bpe_merge_pairs",
-        "text_bigram_surprisal", "text_udtf_sentences",
-        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
-        "pipeline_reservoir_sample", "pipeline_pii_scrub",
-        "pipeline_training_funnel", "pipeline_profile_columns",
-        "pipeline_quality_checks",
-        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
-        "streaming_hourly_rollup_live", "streaming_session_stats_live",
-        "streaming_dedup_live", "streaming_hourly_users_live",
-        # stalest r05-certified entry fills slot 50
-        "feed_topk_per_user",
-        # ---- positions 51+ ----
-        # new in round 7 (never certified — these lead the r08 window
-        # under the never-certified-first policy)
+        # ---- r08 window ----
+        # new in round 8 (never certified)
+        "multimodal_resize_certified",
+        # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
+        # to scalar CSV this round; must re-certify)
+        "similarity_pandas_udf_normalize", "text_hashed_features",
+        # round-7 additions, never driver-certified
         "dedup_substring_windows", "dedup_semantic",
         "pipeline_dsir_weights", "text_zipf_slope",
         "streaming_enrich_join_live", "asof_nearest_purchase",
@@ -116,7 +90,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_json_roundtrip", "source_partitioned_pruned",
         "source_schema_evolution", "source_json_permissive",
         "source_python_datasource", "events_grouped_agg_mad",
-        # certified green in r05; the r08 window tail draws from here
+        # stale r05-certified entries fill the window to 50
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
         "events_hourly_rollup", "cdc_canonical_activities",
@@ -129,7 +103,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pipeline_decontaminate_fuzzy",
         "similarity_binary_hamming_topk", "similarity_rerank_topk",
         "similarity_ivf_kmeans_topk", "similarity_ann_lsh",
-        "multimodal_binary_stats", "multimodal_frame_sample",
+        "multimodal_binary_stats",
+        # ---- positions 51+ ----
+        # r05-certified tail (r09 window draws from here)
+        "multimodal_frame_sample",
         "multimodal_feature_extract",
         "cdc_upsert_state", "cdc_metadata_map_stats",
         "cdc_dead_letter_stats",
@@ -143,7 +120,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats",
-        # certified green in r06 (freshest; rotate back in r09)
+        # certified green in r06
         "asof_next_purchase", "similarity_lsh_md5_buckets",
         "sketch_distinct_users_bounded", "events_daily_retention",
         "events_cohort_matrix",
@@ -168,6 +145,33 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_label_centroid_dist", "similarity_quantized_topk",
         "text_bigram_top_terms", "text_chunk_documents",
         "text_lang_rollup", "text_winnow_fingerprints",
+        # certified green in r07 (freshest)
+        "sketch_value_quantiles_bounded", "sketch_top_users",
+        "sketch_top_users_bounded", "sketch_bloom_prefilter",
+        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
+        "agg_sorted_strings", "agg_argmax_funcs",
+        "join_lateral_topk", "join_salted_skew", "join_null_aware_anti",
+        "window_value_functions", "pivot_event_type_revenue",
+        "graph_two_hop_reach", "graph_triangle_count", "graph_pagerank",
+        "graph_connected_components", "graph_reachability_recursive",
+        "events_rfm_segments", "events_value_histogram",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized",
+        "similarity_matryoshka_topk",
+        "dedup_minhash_md5_clusters",
+        "multimodal_resize",
+        "text_boilerplate_ngrams", "text_edit_distance_pairs",
+        "text_bpe_merge_pairs",
+        "text_bigram_surprisal", "text_udtf_sentences",
+        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
+        "pipeline_reservoir_sample", "pipeline_pii_scrub",
+        "pipeline_training_funnel", "pipeline_profile_columns",
+        "pipeline_quality_checks",
+        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
+        "streaming_hourly_rollup_live", "streaming_session_stats_live",
+        "streaming_dedup_live", "streaming_hourly_users_live",
+        "feed_topk_per_user",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -571,3 +571,51 @@ def test_pipeline_status_renders_failure():
     status = pipeline_status(FakeQuery())
     assert status["exception"] == "source path vanished"
     assert status["total_input_rows"] == 5 and not status["running"]
+
+
+def test_kafka_cdc_live_roundtrip(spark, tmp_path):
+    """LIVE Kafka e2e for the S1 source — self-certifying the moment an
+    environment provides a broker (the transformWithState importorskip
+    pattern, r07 VERDICT item 6): produce Debezium-shaped records with
+    kafka-python, consume them through kafka_stream → normalize_events
+    with an availableNow memory sink, and assert the canonical rows.
+    Skipped (not absent) in this sandbox: no broker, no kafka client,
+    no spark-sql-kafka jar — set SPARK_GRAFT_KAFKA_BOOTSTRAP to run."""
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no Kafka broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    kafka = pytest.importorskip("kafka")  # kafka-python client
+
+    from user_feed_cdc_spark.schemas import CDC_TOPIC_PREFIX
+    from user_feed_cdc_spark.streaming.cdc_pipeline import kafka_stream
+
+    producer = kafka.KafkaProducer(bootstrap_servers=bootstrap)
+    try:
+        for line in fixture_lines():
+            table = json.loads(line)["__source_table"]
+            producer.send(f"{CDC_TOPIC_PREFIX}{table}", line.encode())
+        producer.flush()
+    finally:
+        producer.close()
+
+    try:
+        stream = kafka_stream(spark, bootstrap)
+    except Exception as e:  # noqa: BLE001 — classpath probe
+        if "kafka" in str(e).lower():
+            pytest.skip(f"spark-sql-kafka package not on classpath: {e}")
+        raise
+    q = (
+        normalize_events(stream)
+        .writeStream.format("memory")
+        .queryName("kafka_live_canonical")
+        .option("checkpointLocation", str(tmp_path / "kafka_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM kafka_live_canonical").collect()
+    # same drop rules as the file-source golden test: 6 canonical rows
+    assert len(out) >= 6
+    assert {r.activity_type for r in out} == {
+        "LIKE_SHARD", "COMMENT_SHARD", "CREATE_SHARD", "FOLLOW_USER"
+    }

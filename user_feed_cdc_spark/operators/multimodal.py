@@ -768,7 +768,8 @@ def resize_media(
 
     out_schema = (
         "doc_id long, modality string, in_units int, out_units int, "
-        "resized_digest string, mean_unit double, resized boolean"
+        "resized_digest string, mean_unit double, "
+        "unit_sum long, unit_wsum long, resized boolean"
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -777,7 +778,7 @@ def resize_media(
         for pdf in it:
             rows = {k: [] for k in (
                 "in_units", "out_units", "resized_digest", "mean_unit",
-                "resized",
+                "unit_sum", "unit_wsum", "resized",
             )}
             for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 raw = bytes(payload)
@@ -813,6 +814,15 @@ def resize_media(
                     )
                     mean = sum(units) / len(units) if units else 0.0
                     rows["mean_unit"].append(py_round_half_up(mean, 4))
+                    # integer checksums over the resized units: the
+                    # position-weighted sum pins VALUE AND ORDER of
+                    # every output unit exactly (no float, no digest),
+                    # which is what lets a SQL oracle replay the whole
+                    # decode→resize pass (multimodal_resize_certified)
+                    rows["unit_sum"].append(sum(units))
+                    rows["unit_wsum"].append(
+                        sum((i + 1) * u for i, u in enumerate(units))
+                    )
                     rows["resized"].append(True)
                 except DECODE_FALLBACK_ERRORS:
                     rows["in_units"].append(len(raw))
@@ -821,6 +831,8 @@ def resize_media(
                         hashlib.md5(raw).hexdigest()
                     )
                     rows["mean_unit"].append(0.0)
+                    rows["unit_sum"].append(0)
+                    rows["unit_wsum"].append(0)
                     rows["resized"].append(False)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "modality": pdf["modality"], **rows}
@@ -847,6 +859,73 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(with_media_payload(docs)).select(
         "doc_id", "modality", "in_units", "out_units", "resized_digest",
         "mean_unit", "resized",
+    )
+
+
+_RESIZE_CERT_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS tl,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, modality,
+               CASE
+                 WHEN modality = 'image' AND doc_id % 6 = 0 THEN
+                   list_transform(range(0, 24), j -> CAST(ascii(substr(text,
+                       CAST(((16 * (j // 12) + 2 * ((j % 12) // 3)) % tl) + 1
+                            AS INT), 1)) AS BIGINT))
+                 WHEN modality = 'image' THEN
+                   list_transform(range(0, 24), j -> CAST(ascii(substr(text,
+                       CAST(((48 * (j // 12) + 6 * ((j % 12) // 3) + (j % 3))
+                             % tl) + 1 AS INT), 1)) AS BIGINT))
+                 WHEN modality = 'audio' THEN
+                   list_transform(range(0, 16), i -> CAST((ascii(substr(text,
+                       CAST(((6 * i) % tl) + 1 AS INT), 1)) - 128) * 256
+                       AS BIGINT))
+                 ELSE
+                   list_transform(range(0, 96), j -> CAST(ascii(substr(text,
+                       CAST((j % tl) + 1 AS INT), 1)) AS BIGINT))
+               END AS units
+        FROM m
+    )
+    SELECT doc_id, modality,
+           96 AS in_units,
+           CAST(len(units) AS INT) AS out_units,
+           CAST(list_sum(units) AS BIGINT) AS unit_sum,
+           CAST(list_sum(list_transform(range(1, len(units) + 1),
+                                        i -> i * units[i])) AS BIGINT)
+               AS unit_wsum,
+           TRUE AS resized
+    FROM u
+"""
+
+
+@_register("multimodal_resize_certified", _RESIZE_CERT_ORACLE)
+def multimodal_resize_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-CERTIFIED twin of multimodal_resize (r07 VERDICT item 4:
+    the rows-only entry was the only window entry with no oracle at
+    all). Same code path end to end — with_media_payload builds REAL
+    GIF/BMP/WAV/RVID containers, resize_media decodes and
+    nearest-neighbor-resizes them in an Arrow mapInPandas stage — but
+    the certified columns are the integer-exact slice: in/out unit
+    counts plus a plain and a position-weighted checksum over the
+    resized units. Because container content derives from the doc's
+    ASCII bytes (content[p] = text_byte[p mod len]) and the resize
+    kernel is pure integer index math (out(y,x,c) copies
+    src(x*W//outW, y*H//outH)), the DuckDB oracle replays the ENTIRE
+    decode→resize pass symbolically with list_transform(range(...)) —
+    so every byte the Python decoders and resizers touch is pinned by
+    value AND position under the driver's hash gate, while the full
+    payload/digest path stays on the rows-only twin. Fallback rows
+    would surface as checksum 0 ≠ oracle (none occur: every synthetic
+    container decodes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(with_media_payload(docs)).select(
+        "doc_id", "modality", "in_units", "out_units",
+        "unit_sum", "unit_wsum", "resized",
     )
 
 

@@ -1171,7 +1171,9 @@ def agg_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins both. At id ranges beyond that, the production form is
     max_by(user_id, struct(value_cents, user_id)) — Spark structs
     compare lexicographically — which the scalar-keyed oracle cannot
-    express, so the packed form is what gets hash-certified. One groupBy
+    express, so the packed form is what gets hash-certified; the two
+    forms are pinned equal on driver data by
+    tests/test_operators.py::test_argmax_struct_key_matches_packed_key. One groupBy
     with map-side partial max_by merges; argmax never sorts or windows
     — at 100 TB this replaces the ROW_NUMBER()-then-filter idiom with
     a single agg whose state is one (key, arg) pair per group."""
