@@ -73,7 +73,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     priority = [
         # ---- r08 window ----
         # new in round 8 (never certified)
-        "multimodal_resize_certified",
+        "multimodal_resize_certified", "cdc_merge_into_state",
+        "text_tfidf_cosine_pairs", "events_moment_profile",
+        "events_corr_value_hour", "events_iqr_outliers",
+        "streaming_sliding_counts_live", "union_by_name_evolution",
         # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
         # to scalar CSV this round; must re-certify)
         "similarity_pandas_udf_normalize", "text_hashed_features",

@@ -1306,3 +1306,37 @@ def test_substring_dedup_subsumes_exact_dedup(spark, sf_dir):
         if r.is_dup
     }
     assert expected <= flagged, sorted(expected - flagged)[:10]
+
+
+def test_merge_into_guard_and_action_classes(spark, sf_dir):
+    """merge_into's in-plan contract: (a) a source with duplicate keys
+    fails the job (the distributed twin of Delta's 'multiple source
+    rows matched' error — assert_true kept as a filter so pruning
+    cannot elide it); (b) on driver data every action class occurs and
+    matched deletes actually remove their keys."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.cdc import merge_into
+
+    target = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["key", "base_v"]
+    )
+    dup_source = spark.createDataFrame(
+        [(1, 11, "u"), (1, 12, "u")], ["key", "src_v", "op"]
+    )
+    with pytest.raises(Exception, match="multiple rows"):
+        merge_into(target, dup_source, "key").collect()
+
+    ok_source = spark.createDataFrame(
+        [(1, 11, "u"), (2, 0, "d"), (9, 99, "c")], ["key", "src_v", "op"]
+    )
+    out = {r.key: r for r in merge_into(target, ok_source, "key").collect()}
+    assert out[1].action == "update" and out[1].src_v == 11
+    assert 2 not in out  # matched delete removes the key
+    assert out[3].action == "keep" and out[3].base_v == 30
+    assert out[9].action == "insert" and out[9].src_v == 99
+
+    actions = {
+        r.action
+        for r in em.queries()["cdc_merge_into_state"](spark, sf_dir).collect()
+    }
+    assert actions == {"keep", "update", "insert"}

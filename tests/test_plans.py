@@ -34,6 +34,7 @@ NESTED_LOOP_WHITELIST = {
     "pipeline_dsir_weights",      # 1-row broadcast corpus-total scalars
     "text_bm25_topk",             # 1-row broadcast corpus-stats scalar
     "events_type_cooccurrence",   # 1-row broadcast distinct-user total
+    "text_tfidf_cosine_pairs",    # 1-row broadcast corpus-count scalar
 }
 
 

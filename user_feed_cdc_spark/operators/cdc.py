@@ -526,3 +526,166 @@ def cdc_timetravel_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~deleted, F.col("_last.ch_val")).alias("version_value"),
         deleted.alias("was_deleted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse MERGE INTO (E13 completion, r07 VERDICT stretch item)
+# ---------------------------------------------------------------------------
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Generic lakehouse-style MERGE INTO as a DataFrame composition —
+    the declarative three-clause merge Delta/Iceberg expose as SQL
+    (`WHEN MATCHED [AND cond] THEN UPDATE / DELETE, WHEN NOT MATCHED
+    THEN INSERT`), which plain Spark-on-parquet lacks because parquet
+    has no row-level commit protocol. The composition IS the
+    merge-on-write physical plan those formats execute: one full-outer
+    equi-join of target and staged changes on the key, then a
+    per-row action verdict:
+
+      source row absent            -> 'keep'   (target row unchanged)
+      source op == delete_op       -> row dropped (matched delete;
+                                      delete-of-absent-key is a no-op)
+      matched otherwise            -> 'update' (source values win)
+      target row absent            -> 'insert'
+
+    Ambiguity guard: lakehouse MERGE rejects a source with >1 row per
+    key ("multiple source rows matched"); the same contract here runs
+    IN the plan — a per-key count window feeding `assert_true`, kept as
+    a filter so column pruning cannot elide it. The window partitions
+    on the same key as the join, so with the source already hash-
+    partitioned by key (the normal staged-changes shape) it reuses
+    that exchange.
+
+    At 100 TB: both sides shuffle on the key once (or not at all when
+    target and staging land bucketed/storage-partitioned on the key —
+    the SPJ layout), and output size is |target ∪ source| keys. All
+    non-key columns travel exactly once; no driver state.
+    Reference tie-in: this is the E13 family's third mode beside
+    upsert-replay and SCD2 — the reference's create-only consumer
+    (strategy.py:14-17) applied each event blindly; MERGE is what its
+    Cassandra sink would need to honor updates and tombstones."""
+    from pyspark.sql import Window as W
+
+    src_guarded = source.withColumn(
+        "_src_rows", F.count(F.lit(1)).over(W.partitionBy(key))
+    ).filter(
+        F.assert_true(
+            F.col("_src_rows") == 1,
+            "MERGE source has multiple rows for a key",
+        ).isNull()
+    ).drop("_src_rows")
+
+    joined = target.join(src_guarded, on=key, how="full_outer")
+    no_source = F.col(op_col).isNull()
+    return joined.filter(no_source | (F.col(op_col) != delete_op)).withColumn(
+        "action",
+        F.when(no_source, "keep")
+        .when(F.col(key).isNotNull() & _target_present(target, key), "update")
+        .otherwise("insert"),
+    )
+
+
+def _target_present(target: DataFrame, key: str):
+    """Matched-row predicate: any non-key target column is non-null.
+    (The full-outer join nulls the whole target side for insert rows;
+    target columns are non-null by construction in the staged frames.)"""
+    probe = [c for c in target.columns if c != key][0]
+    return F.col(probe).isNotNull()
+
+
+_MERGE_ORACLE = """
+    WITH ev AS (
+        SELECT event_id % 400 AS key, event_id, value, ts,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op
+        FROM events
+    ),
+    base AS (
+        SELECT key, event_id AS base_event_id,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS base_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev WHERE event_id % 3 = 0 AND key % 10 <> 7)
+        WHERE rn = 1
+    ),
+    changes AS (
+        SELECT key, event_id AS src_event_id,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS src_value, op
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev WHERE event_id % 3 = 1 AND key % 10 <> 3)
+        WHERE rn = 1
+    )
+    SELECT key,
+           COALESCE(c.src_event_id, b.base_event_id) AS event_id,
+           COALESCE(c.src_value, b.base_value) AS value,
+           CASE WHEN c.op IS NULL THEN 'keep'
+                WHEN b.base_event_id IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c USING (key)
+    WHERE c.op IS NULL OR c.op <> 'd'
+"""
+
+
+@_register("cdc_merge_into_state", _MERGE_ORACLE)
+def cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the CDC domain, end to end: a base table (latest
+    state of the event_id≡0 (mod 3) changelog slice; keys ≡7 mod 10
+    withheld so the merge has genuine inserts) merged with a staged
+    changes batch (the event_id≡1 (mod 3) slice collapsed to latest-per-key — the unique-key
+    source contract MERGE requires; keys ≡3 mod 10 withheld so some
+    target rows are untouched 'keep's). Matched deletes drop the key,
+    matched non-deletes update, unmatched non-deletes insert — every
+    action class exercised and the whole verdict table hash-certified
+    against a FULL OUTER JOIN oracle. See merge_into for the plan
+    shape and the in-plan ambiguous-source guard."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 400).alias("key"),
+        "event_id",
+        "ts",
+        r2(F.col("value")).alias("val"),
+        _op().alias("op"),
+    )
+    w = W.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "ts")
+        )
+
+    base = latest(
+        ev.filter((F.col("event_id") % 3 == 0) & (F.col("key") % 10 != 7))
+    ).select(
+        "key",
+        F.col("event_id").alias("base_event_id"),
+        F.col("val").alias("base_value"),
+    )
+    changes = latest(
+        ev.filter((F.col("event_id") % 3 == 1) & (F.col("key") % 10 != 3))
+    ).select(
+        "key",
+        F.col("event_id").alias("src_event_id"),
+        F.col("val").alias("src_value"),
+        "op",
+    )
+    merged = merge_into(base, changes, "key")
+    return merged.select(
+        "key",
+        F.coalesce("src_event_id", "base_event_id").alias("event_id"),
+        F.coalesce("src_value", "base_value").alias("value"),
+        "action",
+    )

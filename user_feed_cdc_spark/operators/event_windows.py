@@ -1277,3 +1277,288 @@ def events_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             mad_cents("cents").alias("mad_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shape profiling: higher moments, correlation, IQR fences
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS s1,
+               CAST(SUM(u * u) AS BIGINT) AS s2,
+               CAST(SUM(u * u * u) AS BIGINT) AS s3,
+               CAST(SUM(u * u * u * u) AS BIGINT) AS s4
+        FROM (SELECT event_type,
+                     CAST(FLOOR(value + 0.5) AS BIGINT) AS u
+              FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_units,
+           FLOOR(((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                        1.5))
+                 * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+           FLOOR(((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                  - 3.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis
+    FROM s
+"""
+
+
+@_register("events_moment_profile", _MOMENTS_ORACLE)
+def events_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profiling per event_type: mean,
+    SKEWNESS and EXCESS KURTOSIS — the shape statistics a data-quality
+    pass reads before choosing normalizations (a kurtosis spike says
+    heavy tails → winsorize; skew says log-transform). Spark's native
+    skewness()/kurtosis() are float-accumulation-order-dependent
+    (undeterministic across partitionings AND engines), so the operator
+    builds the raw power sums Σu..Σu⁴ as EXACT BIGINTs over whole-unit
+    values (the anomaly-zscore trick, two moments up) and evaluates the
+    classic raw→central conversions in fp64 with IDENTICAL op order in
+    both engines — bit-equal inputs + identical correctly-rounded ops =
+    hash-equal statistics, no tolerance needed.
+
+    Headroom contract: u ≤ 561 (testdata pin) → u⁴ < 10^11, so Σu⁴
+    stays under 2^63 to ~10^7 rows per group; beyond that, switch the
+    accumulator to DECIMAL(38,0) (same plan, wider partial state) or
+    split Σu⁴ per day and merge. One shuffle (map-side partials), five
+    output rows."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.floor(F.col("value") + F.lit(0.5)).cast("long")
+    s = ev.select("event_type", u.alias("u")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+        F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
+        F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / nd)
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return s.select(
+        "event_type",
+        "n",
+        r2(mean, 6).alias("mean_units"),
+        r2(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        r2(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )
+
+
+_CORR_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM (SELECT event_type,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x,
+                     CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+              FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR(((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+    FROM s
+"""
+
+
+@_register("events_corr_value_hour", _CORR_ORACLE)
+def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value (exact cents) and
+    hour-of-day, per event_type — the seasonality probe ("do purchases
+    get bigger at night?") and the bivariate member of the profiling
+    family. Spark's corr() is a float-merge aggregate whose result
+    depends on partition merge order; here the five co-moments
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT BIGINTs (cents × hour
+    products cap at ~1.3e6/row — overflow-free to ~10^12 rows) and r
+    is evaluated in the moments-about-the-mean form (divide-by-n
+    FIRST, so no n·Σx² bigint blowup) with identical fp64 op order in
+    both engines. One shuffle, map-side partials, five rows out."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    y = F.hour("ts").cast("long")
+    s = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    return s.select(
+        "event_type",
+        "n",
+        r2(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson_r"),
+    )
+
+
+_IQR_ORACLE = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               quantile_cont(cents, 0.25) AS q1,
+               quantile_cont(cents, 0.75) AS q3
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           q.q1, q.q3,
+           CAST(COUNT(*) FILTER (WHERE c.cents
+                < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_low,
+           CAST(COUNT(*) FILTER (WHERE c.cents
+                > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_high
+    FROM c JOIN q USING (event_type)
+    GROUP BY c.event_type, q.q1, q.q3
+"""
+
+
+@_register("events_iqr_outliers", _IQR_ORACLE)
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event_type: exact interpolated
+    Q1/Q3 over integer cents, 1.5·IQR whiskers, and the count of
+    events outside each fence — the ROBUST outlier detector beside
+    the parametric z-score top-20 (events_anomaly_zscore): quartiles
+    don't move when the outliers themselves get wilder. Exactness
+    rides the events_grouped_agg_mad precedent: Spark percentile()
+    and DuckDB quantile_cont share the rank = p·(n-1) interpolation,
+    and over integer cents with quarter-step fractions every
+    interpolated value is exactly representable in fp64 — bit-equal
+    without a tolerance. Plan: one shuffle to per-type quantiles
+    (exact percentile carries a per-group sorted sketch — at 100 TB
+    swap in approx_percentile and certify the rank-error bound like
+    sketch_value_quantiles_bounded), then the tiny 5-row fence frame
+    broadcast-joins back onto one more scan for the conditional
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    q = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.when(F.col("cents") < lo, 1)).alias("n_low"),
+            F.count(F.when(F.col("cents") > hi, 1)).alias("n_high"),
+        )
+    )
+
+
+@_register(
+    "streaming_sliding_counts_live",
+    """
+    WITH g AS (
+        SELECT event_type,
+               make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS grid,
+               ts
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start,
+               event_type
+        FROM g
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows live under the oracle gate — the overlapping-
+    window streaming shape the five existing live gates don't cover
+    (tumbling assigns 1 window/event; sliding assigns width/slide — the
+    engine Expands each event into every containing window BEFORE the
+    stateful agg, so state scales with OPEN WINDOWS × keys, not
+    events). The events file stream replays through the SAME
+    sliding_counts the batch twin (events_sliding_counts) certifies,
+    1h windows every 30min with a 10-minute watermark, drained by
+    availableNow through the memory sink in complete mode; the
+    materialized per-(window, type) counts hash against the
+    grid-unnest SQL. At 100 TB the sliding form is the dashboard
+    smoother (rates over trailing windows updated sub-window); the
+    Expand doubles pre-shuffle rows at width/slide=2 — the certified
+    cost of overlap."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+        sliding_counts,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    agg = sliding_counts(stream, "1 hour", "30 minutes", watermark="10 minutes")
+    return run_to_memory(
+        spark, agg, "streaming_sliding_counts_live_sink", "complete"
+    )

@@ -1429,3 +1429,63 @@ def sql_pipe_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@_register(
+    "union_by_name_evolution",
+    """
+    WITH legacy AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 0
+    ),
+    current AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               event_type
+        FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM current
+    )
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+               AS n_legacy,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution UNION: a legacy generation (no event_type
+    column) and a current generation unioned BY NAME with
+    allowMissingColumns=True, the DataFrame-level answer to mixed-
+    generation data the reader-level mergeSchema entry
+    (source_schema_evolution) certifies one layer down. Positional
+    UNION would silently misalign columns the moment one side reorders
+    or gains a field — the classic corruption-without-an-error; by-name
+    union resolves columns like the lake resolves files, NULL-filling
+    the legacy side. The certified aggregate pins both the NULL-fill
+    (n_legacy counts exactly the even-event rows) and value integrity
+    across the union (exact cents sum). Plan: the union is a zero-cost
+    logical node over two scans of the same parquet with disjoint
+    pushed filters; one shuffle for the rollup. At 100 TB this is how
+    a query spans a table's pre- and post-migration partitions without
+    rewriting history."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    legacy = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", cents.alias("cents")
+    )
+    current = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", cents.alias("cents"), "event_type"
+    )
+    unioned = legacy.unionByName(current, allowMissingColumns=True)
+    return unioned.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("n_legacy"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum("cents").alias("cents_sum"),
+    )

@@ -1296,3 +1296,135 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF all-pairs cosine (document-document similarity join)
+# ---------------------------------------------------------------------------
+
+_SPARSE_DOCS = 200  # bounded doc window (oracle cost contract)
+_SPARSE_DF_MIN = 2  # df=1 terms pair with nothing
+_SPARSE_DF_MAX = 100  # stopword prune: df > N/2 terms dominate fan-out
+_SPARSE_TOPK = 20
+
+_SPARSE_COSINE_ORACLE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_SPARSE_DOCS}),
+    toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+        FROM d
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+        HAVING COUNT(*) BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * CAST(FLOOR(LN(CAST(s.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                                  * 1000.0 + 0.5) AS BIGINT) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN stats s
+    ),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm
+            FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM dots
+    JOIN nrm na ON dots.doc_a = na.doc_id
+    JOIN nrm nb ON dots.doc_b = nb.doc_id
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    LIMIT {_SPARSE_TOPK}
+"""
+
+
+@_register("text_tfidf_cosine_pairs", _SPARSE_COSINE_ORACLE)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE all-pairs document similarity: top-{20} doc pairs by
+    TF-IDF cosine, computed the inverted-index way (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search") — never densify,
+    never cross-join docs: the pair space materializes ONLY through the
+    term-postings self-join, so two docs meet exactly when they share a
+    vocabulary term. This is the lexical complement of the embedding
+    ANN family (similarity.py) and the scoring generalization of the
+    n-gram Jaccard dedup (set overlap → weighted cosine).
+
+    Vector space contract (identical both engines): terms with
+    df ∈ [{2}, {100}] inside the doc_id<{200} window — df=1 terms pair
+    with nothing (pruning them is free), df>{100} terms are the
+    stopword fan-out bomb (a df-D term contributes D² pair partials;
+    capping df bounds the join quadratically, the production all-pairs
+    prune). Weights are tf × milli-frozen idf — integer, so every dot
+    product and norm is an exact BIGINT sum (max |w| ≈ 1e6, dots
+    ≤ 1e15 « 2^63) and only the final cosine divides in fp64 with
+    identical op order.
+
+    At 100 TB: one shuffle to (doc, term) tf, one to term postings;
+    the pair partials shuffle on (doc_a, doc_b) — the heavy edge —
+    bounded by the df cap; norms broadcast-join back; global top-k is
+    TakeOrderedAndProject. Production adds prefix filtering (sort
+    terms by weight, index only the prefix that can reach the
+    threshold) — same plan shape, tighter candidate set."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SPARSE_DOCS
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf_milli = F.floor(
+        F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+        * 1000.0
+        + F.lit(0.5)
+    ).cast("long")
+    w = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf_milli).alias("w"))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    a = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("term"), F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = r2(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
+        .limit(_SPARSE_TOPK)
+    )
