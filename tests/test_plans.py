@@ -35,6 +35,7 @@ NESTED_LOOP_WHITELIST = {
     "text_bm25_topk",             # 1-row broadcast corpus-stats scalar
     "events_type_cooccurrence",   # 1-row broadcast distinct-user total
     "text_tfidf_cosine_pairs",    # 1-row broadcast corpus-count scalar
+    "events_daily_locf",          # ≤20-user dim × 1-row day-span spine
 }
 
 
@@ -508,3 +509,70 @@ def test_partitioned_layout_prunes(spark, sf_dir):
             spark.conf.set("spark.sql.maxMetadataStringLength", saved)
     assert "PartitionFilters: [" in plan
     assert "event_type" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+
+
+def test_merge_into_plan_shape(spark, sf_dir):
+    """cdc_merge_into_state: the merge core must be a HASH full-outer
+    join on the key (SortMergeJoin FullOuter — never a nested loop),
+    and the ambiguity-guard window must NOT add an Exchange beyond the
+    key partitionings the join already needs: guard, dedup windows,
+    and join all hash on `key`, so the plan carries exactly the
+    per-side key exchanges."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["cdc_merge_into_state"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in head
+    assert "BroadcastNestedLoopJoin" not in head
+    assert "CartesianProduct" not in head
+    # one exchange per side (base / changes), both on the key; the
+    # guard + latest-per-key windows and the join reuse them
+    assert head.count("Exchange hashpartitioning") <= 2, head.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_sparse_cosine_pairs_topk_and_hash_joins(spark, sf_dir):
+    """text_tfidf_cosine_pairs: the postings self-join must be a HASH
+    join keyed on the term (the Bayardo shape) with the global top-k
+    closing as TakeOrderedAndProject — a sort-based close or a
+    nested-loop pair join would be the quadratic/dense regression the
+    df cap exists to prevent."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["text_tfidf_cosine_pairs"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in head
+    assert "CartesianProduct" not in head
+    # the weight frame feeds 4 branches (postings a/b + norms na/nb):
+    # it must come from the persisted cache in each (computed ONCE),
+    # and the only nested-loop is the 1-row corpus-count scalar inside
+    # that cached build — the plan string echoes it once per cache scan
+    n_cache = head.count("InMemoryTableScan")
+    assert n_cache == 4, n_cache
+    assert head.count("BroadcastNestedLoopJoin") <= n_cache
+
+
+def test_moment_profile_single_shuffle(spark, sf_dir):
+    """events_moment_profile: the exact power sums must ride ONE
+    partial-agged shuffle on event_type — a second exchange would mean
+    the moments stopped merging map-side (the property that makes them
+    exact at any scale)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["events_moment_profile"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") == 1
+    assert "partial" in head.lower()
+
+
+def test_locf_single_window_shuffle(spark, sf_dir):
+    """events_daily_locf: the forward-fill must be ONE window pass over
+    the user-partitioned spine — a self-join or a second window
+    exchange would be the gap-fill anti-pattern (join per gap)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["events_daily_locf"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Window" in head
+    assert "SortMergeJoin" not in head or "LeftOuter" in head

@@ -1562,3 +1562,89 @@ def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(
         spark, agg, "streaming_sliding_counts_live_sink", "complete"
     )
+
+
+_LOCF_USERS = 20  # bounded user window (spine = users x days stays tiny)
+
+_LOCF_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    users AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id < {_LOCF_USERS}
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE user_id < {_LOCF_USERS}
+        GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           COALESCE(daily.cents,
+                    last_value(daily.cents IGNORE NULLS) OVER (
+                        PARTITION BY u.user_id ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS cents_filled,
+           daily.cents IS NULL AS was_filled
+    FROM users u CROSS JOIN days d
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+"""
+
+
+@_register("events_daily_locf", _LOCF_ORACLE)
+def events_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LAST-OBSERVATION-CARRIED-FORWARD: per (bounded)
+    user, a dense daily spine where zero-event days inherit the most
+    recent prior day's total (leading gaps fill 0) — the time-series
+    densification a feature store runs before lag/rolling features so
+    windows see a value every day (events_daily_spine surfaces gaps;
+    this CLOSES them). The fill is `last(cents, ignorenulls=True)` over
+    an unbounded-preceding row frame — one window pass, no self-join,
+    no recursion; `was_filled` flags synthetic rows for downstream
+    leakage audits.
+
+    Plan: corpus day-bounds come from a 1-row broadcast aggregate
+    (daily-spine pattern), the ≤{20}-user dim crossJoins the day spine
+    (bounded build — whitelisted like the other tiny broadcasts), the
+    per-(user, day) totals left-join on, and ONE window shuffle on
+    user_id fills forward. At 100 TB the spine is |users|×|days| rows —
+    generated, never scanned — and the single window partition per user
+    carries |days| rows regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    bounded = ev.filter(F.col("user_id") < _LOCF_USERS)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    users = bounded.select("user_id").distinct()
+    daily = bounded.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    spine = users.crossJoin(F.broadcast(days))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(
+                F.col("cents"),
+                F.last("cents", ignorenulls=True).over(w),
+                F.lit(0),
+            ).alias("cents_filled"),
+            F.col("cents").isNull().alias("was_filled"),
+        )
+    )

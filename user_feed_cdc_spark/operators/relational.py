@@ -1489,3 +1489,59 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.sum("cents").alias("cents_sum"),
     )
+
+
+@_register(
+    "string_collation_groups",
+    """
+    WITH toks AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(tok) ELSE lower(tok) END
+                   AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '')[1] AS tok
+            FROM documents
+        )
+        WHERE tok IS NOT NULL
+    )
+    SELECT min(tok) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_variants
+    FROM toks
+    GROUP BY lower(tok)
+    HAVING COUNT(*) >= 3
+    """,
+)
+def string_collation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS as the engine-level answer to case folding:
+    each document's first token is deterministically case-mangled
+    (even doc_id → UPPER, odd → lower) and then grouped under the
+    UTF8_LCASE collation — the comparison/grouping/join semantics
+    live in the TYPE, so every downstream operator (GROUP BY, joins,
+    ORDER BY, =) folds case without wrapping lower() around each
+    reference, and the optimizer still prunes/pushes on the column.
+    Certification trick: a collated GROUP BY's key REPRESENTATIVE is
+    whichever variant a partition saw first (nondeterministic under
+    any parallelism — the same trap as bare max_by ties), so the
+    certified output re-canonicalizes each group with min() over the
+    ORIGINAL UTF8_BINARY column and the oracle reproduces it with
+    GROUP BY lower(). At 100 TB collation beats expression-wrapped
+    lower(): the fold happens inside the hash/compare (no derived
+    column doubling the shuffle width), and dictionary-encoded parquet
+    pages compare without materializing folded copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split("text", " "), lambda t: t != "").getItem(0)
+    mangled = F.when(F.col("doc_id") % 2 == 0, F.upper(tok)).otherwise(
+        F.lower(tok)
+    )
+    toks = docs.select(mangled.alias("tok")).filter(F.col("tok").isNotNull())
+    return (
+        toks.groupBy(F.collate(F.col("tok"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("tok").alias("canonical"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("tok").alias("n_variants"),
+        )
+        .filter(F.col("n") >= 3)
+        .select("canonical", "n", "n_variants")
+    )

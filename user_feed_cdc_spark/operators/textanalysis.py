@@ -1396,10 +1396,16 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000.0
         + F.lit(0.5)
     ).cast("long")
+    # persist: w feeds FOUR plan branches (postings sides a/b + norm
+    # joins na/nb) — uncached, the explode + two shuffles would
+    # recompute per branch (4 scans; the dedup_semantic precedent).
+    # The cache expires with the session, the right lifetime for a
+    # registry entry.
     w = (
         tf.join(df, "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", (F.col("tf") * idf_milli).alias("w"))
+        .persist()
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
     a = w.select(
