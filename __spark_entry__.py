@@ -78,6 +78,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_corr_value_hour", "events_iqr_outliers",
         "streaming_sliding_counts_live", "union_by_name_evolution",
         "string_collation_groups", "events_daily_locf",
+        "feed_page_parameterized", "source_python_datasource_write",
+        "pipeline_linear_quality_score",
         # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
         # to scalar CSV this round; must re-certify)
         "similarity_pandas_udf_normalize", "text_hashed_features",

@@ -576,3 +576,66 @@ def test_locf_single_window_shuffle(spark, sf_dir):
     head = plan.split("== Initial Plan ==")[0]
     assert "Window" in head
     assert "SortMergeJoin" not in head or "LeftOuter" in head
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    when a shuffle join's build side is selectively filtered, the
+    optimizer plants a bloom_filter_agg subquery on it and a
+    might_contain() pre-filter on the probe side — at 100 TB the fact
+    scan drops non-joining rows BEFORE the exchange, the engine-level
+    analogue of the broadcast semi-join probes the decontamination
+    entries hand-build. Size thresholds are lowered so toy data walks
+    the production code path (application side must normally look
+    ~10 GB+); the pinned shape: bloom built on the dim's join key,
+    might_contain wrapping the fact's key upstream of the join."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        fact = load_table(spark, sf_dir, "lineitem")
+        dim = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        j = (
+            fact.join(dim, fact.l_partkey == dim.p_partkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = _executed_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the probe-side filter must sit on the FACT key
+        assert "might_contain" in plan and "l_partkey" in plan.split(
+            "might_contain", 1
+        )[1][:120]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_parameterized_feed_keeps_plan_shape(spark, sf_dir):
+    """feed_page_parameterized: binding :uid/:page/IDENTIFIER() must
+    fold to the SAME physical shape as the literal feed page —
+    broadcast semi-join + TakeOrderedAndProject. A parameterization
+    layer that blocked constant folding would turn every feed read
+    into an unpruned scan."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["feed_page_parameterized"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -590,3 +590,54 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         fo=followers,
     )
+
+
+@_register(
+    "feed_page_parameterized",
+    _FOLLOWERS_CTE
+    + """
+    SELECT e.event_id, e.user_id AS author_id, e.event_type, e.ts,
+           FLOOR(e.value * 100.0 + 0.5) / 100.0 AS value
+    FROM events e
+    WHERE e.user_id IN (SELECT following_id FROM followers WHERE follower_id = 3)
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 100
+    """,
+)
+def feed_page_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feed page through PARAMETERIZED SQL — named parameter
+    markers for every user-supplied value and an IDENTIFIER() clause
+    for the table reference. This is the engine-level fix for the
+    reference's injectable f-string queries (main.py:151 interpolates
+    the user id straight into SQL; :260,:278,:291,:304 likewise):
+    parameters bind AFTER parsing, so a malicious uid can only ever be
+    a value, and IDENTIFIER() escapes the name-position hole that
+    string-building reintroduces. Certified against the SAME oracle as
+    feed_single_user_page — binding must not change a single row — and
+    the plan is identical too: Catalyst folds the bound literals before
+    optimization, so the broadcast semi-join + TakeOrderedAndProject
+    shape survives (pinned by test_plans). At 100 TB parameterized
+    plans also cache better: one parse per query SHAPE, not per uid."""
+    events = load_table(spark, sf_dir, "events")
+    edges = derived_followers(spark, sf_dir)
+    events.createOrReplaceTempView("feed_param_events")
+    edges.createOrReplaceTempView("feed_param_followers")
+    return spark.sql(
+        """
+        SELECT e.event_id, e.user_id AS author_id, e.event_type, e.ts,
+               FLOOR(e.value * 100.0D + 0.5D) / 100.0D AS value
+        FROM IDENTIFIER(:events_tbl) e
+        WHERE e.user_id IN (
+            SELECT following_id FROM IDENTIFIER(:edges_tbl)
+            WHERE follower_id = :uid
+        )
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT :page
+        """,
+        args={
+            "events_tbl": "feed_param_events",
+            "edges_tbl": "feed_param_followers",
+            "uid": 3,
+            "page": 100,
+        },
+    )

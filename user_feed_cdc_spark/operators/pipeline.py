@@ -1478,3 +1478,100 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality scoring over hashed features (fastText-style classifier)
+# ---------------------------------------------------------------------------
+
+_SCORE_BUCKETS = 16  # same hashed-feature space as text_hashed_features
+_SCORE_KEEP_MICRO = 0  # keep verdict: non-negative mean bucket weight
+
+_LINEAR_SCORE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                   % {_SCORE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(cnt * ((CAST('0x' || substr(md5('w' ||
+                        CAST(bucket AS VARCHAR)), 1, 4) AS BIGINT) % 1000)
+                        - 500)) AS BIGINT) AS score_num,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens
+        FROM bucketed GROUP BY doc_id
+    )
+    SELECT doc_id, score_num, n_tokens,
+           FLOOR((CAST(score_num AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality_score,
+           score_num >= {_SCORE_KEEP_MICRO} AS keep
+    FROM scored
+"""
+
+
+@_register("pipeline_linear_quality_score", _LINEAR_SCORE_ORACLE)
+def pipeline_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MODEL SCORING at scan time — the fastText/quality-
+    classifier consumption of the hashing-trick feature space
+    (text_hashed_features): each doc's 16-bucket token counts dot a
+    fixed per-bucket weight vector, normalized by token count, with a
+    keep/drop verdict — the shape of every learned quality filter in a
+    pretraining funnel (CCNet's LM filter, fastText lang/quality
+    heads). The twist that makes it 100 TB-clean: because the feature
+    space is vocabulary-free, the \"model\" is just |buckets| weights —
+    here DERIVED IN-EXPRESSION (md5 of the bucket id), so scoring
+    needs NO weight-table join, no broadcast, nothing resident: it is
+    a pure projection over the (doc, bucket, count) aggregation. A
+    real trained model swaps the md5 expression for a 16-littleral
+    CASE or a broadcast map — same plan. Integer contract: weights
+    ∈ [-500, 499], score numerator and token count are exact BIGINTs,
+    one fp64 division at the end (micro-frozen); the keep verdict
+    compares INTEGERS so no float boundary can flip it across
+    engines. One explode + one (doc, bucket) shuffle + one per-doc
+    agg — strictly the text_hashed_features plan plus a projection."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_SCORE_BUCKETS}"
+    )
+    counts = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weight = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('w', CAST(bucket AS STRING))), 1, 4),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 1000
+        - 500
+    )
+    scored = counts.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * weight).alias("score_num"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    return scored.select(
+        "doc_id",
+        "score_num",
+        "n_tokens",
+        r2(
+            F.col("score_num").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("quality_score"),
+        (F.col("score_num") >= _SCORE_KEEP_MICRO).alias("keep"),
+    )
