@@ -79,7 +79,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_sliding_counts_live", "union_by_name_evolution",
         "string_collation_groups", "events_daily_locf",
         "feed_page_parameterized", "source_python_datasource_write",
-        "pipeline_linear_quality_score",
+        "pipeline_linear_quality_score", "source_python_stream_datasource",
+        "window_distribution_ranks", "pipeline_contamination_score",
         # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
         # to scalar CSV this round; must re-certify)
         "similarity_pandas_udf_normalize", "text_hashed_features",

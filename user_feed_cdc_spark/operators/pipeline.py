@@ -1575,3 +1575,107 @@ def pipeline_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("quality_score"),
         (F.col("score_num") >= _SCORE_KEEP_MICRO).alias("keep"),
     )
+
+
+@_register(
+    "pipeline_contamination_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_DECON_NGRAM} + 2, 2)),
+                   i -> array_to_string(toks[i:i + {_DECON_NGRAM} - 1], ' ')
+               )) AS grams
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT UNNEST(grams) AS g FROM grams
+        WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, UNNEST(grams) AS g FROM grams
+        WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(e.g) AS BIGINT) AS n_hit
+        FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           FLOOR(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS contamination,
+           CASE WHEN n_hit = 0 THEN 'clean'
+                WHEN 2 * n_hit < n_grams THEN 'partial'
+                ELSE 'heavy' END AS level
+    FROM scored
+    """,
+)
+def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED decontamination — the report-card form of the binary
+    flag (pipeline_decontaminate): per training doc, the FRACTION of
+    its distinct {5}-grams that appear in the held-out eval set, plus
+    a clean/partial/heavy triage level. The binary form answers "drop
+    or keep"; the graded form is what an audit actually publishes
+    (how contaminated, where's the mass) and what threshold-sweeps
+    tune on. Same 100 TB shape as the parent: the tiny eval gram set
+    broadcasts as 8-byte xxhash64 longs, the train side explodes its
+    distinct grams once and LEFT-joins the broadcast (hits counted,
+    misses kept — a semi-join would lose the denominator), one
+    groupBy on doc_id. The level verdict compares INTEGERS
+    (2·hits vs grams), so no float boundary can flip a doc's triage
+    across engines; the ratio itself is one micro-frozen fp64
+    division. Collision note as the parent: output is gram-free, so
+    hashed-vs-string compare agrees absent a 2⁻⁶⁴ collision."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("text"), _DECON_NGRAM),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("gram_hashes"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode_outer("gram_hashes").alias("gh"))
+        .filter(F.col("gh").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", F.explode_outer("gram_hashes").alias("gh"))
+        .filter(F.col("gh").isNotNull())
+    )
+    scored = (
+        train.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    level = (
+        F.when(F.col("n_hit") == 0, "clean")
+        .when(2 * F.col("n_hit") < F.col("n_grams"), "partial")
+        .otherwise("heavy")
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        r2(
+            F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("contamination"),
+        level.alias("level"),
+    )

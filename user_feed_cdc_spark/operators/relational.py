@@ -1545,3 +1545,59 @@ def string_collation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .select("canonical", "n", "n_variants")
     )
+
+
+@_register(
+    "window_distribution_ranks",
+    """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, cents,
+           ntile(4) OVER w AS quartile,
+           FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS pct_rank,
+           FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS cume
+    FROM per_user
+    WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC, user_id)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTION-rank window family — ntile / percent_rank /
+    cume_dist — completing the ranking windows beside row_number/rank/
+    dense_rank (window_rank_family) and the value-pickers
+    (window_value_functions): per event_type, each user's spend
+    quartile, relative rank in [0,1], and cumulative share of users at
+    or above. The determinism rule all three inherit: the window ORDER
+    must be a TOTAL order ((cents DESC, user_id) — the tiebreak makes
+    ntile bucket boundaries and both ratios partition-order-
+    independent; bare ORDER BY cents would let equal spenders swap
+    quartiles between runs). percent_rank's (rank-1)/(n-1) and
+    cume_dist's peers/n are exact small-integer divisions — identical
+    fp64 in both engines, micro-rounded only as belt-and-braces. One
+    shuffle for the per-user totals, one window sort per event_type;
+    at 100 TB this is the segmentation pass behind \"top-quartile
+    customer\" labels (the RFM entry's median splits, generalized to
+    arbitrary quantile buckets)."""
+    from pyspark.sql import Window as W
+
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents).alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("cents").desc(), "user_id")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        r2(F.percent_rank().over(w), 6).alias("pct_rank"),
+        r2(F.cume_dist().over(w), 6).alias("cume"),
+    )
