@@ -259,3 +259,54 @@ def test_dhash64_invariances(w, h, data):
     ky = data.draw(st.integers(min_value=1, max_value=3))
     up = resize_nearest(w, h, rgb, w * kx, h * ky)
     assert dhash64(w * kx, h * ky, up) == hsh
+
+
+def test_merge_into_matches_python_model(spark):
+    """Property test (hypothesis): merge_into agrees with a dict-model
+    reference on arbitrary small target/source tables — matched
+    updates, matched deletes, unmatched inserts, no-op deletes of
+    absent keys, untouched keeps. Spark examples are expensive, so a
+    handful of drawn cases each covering the full action space."""
+    from hypothesis import given, settings, strategies as st
+
+    from user_feed_cdc_spark.operators.cdc import merge_into
+
+    keys = st.integers(min_value=0, max_value=9)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        target=st.dictionaries(keys, st.integers(0, 100), max_size=8),
+        source=st.dictionaries(
+            keys,
+            st.tuples(st.integers(0, 100), st.sampled_from(["c", "u", "d"])),
+            max_size=8,
+        ),
+    )
+    def run(target, source):
+        t_rows = [(k, v) for k, v in target.items()]
+        s_rows = [(k, v, op) for k, (v, op) in source.items()]
+        t_df = spark.createDataFrame(
+            t_rows or [(None, None)], "key int, tv int"
+        ).filter("key IS NOT NULL")
+        s_df = spark.createDataFrame(
+            s_rows or [(None, None, None)], "key int, sv int, op string"
+        ).filter("key IS NOT NULL")
+        got = {
+            r.key: (r.tv, r.sv, r.action)
+            for r in merge_into(t_df, s_df, "key").collect()
+        }
+        # dict model
+        want = {}
+        for k, tv in target.items():
+            if k in source:
+                sv, op = source[k]
+                if op != "d":
+                    want[k] = (tv, sv, "update")
+            else:
+                want[k] = (tv, None, "keep")
+        for k, (sv, op) in source.items():
+            if k not in target and op != "d":
+                want[k] = (None, sv, "insert")
+        assert got == want, (got, want)
+
+    run()
