@@ -648,7 +648,7 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         while time.monotonic() < deadline:
             if spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n >= _STREAM_N:
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
     finally:
         q.stop()
         q.awaitTermination(30)
