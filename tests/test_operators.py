@@ -1340,3 +1340,32 @@ def test_merge_into_guard_and_action_classes(spark, sf_dir):
         for r in em.queries()["cdc_merge_into_state"](spark, sf_dir).collect()
     }
     assert actions == {"keep", "update", "insert"}
+
+
+def test_phash_collides_across_encodings():
+    """The claim that makes perceptual hashing worth its decode cost
+    (multimodal_phash_dedup): the SAME image content stored as a GIF
+    and as a BMP — different containers, different bytes, different
+    md5 — must produce the IDENTICAL 64-bit dHash, because the hash is
+    computed over DECODED pixels. md5-based exact dedup can never
+    merge these; dhash must."""
+    import hashlib
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        decode_bmp,
+        decode_gif,
+        dhash64,
+        encode_bmp,
+        encode_gif,
+    )
+
+    w, h = 8, 4
+    gray = bytes((i * 7 + 13) % 256 for i in range(w * h))
+    rgb = b"".join(bytes((g, g, g)) for g in gray)
+    gif_payload = encode_gif(w, h, gray)
+    bmp_payload = encode_bmp(w, h, rgb)
+    assert hashlib.md5(gif_payload).digest() != hashlib.md5(bmp_payload).digest()
+    gw, gh, gpx = decode_gif(gif_payload)
+    bw, bh, bpx = decode_bmp(bmp_payload)
+    assert (gw, gh, gpx) == (bw, bh, bpx) == (w, h, rgb)
+    assert dhash64(gw, gh, gpx) == dhash64(bw, bh, bpx)
