@@ -1341,6 +1341,21 @@ def test_merge_into_guard_and_action_classes(spark, sf_dir):
     }
     assert actions == {"keep", "update", "insert"}
 
+    # a target row whose data column is legitimately NULL must still be
+    # MATCHED (presence marker, not a value-column null probe)
+    null_target = spark.createDataFrame(
+        [(1, None)], "key int, base_v int"
+    )
+    out2 = {
+        r.key: r.action
+        for r in merge_into(
+            null_target,
+            spark.createDataFrame([(1, 5, "u")], "key int, src_v int, op string"),
+            "key",
+        ).collect()
+    }
+    assert out2 == {1: "update"}
+
 
 def test_phash_collides_across_encodings():
     """The claim that makes perceptual hashing worth its decode cost

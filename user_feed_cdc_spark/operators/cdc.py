@@ -582,22 +582,25 @@ def merge_into(
         ).isNull()
     ).drop("_src_rows")
 
-    joined = target.join(src_guarded, on=key, how="full_outer")
-    no_source = F.col(op_col).isNull()
-    return joined.filter(no_source | (F.col(op_col) != delete_op)).withColumn(
-        "action",
-        F.when(no_source, "keep")
-        .when(F.col(key).isNotNull() & _target_present(target, key), "update")
-        .otherwise("insert"),
+    # explicit presence markers, NOT value-column null probes: a target
+    # row whose first data column is legitimately NULL must still count
+    # as matched (the full-outer join nulls the marker only for rows
+    # the side didn't contribute); op_col doubles as the source marker
+    # because a real changelog row always carries an op
+    joined = target.withColumn("_t_present", F.lit(1)).join(
+        src_guarded, on=key, how="full_outer"
     )
-
-
-def _target_present(target: DataFrame, key: str):
-    """Matched-row predicate: any non-key target column is non-null.
-    (The full-outer join nulls the whole target side for insert rows;
-    target columns are non-null by construction in the staged frames.)"""
-    probe = [c for c in target.columns if c != key][0]
-    return F.col(probe).isNotNull()
+    no_source = F.col(op_col).isNull()
+    return (
+        joined.filter(no_source | (F.col(op_col) != delete_op))
+        .withColumn(
+            "action",
+            F.when(no_source, "keep")
+            .when(F.col("_t_present").isNotNull(), "update")
+            .otherwise("insert"),
+        )
+        .drop("_t_present")
+    )
 
 
 _MERGE_ORACLE = """
