@@ -1648,3 +1648,83 @@ def events_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").isNull().alias("was_filled"),
         )
     )
+
+
+_AB_ORACLE = """
+    WITH conv AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               MAX(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY event_type, user_id
+    ),
+    arms AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS k_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS k_b
+        FROM conv GROUP BY event_type
+    ),
+    z AS (
+        SELECT event_type, n_a, k_a, n_b, k_b,
+               CAST(FLOOR(
+                   ((k_a * 1.0 / n_a) - (k_b * 1.0 / n_b))
+                   / sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
+                          * (1.0 - (k_a + k_b) * 1.0 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                   * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        FROM arms
+    )
+    SELECT event_type, n_a, k_a, n_b, k_b,
+           z_micro / 1000000.0 AS z_score,
+           abs(z_micro) >= 1959964 AS significant
+    FROM z
+"""
+
+
+@_register("events_ab_test_ztest", _AB_ORACLE)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms — the decision
+    rule behind every A/B dashboard, beside the per-segment Wilson
+    interval (events_conversion_wilson_ci): users split into arms by
+    id parity (deterministic), per-user conversion collapses events
+    FIRST (the correct randomization unit — testing on raw events
+    would pseudo-replicate users), then the pooled-proportion z and a
+    |z| ≥ z_crit verdict at α=0.05. Cross-engine contract: all counts
+    are exact bigints from two partial-agged shuffles; z is one
+    identically-ordered fp64 expression FROZEN to integer micro-units
+    BEFORE the significance compare, so the verdict is an integer
+    comparison no ULP can flip (1959964 micro = the two-sided 5%
+    critical value 1.959964). At 100 TB this is two groupBys — user
+    collapse then arm rollup — with |types| rows out; the same shape
+    computes any per-unit metric test."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = conv.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("k_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("k_b"),
+    )
+    pa = F.col("k_a") * 1.0 / F.col("n_a")
+    pb = F.col("k_b") * 1.0 / F.col("n_b")
+    pool = (F.col("k_a") + F.col("k_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z_micro = F.floor(
+        (pa - pb)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    return arms.select(
+        "event_type",
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        (z_micro / 1000000.0).alias("z_score"),
+        (F.abs(z_micro) >= 1959964).alias("significant"),
+    )
