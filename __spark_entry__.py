@@ -81,7 +81,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "feed_page_parameterized", "source_python_datasource_write",
         "pipeline_linear_quality_score", "source_python_stream_datasource",
         "window_distribution_ranks", "pipeline_contamination_score",
-        "events_ab_test_ztest",
+        "events_ab_test_ztest", "tpch_q3_shipping_priority",
+        "events_day_over_day_growth", "events_ewma_values",
         # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
         # to scalar CSV this round; must re-certify)
         "similarity_pandas_udf_normalize", "text_hashed_features",

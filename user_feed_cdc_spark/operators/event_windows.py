@@ -1728,3 +1728,138 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z_micro / 1000000.0).alias("z_score"),
         (F.abs(z_micro) >= 1959964).alias("significant"),
     )
+
+
+_DOD_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cents,
+           LAG(cents) OVER w AS prev_cents,
+           CASE WHEN LAG(cents) OVER w IS NULL OR LAG(cents) OVER w = 0
+                THEN NULL
+                ELSE FLOOR((CAST(cents AS DOUBLE)
+                            / CAST(LAG(cents) OVER w AS DOUBLE) - 1.0)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS dod_growth
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@_register("events_day_over_day_growth", _DOD_ORACLE)
+def events_day_over_day_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the reporting primitive behind every
+    "revenue up X% vs yesterday" tile: per-type daily cents totals,
+    previous day's total via LAG, relative change micro-frozen; first
+    days and zero-denominator days surface as explicit NULLs instead
+    of infinities (the guard both engines share, same class as the
+    zipf n≥2 fix). The day key comes from the rollup's GROUP BY, so
+    LAG's order is total by construction — no tiebreak needed. One
+    rollup shuffle + one window sort per event_type; output is
+    |types|×|days| rows regardless of event volume, which is why this
+    shape stays a dashboard query at 100 TB."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cents").over(w)
+    growth = F.when(
+        prev.isNull() | (prev == 0), F.lit(None).cast("double")
+    ).otherwise(
+        r2(F.col("cents").cast("double") / prev.cast("double") - 1.0, 6)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        prev.alias("prev_cents"),
+        growth.alias("dod_growth"),
+    )
+
+
+_EWMA_WEIGHTS = (8, 4, 2, 1)  # halving weights over current + 3 lags
+
+
+_EWMA_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 1)
+                   OVER w AS l1,
+               LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 2)
+                   OVER w AS l2,
+               LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 3)
+                   OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id, cents,
+           FLOOR(CAST(8 * cents + COALESCE(4 * l1, 0) + COALESCE(2 * l2, 0)
+                      + COALESCE(l3, 0) AS DOUBLE)
+                 / CAST(8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                          + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                          + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_cents
+    FROM seq
+    WHERE user_id < 50
+"""
+
+
+@_register("events_ewma_values", _EWMA_ORACLE)
+def events_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each user's last 4
+    events (halving weights 8:4:2:1) — the time-series SMOOTHING
+    member of the feature family beside the raw lag frame
+    (events_lag_features): recency-weighted spend is the standard
+    behavioral feature where a plain trailing mean over-weights stale
+    activity. True infinite-horizon EWMA is a per-row recursion no
+    engine parallelizes; the bounded-window form is how feature
+    stores actually ship it — expressible as K lag exprs on ONE
+    window shuffle, weights renormalized over the lags that exist so
+    early rows average over their real history instead of phantom
+    zeros. All numerators/denominators are exact integers (weights ×
+    cents), one micro-frozen fp64 division per row; the (ts,
+    event_id) tiebreak makes every lag deterministic under duplicate
+    timestamps. Bounded to user_id < 50 only for oracle cost — the
+    plan is one WindowExec at any scale."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    w0, w1, w2, w3 = _EWMA_WEIGHTS
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", cents.alias("cents")
+    ).select(
+        "*",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 2).over(w).alias("l2"),
+        F.lag("cents", 3).over(w).alias("l3"),
+    )
+    num = (
+        F.lit(w0) * F.col("cents")
+        + F.coalesce(F.lit(w1) * F.col("l1"), F.lit(0))
+        + F.coalesce(F.lit(w2) * F.col("l2"), F.lit(0))
+        + F.coalesce(F.col("l3"), F.lit(0))
+    )
+    den = (
+        F.lit(w0)
+        + F.when(F.col("l1").isNull(), 0).otherwise(w1)
+        + F.when(F.col("l2").isNull(), 0).otherwise(w2)
+        + F.when(F.col("l3").isNull(), 0).otherwise(w3)
+    )
+    return base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        r2(num.cast("double") / den.cast("double"), 6).alias("ewma_cents"),
+    )

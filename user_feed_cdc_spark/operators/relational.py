@@ -1601,3 +1601,66 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.percent_rank().over(w), 6).alias("pct_rank"),
         r2(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the driver star schema
+    (o_orderpriority stands in for the generator's o_shippriority,
+    cutoff shifted into the data's date range): unshipped orders from
+    one market segment ranked by pending revenue — the canonical
+    3-way fact⋈fact⋈dim benchmark join with selective predicates on
+    EVERY table. What the plan must do at 100 TB: push all three
+    predicates into their scans (segment, order date, ship date — each
+    kills most of its table before any join), broadcast the filtered
+    customer keys, let AQE pick the orders⋈lineitem side, and close
+    with TakeOrderedAndProject, never a global sort. Revenue is frozen
+    to per-row cents BEFORE the sum (TPC-H's DECIMAL arithmetic made
+    cross-engine exact as bigint cents), with (date, orderkey)
+    tiebreaks so the top-10 is a total order."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(
+            F.col("revenue_cents").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
