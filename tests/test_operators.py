@@ -1384,3 +1384,47 @@ def test_phash_collides_across_encodings():
     bw, bh, bpx = decode_bmp(bmp_payload)
     assert (gw, gh, gpx) == (bw, bh, bpx) == (w, h, rgb)
     assert dhash64(gw, gh, gpx) == dhash64(bw, bh, bpx)
+
+
+def test_stats_entries_skip_degenerate_groups(spark, tmp_path, sf_dir):
+    """The degenerate-source discipline (zipf n>=2 lesson, r07 ADVICE)
+    applied to the round-8 stats family: constant-valued groups and
+    all-or-none conversions must be SKIPPED by exact integer guards,
+    never surfaced as NaN/inf (which the two engines normalize
+    differently). Driven against a synthetic events table with one
+    constant-value type and one always-converting type."""
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    rows = []
+    ts0 = pd.Timestamp("2024-01-01")
+    for i in range(40):
+        # 'flat': constant value -> zero variance -> moment/corr skip
+        rows.append((i, ts0 + pd.Timedelta(hours=i % 24), i, "flat", 10.0, "{}"))
+        # 'allconv': every user converts (value > 50) -> z-test skip
+        rows.append((100 + i, ts0 + pd.Timedelta(hours=i % 24), i, "allconv", 99.0, "{}"))
+        # 'mixed': healthy group that must SURVIVE every guard
+        rows.append((200 + i, ts0 + pd.Timedelta(hours=i % 24), i, "mixed",
+                     10.0 + (i % 7) * 13.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    path = str(tmp_path / "deg_events")
+    spark.createDataFrame(pdf).repartition(2).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    # the entries only read events; point sf_dir at the synthetic table
+    qs = em.queries()
+    moment = {r.event_type for r in qs["events_moment_profile"](spark, path).collect()}
+    assert "flat" not in moment and "mixed" in moment
+    corr = {r.event_type for r in qs["events_corr_value_hour"](spark, path).collect()}
+    assert "flat" not in corr and "mixed" in corr
+    ab = {r.event_type for r in qs["events_ab_test_ztest"](spark, path).collect()}
+    assert "allconv" not in ab and "mixed" in ab
+    # no NaN/inf anywhere in the surviving rows
+    import math
+
+    for name in ("events_moment_profile", "events_corr_value_hour"):
+        for r in qs[name](spark, path).collect():
+            for v in r.asDict().values():
+                if isinstance(v, float):
+                    assert math.isfinite(v), (name, r)

@@ -1290,7 +1290,9 @@ _MOMENTS_ORACLE = """
                CAST(SUM(u) AS BIGINT) AS s1,
                CAST(SUM(u * u) AS BIGINT) AS s2,
                CAST(SUM(u * u * u) AS BIGINT) AS s3,
-               CAST(SUM(u * u * u * u) AS BIGINT) AS s4
+               CAST(SUM(u * u * u * u) AS BIGINT) AS s4,
+               CAST(MIN(u) AS BIGINT) AS u_min,
+               CAST(MAX(u) AS BIGINT) AS u_max
         FROM (SELECT event_type,
                      CAST(FLOOR(value + 0.5) AS BIGINT) AS u
               FROM events)
@@ -1329,6 +1331,7 @@ _MOMENTS_ORACLE = """
                   - 3.0)
                  * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis
     FROM s
+    WHERE n >= 2 AND u_min < u_max
 """
 
 
@@ -1361,7 +1364,16 @@ def events_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("u") * F.col("u")).alias("s2"),
         F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
         F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias("s4"),
+        F.min("u").alias("u_min"),
+        F.max("u").alias("u_max"),
     )
+    # degenerate-group guard (the zipf n>=2 lesson, r07 ADVICE): a
+    # zero-variance group makes m2 exactly 0 and the skew/kurtosis
+    # divisions NaN, where the engines' FLOOR-of-NaN normalization
+    # diverges — skip such groups in BOTH engines via the EXACT
+    # integer test min(u) < max(u) (⟺ variance > 0), which unlike
+    # n·Σu² > (Σu)² can never itself overflow
+    s = s.filter((F.col("n") >= 2) & (F.col("u_min") < F.col("u_max")))
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
     m2 = F.col("s2").cast("double") / nd - mean * mean
@@ -1393,7 +1405,11 @@ _CORR_ORACLE = """
                CAST(SUM(y) AS BIGINT) AS sy,
                CAST(SUM(x * y) AS BIGINT) AS sxy,
                CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(MIN(x) AS BIGINT) AS x_min,
+               CAST(MAX(x) AS BIGINT) AS x_max,
+               CAST(MIN(y) AS BIGINT) AS y_min,
+               CAST(MAX(y) AS BIGINT) AS y_max
         FROM (SELECT event_type,
                      CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x,
                      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
@@ -1412,6 +1428,7 @@ _CORR_ORACLE = """
                                   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
                  * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
     FROM s
+    WHERE n >= 2 AND x_min < x_max AND y_min < y_max
 """
 
 
@@ -1442,7 +1459,19 @@ def events_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
             F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
         )
+    )
+    # zero-variance guard on either axis: a constant column makes a
+    # denominator 0 and r NaN — skip the group in both engines via the
+    # overflow-free integer test min < max (⟺ variance > 0)
+    s = s.filter(
+        (F.col("n") >= 2)
+        & (F.col("x_min") < F.col("x_max"))
+        & (F.col("y_min") < F.col("y_max"))
     )
     nd = F.col("n").cast("double")
     mx = F.col("sx").cast("double") / nd
@@ -1678,6 +1707,7 @@ _AB_ORACLE = """
            z_micro / 1000000.0 AS z_score,
            abs(z_micro) >= 1959964 AS significant
     FROM z
+    WHERE k_a + k_b > 0 AND k_a + k_b < n_a + n_b
 """
 
 
@@ -1706,6 +1736,13 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("k_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("k_b"),
+    )
+    # all-or-none pooled conversion makes the pooled variance exactly
+    # 0 and z infinite — skip via integer compares (0 < Σk < Σn), the
+    # same degenerate-group discipline as the moment/corr guards
+    arms = arms.filter(
+        (F.col("k_a") + F.col("k_b") > 0)
+        & (F.col("k_a") + F.col("k_b") < F.col("n_a") + F.col("n_b"))
     )
     pa = F.col("k_a") * 1.0 / F.col("n_a")
     pb = F.col("k_b") * 1.0 / F.col("n_b")
