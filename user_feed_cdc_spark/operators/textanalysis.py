@@ -1323,10 +1323,13 @@ _SPARSE_COSINE_ORACLE = f"""
         HAVING COUNT(*) BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
     ),
     w AS (
-        SELECT tf.doc_id, tf.term,
-               tf.tf * CAST(FLOOR(LN(CAST(s.n AS DOUBLE) / CAST(df.df AS DOUBLE))
-                                  * 1000.0 + 0.5) AS BIGINT) AS w
-        FROM tf JOIN df USING (term) CROSS JOIN stats s
+        SELECT doc_id, term, w FROM (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * CAST(FLOOR(LN(CAST(s.n AS DOUBLE)
+                                         / CAST(df.df AS DOUBLE))
+                                      * 1000.0 + 0.5) AS BIGINT) AS w
+            FROM tf JOIN df USING (term) CROSS JOIN stats s
+        ) WHERE w <> 0
     ),
     nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm
             FROM w GROUP BY doc_id),
@@ -1401,10 +1404,16 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute per branch (4 scans; the dedup_semantic precedent).
     # The cache expires with the session, the right lifetime for a
     # registry entry.
+    # w != 0 guard: a term with df == N gets idf exactly 0 (possible at
+    # tiny corpora where the df cap doesn't bite); zero-weight postings
+    # add nothing to any dot or norm, but a doc holding ONLY such terms
+    # would carry norm 0 and emit NaN cosines — dropping them excludes
+    # that doc instead, with every surviving value bit-identical
     w = (
         tf.join(df, "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", (F.col("tf") * idf_milli).alias("w"))
+        .filter(F.col("w") != 0)
         .persist()
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
