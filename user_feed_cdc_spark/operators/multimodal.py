@@ -869,6 +869,7 @@ _RESIZE_CERT_ORACLE = """
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality
         FROM documents
+        WHERE length(text) >= 1
     ),
     u AS (
         SELECT doc_id, modality,
@@ -921,8 +922,12 @@ def multimodal_resize_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     value AND position under the driver's hash gate, while the full
     payload/digest path stays on the rows-only twin. Fallback rows
     would surface as checksum 0 ≠ oracle (none occur: every synthetic
-    container decodes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    container decodes). Empty docs are filtered in BOTH engines (none
+    exist at any SF; the guard makes the content[p mod len] contract
+    total instead of latent)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
     return resize_media(with_media_payload(docs)).select(
         "doc_id", "modality", "in_units", "out_units",
         "unit_sum", "unit_wsum", "resized",
