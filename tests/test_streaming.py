@@ -626,3 +626,80 @@ def test_dedup_within_watermark_state_evicts(spark, tmp_path):
     total_left = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
     assert removed >= 1, (removed, total_left)
     assert total_left <= 1
+
+
+def test_sliding_windows_drop_late_rows_in_both_windows(spark, tmp_path):
+    """The sliding-window variant of the late-data contract (the live
+    gate streaming_sliding_counts_live runs complete-mode where nothing
+    drops; append mode is where the watermark bites): a late row lands
+    in TWO overlapping windows, and the watermark must drop it from
+    BOTH — the Expand happens before the stateful agg, so one late
+    input row counts as one drop but zero contributions anywhere."""
+    d = tmp_path / "slide_stream"
+    d.mkdir()
+    t0 = 1704067200000000000
+    m = 60_000_000_000
+    _write_spaced_files(
+        spark,
+        d,
+        [
+            # windows [00:00,01:00) and [23:30 prev,00:30): 2 events
+            [(1, t0, 1, "click", 1.0, "{}"), (2, t0 + m, 1, "click", 1.0, "{}")],
+            # jump far ahead → watermark advances past both windows
+            [(3, t0 + 180 * m, 2, "click", 1.0, "{}")],
+            # spacer to finalize
+            [(5, t0 + 181 * m, 2, "click", 1.0, "{}")],
+            # late row targeting the finalized windows → dropped
+            [(4, t0 + 2 * m, 9, "click", 1.0, "{}")],
+        ],
+    )
+    from user_feed_cdc_spark.streaming.windows import sliding_counts
+
+    stream = events_file_stream(spark, str(d))
+    q = (
+        sliding_counts(stream, "1 hour", "30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1
+    # the [00:00, 00:30-start] windows carry only the 2 on-time events
+    counts = {
+        r.window_start.isoformat(): r.n_events
+        for r in spark.table("slide_late_drop").collect()
+        if r.window_start.isoformat().startswith("2024-01-01T00:00")
+    }
+    assert counts.get("2024-01-01T00:00:00") == 2  # late row in neither
+
+
+def test_ewma_bounded_by_window_extremes(spark, sf_dir):
+    """events_ewma_values invariant: a convex combination of the
+    current value and its 3 lags must lie within the min/max of those
+    same values — per row, against an independently computed window."""
+    import __spark_entry__ as em
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    out = em.queries()["events_ewma_values"](spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    checked = out.select(
+        "*",
+        F.min("cents").over(w).alias("wmin"),
+        F.max("cents").over(w).alias("wmax"),
+    ).filter(
+        (F.col("ewma_cents") < F.col("wmin") - 1e-6)
+        | (F.col("ewma_cents") > F.col("wmax") + 1e-6)
+    )
+    assert checked.count() == 0
