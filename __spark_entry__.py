@@ -102,7 +102,14 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # stale r05-certified entries fill the window to 50
         "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
-        "events_hourly_rollup", "cdc_canonical_activities",
+        "events_hourly_rollup",
+        # ---- window boundary (the driver certifies the 50 above) ----
+        # new in round 8, past the window by design (it is at capacity);
+        # never certified — these LEAD the r09 window under the
+        # never-certified-first policy, a one-round lag with full
+        # local-gate evidence in CORRECTNESS_LOCAL_r08
+        "events_dow_seasonality", "cdc_lifecycle_violations",
+        "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",
         "range_join_user_pairs", "asof_last_purchase",

@@ -36,6 +36,7 @@ NESTED_LOOP_WHITELIST = {
     "events_type_cooccurrence",   # 1-row broadcast distinct-user total
     "text_tfidf_cosine_pairs",    # 1-row broadcast corpus-count scalar
     "events_daily_locf",          # ≤20-user dim × 1-row day-span spine
+    "events_dow_seasonality",     # 1-row broadcast corpus-mean scalar
 }
 
 

@@ -692,3 +692,112 @@ def cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("src_value", "base_value").alias("value"),
         "action",
     )
+
+
+_LIFECYCLE_ORACLE = """
+    WITH ch AS (
+        SELECT event_id % 300 AS key, event_id, ts,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 300
+                                  ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    flagged AS (
+        SELECT key, op, seq,
+               MIN(CASE WHEN op = 'c' THEN seq END)
+                   OVER (PARTITION BY key) AS first_create,
+               LAG(op) OVER (PARTITION BY key ORDER BY seq) AS prev_op
+        FROM ch
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(SUM(CASE WHEN op IN ('u', 'd')
+                          AND (first_create IS NULL OR seq < first_create)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_before_create,
+           CAST(SUM(CASE WHEN prev_op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_delete,
+           CAST(SUM(CASE WHEN op = 'c' AND seq > 1 AND prev_op <> 'd'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double_create,
+           (SUM(CASE WHEN op IN ('u', 'd')
+                      AND (first_create IS NULL OR seq < first_create)
+                     THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN prev_op = 'd' THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN op = 'c' AND seq > 1 AND prev_op <> 'd'
+                       THEN 1 ELSE 0 END)) = 0 AS clean
+    FROM flagged
+    GROUP BY key
+"""
+
+
+@_register("cdc_lifecycle_violations", _LIFECYCLE_ORACLE)
+def cdc_lifecycle_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG LINT — per-key lifecycle-integrity audit of a c/u/d
+    stream: updates/deletes arriving before the key's first create,
+    changes arriving after a delete (ghost writes against a dead key),
+    and re-creates without an intervening delete (double create). A
+    CDC topic produced by a correct capture pipeline satisfies the
+    create→update*→delete grammar; violations mean dropped events,
+    out-of-order delivery past the ordering key, or a producer bug —
+    exactly the classes the reference's at-least-once, swallow-all
+    consumer (event_processor.py:111-113, auto-commit env.py:14-15)
+    would let through silently. The audit is the monitoring query a
+    lake team runs BEFORE trusting upsert/SCD2 materializations built
+    from the same stream (cdc_upsert_state / cdc_scd2_history — same
+    key derivation, so findings map 1:1).
+
+    Plan: one shuffle on the key, then row_number + first-create MIN +
+    LAG all over the SAME partitioning (single sort), one groupBy on
+    the already-partitioned key. Output is |keys| rows; the integer
+    flag sums and the boolean verdict make it hash-exact. At 100 TB
+    this runs incrementally per ingest batch over (key, seq-range)
+    slices."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 300).alias("key"),
+        "event_id",
+        "ts",
+        _op().alias("op"),
+    )
+    wseq = W.partitionBy("key").orderBy("ts", "event_id")
+    wkey = W.partitionBy("key")
+    ch = ev.withColumn("seq", F.row_number().over(wseq)).select(
+        "key",
+        "op",
+        "seq",
+        F.min(F.when(F.col("op") == "c", F.col("seq"))).over(wkey).alias(
+            "first_create"
+        ),
+        F.lag("op").over(wseq).alias("prev_op"),
+    )
+    before_create = F.when(
+        F.col("op").isin("u", "d")
+        & (F.col("first_create").isNull() | (F.col("seq") < F.col("first_create"))),
+        1,
+    ).otherwise(0)
+    after_delete = F.when(F.col("prev_op") == "d", 1).otherwise(0)
+    double_create = F.when(
+        (F.col("op") == "c") & (F.col("seq") > 1) & (F.col("prev_op") != "d"),
+        1,
+    ).otherwise(0)
+    agg = ch.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(before_create).alias("n_before_create"),
+        F.sum(after_delete).alias("n_after_delete"),
+        F.sum(double_create).alias("n_double_create"),
+    )
+    return agg.select(
+        "key",
+        "n_changes",
+        "n_before_create",
+        "n_after_delete",
+        "n_double_create",
+        (
+            F.col("n_before_create")
+            + F.col("n_after_delete")
+            + F.col("n_double_create")
+            == 0
+        ).alias("clean"),
+    )

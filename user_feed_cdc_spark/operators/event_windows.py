@@ -1900,3 +1900,71 @@ def events_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         r2(num.cast("double") / den.cast("double"), 6).alias("ewma_cents"),
     )
+
+
+_DOW_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM daily GROUP BY dow
+    ),
+    total AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS all_days,
+               CAST(SUM(cents) AS BIGINT) AS all_cents
+        FROM per_dow
+    )
+    SELECT d.dow, d.n_days,
+           FLOOR(CAST(d.cents AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_daily_cents,
+           FLOOR((CAST(d.cents AS DOUBLE) / CAST(d.n_days AS DOUBLE))
+                 / (CAST(t.all_cents AS DOUBLE) / CAST(t.all_days AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal_index
+    FROM per_dow d CROSS JOIN total t
+"""
+
+
+@_register("events_dow_seasonality", _DOW_ORACLE)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week SEASONALITY INDEX — the multiplicative decomposition
+    building block (classical seasonal adjustment): each weekday's mean
+    daily revenue relative to the all-days mean, index > 1 = a heavy
+    day (ISO day numbers — Spark's dayofweek is 1=Sunday where
+    DuckDB's is 0=Sunday, so both sides use the unambiguous isodow). This is the piece a forecast divides out before trending, and
+    the simplest decomposition a 100 TB pipeline actually ships
+    (day-level facts, 7-row model). Exactness: daily totals are exact
+    bigint cents; the per-dow and corpus means divide exactly once
+    each in mirrored fp64 order; the 1-row corpus aggregate broadcasts
+    (the corpus-scalar pattern). Two rollup shuffles — (day) then
+    (dow) — both map-side partialed; 7 rows out at any scale."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("dow"),
+    ).agg(F.sum(cents).alias("cents"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("cents")
+    )
+    total = per_dow.agg(
+        F.sum("n_days").alias("all_days"), F.sum("cents").alias("all_cents")
+    )
+    mean_daily = F.col("cents").cast("double") / F.col("n_days").cast("double")
+    corpus_mean = (
+        F.col("all_cents").cast("double") / F.col("all_days").cast("double")
+    )
+    return per_dow.join(F.broadcast(total)).select(
+        "dow",
+        "n_days",
+        r2(mean_daily, 6).alias("mean_daily_cents"),
+        r2(mean_daily / corpus_mean, 6).alias("seasonal_index"),
+    )
