@@ -109,6 +109,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # never-certified-first policy, a one-round lag with full
         # local-gate evidence in CORRECTNESS_LOCAL_r08
         "events_dow_seasonality", "cdc_lifecycle_violations",
+        "similarity_pq_topk",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

@@ -624,38 +624,48 @@ _ORACLE_COS = (
 )
 
 
-def kmeans_oracle_parts() -> tuple[list[str], int]:
+def kmeans_oracle_parts(
+    suffix: str = "",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    with_prefix: bool = True,
+) -> tuple[list[str], int]:
     """Shared unrolled-CTE DuckDB prefix of the deterministic Lloyd
     loop: `v` (cast vectors), `cent0` (seeded init), and
     assign1..N / cent1..N for the N iterations. Every oracle that
-    certifies a k-means-derived operator (IVF search, semantic dedup)
-    builds on this prefix so the certified trajectory is ONE shared
-    definition, not two that could drift. Returns (parts, last_iter)."""
+    certifies a k-means-derived operator (IVF search, semantic dedup,
+    product quantization) builds on this prefix so the certified
+    trajectory is ONE shared definition, not two that could drift.
+    `suffix` namespaces the CTEs (v{suffix}, assign{suffix}{i}, ...)
+    and `vec_sql` picks the embedding expression, so a PQ oracle can
+    unroll one Lloyd loop PER SUBSPACE slice in a single statement.
+    Returns (parts, last_iter)."""
     rnd = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    s = suffix
+    head = "WITH " if with_prefix else ""
     parts = [
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""cent0 AS (
+        f"{head}v{s} AS (SELECT vec_id, {vec_sql} AS v FROM embeddings)",
+        f"""cent{s}0 AS (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid,
                    list_transform(v, x -> {rnd('x')}) AS centroid
-            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {K_CLUSTERS})
+            FROM (SELECT vec_id, v FROM v{s} ORDER BY vec_id LIMIT {K_CLUSTERS})
         )""",
     ]
     for i in range(1, KMEANS_ITERS + 1):
         c = _ORACLE_COS.format(a="e.v", b="c.centroid")
-        parts.append(f"""assign{i} AS (
+        parts.append(f"""assign{s}{i} AS (
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                           ORDER BY {rnd(c)} DESC, c.cid) AS rn
-                FROM v e CROSS JOIN cent{i - 1} c
+                FROM v{s} e CROSS JOIN cent{s}{i - 1} c
             ) WHERE rn = 1
         )""")
-        parts.append(f"""cent{i} AS (
+        parts.append(f"""cent{s}{i} AS (
             SELECT cid, list(cv ORDER BY pos) AS centroid FROM (
                 SELECT a.cid, d.pos, {rnd('AVG(d.vv)')} AS cv
                 FROM (SELECT vec_id, generate_subscripts(v, 1) AS pos,
-                             UNNEST(v) AS vv FROM v) d
-                JOIN assign{i} a USING (vec_id)
+                             UNNEST(v) AS vv FROM v{s}) d
+                JOIN assign{s}{i} a USING (vec_id)
                 GROUP BY a.cid, d.pos
             ) GROUP BY cid
         )""")
@@ -977,3 +987,130 @@ def similarity_pandas_udf_normalize(
             F.transform(micro, lambda x: x.cast("string")), ","
         ).alias("unit_vec_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC top-k
+# ---------------------------------------------------------------------------
+
+_PQ_SUB_DIM = 32  # 64-dim embeddings → 2 subspaces of 32
+
+
+def _pq_oracle() -> str:
+    """Unrolled twin of the per-subspace Lloyd loops + ADC scoring:
+    two kmeans_oracle_parts expansions (suffixes a/b over the two
+    32-dim slices) in one statement, lookup tables as centroid·query
+    dots rounded at 1e-6, final score the rounded sum."""
+    rnd = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    parts_a, last = kmeans_oracle_parts(
+        "a", f"CAST(embedding[1:{_PQ_SUB_DIM}] AS DOUBLE[])"
+    )
+    parts_b, _ = kmeans_oracle_parts(
+        "b",
+        f"CAST(embedding[{_PQ_SUB_DIM + 1}:{2 * _PQ_SUB_DIM}] AS DOUBLE[])",
+        with_prefix=False,
+    )
+    tbl = last - 1  # codes assign against cent_{N-1}; tables must match
+    parts = parts_a + parts_b + [
+        "qa AS (SELECT v AS qv FROM va WHERE vec_id = 0)",
+        "qb AS (SELECT v AS qv FROM vb WHERE vec_id = 0)",
+        f"""ta AS (
+            SELECT c.cid,
+                   {rnd('list_dot_product(c.centroid, q.qv)')} AS t
+            FROM centa{tbl} c CROSS JOIN qa q
+        )""",
+        f"""tb AS (
+            SELECT c.cid,
+                   {rnd('list_dot_product(c.centroid, q.qv)')} AS t
+            FROM centb{tbl} c CROSS JOIN qb q
+        )""",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT a.vec_id, a.cid AS code_a, b.cid AS code_b,
+           {rnd('ta.t + tb.t')} AS approx_dot
+    FROM assigna{last} a
+    JOIN assignb{last} b USING (vec_id)
+    JOIN ta ON ta.cid = a.cid
+    JOIN tb ON tb.cid = b.cid
+    WHERE a.vec_id <> 0
+    ORDER BY approx_dot DESC, a.vec_id
+    LIMIT 10
+    """
+    )
+
+
+@_register("similarity_pq_topk", _pq_oracle())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION ANN (Jégou et al. 2011, the memory-bound
+    regime's workhorse): each 64-dim vector compresses to TWO 3-bit
+    codes — one per 32-dim subspace, each learned by the SAME
+    deterministic Lloyd quantizer the IVF entry certifies — and query
+    scoring is ASYMMETRIC DISTANCE COMPUTATION: dot(q, x) decomposes
+    exactly over subspaces, so dot(q, x) ≈ t_a[code_a(x)] +
+    t_b[code_b(x)] where each lookup table holds the 8 centroid·query
+    sub-dots. Per candidate that is two table lookups and one add —
+    no vector arithmetic at all, which is the entire point: at 100 TB
+    the codes (6 bits/vector here; 64-128 bits in production) fit in
+    memory where raw vectors cannot, vectors are touched only at
+    build time, and the scan stage scores from broadcast tables.
+    Completes the ANN taxonomy beside brute/LSH/IVF/int8/Hamming/
+    Matryoshka: PQ is the CODEBOOK-compression axis.
+
+    Cross-engine exactness rides the shared Lloyd machinery: both
+    subspace codebooks come from kmeans_oracle_parts' unrolled CTEs
+    (suffixed a/b in ONE statement), codes assign against cent_{N-1}
+    exactly like the in-loop assignment, lookup-table dots and the
+    final sum are rounded at 1e-6. Plan: two Lloyd loops over sliced
+    vectors (K×subdim centroids to the driver per iteration — vectors
+    never shuffle), then one narrow projection computes both codes +
+    the CASE-literal table lookups, TakeOrderedAndProject closes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("full")
+    )
+
+    def subspace(lo: int) -> DataFrame:
+        v = F.slice("full", lo, _PQ_SUB_DIM)
+        return emb.select("vec_id", v.alias("v"), norm(v).alias("vnorm"))
+
+    sub_a = subspace(1).persist()
+    sub_b = subspace(_PQ_SUB_DIM + 1).persist()
+    prev_a, _ = _kmeans_centroids(spark, sub_a)
+    prev_b, _ = _kmeans_centroids(spark, sub_b)
+    q_row = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.slice("full", 1, _PQ_SUB_DIM).alias("qa"),
+            F.slice("full", _PQ_SUB_DIM + 1, _PQ_SUB_DIM).alias("qb"),
+        )
+        .collect()[0]
+    )
+    from user_feed_cdc_spark.functions.numeric import py_round_half_up
+
+    t_a = {cid: py_round_half_up(_pydot(c, list(q_row.qa)), 6) for cid, c in prev_a}
+    t_b = {cid: py_round_half_up(_pydot(c, list(q_row.qb)), 6) for cid, c in prev_b}
+
+    def lookup(code_col: str, table: dict) -> Column:
+        cases = " ".join(
+            f"WHEN {cid} THEN {_dlit(t)}" for cid, t in sorted(table.items())
+        )
+        return F.expr(f"CASE {code_col} {cases} END")
+
+    coded = (
+        sub_a.select("vec_id", _assign_cid(prev_a).alias("code_a"))
+        .join(
+            sub_b.select("vec_id", _assign_cid(prev_b).alias("code_b")),
+            "vec_id",
+        )
+        .filter(F.col("vec_id") != 0)
+    )
+    score = r2(lookup("code_a", t_a) + lookup("code_b", t_b), 6)
+    out = (
+        coded.select("vec_id", "code_a", "code_b", score.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), "vec_id")
+        .limit(10)
+    )
+    sub_a.unpersist(blocking=False)
+    sub_b.unpersist(blocking=False)
+    return out
