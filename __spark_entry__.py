@@ -109,7 +109,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # never-certified-first policy, a one-round lag with full
         # local-gate evidence in CORRECTNESS_LOCAL_r08
         "events_dow_seasonality", "cdc_lifecycle_violations",
-        "similarity_pq_topk",
+        "similarity_pq_topk", "multimodal_audio_stats",
+        "text_vocab_oov_rate",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

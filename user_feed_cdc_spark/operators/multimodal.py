@@ -1039,3 +1039,79 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         exemplar.alias("exemplar_id"),
         (F.col("decoded") & (F.col("doc_id") != exemplar)).alias("is_dup"),
     )
+
+
+_AUDIO_STATS_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS tl
+        FROM documents
+        WHERE doc_id % 3 = 1 AND length(text) >= 1
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(range(0, 96), p ->
+                   CAST((ascii(substr(text, CAST((p % tl) + 1 AS INT), 1))
+                         - 128) * 256 AS BIGINT)) AS samples
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(len(samples) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+               AS energy,
+           CAST(GREATEST(list_max(samples), -list_min(samples)) AS BIGINT)
+               AS peak,
+           CAST(list_sum(list_transform(range(1, 96),
+               i -> CASE WHEN (samples[i] >= 0) <> (samples[i + 1] >= 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+    FROM s
+"""
+
+
+@_register("multimodal_audio_stats", _AUDIO_STATS_ORACLE)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO CONTENT ANALYSIS over decoded PCM — the signal statistics
+    an audio-corpus pipeline computes after decode and before any
+    model: total energy (Σs², the loudness/silence gate), peak
+    amplitude (clipping detection), and zero-crossing count (the
+    classic cheap voiced/unvoiced + noisiness proxy). Every statistic
+    is PURE INTEGER arithmetic over int16 samples — energy ≤ 96·2¹⁵²
+    ≈ 10¹¹ « 2⁶³ — so the whole analysis is hash-exact with no float
+    contract at all. The pipeline is the real one: with_media_payload
+    builds genuine RIFF/WAVE containers, the mapInPandas stage runs
+    decode_wav, and the emitted rows are scalars; the oracle replays
+    the analysis symbolically from the doc bytes (samples =
+    (byte-128)·256, the with_media_payload construction), so the
+    DECODER is inside the certified loop exactly like
+    multimodal_resize_certified. At 100 TB payload bytes stream
+    through Python once and only (doc_id, 4 ints) ever shuffles."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 1)
+    )
+    mm = with_media_payload(docs).select("doc_id", "payload")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "energy": [],
+                   "peak": [], "zero_crossings": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["energy"].append(sum(s * s for s in samples))
+                out["peak"].append(max(max(samples), -min(samples)))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, n_samples long, energy long, peak long, "
+        "zero_crossings long",
+    )

@@ -1443,3 +1443,84 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
         .limit(_SPARSE_TOPK)
     )
+
+
+_VOCAB_K = 64  # fixed "tokenizer vocabulary" = top-K corpus tokens
+
+
+_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+            FROM toks GROUP BY token
+        ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+"""
+
+
+@_register("text_vocab_oov_rate", _OOV_ORACLE)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE / OOV-rate analysis — the tokenizer-fit
+    metric a pretraining team reads before committing a vocabulary:
+    fix the vocab as the corpus's top-{64} tokens (deterministic
+    frequency-desc, token-asc cut — the same top-K discipline as the
+    boilerplate detector) and report each doc's token count, OOV
+    count, and OOV fraction. High-OOV docs are the ones a real
+    tokenizer would shred into bytes/unknowns — the signal that
+    drives vocab sizing and domain-mismatch triage (a code corpus
+    against a prose vocab lights up instantly). Plan: one token
+    rollup (map-side partials), the {64}-row vocab broadcasts, the
+    per-doc pass LEFT-joins it (hits counted, misses kept — the
+    denominator needs every token, the contamination-score shape) and
+    aggregates on doc_id. Counts are exact bigints, one micro-frozen
+    division; at 100 TB the vocab is fixed upfront and the whole
+    query is the one explode + broadcast-join + doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # top-K via orderBy+limit (TakeOrderedAndProject: per-task K-heaps)
+    # — a global ROW_NUMBER window here would single-partition the
+    # whole vocabulary, the scale killer the curriculum entry documents
+    vocab = (
+        freq.orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token")
+        .withColumn("_in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            r2(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
