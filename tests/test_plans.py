@@ -37,6 +37,7 @@ NESTED_LOOP_WHITELIST = {
     "text_tfidf_cosine_pairs",    # 1-row broadcast corpus-count scalar
     "events_daily_locf",          # ≤20-user dim × 1-row day-span spine
     "events_dow_seasonality",     # 1-row broadcast corpus-mean scalar
+    "text_js_divergence_sources",  # |sources| × 32-row vocab grid build
 }
 
 

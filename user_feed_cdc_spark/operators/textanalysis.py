@@ -1524,3 +1524,145 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_JS_VOCAB_K = 32  # drift distributions over the top-K corpus tokens
+
+
+_JS_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+            FROM toks GROUP BY token
+        ) WHERE rn <= {_JS_VOCAB_K}
+    ),
+    counts AS (
+        SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks t JOIN vocab v ON t.token = v.token
+        GROUP BY t.source, t.token
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM counts
+        GROUP BY source
+    ),
+    grid AS (
+        SELECT t.source, v.token FROM totals t CROSS JOIN vocab v
+    ),
+    p AS (
+        SELECT g.source, g.token,
+               CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        FROM grid g
+        JOIN totals t ON g.source = t.source
+        LEFT JOIN counts c ON c.source = g.source AND c.token = g.token
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.token, a.p AS pa, b.p AS pb
+        FROM p a JOIN p b
+          ON a.token = b.token AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(
+               CASE WHEN pa > 0.0 THEN
+                   CAST(FLOOR(pa * LN(2.0 * pa / (pa + pb))
+                              * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END
+               + CASE WHEN pb > 0.0 THEN
+                   CAST(FLOOR(pb * LN(2.0 * pb / (pa + pb))
+                              * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) / 2000000000.0 AS js_divergence
+    FROM pairs
+    GROUP BY source_a, source_b
+"""
+
+
+@_register("text_js_divergence_sources", _JS_ORACLE)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT between corpus sources: pairwise
+    Jensen-Shannon divergence over each source's unigram distribution
+    restricted to the top-{32} corpus tokens — the data-quality signal
+    behind "did this month's crawl shift?" and the source-similarity
+    matrix a mixture designer reads next to DSIR weights. JS (the
+    symmetrized, bounded KL) is the standard choice because it is
+    finite even where one source lacks a token.
+
+    Cross-engine exactness is the surprisal discipline applied to
+    divergence: probabilities are identical fp64 divisions of exact
+    bigint counts, and each term's p·ln(2p/(p+q)) contribution is
+    frozen to integer NANO-units BEFORE the pair sum (nano, not
+    micro: contributions are ≤ p·ln2 ≈ 0.69·p and many are tiny —
+    micro-freezing would zero them and understate drift). The
+    distributions live on the full source × vocab GRID (zero-count
+    terms get p=0 via a left join), so a token one source lacks still
+    contributes the partner's pa·ln2 mass — true JS over the vocab,
+    not JS-restricted-to-co-occurrence; the p>0 CASE guards are what
+    keep 0·ln(0) out on both engines identically. Plan: token rollup
+    → broadcast {32}-row vocab → (source, token) counts → the tiny
+    grid join → the |sources|²-bounded pair join on token — output is
+    C(|sources|, 2) rows; nothing scales with corpus size past the
+    first rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), "token")
+        .limit(_JS_VOCAB_K)
+        .select("token")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    # full source × vocab grid so absent tokens carry p = 0 (true JS,
+    # not JS restricted to co-occurring terms); both frames are tiny
+    grid = totals.crossJoin(F.broadcast(vocab))
+    p = grid.join(counts, ["source", "token"], "left").select(
+        "source",
+        "token",
+        (
+            F.coalesce(F.col("n"), F.lit(0)).cast("double")
+            / F.col("tot").cast("double")
+        ).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    nano = lambda e: F.floor(e * 1000000000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    term_a = F.when(
+        F.col("pa") > 0.0,
+        nano(F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))),
+    ).otherwise(F.lit(0))
+    term_b = F.when(
+        F.col("pb") > 0.0,
+        nano(F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))),
+    ).otherwise(F.lit(0))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum(term_a + term_b).alias("s"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("s") / 2000000000.0).alias("js_divergence"),
+        )
+    )
