@@ -38,6 +38,7 @@ NESTED_LOOP_WHITELIST = {
     "events_daily_locf",          # ≤20-user dim × 1-row day-span spine
     "events_dow_seasonality",     # 1-row broadcast corpus-mean scalar
     "text_js_divergence_sources",  # |sources| × 32-row vocab grid build
+    "pipeline_data_card",         # 1-row summary/entropy/top-source joins
 }
 
 

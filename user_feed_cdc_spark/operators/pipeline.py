@@ -1679,3 +1679,112 @@ def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination"),
         level.alias("level"),
     )
+
+
+_DATA_CARD_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, source, lang, md5(text) AS digest,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs FROM src),
+    ent AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (CAST(s.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                   * LN(CAST(t.n_docs AS DOUBLE) / CAST(s.n AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e_micro
+        FROM src s CROSS JOIN tot t
+    )
+    SELECT t.n_docs,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) AS n_tokens,
+           (SELECT CAST(COUNT(DISTINCT digest) AS BIGINT) FROM base)
+               AS n_distinct_docs,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM base)
+               AS n_sources,
+           (SELECT min(source) FROM src
+            WHERE n = (SELECT max(n) FROM src)) AS top_source,
+           e.e_micro / 1000000.0 AS source_entropy_nats,
+           FLOOR((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) * 1000000.0
+                 / t.n_docs + 0.5) / 1000000.0 AS mean_tokens_per_doc
+    FROM tot t CROSS JOIN ent e
+"""
+
+
+@_register("pipeline_data_card", _DATA_CARD_ORACLE)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS DATA CARD — the one-row datasheet ("Datasheets for
+    Datasets", Gebru et al. 2021) a dataset release ships: document
+    and token counts, distinct-content count (the exact-dup headline
+    number), language and source coverage, the dominant source
+    (min-name tiebreak — deterministic argmax, the agg_argmax_funcs
+    discipline), source-distribution Shannon entropy (the mixture-
+    balance scalar: ln|sources| = uniform, 0 = single-source), and
+    mean tokens per doc. One pass over documents plus the per-source
+    rollup — every count is an exact bigint; the entropy freezes each
+    -p·ln p term to integer micro-units before summing (the surprisal
+    discipline) and the mean is an integer-scaled floor division, so
+    the whole card is hash-exact. At 100 TB this IS the release
+    artifact: a single broadcast-size row whose inputs are one scan
+    and two partial-agged rollups — the cheap always-on summary the
+    profiling (pipeline_profile_columns) and quality
+    (pipeline_quality_checks) passes sit beneath."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    src = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(F.sum("n").alias("n_docs"))
+    pn = F.col("n").cast("double") / F.col("n_docs").cast("double")
+    term = F.floor(
+        pn * F.log(F.col("n_docs").cast("double") / F.col("n").cast("double"))
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    ent = (
+        src.join(F.broadcast(tot))
+        .agg(F.sum(term).alias("e_micro"))
+    )
+    top = (
+        src.join(F.broadcast(src.agg(F.max("n").alias("maxn"))))
+        .filter(F.col("n") == F.col("maxn"))
+        .agg(F.min("source").alias("top_source"))
+    )
+    summary = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("digest").alias("n_distinct_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        summary.join(F.broadcast(top))
+        .join(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_distinct_docs",
+            "n_langs",
+            "n_sources",
+            "top_source",
+            (F.col("e_micro") / 1000000.0).alias("source_entropy_nats"),
+            (
+                F.floor(
+                    F.col("n_tokens") * 1000000.0 / F.col("n_docs") + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("mean_tokens_per_doc"),
+        )
+    )
