@@ -1460,3 +1460,49 @@ def test_pq_topk_structural_invariants(spark, sf_dir):
     ).collect()[0][0]
     all_mean = exact.agg(F.avg("d")).collect()[0][0]
     assert sel_mean > all_mean, (sel_mean, all_mean)
+
+
+def test_merge_empty_source_is_identity(spark):
+    """MERGE with an empty staged-changes batch must return the target
+    unchanged, every row a 'keep' — the no-op ingest cycle a scheduled
+    pipeline hits constantly."""
+    from user_feed_cdc_spark.operators.cdc import merge_into
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], ["key", "tv"])
+    empty = spark.createDataFrame([], "key int, sv int, op string")
+    out = {r.key: r for r in merge_into(target, empty, "key").collect()}
+    assert set(out) == {1, 2}
+    assert all(r.action == "keep" for r in out.values())
+    assert out[1].tv == 10 and out[2].tv == 20
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """Jensen-Shannon over the vocab grid: symmetric-free pair listing
+    (a < b), and every divergence within [0, ln 2] up to the nano
+    rounding — the bound that makes JS the drift metric of choice."""
+    import math
+
+    import __spark_entry__ as em
+
+    rows = em.queries()["text_js_divergence_sources"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.source_a < r.source_b for r in rows)
+    ln2 = math.log(2.0)
+    assert all(-1e-6 <= r.js_divergence <= ln2 + 1e-6 for r in rows)
+
+
+def test_data_card_internal_consistency(spark, sf_dir):
+    """The corpus data card's fields must cohere: distinct content
+    cannot exceed docs, entropy is bounded by ln(n_sources), and the
+    mean matches the exact quotient."""
+    import math
+
+    import __spark_entry__ as em
+
+    card = em.queries()["pipeline_data_card"](spark, sf_dir).collect()[0]
+    assert 0 < card.n_distinct_docs <= card.n_docs
+    assert card.n_sources >= 1 and card.n_langs >= 1
+    assert -1e-6 <= card.source_entropy_nats <= math.log(card.n_sources) + 1e-3
+    assert abs(
+        card.mean_tokens_per_doc - card.n_tokens / card.n_docs
+    ) < 1e-3
