@@ -111,7 +111,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_dow_seasonality", "cdc_lifecycle_violations",
         "similarity_pq_topk", "multimodal_audio_stats",
         "text_vocab_oov_rate", "text_js_divergence_sources",
-        "pipeline_data_card",
+        "pipeline_data_card", "events_revenue_concentration",
+        "pipeline_shard_skew_report",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

@@ -39,6 +39,7 @@ NESTED_LOOP_WHITELIST = {
     "events_dow_seasonality",     # 1-row broadcast corpus-mean scalar
     "text_js_divergence_sources",  # |sources| × 32-row vocab grid build
     "pipeline_data_card",         # 1-row summary/entropy/top-source joins
+    "events_revenue_concentration",  # 1-row stats/decile broadcast joins
 }
 
 

@@ -1788,3 +1788,91 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_tokens_per_doc"),
         )
     )
+
+
+_SKEW_REPORT_ORACLE = f"""
+    WITH sharded AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8)
+                    AS BIGINT) % {_N_SHARDS} AS shard_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    per_shard AS (
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM sharded GROUP BY shard_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(sum_tokens) AS BIGINT) AS max_tokens,
+               CAST(MIN(sum_tokens) AS BIGINT) AS min_tokens
+        FROM per_shard
+    )
+    SELECT n_shards, total_tokens, max_tokens, min_tokens,
+           FLOOR(CAST(max_tokens AS DOUBLE)
+                 / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_over_mean,
+           max_tokens * n_shards <= 2 * total_tokens AS balanced_2x
+    FROM stats
+"""
+
+
+@_register("pipeline_shard_skew_report", _SKEW_REPORT_ORACLE)
+def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-BALANCE AUDIT over the hash-shuffled training shards
+    (pipeline_shuffle_shards' layout): token totals per shard,
+    max/mean skew ratio, and an INTEGER-compared 2x-balance verdict
+    (max·n ≤ 2·total — no float boundary can flip it). This is the QA
+    gate a pipeline runs after writing shards and before a training
+    job whose stragglers are exactly the overweight shards; a
+    hash-sharded layout should sit near 1.0, and a ratio drifting up
+    flags either a hash bug or pathological doc-length skew that
+    token-capacity packing (pipeline_pack_sequences) should absorb
+    instead. Plan: the shard rollup (map-side partials) then a 1-row
+    stats pass — the report costs one scan regardless of corpus
+    size."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_SHARDS
+    )
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    per_shard = (
+        docs.select(shard.alias("shard_id"), F.size(tokens).cast("long").alias("n_tokens"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+    stats = per_shard.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("sum_tokens").alias("total_tokens"),
+        F.max("sum_tokens").alias("max_tokens"),
+        F.min("sum_tokens").alias("min_tokens"),
+    )
+    mean = F.col("total_tokens").cast("double") / F.col("n_shards").cast("double")
+    return stats.select(
+        "n_shards",
+        "total_tokens",
+        "max_tokens",
+        "min_tokens",
+        r2(F.col("max_tokens").cast("double") / mean, 6).alias("max_over_mean"),
+        (
+            F.col("max_tokens") * F.col("n_shards")
+            <= 2 * F.col("total_tokens")
+        ).alias("balanced_2x"),
+    )
