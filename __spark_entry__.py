@@ -113,6 +113,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_vocab_oov_rate", "text_js_divergence_sources",
         "pipeline_data_card", "events_revenue_concentration",
         "pipeline_shard_skew_report",
+        "tpch_q18_large_orders", "tpch_q17_small_quantity_revenue",
+        "events_survival_km", "pipeline_temperature_mixture",
+        "sketch_heavy_hitters_bounded",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

@@ -2057,3 +2057,165 @@ def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(share, 6).alias("top_decile_share"),
         )
     )
+
+
+_KM_ORACLE = """
+    WITH bounds AS (
+        SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(ts) AS f FROM events GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT user_id, MIN(ts) AS fp FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cohort AS (
+        SELECT CASE WHEN p.fp IS NOT NULL AND p.fp <= b.cutoff
+                    THEN date_diff('day', CAST(u.f AS DATE),
+                                   CAST(p.fp AS DATE))
+                    ELSE date_diff('day', CAST(u.f AS DATE),
+                                   CAST(b.cutoff AS DATE))
+               END AS t_day,
+               CASE WHEN p.fp IS NOT NULL AND p.fp <= b.cutoff
+                    THEN 1 ELSE 0 END AS is_event
+        FROM firsts u
+        LEFT JOIN purchases p ON p.user_id = u.user_id
+        CROSS JOIN bounds b
+        WHERE u.f <= b.cutoff
+    ),
+    steps AS (
+        SELECT CAST(t_day AS BIGINT) AS t_day,
+               CAST(SUM(is_event) AS BIGINT) AS n_converted,
+               CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+        FROM cohort GROUP BY t_day
+    ),
+    risk AS (
+        SELECT t_day, n_converted, n_censored,
+               CAST(SUM(n_converted + n_censored) OVER (
+                   ORDER BY t_day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_at_risk
+        FROM steps
+    ),
+    km AS (
+        SELECT t_day, n_converted, n_censored, n_at_risk,
+               MAX(CASE WHEN n_converted = n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_day) AS hit_zero,
+               SUM(CASE WHEN n_converted < n_at_risk
+                   THEN LN(1.0 - CAST(n_converted AS DOUBLE)
+                           / CAST(n_at_risk AS DOUBLE))
+                   ELSE 0.0 END) OVER (ORDER BY t_day) AS lnsum
+        FROM risk
+    )
+    SELECT t_day, n_at_risk, n_converted, n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE FLOOR(EXP(lnsum) * 1000000.0 + 0.5) / 1000000.0
+           END AS survival
+    FROM km ORDER BY t_day
+"""
+
+
+@_register("events_survival_km", _KM_ORACLE)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER time-to-conversion curve: days from each user's
+    first event to their first purchase, administratively censored at
+    a study cutoff 14 days before corpus end (users first seen near
+    the cutoff contribute short, genuinely-censored observation
+    windows — the staggered-entry design every product-analytics
+    retention curve runs). S(t) = prod over event days <= t of
+    (1 - d_i/n_i), with the at-risk set n_i counting both later
+    converters AND later-censored users — the estimator's whole point
+    vs a naive ECDF, which would silently drop the censored mass.
+
+    Cross-engine determinism: d_i and n_i are exact BIGINTs, so each
+    factor is one fp64 division; the product runs as EXP(running SUM
+    of LN factors) over the same (ORDER BY t_day) sequential frame in
+    both engines, and the result is micro-frozen (ewma precedent). A
+    day where everyone remaining converts has factor 0 — LN is
+    short-circuited by an integer hit_zero flag (Spark LN(0) is NULL,
+    DuckDB -inf; neither reaches the hash).
+
+    Scale: two per-user rollups (one shuffle each, map-side combined)
+    + a KM table bounded by STUDY DAYS, not users — the global-order
+    window runs on ~30 rows regardless of corpus size. At 10^9 users
+    nothing changes but the rollup width."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 14 DAYS")).alias("cutoff")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    converted = F.col("fp").isNotNull() & (F.col("fp") <= F.col("cutoff"))
+    cohort = (
+        firsts.join(purchases, "user_id", "left")
+        .join(F.broadcast(cutoff))
+        .filter(F.col("f") <= F.col("cutoff"))
+        .select(
+            F.when(
+                converted,
+                F.datediff(F.col("fp").cast("date"), F.col("f").cast("date")),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("cutoff").cast("date"), F.col("f").cast("date")
+                )
+            )
+            .cast("long")
+            .alias("t_day"),
+            F.when(converted, F.lit(1)).otherwise(F.lit(0)).alias("is_event"),
+        )
+    )
+    steps = cohort.groupBy("t_day").agg(
+        F.sum("is_event").cast("long").alias("n_converted"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("n_censored"),
+    )
+    w_order = W.orderBy("t_day")
+    w_tail = W.orderBy("t_day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    risk = steps.select(
+        "t_day",
+        "n_converted",
+        "n_censored",
+        F.sum(F.col("n_converted") + F.col("n_censored"))
+        .over(w_tail)
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    km = risk.select(
+        "t_day",
+        "n_converted",
+        "n_censored",
+        "n_at_risk",
+        F.max(
+            F.when(F.col("n_converted") == F.col("n_at_risk"), 1).otherwise(0)
+        )
+        .over(w_order)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                F.col("n_converted") < F.col("n_at_risk"),
+                F.log(
+                    1.0
+                    - F.col("n_converted").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_order)
+        .alias("lnsum"),
+    )
+    from user_feed_cdc_spark.functions.numeric import round_half_up as _r
+
+    return km.select(
+        "t_day",
+        "n_at_risk",
+        "n_converted",
+        "n_censored",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(_r(F.exp("lnsum"), 6))
+        .alias("survival"),
+    ).orderBy("t_day")

