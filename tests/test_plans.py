@@ -40,6 +40,9 @@ NESTED_LOOP_WHITELIST = {
     "text_js_divergence_sources",  # |sources| × 32-row vocab grid build
     "pipeline_data_card",         # 1-row summary/entropy/top-source joins
     "events_revenue_concentration",  # 1-row stats/decile broadcast joins
+    "events_survival_km",         # 1-row broadcast study-cutoff scalar
+    "pipeline_temperature_mixture",  # 1-row broadcast normalizer totals
+    "sketch_heavy_hitters_bounded",  # 1-row stream-total/reconcile joins
 }
 
 
@@ -643,3 +646,58 @@ def test_parameterized_feed_keeps_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_single_lineitem_scan_and_broadcasts(spark, sf_dir):
+    """tpch_q18_large_orders: the HAVING survivor frame carries the
+    quantity sum, so lineitem is scanned ONCE (classic Q18 scans it
+    twice), and the tiny survivor set reaches orders and customer as
+    broadcast probes — the fact tables never shuffle. Top-100 closes
+    with TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["tpch_q18_large_orders"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_brand_filter_pushed_and_broadcast(spark, sf_dir):
+    """tpch_q17_small_quantity_revenue: the brand predicate reaches the
+    part scan (not a post-scan filter); lineitem is scanned ONCE with
+    the part keys arriving as a broadcast probe, and the per-part
+    (sum, count) ride a single window exchange instead of an
+    agg-plus-rejoin that would evaluate the filtered subtree twice."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _executed_plan(
+            em.queries()["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_heavy_hitters_sketch_side_is_mapinpandas(spark, sf_dir):
+    """sketch_heavy_hitters_bounded: the sketch path is per-partition
+    MapInPandas summaries (k rows shuffle per partition), and the
+    post-summary merge is a plain hash aggregate — no sort, no join on
+    the raw stream side."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["sketch_heavy_hitters_bounded"](spark, sf_dir)
+    )
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan

@@ -1765,17 +1765,19 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
     whose quantity is below 20% of that part's average quantity — the
-    canonical CORRELATED scalar subquery, decorrelated here the way
-    Catalyst (and every modern optimizer) rewrites it: compute the
-    per-part (sum, count) aggregate once, then rejoin. At 100 TB the
-    plan is: brand predicate pushed into the part scan, the surviving
+    canonical CORRELATED scalar subquery, decorrelated here one step
+    further than the textbook agg-plus-rejoin: the per-part (sum,
+    count) ride a WINDOW over the brand-filtered slice, so lineitem is
+    scanned ONCE (the rejoin form evaluates the filtered subtree
+    twice — Spark does not share subplans) and shuffled once. At
+    100 TB: brand predicate pushed into the part scan, the surviving
     ~1/25 of part keys BROADCAST into lineitem (the fact table never
-    shuffles for the filter), then the per-part aggregate of that
-    filtered slice — itself small (one row per brand part) — broadcast
-    back for the threshold probe. The 0.2·avg comparison is done as
-    qty·5·n < sum over exact cent/count integers, so no float division
-    sits on the predicate boundary; the /7.0 'average yearly' output
-    division happens once, on the final 1-row frame."""
+    shuffles for the filter), then ONE exchange of the filtered slice
+    on l_partkey serves both the per-part aggregate and the threshold
+    probe. The 0.2·avg comparison is done as qty·5·n < sum over exact
+    cent/count integers, so no float division sits on the predicate
+    boundary; the /7.0 'average yearly' output division happens once,
+    on the final 1-row frame."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#23")
@@ -1793,12 +1795,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("price_c"),
     )
-    avgq = sel.groupBy("l_partkey").agg(
-        F.sum("qty_c").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    small = sel.join(F.broadcast(avgq), "l_partkey").filter(
-        F.col("qty_c") * 5 * F.col("n") < F.col("s")
-    )
+    wp = W.partitionBy("l_partkey")
+    small = sel.select(
+        "qty_c",
+        "price_c",
+        F.sum("qty_c").over(wp).alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).filter(F.col("qty_c") * 5 * F.col("n") < F.col("s"))
     return small.agg(
         F.count(F.lit(1)).alias("n_small_lines"),
         F.sum("price_c").alias("lost_revenue_cents"),
