@@ -116,6 +116,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q18_large_orders", "tpch_q17_small_quantity_revenue",
         "events_survival_km", "pipeline_temperature_mixture",
         "sketch_heavy_hitters_bounded",
+        "cdc_incremental_agg_maintenance", "text_phrase_search",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

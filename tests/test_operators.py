@@ -1566,3 +1566,59 @@ def test_heavy_hitters_certificate_is_honest(spark, sf_dir):
     assert all(r.present and r.within_bound and r.stream_reconciled for r in rows)
     n = load_table(spark, sf_dir, "events").count()
     assert all(r.exact_count * 6 > n for r in rows)
+
+
+def test_ivm_maintenance_algebra(spark):
+    """maintain_agg_view unit semantics: inserts add, retractions
+    subtract, untouched keys pass through, and a key whose count
+    reaches zero disappears from the maintained view."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from user_feed_cdc_spark.operators.cdc import maintain_agg_view
+
+    base = spark.createDataFrame(
+        [(1, 2, 300), (2, 1, 50), (3, 1, 70)],
+        "user_id long, n_events long, cents long",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 100, 1),    # insert for existing key
+            (2, 50, -1),    # retraction zeroing key 2 out
+            (4, 10, 1),     # insert for brand-new key
+        ],
+        "user_id long, cents long, sign int",
+    )
+    out = {r.user_id: r for r in maintain_agg_view(base, delta).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1].n_events == 3 and out[1].cents == 400
+    assert out[3].n_events == 1 and out[3].cents == 70
+    assert out[4].n_events == 1 and out[4].cents == 10
+
+
+def test_phrase_search_matches_scan(spark, sf_dir):
+    """Index-vs-scan equivalence re-checked inside Spark itself: the
+    positional-index doc set must equal a padded-substring LIKE scan
+    of the raw text for the same phrase."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["text_phrase_search"](spark, sf_dir).collect()
+    assert rows
+    phrase = rows[0].phrase
+    assert all(r.phrase == phrase for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    scan = {
+        r.doc_id
+        for r in docs.filter(
+            F.instr(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                " " + phrase + " ",
+            )
+            > 0
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == scan

@@ -43,6 +43,7 @@ NESTED_LOOP_WHITELIST = {
     "events_survival_km",         # 1-row broadcast study-cutoff scalar
     "pipeline_temperature_mixture",  # 1-row broadcast normalizer totals
     "sketch_heavy_hitters_bounded",  # 1-row stream-total/reconcile joins
+    "cdc_incremental_agg_maintenance",  # 1-row broadcast split-point scalar
 }
 
 
@@ -700,4 +701,33 @@ def test_heavy_hitters_sketch_side_is_mapinpandas(spark, sf_dir):
         em.queries()["sketch_heavy_hitters_bounded"](spark, sf_dir)
     )
     assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivm_maintenance_never_rejoins_base_rows(spark, sf_dir):
+    """cdc_incremental_agg_maintenance: the maintenance side must be a
+    full-outer merge of two AGGREGATES (stored view ⊕ delta rollup) —
+    a join of raw base rows against raw delta rows would be the full
+    rescan IVM exists to avoid. The full-outer join therefore sits
+    ABOVE both HashAggregates in the plan, never between scans."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["cdc_incremental_agg_maintenance"](spark, sf_dir)
+    )
+    assert "FullOuter" in plan
+    join_pos = plan.find("FullOuter")
+    # every scan feeding the merge appears BELOW the join node text
+    assert "events.parquet" not in plan[:join_pos].split("HashAggregate")[0]
+
+
+def test_phrase_search_topk_and_broadcast_probe(spark, sf_dir):
+    """text_phrase_search: top-phrase selection is TakeOrderedAndProject
+    (never a global sort of the bigram rollup) and the match step is a
+    broadcast probe of the pair frame — the raw text is never joined."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["text_phrase_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

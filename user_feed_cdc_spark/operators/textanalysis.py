@@ -1666,3 +1666,78 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") / 2000000000.0).alias("js_divergence"),
         )
     )
+
+
+_PHRASE_SEARCH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts,
+               text
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT UNNEST(list_transform(
+                   range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]
+               )) AS bigram
+        FROM toks WHERE len(ts) >= 2
+    ),
+    top AS (
+        SELECT bigram, COUNT(*) AS cnt
+        FROM bigrams GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC LIMIT 1
+    )
+    SELECT d.doc_id, t.bigram AS phrase
+    FROM toks d CROSS JOIN top t
+    WHERE position(' ' || t.bigram || ' ' IN ' ' || d.text || ' ') > 0
+    ORDER BY d.doc_id
+"""
+
+
+@_register("text_phrase_search", _PHRASE_SEARCH_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH via the positional index, certified against a raw
+    substring SCAN: the corpus-top bigram (count desc, lexicographic
+    tiebreak) is located through token adjacency — LEAD over
+    (doc_id, position) builds consecutive pairs, the 1-row top phrase
+    broadcasts back, and matching documents come from the pair frame
+    alone. The DuckDB oracle answers the same query the way a grep
+    would (padded-substring containment over raw text), so the gate
+    certifies INDEX ≡ SCAN — the equivalence a search engine's
+    posting-list path owes to its document store, checked here the
+    same way the bloom/LSH entries certify their prefilters against
+    ground truth.
+
+    Scale: one explode + one per-doc window (partitioned by doc_id —
+    never global), one map-side-combined bigram rollup, a top-1 via
+    TakeOrderedAndProject, and a broadcast semi probe of the pair
+    frame. At 100 TB the pair frame IS the inverted positional index
+    (text_inverted_index's layout, keyed by leading token); no text
+    byte is re-read at query time."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .withColumn(
+            "nxt",
+            F.lead("tok").over(
+                W.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram")
+        )
+    )
+    top = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(1)
+        .select(F.col("bigram").alias("phrase"))
+    )
+    return (
+        pairs.join(F.broadcast(top), pairs.bigram == F.col("phrase"))
+        .select("doc_id", "phrase")
+        .distinct()
+        .orderBy("doc_id")
+    )
