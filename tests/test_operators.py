@@ -1622,3 +1622,58 @@ def test_phrase_search_matches_scan(spark, sf_dir):
         .collect()
     }
     assert {r.doc_id for r in rows} == scan
+
+
+def test_q21_decorrelated_equals_correlated_form(spark, sf_dir):
+    """The windowed Q21 must return exactly what the textbook
+    correlated EXISTS / NOT-EXISTS SQL returns — the rewrite is an
+    optimization, not a semantics change."""
+    import __spark_entry__ as em
+
+    from user_feed_cdc_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    correlated = spark.sql(
+        """
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   datediff(l.l_shipdate, o.o_orderdate) > 45 AS late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM j l1
+              WHERE l1.late
+                AND EXISTS (SELECT 1 FROM j l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM j l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.late)) w
+        JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+        """
+    ).collect()
+    windowed = em.queries()["tpch_q21_waiting_suppliers"](spark, sf_dir).collect()
+    assert [(r.s_name, r.numwait) for r in windowed] == [
+        (r.s_name, r.numwait) for r in correlated
+    ]
+
+
+def test_cuped_variance_accounting(spark, sf_dir):
+    """CUPED invariants: adjusted variance never exceeds raw variance,
+    the reduction percentage is rho-squared in [0, 100), and the
+    accounting identity var_raw - var_cuped = theta*cov holds within
+    rounding."""
+    import __spark_entry__ as em
+
+    row = em.queries()["events_cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert row.n_users > 0
+    assert row.var_cuped <= row.var_raw + 0.01
+    assert 0.0 <= row.var_reduction_pct < 100.0
+    recovered = (row.var_raw - row.var_cuped) / row.var_raw * 100.0
+    assert abs(recovered - row.var_reduction_pct) < 0.05

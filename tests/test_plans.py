@@ -44,6 +44,7 @@ NESTED_LOOP_WHITELIST = {
     "pipeline_temperature_mixture",  # 1-row broadcast normalizer totals
     "sketch_heavy_hitters_bounded",  # 1-row stream-total/reconcile joins
     "cdc_incremental_agg_maintenance",  # 1-row broadcast split-point scalar
+    "events_cuped_adjustment",    # 1-row broadcast period-split scalar
 }
 
 
@@ -731,3 +732,18 @@ def test_phrase_search_topk_and_broadcast_probe(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_single_lineitem_scan_one_window_exchange(spark, sf_dir):
+    """tpch_q21_waiting_suppliers: the decorrelated form must scan
+    lineitem ONCE (the correlated EXISTS/NOT-EXISTS form scans it
+    three times), share one hash exchange on l_orderkey for both
+    existential window counts, broadcast the supplier dim, and close
+    with TakeOrderedAndProject."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["tpch_q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -2219,3 +2219,110 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_r(F.exp("lnsum"), 6))
         .alias("survival"),
     ).orderBy("t_day")
+
+
+_CUPED_ORACLE = """
+    WITH bounds AS (
+        SELECT MAX(ts) - INTERVAL 15 DAY AS cut FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts <= cut THEN
+                    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts > cut THEN
+                    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events, bounds
+        GROUP BY user_id
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user
+    ),
+    m AS (
+        SELECT n,
+               CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov_xy,
+               CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x,
+               CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y
+        FROM sums
+    )
+    SELECT n AS n_users,
+           FLOOR(cov_xy / var_x * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           FLOOR(var_y * 100.0 + 0.5) / 100.0 AS var_raw,
+           FLOOR((var_y - (cov_xy / var_x) * cov_xy) * 100.0 + 0.5) / 100.0
+               AS var_cuped,
+           FLOOR(((cov_xy / var_x) * cov_xy / var_y) * 100.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS var_reduction_pct
+    FROM m
+"""
+
+
+@_register("events_cuped_adjustment", _CUPED_ORACLE)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013
+    'Improving the sensitivity of online controlled experiments'):
+    per-user PRE-period spend as the covariate X for POST-period spend
+    Y (periods split 15 days before corpus end), theta = cov(X,Y)/
+    var(X), and the headline number — the variance an experiment
+    platform deletes for free, var_reduction = rho² (equivalently
+    var(Y - theta·X) vs var(Y)). This is the adjustment that turns a
+    two-week A/B test into a one-week one; it belongs next to the
+    z-test (events_ab_test_ztest) as the sensitivity side of the
+    experimentation surface.
+
+    Determinism: one rollup builds per-user exact-cents (x, y); all
+    five moment sums n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs
+    (anomaly-zscore precedent — native covar_pop/var_pop float merge
+    order differs across engines); cov/var use the divide-by-n-FIRST
+    mirrored order, and outputs are micro/cent-frozen. Scale: one
+    map-side-combined per-user shuffle + a 1-row moment frame — the
+    same shape at 10⁹ users."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r_
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 15 DAYS")).alias("cut"))
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.join(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") <= F.col("cut"), cents).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("ts") > F.col("cut"), cents).otherwise(0))
+            .alias("y"),
+        )
+    )
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    var_x = F.col("sxx").cast("double") / nd - mx * mx
+    var_y = F.col("syy").cast("double") / nd - my * my
+    theta = cov / var_x
+    return sums.select(
+        F.col("n").alias("n_users"),
+        r_(theta, 6).alias("theta"),
+        r_(var_y, 2).alias("var_raw"),
+        r_(var_y - theta * cov, 2).alias("var_cuped"),
+        r_(theta * cov / var_y * 100.0, 6).alias("var_reduction_pct"),
+    )

@@ -1812,3 +1812,94 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             "avg_yearly_dollars"
         ),
     )
+
+
+@_register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH j AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               date_diff('day', o.o_orderdate, l.l_shipdate) > 45 AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per AS (
+        SELECT l_orderkey, l_suppkey, late,
+               COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                   AS n_supp,
+               COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                   OVER (PARTITION BY l_orderkey) AS n_late
+        FROM j
+    ),
+    waiting AS (
+        SELECT DISTINCT l_suppkey, l_orderkey
+        FROM per
+        WHERE late AND n_supp > 1 AND n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    driver schema (late = shipped >45 days after the order date, since
+    the generator has no commit/receipt dates): suppliers who were the
+    ONLY late supplier on a finished multi-supplier order. The classic
+    form is the optimizer torture test — a correlated EXISTS (another
+    supplier on the order) AND a correlated NOT EXISTS (no OTHER late
+    supplier) against the same fact table, i.e. three lineitem scans.
+    Decorrelated here into ONE windowed pass: both existential
+    conditions collapse to per-order distinct-supplier counts
+    (n_supp > 1 replaces EXISTS, late AND n_late = 1 replaces the
+    NOT EXISTS), computed by two COUNT(DISTINCT) window exprs sharing
+    a single hash exchange on l_orderkey. At 100 TB: one lineitem
+    scan instead of three, the orders status filter pushed and joined
+    pre-window (co-partitioned on the same key the window needs), the
+    supplier dim a broadcast, and top-100 via TakeOrderedAndProject.
+    The DISTINCT (supp, order) collapse before the final count keeps
+    multi-lineitem orders from over-counting a supplier."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 45
+        ).alias("late"),
+    )
+    w = W.partitionBy("l_orderkey")
+    per = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late"),
+    )
+    waiting = (
+        per.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
