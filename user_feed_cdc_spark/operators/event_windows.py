@@ -2326,3 +2326,78 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_(var_y - theta * cov, 2).alias("var_cuped"),
         r_(theta * cov / var_y * 100.0, 6).alias("var_reduction_pct"),
     )
+
+
+_INTERVAL_JOIN_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT)
+               AS secs_to_purchase
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
+@_register("streaming_interval_join_live", _INTERVAL_JOIN_ORACLE)
+def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join live under the oracle gate — the
+    seventh (and hardest) streaming family: click->purchase
+    attribution where BOTH sides are unbounded streams, joined on
+    user with the purchase constrained to [click_ts, click_ts+30min).
+    Runs the SAME dual-mode attribution_join the batch twin and the
+    pytest equivalence tier certify (streaming/windows.py:143) — here
+    it is finally driven live and value-hashed by the external gate.
+    This is the operator whose state management separates Structured
+    Streaming from a micro-batch for-loop: each side buffers rows
+    until the OTHER side's watermark passes the end of the join
+    range — the time-bound condition plus both watermarks is what
+    lets the engine compute a state-eviction horizon (an
+    unbounded-condition inner join would hold every row forever —
+    Spark runs it but can never evict; outer stream-stream joins it
+    rejects outright without the watermark + time bound). The two
+    sides are independent readStream instances over the same replayed
+    feed (Kafka-twin topology: two topics, one broker), the join
+    emits attribution pairs in append mode (the only mode
+    stream-stream joins support), and the drained sink is hashed
+    against the batch interval-join SQL — certifying the watermarked
+    streaming execution loses nothing the batch semantics owe.
+    secs_to_purchase is whole-second epoch arithmetic, exact in both
+    engines.
+
+    At 100 TB/day: state per side is bounded by (watermark + range)
+    of stream time, partitioned by user_id — the celebrity-user skew
+    that inflates one state partition is the same key-salting problem
+    the batch join gates cover; the 30-min range keeps per-key state
+    to minutes of traffic regardless of corpus size."""
+    from user_feed_cdc_spark.streaming.windows import (
+        attribution_join,
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    src = events_stream_dir(sf_dir)
+    clicks = events_file_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join(
+        clicks, purchases, horizon="30 minutes", watermark="1 hour"
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )
+    return run_to_memory(
+        spark, joined, "streaming_interval_join_live_sink", "append"
+    )
