@@ -119,6 +119,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "cdc_incremental_agg_maintenance", "text_phrase_search",
         "tpch_q21_waiting_suppliers", "events_cuped_adjustment",
         "streaming_interval_join_live",
+        "pipeline_weighted_sample", "events_power_analysis",
+        "streaming_two_level_rollup_live",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

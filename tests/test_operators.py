@@ -1677,3 +1677,89 @@ def test_cuped_variance_accounting(spark, sf_dir):
     assert 0.0 <= row.var_reduction_pct < 100.0
     recovered = (row.var_raw - row.var_cuped) / row.var_raw * 100.0
     assert abs(recovered - row.var_reduction_pct) < 0.05
+
+
+def test_weighted_sample_is_true_topk(spark, sf_dir):
+    """pipeline_weighted_sample: the k winners must hold the k globally
+    smallest tickets (recomputed independently), weights stay in the
+    declared bands, and no document appears twice."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["pipeline_weighted_sample"](spark, sf_dir).collect()
+    assert len(rows) == 60
+    assert len({r.doc_id for r in rows}) == 60
+    assert all(r.weight in (1, 2, 3) for r in rows)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    best = []
+    for d in docs:
+        w = 1 if d.n_chars < 200 else (2 if d.n_chars < 400 else 3)
+        t = min(
+            hashlib.md5(f"{d.doc_id}:wsample:{i}".encode()).hexdigest()
+            for i in range(w)
+        )
+        best.append((t, d.doc_id))
+    expect = {doc for _, doc in sorted(best)[:60]}
+    assert {r.doc_id for r in rows} == expect
+
+
+def test_power_analysis_matches_closed_form(spark, sf_dir):
+    """events_power_analysis: each sample size reproduces the textbook
+    two-proportion formula, and a metric with baseline nearer 0.5
+    never needs fewer users than one further away (variance peaks at
+    0.5)."""
+    import math
+
+    import __spark_entry__ as em
+
+    rows = em.queries()["events_power_analysis"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p1 = r.baseline_rate
+        p2 = p1 + 0.02
+        pbar = (p1 + p2) / 2.0
+        root = 1.959963984540054 * math.sqrt(
+            2.0 * pbar * (1.0 - pbar)
+        ) + 0.8416212335729143 * math.sqrt(
+            p1 * (1.0 - p1) + p2 * (1.0 - p2)
+        )
+        n = math.ceil(root * root / 0.0004)
+        assert abs(n - r.n_required_per_arm) <= 1, (r, n)
+    by_dist = sorted(rows, key=lambda r: abs(r.baseline_rate + 0.01 - 0.5))
+    assert by_dist[0].n_required_per_arm >= by_dist[-1].n_required_per_arm
+
+
+def test_two_level_rollup_withholds_open_day(spark, sf_dir):
+    """streaming_two_level_rollup_live: emitted days must equal the
+    batch daily rollup restricted to watermark-closed windows — and
+    the corpus's final (open) day must be absent."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["streaming_two_level_rollup_live"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r.day: (r.n, r.cents)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    last_day = max(batch)
+    got = {r.day_start: (r.n_events, r.cents) for r in rows}
+    assert last_day not in got
+    assert got == {d: v for d, v in batch.items() if d != last_day}

@@ -2401,3 +2401,164 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         spark, joined, "streaming_interval_join_live_sink", "append"
     )
+
+
+_POWER_ORACLE = """
+    WITH conv AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY event_type, user_id
+    ),
+    arms AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM conv GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type, n_users, k,
+               CAST(k AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1
+        FROM arms
+        WHERE k > 0 AND k < n_users AND
+              CAST(k AS DOUBLE) / CAST(n_users AS DOUBLE) + 0.02 < 1.0
+    ),
+    f AS (
+        SELECT event_type, n_users, p1, p1 + 0.02 AS p2,
+               (p1 + (p1 + 0.02)) / 2.0 AS pbar
+        FROM p
+    )
+    SELECT event_type, n_users,
+           FLOOR(p1 * 1000000.0 + 0.5) / 1000000.0 AS baseline_rate,
+           CAST(CEIL(FLOOR(
+               ((1.959963984540054 * SQRT(2.0 * pbar * (1.0 - pbar))
+                 + 0.8416212335729143
+                   * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                * (1.959963984540054 * SQRT(2.0 * pbar * (1.0 - pbar))
+                   + 0.8416212335729143
+                     * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+               / (0.02 * 0.02)
+               * 1000000.0 + 0.5) / 1000000.0) AS BIGINT)
+               AS n_required_per_arm
+    FROM f
+    ORDER BY event_type
+"""
+
+
+@_register("events_power_analysis", _POWER_ORACLE)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B SAMPLE-SIZE (power) analysis — the planning half of the
+    experimentation surface, beside the decision half
+    (events_ab_test_ztest) and the sensitivity half
+    (events_cuped_adjustment): per metric (event_type), the users
+    PER ARM needed to detect a +2pp absolute lift from the observed
+    baseline conversion at alpha = 0.05 (two-sided) with 80% power —
+    the classic two-proportion formula n = (z_a*sqrt(2*pbar*qbar) +
+    z_b*sqrt(p1*q1 + p2*q2))^2 / mde^2 with the normal quantiles as
+    exact literals. Cross-engine contract: baseline (k, n) are exact
+    bigints; the formula uses only +,*,/ and SQRT (IEEE-correctly-
+    rounded on every engine — deliberately no pow/ln anywhere on
+    the value path; even the final squaring is a literal multiply),
+    micro-frozen before the CEIL so the integer sample size cannot
+    straddle a ULP. Degenerate metrics (all-or-none conversion, or a
+    baseline within the MDE of 1.0) are skipped by integer/frozen
+    compares — the z-test's discipline. Scale: the same two rollups
+    as the z-test; output is |metrics| rows at any corpus size."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r6
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("converted")
+    )
+    arms = conv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("k")
+    )
+    p1 = F.col("k").cast("double") / F.col("n_users").cast("double")
+    sel = arms.filter(
+        (F.col("k") > 0) & (F.col("k") < F.col("n_users")) & (p1 + 0.02 < 1.0)
+    )
+    p2 = p1 + F.lit(0.02)
+    pbar = (p1 + p2) / F.lit(2.0)
+    root = (
+        F.lit(1.959963984540054)
+        * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(0.8416212335729143)
+        * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+    )
+    n_req = F.ceil(
+        F.floor(
+            (root * root) / F.lit(0.02 * 0.02) * 1000000.0
+            + F.lit(0.5)
+        )
+        / 1000000.0
+    ).cast("long")
+    return sel.select(
+        "event_type",
+        "n_users",
+        r6(p1, 6).alias("baseline_rate"),
+        n_req.alias("n_required_per_arm"),
+    ).orderBy("event_type")
+
+
+_TWO_LEVEL_ORACLE = """
+    WITH m AS (
+        SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events, m
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+    GROUP BY day_start
+    ORDER BY day_start
+"""
+
+
+@_register("streaming_two_level_rollup_live", _TWO_LEVEL_ORACLE)
+def streaming_two_level_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL streaming — two windowed aggregations in ONE
+    query (hourly partials re-aggregated into daily totals), the
+    multiple-stateful-operators capability Spark gained in 3.5 via
+    window_time(): the second groupBy windows over the FIRST window's
+    event-time column, so both operators share one watermark lineage
+    and the engine tracks two state stores in a single query. This is
+    the streaming form of the daily→weekly sketch rollup's argument —
+    pre-aggregate at fine grain once, coarsen downstream without
+    reprocessing raw events (the daily operator's input is 24 rows per
+    day, not the day's event volume). Chained stateful aggs run in
+    APPEND mode only, so the drain emits exactly the daily windows the
+    watermark has CLOSED (window end <= max event time - 10 min); the
+    oracle mirrors that horizon explicitly — the final, still-open day
+    is withheld by both engines, certifying the emission semantics,
+    not just the sums. Counts and cents are exact bigints end-to-end.
+
+    At 100 TB/day: state is |open hourly windows| + |open daily
+    windows| — bounded by the watermark, independent of event volume;
+    the cascade is how a production metrics tree (minute→hour→day)
+    runs as one query instead of three jobs re-reading each other's
+    sinks."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    hourly = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+        .agg(F.sum("n").alias("n_events"), F.sum("cents").alias("cents"))
+        .select(F.col("d.start").alias("day_start"), "n_events", "cents")
+    )
+    return run_to_memory(
+        spark, daily, "streaming_two_level_rollup_live_sink", "append"
+    )

@@ -1961,3 +1961,74 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_WSAMPLE_K = 60
+
+_WSAMPLE_ORACLE = f"""
+    WITH weighted AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 200 THEN 1
+                    WHEN n_chars < 400 THEN 2
+                    ELSE 3 END AS weight
+        FROM documents
+    ),
+    tickets AS (
+        SELECT doc_id, weight,
+               list_min(list_transform(
+                   range(weight),
+                   i -> md5(CAST(doc_id AS VARCHAR) || ':wsample:'
+                            || CAST(i AS VARCHAR))
+               )) AS ticket
+        FROM weighted
+    )
+    SELECT doc_id, weight, ticket
+    FROM tickets
+    ORDER BY ticket ASC, doc_id
+    LIMIT {_WSAMPLE_K}
+"""
+
+
+@_register("pipeline_weighted_sample", _WSAMPLE_ORACLE)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, deterministic and exact:
+    each document holds `weight` lottery tickets (an integer quality
+    band from length — the stand-in for any integer importance
+    weight), each ticket is an md5 of (doc_id, ticket index), and the
+    corpus-wide top-k BEST tickets select the sample. A doc's best
+    ticket is the minimum of `weight` i.i.d. uniforms — the integer-
+    weight analog of Efraimidis-Spirakis keys (u^(1/w) replaced by
+    min(u_1..u_w) ~ Beta(1, w)), chosen deliberately: E-S needs a
+    transcendental pow per row whose cross-engine ULP sits directly
+    on the selection boundary, while md5 STRINGS compare bit-equal on
+    every engine, so the certified sample is stable at any corpus
+    size. Selection probability rises with weight (w tickets beat
+    1 ticket), replacement-free by construction (one winning ticket
+    per doc).
+
+    Scale: a ≤3-element in-scan array per row (never exploded), then
+    global top-k via TakeOrderedAndProject — no shuffle of the corpus,
+    no sort; the k winners are the only rows that move. The same shape
+    at 10⁹ docs, and weights can come from any integer scoring pass
+    (quality bands, dedup cluster sizes, DSIR buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("n_chars") < 200, 1)
+        .when(F.col("n_chars") < 400, 2)
+        .otherwise(3)
+    )
+    salt = lambda i: F.md5(  # noqa: E731
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":wsample:"),
+            F.lit(str(i)),
+        )
+    )
+    tickets = docs.select(
+        "doc_id",
+        weight.alias("weight"),
+        F.array_min(
+            F.slice(F.array(salt(0), salt(1), salt(2)), 1, weight)
+        ).alias("ticket"),
+    )
+    return tickets.orderBy(F.col("ticket").asc(), "doc_id").limit(_WSAMPLE_K)
