@@ -747,3 +747,18 @@ def test_tpch_q21_single_lineitem_scan_one_window_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_entry_plans_no_exchange(spark, sf_dir):
+    """source_bucketed_join: the registered entry itself (not just the
+    synthetic pytest join) must sort-merge join the bucketed tables
+    with no Exchange below the join — bucketing carries the
+    co-location, not a broadcast."""
+    import __spark_entry__ as em
+
+    df = em.queries()["source_bucketed_join"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part
+    assert "BroadcastHashJoin" not in plan

@@ -69,6 +69,14 @@ REPRESENTATIVE = [
     "text_vocab_oov_rate",     # TakeOrdered vocab cut + broadcast LEFT probe
     "source_partitioned_pruned",  # PartitionFilters: directory pruning
     "pipeline_curriculum_order",  # band offsets broadcast, no global sort
+    "tpch_q18_large_orders",   # HAVING survivors broadcast, ONE lineitem scan
+    "tpch_q17_small_quantity_revenue",  # decorrelated avg on one window exchange
+    "tpch_q21_waiting_suppliers",  # double-EXISTS → two windows, one exchange
+    "sketch_heavy_hitters_bounded",  # MapInPandas k-counter summaries + merge
+    "cdc_incremental_agg_maintenance",  # delta rollup ⊕ stored view full-outer
+    "text_phrase_search",      # positional pairs + top-1 + broadcast probe
+    "pipeline_weighted_sample",  # in-scan ticket array + TakeOrderedAndProject
+    "events_survival_km",      # per-user rollups + study-days-bounded window
 ]
 
 

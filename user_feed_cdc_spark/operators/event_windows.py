@@ -2562,3 +2562,57 @@ def streaming_two_level_rollup_live(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(
         spark, daily, "streaming_two_level_rollup_live_sink", "append"
     )
+
+
+_STATEFUL_TOTALS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@_register("streaming_stateful_totals_live", _STATEFUL_TOTALS_ORACLE)
+def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator live under the oracle gate — the
+    applyInPandasWithState tier (arbitrary per-key GroupState, the API
+    for accumulators no built-in window expresses) finally driven by
+    the external hash gate rather than pytest alone: the events
+    replay streams through running_user_totals (streaming/
+    stateful.py:57 — per-user lifetime n/total/last_ts state,
+    update-mode emission per micro-batch), drained availableNow into
+    the memory sink. With the single-file replay each user emits
+    exactly once, so the materialized state equals the batch per-user
+    rollup the oracle computes. total_value crosses the Python
+    boundary as a pandas float sum — certified through the half-up
+    cent round, which sits 0.5 ulp-of-a-cent from any boundary
+    because event values are cent-grained (the float-sum jitter of
+    ~1e-12 cannot reach it); n/last_ts are exact int/µs.
+
+    At 100 TB: state partitions by user across executors, Arrow
+    batches stream per key, and the state store checkpoints with the
+    query — the fraud-score/rate-limit/feature-freshness accumulator
+    shape (reference connection_state.py:4-12 generalized from one
+    global counter)."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2_
+    from user_feed_cdc_spark.streaming.stateful import running_user_totals
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    totals = running_user_totals(stream)
+    sink = run_to_memory(
+        spark, totals, "streaming_stateful_totals_live_sink", "update"
+    )
+    return sink.select(
+        "user_id",
+        "n_events",
+        r2_(F.col("total_value"), 2).alias("total_value"),
+        "last_ts",
+    ).orderBy("user_id")

@@ -657,3 +657,87 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy((F.col("v") % 8).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
     )
+
+
+_BUCKETED_JOIN_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, table: str, key_col: str, prefix: str
+) -> str:
+    """Materialize a testdata table as a bucketed+sorted managed table
+    (cached per (sf, source mtime); stale generations dropped). Table
+    identity carries the mtime so a regenerated testdata tree can
+    never serve a stale bucketed copy."""
+    from user_feed_cdc_spark.sources.tables import write_bucketed
+
+    import shutil
+
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, f"{table}.parquet")))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    scoped = f"{prefix}_{sf_tag}"
+    name = f"{scoped}_{mtime}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(scoped + "_") and t.name != name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    if not spark.catalog.tableExists(name):
+        # The catalog is session-scoped but the warehouse directory is
+        # not: a fresh session can see a leftover LOCATION for a table
+        # it has no metadata for (bucketing spec lives in the catalog,
+        # so the files alone are useless) — clear stale locations,
+        # current name included, and write fresh.
+        warehouse = os.path.join(os.getcwd(), "spark-warehouse")
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                if d.startswith(scoped + "_"):
+                    shutil.rmtree(
+                        os.path.join(warehouse, d), ignore_errors=True
+                    )
+        write_bucketed(
+            load_table(spark, sf_dir, table), name, key_col, 8, sort_key=key_col
+        )
+    return name
+
+
+@_register("source_bucketed_join", _BUCKETED_JOIN_ORACLE)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED-layout co-located join, value-certified: orders and
+    customer written ONCE as 8-bucket sorted managed tables on their
+    join key, then sort-merge-joined with NO Exchange on either side
+    (the merge hint keeps the strategy decision about shuffling, not
+    size — without it a toy-sized dim would broadcast and prove
+    nothing). This promotes the write-once/join-many layout from a
+    plan-only pytest (test_bucketed_join_skips_shuffle) to a
+    hash-certified registry entry: the segment revenue rollup off the
+    bucketed copies must equal the oracle over the ORIGINAL parquet —
+    layout changes storage, never values. At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    shuffling it once at write time; bucket-pruned scans and
+    exchange-free joins then compose for every downstream consumer
+    sharing the key. The bucketed copies cache per (sf, source mtime)
+    with stale-generation cleanup, the format-roundtrip discipline."""
+    t_orders = _bucketed_table(spark, sf_dir, "orders", "o_custkey", "orders_bj")
+    t_cust = _bucketed_table(
+        spark, sf_dir, "customer", "c_custkey", "customer_bj"
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
