@@ -1763,3 +1763,36 @@ def test_two_level_rollup_withholds_open_day(spark, sf_dir):
     got = {r.day_start: (r.n_events, r.cents) for r in rows}
     assert last_day not in got
     assert got == {d: v for d, v in batch.items() if d != last_day}
+
+
+def test_growth_accounting_books_balance(spark, sf_dir):
+    """Growth accounting identities: dau = new + retained + resurrected
+    on every day, and dau(d) - dau(d-1) = new + resurrected - churned
+    across consecutive days."""
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.queries()["events_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.dau == r.n_new + r.n_retained + r.n_resurrected, r
+    for prev, cur in zip(rows, rows[1:]):
+        if (cur.day - prev.day).days == 1:
+            assert (
+                cur.dau - prev.dau
+                == cur.n_new + cur.n_resurrected - cur.n_churned
+            ), (prev, cur)
+
+
+def test_stickiness_bounded_by_one(spark, sf_dir):
+    """DAU/WAU is a ratio of a subset to its superset: always in
+    (0, 1], and WAU is never below DAU."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["events_stickiness_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau > 0
+        assert 0.0 < r.stickiness <= 1.0 + 1e-9

@@ -2616,3 +2616,199 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
         r2_(F.col("total_value"), 2).alias("total_value"),
         "last_ts",
     ).orderBy("user_id")
+
+
+_STICKINESS_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM dau d
+        JOIN pairs p
+          ON p.day >= d.day - INTERVAL 6 DAY AND p.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           FLOOR(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    ORDER BY d.day
+"""
+
+
+@_register("events_stickiness_ratio", _STICKINESS_ORACLE)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS per day — the engagement ratio every growth
+    dashboard leads with: daily actives over trailing-7-day actives,
+    both EXACT distinct counts. The rolling distinct is the
+    interesting operator: COUNT(DISTINCT) does not decompose over a
+    sliding window (a user active twice in the week counts once), so
+    the plan collapses events to distinct (user, day) pairs FIRST —
+    cohort-sized, not event-sized — then fans each pair into the ≤7
+    trailing day buckets it serves via a generated offset explode and
+    re-counts distinct per bucket. Fan-out is bounded by 7·|pairs|,
+    and every count/ratio is exact-integer/micro-frozen.
+
+    At 100 TB the pair collapse is the whole game: events shrink to
+    |users|·|active days| before any window math, and the 7× replica
+    join replaces the unbounded self-join a naive rolling-distinct
+    would plan. (The HLL path — sketch_union_daily_to_weekly — is the
+    approximate cousin for when even the pair frame is too wide.)"""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r6
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fanned = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.expr("day + make_interval(0,0,0,off)").alias("w_day")
+    )
+    wau = (
+        fanned.join(
+            dau.select(F.col("day").alias("w_day")), "w_day", "left_semi"
+        )
+        .groupBy("w_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.w_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            r6(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_GROWTH_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+            AS day FROM events
+    ),
+    seq AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS first_day,
+               LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev_day,
+               LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS next_day
+        FROM pairs
+    ),
+    active AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev_day = day - INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN day > first_day
+                              AND (prev_day IS NULL
+                                   OR prev_day < day - INTERVAL 1 DAY)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrected
+        FROM seq GROUP BY day
+    ),
+    churn AS (
+        SELECT day + INTERVAL 1 DAY AS churn_day,
+               CAST(SUM(CASE WHEN next_day IS NULL
+                              OR next_day > day + INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        FROM seq GROUP BY day
+    )
+    SELECT a.day, a.dau, a.n_new, a.n_retained, a.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM active a LEFT JOIN churn c ON c.churn_day = a.day
+    ORDER BY a.day
+"""
+
+
+@_register("events_growth_accounting", _GROWTH_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the Social-Capital/a16z framework every
+    consumer dashboard reports): each day's actives decomposed into
+    NEW (first-ever day), RETAINED (also active yesterday), and
+    RESURRECTED (returning after a gap), plus yesterday's actives who
+    CHURNED today — with the books forced to balance: dau = new +
+    retained + resurrected by construction (the three cases partition
+    the active set on prev-day state), and dau(d) - dau(d-1) = new +
+    resurrected - churned. One distinct (user, day) collapse — cohort-
+    sized, never event-sized — then a single per-user window sort
+    yields first/prev/next day for every classification; churn posts
+    to the following day via the LEAD side of the same shuffle. All
+    counts exact bigints.
+
+    At 100 TB: one shuffle on user_id for the window, one rollup on
+    day; |users|·|active days| rows in flight, with the same two-level
+    decomposition escape (curriculum pattern) if per-user histories
+    ever exceed a partition."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    wu = W.partitionBy("user_id")
+    wo = wu.orderBy("day")
+    seq = pairs.select(
+        "user_id",
+        "day",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+        F.lead("day").over(wo).alias("next_day"),
+    )
+    one_day = F.expr("INTERVAL 1 DAY")
+    active = seq.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_day") == F.col("day") - one_day, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("day") > F.col("first_day"))
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.col("day") - one_day)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.groupBy((F.col("day") + one_day).alias("churn_day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("next_day").isNull()
+                    | (F.col("next_day") > F.col("day") + one_day),
+                    1,
+                ).otherwise(0)
+            ).alias("n_churned")
+        )
+    )
+    return (
+        active.join(churn, active.day == churn.churn_day, "left")
+        .select(
+            "day",
+            "dau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
