@@ -123,6 +123,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_two_level_rollup_live",
         "streaming_stateful_totals_live", "source_bucketed_join",
         "events_stickiness_ratio", "events_growth_accounting",
+        "asof_cogrouped_merge", "text_arrow_byte_stats",
         "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
         "events_attribution_join", "events_trending_users",

@@ -1796,3 +1796,25 @@ def test_stickiness_bounded_by_one(spark, sf_dir):
     for r in rows:
         assert r.wau >= r.dau > 0
         assert 0.0 < r.stickiness <= 1.0 + 1e-9
+
+
+def test_cogrouped_asof_equals_window_form(spark, sf_dir):
+    """The cogrouped-map pandas merge_asof must return exactly what the
+    JVM window-composition as-of join returns — two execution tiers,
+    one semantics."""
+    import __spark_entry__ as em
+
+    key = lambda r: (r.event_id,)  # noqa: E731
+    pandas_form = sorted(
+        em.queries()["asof_cogrouped_merge"](spark, sf_dir).collect(), key=key
+    )
+    window_form = sorted(
+        em.queries()["asof_last_purchase"](spark, sf_dir).collect(), key=key
+    )
+    assert [
+        (r.event_id, r.user_id, r.ts, r.event_type, r.last_purchase_id)
+        for r in pandas_form
+    ] == [
+        (r.event_id, r.user_id, r.ts, r.event_type, r.last_purchase_id)
+        for r in window_form
+    ]

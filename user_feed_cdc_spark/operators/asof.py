@@ -359,3 +359,63 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("us_to_purchase"),
         )
     )
+
+
+def _cogrouped_merge_asof(probes_pdf, markers_pdf):
+    """Per-user pandas merge_asof (backward, exact matches allowed —
+    the <= semantics of DuckDB ASOF JOIN and of the window-composition
+    twin). Runs once per cogroup with both sides Arrow-delivered."""
+    import pandas as pd
+
+    probes = probes_pdf.sort_values("ts", kind="mergesort")
+    if len(probes) == 0:
+        return probes.assign(last_purchase_id=pd.Series(dtype="Int64"))
+    if len(markers_pdf) == 0:
+        out = probes.copy()
+        out["last_purchase_id"] = pd.array([None] * len(out), dtype="Int64")
+    else:
+        markers = markers_pdf.sort_values("ts", kind="mergesort")[
+            ["ts", "last_purchase_id"]
+        ]
+        out = pd.merge_asof(probes, markers, on="ts", direction="backward")
+        out["last_purchase_id"] = out["last_purchase_id"].astype("Int64")
+    return out[["event_id", "user_id", "ts", "event_type", "last_purchase_id"]]
+
+
+@_register("asof_cogrouped_merge", _ASOF_ORACLE)
+def asof_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join through the COGROUPED-MAP Python tier —
+    groupBy().cogroup().applyInPandas, the last missing rung of the
+    Python-execution ladder (scalar pandas_udf, grouped-agg UDAF,
+    grouped-map, mapInPandas, UDTF, applyInPandasWithState are each
+    certified elsewhere): both event and marker partitions for one
+    user arrive as a pair of Arrow-backed pandas frames, and pandas
+    merge_asof(direction='backward') computes the point-in-time match
+    in-process. Certified against the SAME DuckDB ASOF LEFT JOIN
+    oracle as the window-composition form (asof_last_purchase), so
+    the two execution tiers are pinned value-identical — the JVM
+    window form is the production path (one union shuffle, no Python
+    boundary); this entry exists to certify the cogroup API for the
+    cases that genuinely need per-key imperative pandas (model scoring
+    against per-key history, stats libraries over aligned frames).
+
+    Scale: cogroup shuffles BOTH inputs on user_id once; per-key state
+    is that user's history (the partition-memory bound every grouped
+    pandas op carries — at 10⁹-event users, pre-aggregate or window
+    instead, exactly what the twin does)."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select("event_id", "user_id", "ts", "event_type")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_purchase_id"))
+    )
+    return (
+        probes.groupBy("user_id")
+        .cogroup(markers.groupBy("user_id"))
+        .applyInPandas(
+            _cogrouped_merge_asof,
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, last_purchase_id long",
+        )
+    )

@@ -1741,3 +1741,62 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+_ARROW_STATS_ORACLE = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) - strlen(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def _arrow_byte_stats(batches):
+    """Columnar per-doc text stats on raw Arrow RecordBatches — no
+    pandas materialization, every kernel a vectorized pyarrow.compute
+    call over the batch as Arrow laid it out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(
+                    pc.binary_length(pc.cast(text, pa.binary())), pa.int64()
+                ),
+                pc.cast(pc.count_substring(text, " "), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_bytes", "n_spaces"],
+        )
+
+
+@_register("text_arrow_byte_stats", _ARROW_STATS_ORACLE)
+def text_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char accounting through mapInArrow — the
+    zero-copy rung of the Python tier: where mapInPandas converts every
+    batch to pandas (index allocation, object boxing for strings),
+    mapInArrow hands the RAW Arrow RecordBatch to Python and takes one
+    back, so columnar kernels (pyarrow.compute) run over the exact
+    buffers Spark shipped. The stats themselves are the tokenizer-
+    budget precheck a multilingual corpus needs (UTF-8 bytes vs code
+    points diverge exactly where language coverage does; byte counts
+    are what object-store egress and context windows bill). All three
+    outputs are exact integers certified against DuckDB's
+    length/strlen twins.
+
+    At 100 TB: the Python boundary cost is one Arrow IPC handoff per
+    batch with NO row materialization — the floor for any Python-tier
+    operator; if a stat is expressible as a built-in (these are:
+    length/octet_length), the JVM path still wins, which is why the
+    certified twin family keeps both forms honest."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_byte_stats,
+        "doc_id long, n_chars long, n_bytes long, n_spaces long",
+    ).orderBy("doc_id")
