@@ -1818,3 +1818,100 @@ def test_cogrouped_asof_equals_window_form(spark, sf_dir):
         (r.event_id, r.user_id, r.ts, r.event_type, r.last_purchase_id)
         for r in window_form
     ]
+
+
+def test_km_curve_handles_interleaved_censoring(spark):
+    """Textbook KM check on a cohort the corpus cannot produce: censor
+    times strictly BETWEEN event times, so the at-risk set shrinks by
+    censoring alone between steps — the case that separates KM from an
+    ECDF complement. 10 subjects: events at t=1 (2), t=3 (2), t=5 (1);
+    censored at t=2 (2), t=4 (2), t=5 (1, after the event by the
+    events-first tie rule).
+
+      S(1) = 8/10 = 0.8
+      S(3) = 0.8 * (1 - 2/6) = 0.533333...
+      S(5) = 0.533333 * (1 - 1/2) = 0.266667
+    """
+    from user_feed_cdc_spark.operators.event_windows import km_curve
+
+    cohort = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (2, 0), (3, 1), (3, 1),
+         (4, 0), (4, 0), (5, 1), (5, 0)],
+        "t_day long, is_event int",
+    )
+    rows = {r.t_day: r for r in km_curve(cohort).collect()}
+    assert rows[1].n_at_risk == 10 and rows[1].n_converted == 2
+    assert rows[2].n_at_risk == 8 and rows[2].n_censored == 2
+    assert rows[3].n_at_risk == 6 and rows[3].n_converted == 2
+    assert rows[5].n_at_risk == 2
+    assert abs(rows[1].survival - 0.8) < 1e-6
+    assert abs(rows[3].survival - 0.533333) < 1e-5
+    assert abs(rows[5].survival - 0.266667) < 1e-5
+    # all-events-converted terminal step must short-circuit to 0.0
+    term = spark.createDataFrame(
+        [(1, 1), (2, 1)], "t_day long, is_event int"
+    )
+    out = {r.t_day: r.survival for r in km_curve(term).collect()}
+    assert out[2] == 0.0
+
+
+def test_space_saving_partition_invariants_hypothesis():
+    """Property test of the per-partition space-saving fold: on random
+    streams, every counter overestimates by at most the stream's n/k,
+    any key with true count > n/k is present, and the summary never
+    exceeds k counters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    from user_feed_cdc_spark.operators.sketches import (
+        _SS_K,
+        _space_saving_summaries,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=600.0, allow_nan=False),
+            min_size=1,
+            max_size=400,
+        )
+    )
+    def check(values):
+        class _Ctx:
+            @staticmethod
+            def partitionId():
+                return 0
+
+        import user_feed_cdc_spark.operators.sketches as sk
+        from pyspark import TaskContext
+
+        orig = TaskContext.get
+        TaskContext.get = staticmethod(lambda: _Ctx)  # type: ignore[assignment]
+        try:
+            out = list(
+                _space_saving_summaries(
+                    iter([pd.DataFrame({"value": values})])
+                )
+            )
+        finally:
+            TaskContext.get = orig
+        assert len(out) == 1
+        summary = dict(zip(out[0]["bucket"], out[0]["est"]))
+        assert len(summary) <= _SS_K
+        import numpy as np
+
+        cents = np.floor(np.array(values) * 100.0 + 0.5).astype("int64")
+        true = {}
+        for c in cents:
+            b = max(int(c).bit_length() - 1, 0)
+            true[b] = true.get(b, 0) + 1
+        n = len(values)
+        for b, est in summary.items():
+            assert est >= true.get(b, 0)
+            assert (est - true.get(b, 0)) * _SS_K <= n
+        for b, cnt in true.items():
+            if cnt * _SS_K > n:
+                assert b in summary, (b, cnt, n, summary)
+
+    check()

@@ -2059,6 +2059,66 @@ def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def km_curve(cohort: DataFrame) -> DataFrame:
+    """The Kaplan-Meier estimator proper over a (t_day, is_event)
+    cohort frame (is_event 1 = event at t_day, 0 = censored at t_day;
+    events precede censoring at ties): per-step at-risk counts from a
+    suffix-sum window, survival as the running ln-sum product with the
+    integer hit-zero short-circuit. Factored out of
+    events_survival_km so tests can drive censoring patterns the
+    corpus does not exhibit (censor times strictly interleaved
+    between event times)."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as _r
+
+    steps = cohort.groupBy("t_day").agg(
+        F.sum("is_event").cast("long").alias("n_converted"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("n_censored"),
+    )
+    w_order = W.orderBy("t_day")
+    w_tail = W.orderBy("t_day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    risk = steps.select(
+        "t_day",
+        "n_converted",
+        "n_censored",
+        F.sum(F.col("n_converted") + F.col("n_censored"))
+        .over(w_tail)
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    km = risk.select(
+        "t_day",
+        "n_converted",
+        "n_censored",
+        "n_at_risk",
+        F.max(
+            F.when(F.col("n_converted") == F.col("n_at_risk"), 1).otherwise(0)
+        )
+        .over(w_order)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                F.col("n_converted") < F.col("n_at_risk"),
+                F.log(
+                    1.0
+                    - F.col("n_converted").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_order)
+        .alias("lnsum"),
+    )
+    return km.select(
+        "t_day",
+        "n_at_risk",
+        "n_converted",
+        "n_censored",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(_r(F.exp("lnsum"), 6))
+        .alias("survival"),
+    ).orderBy("t_day")
+
+
 _KM_ORACLE = """
     WITH bounds AS (
         SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events
@@ -2170,55 +2230,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(converted, F.lit(1)).otherwise(F.lit(0)).alias("is_event"),
         )
     )
-    steps = cohort.groupBy("t_day").agg(
-        F.sum("is_event").cast("long").alias("n_converted"),
-        F.sum(1 - F.col("is_event")).cast("long").alias("n_censored"),
-    )
-    w_order = W.orderBy("t_day")
-    w_tail = W.orderBy("t_day").rowsBetween(W.currentRow, W.unboundedFollowing)
-    risk = steps.select(
-        "t_day",
-        "n_converted",
-        "n_censored",
-        F.sum(F.col("n_converted") + F.col("n_censored"))
-        .over(w_tail)
-        .cast("long")
-        .alias("n_at_risk"),
-    )
-    km = risk.select(
-        "t_day",
-        "n_converted",
-        "n_censored",
-        "n_at_risk",
-        F.max(
-            F.when(F.col("n_converted") == F.col("n_at_risk"), 1).otherwise(0)
-        )
-        .over(w_order)
-        .alias("hit_zero"),
-        F.sum(
-            F.when(
-                F.col("n_converted") < F.col("n_at_risk"),
-                F.log(
-                    1.0
-                    - F.col("n_converted").cast("double")
-                    / F.col("n_at_risk").cast("double")
-                ),
-            ).otherwise(F.lit(0.0))
-        )
-        .over(w_order)
-        .alias("lnsum"),
-    )
-    from user_feed_cdc_spark.functions.numeric import round_half_up as _r
-
-    return km.select(
-        "t_day",
-        "n_at_risk",
-        "n_converted",
-        "n_censored",
-        F.when(F.col("hit_zero") == 1, F.lit(0.0))
-        .otherwise(_r(F.exp("lnsum"), 6))
-        .alias("survival"),
-    ).orderBy("t_day")
+    return km_curve(cohort)
 
 
 _CUPED_ORACLE = """
