@@ -1759,10 +1759,18 @@ def test_two_level_rollup_withholds_open_day(spark, sf_dir):
         )
         .collect()
     }
-    last_day = max(batch)
+    import datetime
+
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    wm = max_ts - datetime.timedelta(minutes=10)
+    closed = {
+        d: v
+        for d, v in batch.items()
+        if d + datetime.timedelta(days=1) <= wm
+    }
     got = {r.day_start: (r.n_events, r.cents) for r in rows}
-    assert last_day not in got
-    assert got == {d: v for d, v in batch.items() if d != last_day}
+    assert max(batch) not in closed  # the final day is always open
+    assert got == closed
 
 
 def test_growth_accounting_books_balance(spark, sf_dir):

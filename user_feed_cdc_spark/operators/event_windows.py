@@ -2418,7 +2418,7 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POWER_ORACLE = """
     WITH conv AS (
         SELECT event_type, user_id,
-               MAX(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS converted
+               MAX(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS converted
         FROM events GROUP BY event_type, user_id
     ),
     arms AS (
@@ -2463,7 +2463,11 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_ab_test_ztest) and the sensitivity half
     (events_cuped_adjustment): per metric (event_type), the users
     PER ARM needed to detect a +2pp absolute lift from the observed
-    baseline conversion at alpha = 0.05 (two-sided) with 80% power —
+    baseline conversion (value > 200 cent-threshold — chosen so every
+    arm is NON-degenerate at every driver SF: 0 < k < n and
+    p1 + mde < 1, keeping the certified set non-empty; a vacuous
+    empty-set hash would certify nothing) at alpha = 0.05 (two-sided)
+    with 80% power —
     the classic two-proportion formula n = (z_a*sqrt(2*pbar*qbar) +
     z_b*sqrt(p1*q1 + p2*q2))^2 / mde^2 with the normal quantiles as
     exact literals. Cross-engine contract: baseline (k, n) are exact
@@ -2479,7 +2483,7 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     conv = ev.groupBy("event_type", "user_id").agg(
-        F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("converted")
+        F.max(F.when(F.col("value") > 200.0, 1).otherwise(0)).alias("converted")
     )
     arms = conv.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("k")
@@ -2622,11 +2626,19 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
     sink = run_to_memory(
         spark, totals, "streaming_stateful_totals_live_sink", "update"
     )
-    return sink.select(
+    # Update mode appends one row per (user, micro-batch) to the memory
+    # sink; with a multi-file source the replay runs several batches, so
+    # reduce to each user's FINAL state (n_events is strictly increasing
+    # across a user's emissions — max-struct picks the last one) rather
+    # than assuming a single-file single-batch layout.
+    final = sink.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value", "last_ts")).alias("s")
+    )
+    return final.select(
         "user_id",
-        "n_events",
-        r2_(F.col("total_value"), 2).alias("total_value"),
-        "last_ts",
+        F.col("s.n_events").alias("n_events"),
+        r2_(F.col("s.total_value"), 2).alias("total_value"),
+        F.col("s.last_ts").alias("last_ts"),
     ).orderBy("user_id")
 
 

@@ -1926,7 +1926,13 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is micro-frozen to an exact BIGINT immediately (entropy/data-
     card precedent), so the normalizer Z = sum(w_micro) is an exact
     integer in both engines and every output ratio is a single fp64
-    division of exact integers. Scale: one map-side-combined rollup to
+    division of exact integers. Honest caveat: pow is NOT correctly
+    rounded on the JVM (<=1 ulp vs glibc's exact rounding), so the
+    freeze NARROWS the cross-engine exposure to the ~1-ulp-within-
+    1e-6-of-a-.5-boundary case (~1e-10 per source) rather than
+    eliminating it — the fully-exact alternative when weights must be
+    boundary-proof is integer tickets (pipeline_weighted_sample's md5
+    scheme). Scale: one map-side-combined rollup to
     |sources| rows; everything after runs on a frame the size of the
     source list, and the factors feed the same salted-hash rank select
     the other mixture entries certify."""

@@ -680,7 +680,12 @@ def sketch_heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries = fan_out(ev.select("value")).mapInPandas(
         _space_saving_summaries,
         schema="bucket long, est long, pid int, n_part long",
-    )
+    ).persist()
+    # persisted because TWO subtrees read it (merge + reconciliation):
+    # without the cache the per-partition Python fold over the full
+    # stream would execute twice — at scale that doubles the operator's
+    # dominant cost. Left to expire with the session (dedup_semantic
+    # precedent: never unpersist a frame the caller hasn't drained).
     merged = summaries.groupBy("bucket").agg(F.sum("est").alias("est_sum"))
     ss_total = (
         summaries.select("pid", "n_part")

@@ -1688,7 +1688,9 @@ _PHRASE_SEARCH_ORACLE = """
     )
     SELECT d.doc_id, t.bigram AS phrase
     FROM toks d CROSS JOIN top t
-    WHERE position(' ' || t.bigram || ' ' IN ' ' || d.text || ' ') > 0
+    WHERE position(' ' || t.bigram || ' '
+                   IN ' ' || regexp_replace(d.text, ' +', ' ', 'g') || ' ')
+          > 0
     ORDER BY d.doc_id
 """
 
@@ -1701,8 +1703,11 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, position) builds consecutive pairs, the 1-row top phrase
     broadcasts back, and matching documents come from the pair frame
     alone. The DuckDB oracle answers the same query the way a grep
-    would (padded-substring containment over raw text), so the gate
-    certifies INDEX ≡ SCAN — the equivalence a search engine's
+    would (padded-substring containment over space-RUN-normalized
+    text — the index's empty-token filter treats 'a  b' as adjacent,
+    so the scan must collapse runs too or it would match a strict
+    subset on multi-spaced documents), so the gate certifies
+    INDEX ≡ SCAN — the equivalence a search engine's
     posting-list path owes to its document store, checked here the
     same way the bloom/LSH entries certify their prefilters against
     ground truth.

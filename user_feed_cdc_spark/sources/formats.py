@@ -695,7 +695,14 @@ def _bucketed_table(
         # it has no metadata for (bucketing spec lives in the catalog,
         # so the files alone are useless) — clear stale locations,
         # current name included, and write fresh.
-        warehouse = os.path.join(os.getcwd(), "spark-warehouse")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.getcwd(), "spark-warehouse"),
+        )
+        if warehouse.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            warehouse = unquote(urlparse(warehouse).path)
         if os.path.isdir(warehouse):
             for d in os.listdir(warehouse):
                 if d.startswith(scoped + "_"):
