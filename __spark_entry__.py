@@ -36,6 +36,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         similarity,
         sketches,
         textanalysis,
+        tpch,
     )
     from user_feed_cdc_spark.sources import formats
 
@@ -53,6 +54,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         textanalysis,
         feed,
         relational,
+        tpch,
         formats,
     ):
         merged.update(mod.QUERIES)
@@ -135,6 +137,14 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_binary_hamming_topk", "similarity_rerank_topk",
         "similarity_ivf_kmeans_topk", "similarity_ann_lsh",
         "multimodal_binary_stats",
+        # TPC-H-shape completions (late r08; never certified — queue
+        # behind the announced r09 leaders, ahead of the stale tail)
+        "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+        "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
+        "tpch_q22_sales_opportunity",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -28,13 +28,14 @@ def test_registry_invariants():
         similarity,
         sketches,
         textanalysis,
+        tpch,
     )
     from user_feed_cdc_spark.sources import formats
 
     mods = [
         relational, feed, textanalysis, dedup, similarity,
         multimodal, pipeline, sketches, asof, cdc, event_windows,
-        formats,
+        formats, tpch,
     ]
     assert sum(len(m.QUERIES) for m in mods) == len(qs)
 

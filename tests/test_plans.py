@@ -45,6 +45,8 @@ NESTED_LOOP_WHITELIST = {
     "sketch_heavy_hitters_bounded",  # 1-row stream-total/reconcile joins
     "cdc_incremental_agg_maintenance",  # 1-row broadcast split-point scalar
     "events_cuped_adjustment",    # 1-row broadcast period-split scalar
+    "tpch_q15_top_supplier",      # 1-row broadcast max-revenue scalar
+    "tpch_q22_sales_opportunity",  # 1-row broadcast avg-balance scalar
 }
 
 
@@ -762,3 +764,76 @@ def test_bucketed_join_entry_plans_no_exchange(spark, sf_dir):
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in join_part
     assert "BroadcastHashJoin" not in plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """tpch_q4_priority_exists: the EXISTS must plan as ONE left-semi
+    hash join on l_orderkey with the late-shipment comparison as a
+    join residual — never a per-order subquery, never an inner join
+    plus distinct (which would double-count multi-late-line orders).
+    The orders date window reaches the scan as pushed filters."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["tpch_q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """tpch_q19_disjunctive_revenue: from the single declarative OR
+    filter, Catalyst must extract the part-only disjunction (brand +
+    size blocks) and push it INTO the part scan, and likewise push the
+    lineitem-only quantity disjunction to the lineitem scan — the
+    mixed residual stays above the broadcast join. Without the
+    decomposition both scans read everything."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _executed_plan(
+            em.queries()["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "Or(And(EqualTo(p_brand,Brand#11)" in plan
+    assert "Or(And(GreaterThanOrEqual(l_quantity,1" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_and_integer_threshold(spark, sf_dir):
+    """tpch_q22_sales_opportunity: NOT EXISTS against recent orders
+    must plan a left-ANTI hash join (never a per-customer probe), the
+    scalar average arrives as a 1-row broadcast, and no sort appears
+    anywhere (pure hash aggregation end to end)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["tpch_q22_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the sanctioned 1-row scalar
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q10_topk_and_q13_zero_bucket(spark, sf_dir):
+    """tpch_q10_returned_items must close with TakeOrderedAndProject
+    (global top-20 = per-partition top-20 + driver merge), and
+    tpch_q13_customer_distribution must keep the zero-order bucket:
+    the priority filter lives in the join condition, so customers with
+    no urgent orders land in c_count=0 — the plan keeps the outer
+    join (no filter-below-join rewrite may turn it inner)."""
+    import __spark_entry__ as em
+
+    plan10 = _executed_plan(em.queries()["tpch_q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan10
+    assert "EqualTo(l_returnflag,R)" in plan10
+
+    df13 = em.queries()["tpch_q13_customer_distribution"](spark, sf_dir)
+    assert "LeftOuter" in _executed_plan(df13)
+    zero = df13.filter("c_count = 0").collect()
+    assert zero and zero[0]["custdist"] > 0

@@ -1,0 +1,719 @@
+"""TPC-H-shape query coverage over the driver star schema (SURVEY.md §2.3 E8/E18).
+
+The reference app has no general relational engine (its only query is the
+feed read, `/root/reference/main.py:79-133`), so the rebuilt engine's
+relational surface is certified against the public TPC-H workload shapes
+instead — each query here exercises ONE canonical optimizer/plan pattern
+a 100 TB warehouse lives or dies by:
+
+* Q4  — EXISTS decorrelation into a left-semi join with a correlated
+        date predicate (never a per-row subquery).
+* Q5  — 6-way snowflake join with a cross-fact equality (customer and
+        supplier share a nation) that is NOT a key of either fact.
+* Q7  — self-joined dimension (nation twice) with a symmetric pair
+        predicate; group by derived year.
+* Q8  — market share: conditional aggregation over an 8-way join,
+        ratio certified in exact integer ppm.
+* Q10 — returned-items top-k: multiway join → agg → global top-20
+        (TakeOrderedAndProject, never a full sort).
+* Q13 — outer-join-preserving count distribution (zero-order customers
+        must survive into the histogram).
+* Q14 — conditional-agg ratio with a broadcast dim join.
+* Q15 — scalar MAX subquery against a derived view (argmax-by-join).
+* Q19 — disjunction of conjunct blocks; the OR must still push to the
+        part scan and become a join-level residual, not a cross join.
+* Q20 — nested IN with a HAVING aggregate (supplier shortlist from a
+        grouped fact subquery).
+* Q22 — anti join against orders + global scalar average threshold,
+        with integer-exact cents so the > boundary can't flip on ULPs.
+
+Q1/Q3/Q17/Q18/Q21 live in ``relational.py`` (``pricing_summary``,
+``tpch_q3_shipping_priority``, ``tpch_q17_small_quantity_revenue``,
+``tpch_q18_large_orders``, ``tpch_q21_waiting_suppliers``).
+
+The star schema here is the driver's trimmed TPC-H (no partsupp, no
+l_shipmode/l_commitdate/c_phone), so predicates are adapted: date
+windows sit inside the generator's 1995–2001 range, Q22's "country
+code" is ``c_nationkey % 5``, and Q20's excess-stock test uses shipped
+quantity (the only stock signal available). All money flows as
+``FLOOR(x*100+0.5)`` bigint cents and every ratio is integer ppm
+(``num*1000000 DIV den``) so Spark and DuckDB hash identically.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from user_feed_cdc_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cents(col: str = "l_extendedprice", discount: bool = True):
+    """Revenue frozen to bigint cents BEFORE any aggregation — TPC-H's
+    DECIMAL arithmetic made cross-engine exact."""
+    expr = F.col(col)
+    if discount:
+        expr = expr * (F.lit(1.0) - F.col("l_discount"))
+    return F.floor(expr * 100.0 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS decorrelation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (late shipment = shipped >60 days after order,
+    standing in for commitdate<receiptdate which this schema lacks):
+    orders per priority that had at least one late line. The EXISTS
+    must decorrelate into ONE left-semi hash join on l_orderkey with
+    the date comparison as a join residual — at 100 TB the alternative
+    (per-order subquery) is a non-starter, and the semi join stops
+    probing an order after its first late line. The orders date window
+    pushes to the scan and kills ~5/6 of the probe side first."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way snowflake, cross-fact nation equality)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the customer and the line's
+    supplier share a nation, per ASIA nation. The interesting join is
+    c_nationkey = s_nationkey — an equality between two FACT-side
+    attributes, not a dimension key, so it rides along as an extra
+    equi-key on the lineitem⋈supplier join rather than forcing any new
+    shuffle. nation⋈region prune to the ~5 ASIA nations BEFORE
+    touching a fact table (broadcast), the orders date window pushes to
+    its scan, and the only big shuffles are the two fact joins on their
+    natural keys. At 100 TB: AQE picks build sides; the final groupBy
+    has ≤25 groups — partial aggregation collapses it map-side."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _cents().alias("cents")
+    )
+    co = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    return (
+        li.join(co, li.l_orderkey == co.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping (self-joined nation dim, symmetric pair predicate)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol_cents) AS BIGINT) AS revenue_cents
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               {_CENTS_SQL} AS vol_cents
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations, both directions, by
+    ship year. The nation dimension joins TWICE (supplier side and
+    customer side) — both broadcast — and the symmetric pair predicate
+    is applied AFTER both lookups as a residual on nation names. The
+    key scale move: the 2-nation supplier shortlist broadcasts into
+    the lineitem scan first (suppliers are 10^2–10^4 rows even at
+    100 TB), so the big fact shrinks by ~12× before the
+    lineitem⋈orders shuffle; the customer-side filter is applied on
+    the far smaller joined result."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_20", "NATION_11"))
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(pair.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(pair.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        _cents().alias("vol_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol_cents").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share (conditional aggregation over an 8-way join)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+                * 1000000 // SUM(vol_cents) AS BIGINT) AS share_ppm
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               {_CENTS_SQL} AS vol_cents,
+               n1.n_name AS nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of PROMO-part revenue sold into
+    EUROPE customers, per order year. The share is ONE conditional
+    aggregation over the joined set (CASE WHEN inside SUM), never two
+    scans — and it's certified as exact integer ppm (num*1e6 DIV den)
+    so the ratio can't drift a ULP between engines. Join order at
+    100 TB: part is the most selective probe (1/6 of parts) and
+    broadcasts into the lineitem scan; supplier+nation broadcast; the
+    only repartition joins are lineitem⋈orders and orders⋈customer on
+    their natural keys. Group count = #years ≤ 7, so the final agg is
+    map-side-collapsed."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = nation.join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(eur_nations), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _cents().alias("vol_cents")
+    )
+    nation_cents = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("vol_cents")).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            nation_cents.alias("nation_cents"),
+            F.sum("vol_cents").alias("total_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)"
+                " * 1000000 DIV sum(vol_cents) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned items (multiway join → agg → global top-20)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+           CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    half-year. Both selective predicates (order window, returnflag)
+    push to their scans; nation broadcasts; the grouped frame then
+    takes a GLOBAL top-20 — which must plan TakeOrderedAndProject
+    (per-partition top-20 + driver merge of 20×P rows), never a full
+    sort of all customers. (c_custkey ties broken ascending so the
+    LIMIT edge is a total order for the hash gate.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _cents().alias("cents"))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        "c_custkey", "c_name", "n_name",
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "acctbal_cents"
+        ),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_cents")
+        .agg(F.sum("cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name", "acctbal_cents", "revenue_cents"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join preserved into agg)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of how many URGENT orders customers place,
+    INCLUDING zero (the spec's '%special%requests%' comment filter has
+    no analogue here; priority = 1-URGENT is the similarly-selective
+    stand-in that leaves a populated zero bucket on this generator).
+    The left outer join must keep non-matching customers
+    (COUNT(o_orderkey) counts only matched rows — never COUNT(*)),
+    and the priority filter lives in the JOIN CONDITION, not a WHERE
+    (a post-join WHERE would silently drop the NULL no-order rows and
+    erase the zero bucket). Two aggregations: the
+    first shuffles on c_custkey (same key as the join — AQE reuses
+    the partitioning), the second is a ≤50-group histogram that
+    collapses map-side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue ratio (conditional agg, broadcast dim)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_CENTS_SQL} ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM({_CENTS_SQL}) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_CENTS_SQL} ELSE 0 END)
+                * 1000000 // SUM({_CENTS_SQL}) AS BIGINT) AS promo_ppm
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO-part share of one quarter's revenue, as exact
+    integer ppm. One scan of the date-pruned lineitem, part broadcast
+    (2k–20M rows — still broadcastable as a 2-column slice at 100 TB,
+    else AQE falls back to shuffle-hash), and the numerator/denominator
+    are ONE conditional aggregation — the classic pattern that replaces
+    two passes with a CASE WHEN inside SUM."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", _cents().alias("cents"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(F.lit(0))
+    )
+    return joined.agg(
+        promo.alias("promo_cents"),
+        F.sum("cents").alias("total_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)"
+            " * 1000000 DIV sum(cents) AS BIGINT)"
+        ).alias("promo_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (scalar MAX subquery over a derived view)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_CENTS_SQL}) AS BIGINT) AS total_cents
+        FROM lineitem l
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving the quarter's maximum
+    revenue. The derived revenue view is computed ONCE; its 1-row MAX
+    re-broadcasts against it (broadcast nested-loop of a single row —
+    the sanctioned pattern for scalar subqueries, whitelisted in the
+    plan gate), and only the surviving row(s) touch the supplier dim.
+    Ties are kept, matching the spec (= comparison, not top-1), and
+    the equality is on bigint cents so it cannot ULP-miss."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_cents()).alias("total_cents"))
+    )
+    best = revenue.agg(F.max("total_cents").alias("max_cents"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive predicate blocks (OR-of-conjuncts pushdown)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 20 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue matching any of three brand/size/quantity
+    conjunct blocks. The optimizer work is predicate decomposition:
+    the part-only OR (brand+size) must be extracted and pushed to the
+    part scan, the lineitem-only OR (quantity ranges) to the lineitem
+    scan, and the full mixed disjunction stays as a join residual —
+    Catalyst does all three from the single declarative filter
+    (CNF-style inferred predicates). Verified by the plan gate: both
+    scans carry Or(...) pushed filters. At 100 TB the part side then
+    broadcasts; without the decomposition this is a full fact⋈dim
+    join followed by a filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _cents().alias("cents")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    block = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(block)
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess suppliers (nested IN with HAVING aggregate)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q20_excess_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red %'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(FLOOR(l.l_quantity * 100.0 + 0.5) AS BIGINT)) > 8000)
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (shipped quantity stands in for partsupp
+    availqty, which this schema lacks): suppliers who moved >80 units
+    of some red part in a year. The nested IN decorrelates to a
+    left-semi join against a GROUPED subquery — the shortlist is built
+    by aggregation (supp,part → qty, HAVING), then deduped on suppkey
+    by the semi join itself; no DISTINCT needed. The red-part probe
+    broadcasts into the lineitem scan; quantity is compared in bigint
+    centi-units so the HAVING edge is exact. At 100 TB the semi join's
+    build side is the tiny qualifying (supp) set — AQE broadcasts it."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_suppkey", "l_partkey",
+        F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long").alias("qcent"),
+    )
+    qualifying = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qcent").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 8000)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + scalar average threshold)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q22_sales_opportunity",
+    """
+    WITH bal AS (
+        SELECT c_custkey,
+               CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE CAST(c_nationkey % 5 AS BIGINT) IN (1, 2, 3)
+    ),
+    thresh AS (
+        SELECT CAST(SUM(bal_cents) // COUNT(*) AS BIGINT) AS avg_cents
+        FROM bal WHERE bal_cents > 0
+    )
+    SELECT b.cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(b.bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM bal b, thresh t
+    WHERE b.bal_cents > t.avg_cents
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = b.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY b.cntrycode
+    """,
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (c_nationkey%5 stands in for the phone
+    country code this schema lacks, and "no orders" becomes "no orders
+    since 1999-01-01" — the driver generator gives nearly every
+    customer SOME order, so the spec's unconditioned NOT EXISTS is
+    degenerate on this data): rich, lapsed customers per country code. Three canonical pieces in one plan: an IN-list
+    filter pushed to the customer scan; a global scalar average
+    computed once and re-broadcast (1-row cross join, whitelisted);
+    and NOT EXISTS against orders as a left-ANTI hash join on
+    o_custkey — never a per-customer probe. The threshold is integer
+    cents (SUM DIV COUNT) so the > comparison cannot flip on
+    sum-order ULPs between engines. At 100 TB the anti join's probe
+    side is the already-thresholded rich set; AQE broadcasts it
+    against orders' distinct custkeys."""
+    bal = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("long").alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "bal_cents"
+        ),
+    ).filter(F.col("cntrycode").isin(1, 2, 3))
+    thresh = bal.filter(F.col("bal_cents") > 0).agg(
+        F.expr("CAST(sum(bal_cents) DIV count(*) AS BIGINT)").alias("avg_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = bal.crossJoin(F.broadcast(thresh)).filter(
+        F.col("bal_cents") > F.col("avg_cents")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
