@@ -145,6 +145,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
         "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
         "tpch_q22_sales_opportunity",
+        "similarity_lsh_recall", "pipeline_score_calibration",
+        "pipeline_k_anonymity",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

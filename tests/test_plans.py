@@ -47,6 +47,7 @@ NESTED_LOOP_WHITELIST = {
     "events_cuped_adjustment",    # 1-row broadcast period-split scalar
     "tpch_q15_top_supplier",      # 1-row broadcast max-revenue scalar
     "tpch_q22_sales_opportunity",  # 1-row broadcast avg-balance scalar
+    "similarity_lsh_recall",      # 8-row broadcast query set (exact arm)
 }
 
 

@@ -2038,3 +2038,207 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ticket"),
     )
     return tickets.orderBy(F.col("ticket").asc(), "doc_id").limit(_WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Quality-score calibration (reliability diagram over fixed score bands)
+# ---------------------------------------------------------------------------
+
+_CALIB_BAND_MILLI = 25000  # 25-milli-wide score bands
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                   % {_SCORE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(cnt * ((CAST('0x' || substr(md5('w' ||
+                        CAST(bucket AS VARCHAR)), 1, 4) AS BIGINT) % 1000)
+                        - 500)) AS BIGINT) AS score_num,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens
+        FROM bucketed GROUP BY doc_id
+    ),
+    milli AS (
+        SELECT s.doc_id,
+               CAST(FLOOR((CAST(s.score_num AS DOUBLE)
+                           / CAST(s.n_tokens AS DOUBLE))
+                          * 1000.0 + 0.5) AS BIGINT) AS milli_score,
+               d.lang
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(FLOOR(CAST(milli_score AS DOUBLE)
+                      / {_CALIB_BAND_MILLI}.0) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS en_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS en_ppm,
+           CAST(MIN(milli_score) AS BIGINT) AS band_min_milli,
+           CAST(MAX(milli_score) AS BIGINT) AS band_max_milli
+    FROM milli
+    GROUP BY 1
+"""
+
+
+@_register("pipeline_score_calibration", _CALIBRATION_ORACLE)
+def pipeline_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM for the linear quality scorer
+    (pipeline_linear_quality_score): fixed 25-milli-wide score bands ×
+    the empirical rate of a reference label (lang='en', the dominant
+    class this synthetic corpus offers) per band, in exact integer
+    ppm. This is the standard post-training check that a filter's
+    score MEANS something before it gates a 100 TB corpus — a scorer
+    whose high bands don't enrich the target property is noise, and
+    binning by VALUE (not by quantile) keeps the whole pass
+    distributed: band assignment is a per-row projection, the curve is
+    one hash aggregation — no global sort, no single-partition ntile
+    (the quantile-binned variant would precompute band edges from the
+    GK sketch, sketch_value_quantiles, and proceed identically).
+    Determinism: milli_score = floor((score_num/n_tokens)*1000+0.5)
+    on exact-integer doubles — IEEE division of representable ints is
+    correctly rounded, so the band edge cannot drift between engines;
+    en_ppm uses integer DIV on non-negative counts (Spark DIV
+    truncates toward zero, DuckDB // floors — identical only off
+    negatives, which counts never are)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_SCORE_BUCKETS}"
+    )
+    weight = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('w', CAST(bucket AS STRING))), 1, 4),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 1000
+        - 500
+    )
+    counts = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = counts.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * weight).alias("score_num"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    milli = F.floor(
+        (F.col("score_num").cast("double") / F.col("n_tokens").cast("double"))
+        * 1000.0
+        + F.lit(0.5)
+    ).cast("long")
+    labeled = scored.select("doc_id", milli.alias("milli_score")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    band = F.floor(
+        F.col("milli_score").cast("double") / F.lit(float(_CALIB_BAND_MILLI))
+    ).cast("long")
+    en = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    return labeled.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        en.alias("en_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("en_ppm"),
+        F.min("milli_score").alias("band_min_milli"),
+        F.max("milli_score").alias("band_max_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit over quasi-identifier equivalence classes
+# ---------------------------------------------------------------------------
+
+_KANON_BAND_CENTS = 200000  # $2000 account-balance bands
+
+
+@_register(
+    "pipeline_k_anonymity",
+    f"""
+    WITH qi AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                               AS DOUBLE) / {_KANON_BAND_CENTS}.0) AS BIGINT)
+                   AS bal_band
+        FROM customer
+    ),
+    classes AS (
+        SELECT c_mktsegment, c_nationkey, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(class_size) AS BIGINT) AS total_users,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+               AS BIGINT) AS users_below_5,
+           CAST(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_10,
+           CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+               AS BIGINT) AS users_below_10,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                * 1000000 // SUM(class_size) AS BIGINT) AS at_risk_ppm
+    FROM classes
+    """,
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT (Sweeney 2002) — the release-gate companion to
+    pipeline_pii_scrub: after scrubbing direct identifiers, the
+    QUASI-identifier combination (market segment × nation × $2000
+    balance band) can still single users out. A record is k-anonymous
+    if its QI equivalence class holds ≥ k records; this entry reports
+    the class census — total classes, the smallest class, and how many
+    classes/users fall below k=5 and k=10, plus the at-risk fraction
+    in exact ppm. Two hash aggregations, both with map-side partials
+    (QI-tuple rollup → one summary row): scan-shaped at 100 TB, no
+    join, no window — the same plan a real release pipeline runs
+    nightly over the full corpus. Generalization tuning (widen bands /
+    drop a QI until users_below_k hits zero) is re-running this one
+    query with a different projection. Determinism: balance bands via
+    floor over exact-integer-cents doubles (IEEE-exact); the ppm is
+    integer DIV on non-negative sums; class_size comparisons are pure
+    integers."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    bal_band = F.floor(
+        bal_cents.cast("double") / F.lit(float(_KANON_BAND_CENTS))
+    ).cast("long")
+    classes = cust.groupBy(
+        "c_mktsegment", "c_nationkey", bal_band.alias("bal_band")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    below = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("class_size") < k, 1).otherwise(0)
+    )
+    users_below = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+    )
+    return classes.agg(
+        F.sum("class_size").alias("total_users"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        below(5).alias("classes_below_5"),
+        users_below(5).alias("users_below_5"),
+        below(10).alias("classes_below_10"),
+        users_below(10).alias("users_below_10"),
+        F.expr(
+            "CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)"
+            " * 1000000 DIV sum(class_size) AS BIGINT)"
+        ).alias("at_risk_ppm"),
+    )

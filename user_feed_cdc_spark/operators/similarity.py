@@ -1121,3 +1121,211 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_a.unpersist(blocking=False)
     sub_b.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ANN recall certification: LSH-bucketed top-k measured against exact top-k
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+_RECALL_QUERIES = 8
+_RECALL_TABLES = 2   # L independent hash tables, candidates = OR over tables
+_RECALL_PLANES = 4   # planes per table (fewer planes -> wider buckets)
+
+
+def _recall_plane_terms(col: str, table: int) -> str:
+    """Spark SQL expr: pack _RECALL_PLANES sign bits of md5-derived
+    INTEGER hyperplane projections of quantized vector column ``col``
+    into a bucket id, planes salted by hash-table index (same integer
+    construction as similarity_lsh_md5_buckets, so signs are
+    bit-identical across engines)."""
+    return " + ".join(
+        f"""CASE WHEN aggregate(
+                zip_with({col}, sequence(0, size({col}) - 1),
+                    (v, i) -> v * (CAST(conv(substr(md5(concat('{table}:{p}:', CAST(i AS STRING))), 1, 4), 16, 10) AS BIGINT) % 1001 - 500)),
+                0L, (acc, x) -> acc + x) > 0
+             THEN {1 << p}L ELSE 0L END"""
+        for p in range(_RECALL_PLANES)
+    )
+
+
+_IDOT_SQL = (
+    "CAST(list_sum(list_transform(range(1, len(b.q) + 1),"
+    " i -> b.q[i] * s.qq[i])) AS BIGINT)"
+)
+
+_LSH_RECALL_ORACLE = f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    buck AS (
+        SELECT t.tbl, v.vec_id, v.q,
+               CAST(list_sum(list_transform(range(0, {_RECALL_PLANES}), p ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v.q) + 1), i ->
+                            v.q[i] * (CAST('0x' || substr(md5(
+                                CAST(t.tbl AS VARCHAR) || ':' ||
+                                CAST(p AS VARCHAR) || ':' ||
+                                CAST(i - 1 AS VARCHAR)), 1, 4) AS BIGINT)
+                                    % 1001 - 500))) > 0
+                        THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+        FROM qv v CROSS JOIN (
+            SELECT UNNEST(range(0, {_RECALL_TABLES})) AS tbl) t
+    ),
+    exact_q AS (
+        SELECT vec_id AS query_id, q AS qq FROM qv
+        WHERE vec_id < {_RECALL_QUERIES}
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, b.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                       ORDER BY {_IDOT_SQL} DESC, b.vec_id) AS rn
+            FROM qv b, exact_q s WHERE b.vec_id <> s.query_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    lsh_q AS (
+        SELECT tbl, vec_id AS query_id, q AS qq, bucket AS qbucket
+        FROM buck WHERE vec_id < {_RECALL_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT s.query_id, b.vec_id, {_IDOT_SQL} AS idot
+        FROM buck b JOIN lsh_q s
+          ON b.tbl = s.tbl AND b.bucket = s.qbucket
+         AND b.vec_id <> s.query_id
+    ),
+    cand_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY idot DESC, vec_id) AS rn
+            FROM cand
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    ncand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY query_id
+    ),
+    hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_k
+        FROM exact_top e JOIN cand_top c
+          ON e.query_id = c.query_id AND e.vec_id = c.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k
+    FROM exact_q q
+    LEFT JOIN ncand n ON q.query_id = n.query_id
+    LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@_register("similarity_lsh_recall", _LSH_RECALL_ORACLE)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality MEASURED, not guessed: recall@k of multi-table
+    hyperplane-LSH search against the exact ranking, certified
+    end-to-end under the value-hash gate. For each of 8 query vectors:
+    the exact top-10 by dot product over ALL vectors; the top-10
+    restricted to the union of the query's buckets across L=2
+    independent 4-plane hash tables (the standard OR-amplification —
+    more tables raise recall, more planes shrink candidate sets; the
+    same trade MinHash banding makes); and hits_at_k = |intersection|,
+    the recall numerator every ANN benchmark (ann-benchmarks,
+    DiskANN/ScaNN papers) reports, with n_candidates as the measured
+    probe cost. Both rankings order by the INTEGER dot product of
+    1e-3-quantized vectors with vec_id tiebreaks, so rank edges are
+    bit-identical across engines and the recall counts are exact —
+    this is the harness a 100 TB deployment runs to tune
+    (tables, planes) before trusting the bucketed path
+    (similarity_ann_lsh stays the rows-only production twin). Scale
+    shape: each table's candidate fetch is a plain hash join on
+    (table, bucket) — the union of L tables is a union of L hash
+    joins, never an OR-join; the exact arm is the certification
+    fixture (8-row broadcast query set — whitelisted bounded nested
+    loop, same contract as similarity_knn_join), and the production
+    measurement at 100 TB samples queries against the bucket-join arm
+    only."""
+    from functools import reduce
+
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    idot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rank = W.partitionBy("query_id").orderBy(F.col("idot").desc(), F.col("vec_id"))
+
+    # exact arm: 8-row broadcast query set against every vector
+    exact_q = emb.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    exact_top = (
+        emb.crossJoin(F.broadcast(exact_q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", idot.alias("idot"))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+
+    # LSH arm: L stacked hash tables, one equi-join on (tbl, bucket)
+    stacked = reduce(
+        DataFrame.unionByName,
+        (
+            emb.select(
+                "vec_id",
+                "q",
+                F.lit(t).alias("tbl"),
+                F.expr(_recall_plane_terms("q", t)).alias("bucket"),
+            )
+            for t in range(_RECALL_TABLES)
+        ),
+    )
+    lsh_q = stacked.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        stacked.join(
+            F.broadcast(lsh_q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", idot.alias("idot"))
+        .distinct()  # a pair found by both tables counts once
+    )
+    cand_top = (
+        cand.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+
+    ncand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact_top.join(cand_top, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits_at_k"))
+    )
+    spine = exact_q.select("query_id")
+    return (
+        spine.join(ncand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+        )
+    )
