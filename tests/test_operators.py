@@ -1923,3 +1923,100 @@ def test_space_saving_partition_invariants_hypothesis():
                 assert b in summary, (b, cnt, n, summary)
 
     check()
+
+
+def test_lsh_recall_internal_consistency_and_or_amplification(spark, sf_dir):
+    """similarity_lsh_recall: per-query counting identities (hits ≤ k,
+    hits ≤ candidates, one row per query), and the OR-amplification
+    law the multi-table design exists for — the 2-table candidate set
+    must dominate the single-table one for every query (recall can
+    only grow with more hash tables)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.similarity import (
+        _RECALL_K,
+        _RECALL_QUERIES,
+        _recall_plane_terms,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = {
+        r["query_id"]: r
+        for r in em.queries()["similarity_lsh_recall"](spark, sf_dir).collect()
+    }
+    assert len(rows) == _RECALL_QUERIES
+    for r in rows.values():
+        assert 0 <= r["hits_at_k"] <= _RECALL_K
+        assert r["hits_at_k"] <= r["n_candidates"]
+
+    # single-table (table 0) candidate counts, same construction
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    one = emb.select(
+        "vec_id", F.expr(_recall_plane_terms("q", 0)).alias("bucket")
+    )
+    q1 = one.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    single = {
+        r["query_id"]: r["n"]
+        for r in one.join(
+            F.broadcast(q1),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for qid, n1 in single.items():
+        assert rows[qid]["n_candidates"] >= n1
+
+
+def test_k_anonymity_census_identities(spark, sf_dir):
+    """pipeline_k_anonymity: the census must book-balance — total_users
+    equals the customer count, below-k counters are monotone in k and
+    bounded by the totals, and the ppm is exactly the integer formula
+    it claims."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    r = em.queries()["pipeline_k_anonymity"](spark, sf_dir).collect()[0]
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert r["total_users"] == n_cust
+    assert 1 <= r["min_class_size"]
+    assert r["classes_below_5"] <= r["classes_below_10"] <= r["n_classes"]
+    assert r["users_below_5"] <= r["users_below_10"] <= r["total_users"]
+    assert r["at_risk_ppm"] == r["users_below_5"] * 1_000_000 // r["total_users"]
+
+
+def test_score_calibration_accounting(spark, sf_dir):
+    """pipeline_score_calibration: bands partition the scored docs
+    (sum of n_docs = docs with ≥1 token), per-band label counts are
+    bounded, and every band's observed milli-score range sits inside
+    the band's fixed edges — the property that makes value-binning a
+    pure projection."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.pipeline import _CALIB_BAND_MILLI
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["pipeline_score_calibration"](spark, sf_dir).collect()
+    docs_with_tokens = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == docs_with_tokens
+    for r in rows:
+        assert 0 <= r["en_docs"] <= r["n_docs"]
+        assert r["en_ppm"] == r["en_docs"] * 1_000_000 // r["n_docs"]
+        lo = r["band"] * _CALIB_BAND_MILLI
+        assert lo <= r["band_min_milli"] <= r["band_max_milli"] < lo + _CALIB_BAND_MILLI
