@@ -146,7 +146,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
         "tpch_q22_sales_opportunity",
         "similarity_lsh_recall", "pipeline_score_calibration",
-        "pipeline_k_anonymity",
+        "pipeline_k_anonymity", "dedup_minhash_quality",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

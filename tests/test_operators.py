@@ -2020,3 +2020,34 @@ def test_score_calibration_accounting(spark, sf_dir):
         assert r["en_ppm"] == r["en_docs"] * 1_000_000 // r["n_docs"]
         lo = r["band"] * _CALIB_BAND_MILLI
         assert lo <= r["band_min_milli"] <= r["band_max_milli"] < lo + _CALIB_BAND_MILLI
+
+
+def test_minhash_quality_counting_identities(spark, sf_dir):
+    """dedup_minhash_quality: tp ≤ min(truth, candidates), ppms are the
+    exact integer formulas, and the candidate count equals the certified
+    pairs entry restricted to the bounded window (same construction ⇒
+    same pairs)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.dedup import _QUALITY_BOUND
+
+    r = em.queries()["dedup_minhash_quality"](spark, sf_dir).collect()[0]
+    assert r["true_positives"] <= r["truth_pairs"]
+    assert r["true_positives"] <= r["candidate_pairs"]
+    if r["candidate_pairs"]:
+        assert r["precision_ppm"] == (
+            r["true_positives"] * 1_000_000 // r["candidate_pairs"]
+        )
+    if r["truth_pairs"]:
+        assert r["recall_ppm"] == (
+            r["true_positives"] * 1_000_000 // r["truth_pairs"]
+        )
+    full_pairs = (
+        em.queries()["dedup_minhash_md5_pairs"](spark, sf_dir)
+        .filter(
+            (F.col("doc_a") < _QUALITY_BOUND) & (F.col("doc_b") < _QUALITY_BOUND)
+        )
+        .count()
+    )
+    assert r["candidate_pairs"] == full_pairs

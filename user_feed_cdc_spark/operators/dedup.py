@@ -1038,3 +1038,128 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ever reads it (round-7 ADVICE); the persist expires with the
     # session, which is the right lifetime for a registry entry.
     return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH quality measurement: banded candidates vs exact shingle Jaccard
+# ---------------------------------------------------------------------------
+
+_QUALITY_BOUND = 200      # same bounded ground-truth window as dedup_ngram_jaccard
+_QUALITY_TAU_PPM = 500000  # near-dup threshold: shingle Jaccard >= 0.5
+
+
+def _quality_band_slices() -> str:
+    return " || ',' || ".join(
+        f"CAST(sig[{_MD5_ROWS} * b + {i + 1}] AS VARCHAR)" for i in range(_MD5_ROWS)
+    )
+
+
+_MINHASH_QUALITY_ORACLE = f"""
+    WITH slice AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_QUALITY_BOUND}
+    ),
+    {md5_sig_ctes('slice')},
+    bands AS (
+        SELECT doc_id, b AS band_idx, {_quality_band_slices()} AS band_val
+        FROM sig, range(0, {_MD5_K // _MD5_ROWS}) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band_idx, band_val)
+        WHERE a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.shs, b.shs))) > 0
+          AND CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) * 1000000
+              >= {_QUALITY_TAU_PPM}
+                 * CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS BIGINT)
+    ),
+    tp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM cand c JOIN truth t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS truth_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS candidate_pairs,
+               (SELECT n FROM tp) AS true_positives
+    )
+    SELECT truth_pairs, candidate_pairs, true_positives,
+           CAST(CASE WHEN candidate_pairs > 0
+                     THEN true_positives * 1000000 // candidate_pairs
+                     ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN truth_pairs > 0
+                     THEN true_positives * 1000000 // truth_pairs
+                     ELSE 0 END AS BIGINT) AS recall_ppm
+    FROM counts
+"""
+
+
+@_register("dedup_minhash_quality", _MINHASH_QUALITY_ORACLE)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH quality MEASURED, not assumed — the text-side
+    companion of similarity_lsh_recall: on the bounded ground-truth
+    window (doc_id < 200, the same slice dedup_ngram_jaccard uses),
+    count the exact shingle-Jaccard >= 0.5 pairs, the banded-minhash
+    candidate pairs (the SAME md5_band_rows construction
+    dedup_minhash_md5_pairs certifies), their intersection, and the
+    resulting precision/recall in exact ppm. The threshold comparison
+    is pure integers (|∩|·1e6 >= τ·|∪| — no float Jaccard on the
+    boundary), so every count hashes identically across engines. This
+    is the harness that justifies the (bands, rows) S-curve before the
+    clustering path collapses a 100 TB corpus with it: 4 bands × 2
+    rows puts the candidate knee near j≈0.5 (P = 1-(1-j²)⁴), and the
+    measured recall/precision tell you where your corpus actually
+    sits on that curve. Scale shape: the truth arm is the bounded
+    certification fixture (whitelisted nested loop, like
+    dedup_ngram_jaccard); the candidate arm joins on (band_idx,
+    band_val) — the production plan; at 100 TB the measurement runs on
+    a sampled slice exactly like this one while the candidate join
+    runs corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _QUALITY_BOUND
+    )
+    bands = md5_band_rows(docs)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("shs"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("long")
+    truth = (
+        ta.join(tb, F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (union > 0) & (inter * 1000000 >= F.lit(_QUALITY_TAU_PPM) * union)
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    tp = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("true_positives")
+    )
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("truth_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("candidate_pairs")))
+        .crossJoin(tp)
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.expr(f"CAST({num} * 1000000 DIV {den} AS BIGINT)"),
+    ).otherwise(F.lit(0)).cast("long")
+    return counts.select(
+        "truth_pairs",
+        "candidate_pairs",
+        "true_positives",
+        ppm("true_positives", "candidate_pairs").alias("precision_ppm"),
+        ppm("true_positives", "truth_pairs").alias("recall_ppm"),
+    )
