@@ -77,6 +77,12 @@ REPRESENTATIVE = [
     "text_phrase_search",      # positional pairs + top-1 + broadcast probe
     "pipeline_weighted_sample",  # in-scan ticket array + TakeOrderedAndProject
     "events_survival_km",      # per-user rollups + study-days-bounded window
+    "tpch_q4_priority_exists",  # EXISTS → left-semi with date residual
+    "tpch_q13_customer_distribution",  # filter inside outer join, zero bucket kept
+    "tpch_q19_disjunctive_revenue",  # OR split: per-scan pushed disjunctions
+    "tpch_q22_sales_opportunity",  # anti join + 1-row integer-avg broadcast
+    "similarity_lsh_recall",   # union of per-table (tbl,bucket) hash joins
+    "pipeline_k_anonymity",    # QI rollup → summary: two partial-agged hash aggs
 ]
 
 
