@@ -147,6 +147,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q22_sales_opportunity",
         "similarity_lsh_recall", "pipeline_score_calibration",
         "pipeline_k_anonymity", "dedup_minhash_quality",
+        "similarity_hard_negatives", "pipeline_blocklist_filter",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

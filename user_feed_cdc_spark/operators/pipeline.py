@@ -2242,3 +2242,63 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV sum(class_size) AS BIGINT)"
         ).alias("at_risk_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist content filter (C4-style badwords gate)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "dup", "big")  # stand-in badwords present in the corpus
+_BLOCK_RATE_PCT = 5  # drop when blocked tokens reach 5% of the doc
+
+
+@_register(
+    "pipeline_blocklist_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tk,
+                t -> list_contains({list(_BLOCKLIST)!r}, t))) AS BIGINT)
+               AS blocked_hits,
+           CAST(len(list_distinct(list_filter(tk,
+                t -> list_contains({list(_BLOCKLIST)!r}, t)))) AS BIGINT)
+               AS blocked_terms,
+           len(tk) > 0 AND
+           CAST(len(list_filter(tk,
+                t -> list_contains({list(_BLOCKLIST)!r}, t))) AS BIGINT) * 100
+               < {_BLOCK_RATE_PCT} * CAST(len(tk) AS BIGINT) AS keep
+    FROM toks
+    """,
+)
+def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKLIST content gate — the C4 'badwords' stage (Raffel et al.
+    2020 dropped any page containing a blocklisted word; Dolma and
+    RefinedWeb use rate thresholds like this one): per doc, total
+    tokens, blocked-token hits, distinct blocked terms, and a keep
+    verdict at a 5% hit-rate threshold compared in pure integers
+    (hits·100 < rate·n_tokens — no float rate on the boundary; empty
+    docs are dropped explicitly). The whole stage is ONE scan-stage
+    projection over the token array — no explode, no shuffle, nothing
+    resident: higher-order filters evaluate the (tiny, broadcast-free
+    literal) blocklist per token inside whole-stage codegen. At 100 TB
+    a real 400-word blocklist is still a literal array (or a bloom
+    filter for 10^5+ terms — sketch_bloom_prefilter is that plan);
+    word-boundary tokenization already happened, so this composes
+    behind the same toks frame every other text stage shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != "")
+    blocked = F.filter(tk, lambda t: t.isin(*_BLOCKLIST))
+    n_tokens = F.size(tk).cast("long")
+    hits = F.size(blocked).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        hits.alias("blocked_hits"),
+        F.size(F.array_distinct(blocked)).cast("long").alias("blocked_terms"),
+        ((n_tokens > 0) & (hits * 100 < _BLOCK_RATE_PCT * n_tokens)).alias("keep"),
+    )

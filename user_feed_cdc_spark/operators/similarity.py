@@ -1329,3 +1329,94 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training data
+# ---------------------------------------------------------------------------
+
+_HARDNEG_QUERIES = 8
+_HARDNEG_K = 3
+
+
+_HARD_NEGATIVES_ORACLE = f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT vec_id AS query_id, label AS query_label, q AS qq
+        FROM qv WHERE vec_id < {_HARDNEG_QUERIES}
+    )
+    SELECT query_id, rank, vec_id AS neg_id, label AS neg_label, idot
+    FROM (
+        SELECT s.query_id, b.vec_id, b.label,
+               CAST(list_sum(list_transform(range(1, len(b.q) + 1),
+                    i -> b.q[i] * s.qq[i])) AS BIGINT) AS idot,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY CAST(list_sum(list_transform(range(1, len(b.q) + 1),
+                        i -> b.q[i] * s.qq[i])) AS BIGINT) DESC, b.vec_id)
+                   AS rank
+        FROM qv b, anchors s
+        WHERE b.vec_id <> s.query_id AND b.label <> s.query_label
+    )
+    WHERE rank <= {_HARDNEG_K}
+"""
+
+
+@_register("similarity_hard_negatives", _HARD_NEGATIVES_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data-prep step
+    (DPR/SimCSE/SBERT recipes): for each anchor vector, the top-3 most
+    similar vectors carrying a DIFFERENT label. These near-miss
+    negatives are what make a contrastive loss learn a boundary; easy
+    (random) negatives teach nothing. Ranking is the integer dot
+    product of 1e-3-quantized vectors with vec_id tiebreaks — rank
+    edges bit-identical across engines, so the mined triples are
+    hash-certified exactly. Scale shape: the anchor set is the bounded
+    broadcast fixture (8 rows, whitelisted — same contract as
+    similarity_knn_join); at 100 TB anchors batch through the SAME
+    plan in bounded slices (mining is embarrassingly parallel in the
+    anchor dimension), and the label-mismatch predicate rides the scan
+    — no extra join. The full-corpus variant swaps the exact arm for
+    the IVF/LSH candidate arm and re-ranks, exactly the
+    similarity_rerank_topk composition."""
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    anchors = emb.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qq"),
+    )
+    idot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rank = W.partitionBy("query_id").orderBy(F.col("idot").desc(), F.col("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select("query_id", "vec_id", "label", idot.alias("idot"))
+        .withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "idot",
+        )
+    )
