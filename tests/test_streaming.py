@@ -86,15 +86,18 @@ def test_native_timestamp_stream_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(stream) == _rows(batch)
 
 
-def _write_spaced_files(spark, d, batches):
+def _write_spaced_files(spark, d, batches, start=0):
     """Write one parquet file per batch with sequential names AND spaced
-    mtimes so the file stream replays them in a deterministic order."""
+    mtimes so the file stream replays them in a deterministic order.
+    ``start`` offsets the file numbering: a second call into the same
+    directory must NOT reuse names — the file source tracks processed
+    files by name, so an overwritten file is silently never re-read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     types = [pa.int64(), pa.int64(), pa.int64(), pa.string(), pa.float64(), pa.string()]
-    for i, rows in enumerate(batches):
+    for i, rows in enumerate(batches, start=start):
         arrays = [
             pa.array([r[j] for r in rows], type=types[j]) for j in range(len(cols))
         ]
@@ -703,3 +706,115 @@ def test_ewma_bounded_by_window_extremes(spark, sf_dir):
         | (F.col("ewma_cents") > F.col("wmax") + 1e-6)
     )
     assert checked.count() == 0
+
+
+def _drain_to_parquet(spark, df, sink, ckpt):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_checkpoint_resume_no_reprocess_and_state_survives(spark, tmp_path):
+    """Restart correctness — the property every production streaming
+    deployment leans on and no single-run test exercises: a SECOND
+    availableNow run against the same checkpoint must (a) not
+    reprocess batch-1 files into the append sink (exactly-once via
+    source offsets), and (b) resume windowed STATE, so a window whose
+    rows span both runs closes with the combined count. Window W2's
+    count of 3 is assembled from 2 rows seen before the restart and 1
+    after — it only comes out right if the state store was restored
+    from the checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        tumbling_counts,
+    )
+
+    src = tmp_path / "src"; src.mkdir()
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+    t0 = 1704067200000000000  # 2024-01-01T00:00 in ns
+    h = 3600 * 1_000_000_000
+
+    # run 1: W1 complete (2 rows) and W2 partial (3 rows, max ts +1.5h).
+    # Watermark set by batch 1 (1.5h - 30m = 1h) lets batch 2 close W1;
+    # W2 (end 2h) stays open across the restart.
+    _write_spaced_files(
+        spark, src,
+        [
+            [(1, t0, 1, "click", 1.0, "{}"),
+             (2, t0 + h // 2, 2, "click", 1.0, "{}"),
+             (3, t0 + h + h // 4, 1, "click", 1.0, "{}"),
+             (4, t0 + h + h // 2, 2, "click", 1.0, "{}")],
+            [(5, t0 + h + h // 2, 3, "click", 1.0, "{}")],
+        ],
+    )
+    counts = lambda: tumbling_counts(  # noqa: E731
+        events_file_stream(spark, str(src)), "1 hour", watermark="30 minutes"
+    )
+    _drain_to_parquet(spark, counts(), sink, ckpt)
+    first = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first == {("2024-01-01T00:00:00", 2)}  # W1 closed, W2 still open
+    n_files_run1 = len(
+        [f for f in os.listdir(sink) if f.endswith(".parquet")]
+    )
+
+    # run 2: one more W2 row, then two later files — closure always lags
+    # one micro-batch behind the watermark (each batch closes against the
+    # PREVIOUS batch's watermark), so the 4h row's batch is the one that
+    # flushes W2.
+    _write_spaced_files(
+        spark, src,
+        [
+            [(9, t0 + h + 3 * h // 4, 3, "click", 1.0, "{}")],
+            [(10, t0 + 3 * h, 1, "click", 1.0, "{}")],
+            [(11, t0 + 4 * h, 2, "click", 1.0, "{}")],
+        ],
+        start=2,
+    )
+    # fresh query object, same checkpoint — a restart, not a continuation
+    _drain_to_parquet(spark, counts(), sink, ckpt)
+    final = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # W1 appears ONCE (not reprocessed); W2 = 3 rows from run 1 + 1 from
+    # run 2 — the cross-restart state assertion; the 3h window still open.
+    assert final == {
+        ("2024-01-01T00:00:00", 2),
+        ("2024-01-01T01:00:00", 4),
+    }
+    assert len([f for f in os.listdir(sink) if f.endswith(".parquet")]) > n_files_run1
+
+
+def test_observe_metrics_account_without_second_scan(spark, sf_dir):
+    """df.observe + Observation: per-stage accounting metrics collected
+    ON the main action — the production alternative to counting each
+    pipeline stage with its own scan (three .count() calls = three
+    scans at 100 TB; observe = zero extra). The observed kept/dropped
+    split must reconcile exactly with the materialized result."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("gate")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0)).alias("kept"),
+    ).filter(F.col("n_chars") >= 200)
+    kept_rows = gated.count()
+    got = obs.get
+    assert got["seen"] == docs.count()
+    assert got["kept"] == kept_rows
