@@ -148,6 +148,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_lsh_recall", "pipeline_score_calibration",
         "pipeline_k_anonymity", "dedup_minhash_quality",
         "similarity_hard_negatives", "pipeline_blocklist_filter",
+        "dedup_simhash_quality",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -2051,3 +2051,57 @@ def test_minhash_quality_counting_identities(spark, sf_dir):
         .count()
     )
     assert r["candidate_pairs"] == full_pairs
+
+
+def test_simhash_band_pigeonhole_guarantee(spark, sf_dir):
+    """The theorem dedup_simhash_quality measures the edge of: <= 3
+    differing bits across 4 byte-bands MUST leave at least one band
+    identical, so every hamming<=3 pair is a band-join candidate —
+    recall at radius bands-1 is exactly 1, no probability about it.
+    Verified by set inclusion on the live fixture, plus the harness's
+    own counting identities at radius 4."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.dedup import (
+        _SH_BANDS,
+        _SH_QUALITY_BOUND,
+        _SIMHASH32_EXPR_SPARK,
+        simhash_band_rows,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SH_QUALITY_BOUND
+    )
+    s = docs.select("doc_id", F.expr(_SIMHASH32_EXPR_SPARK).alias("sh"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    within3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in sa.join(sb, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= _SH_BANDS - 1)
+        .collect()
+    }
+    bands = simhash_band_rows(docs)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert within3 <= cand
+    r = em.queries()["dedup_simhash_quality"](spark, sf_dir).collect()[0]
+    assert r["true_positives"] <= min(r["truth_pairs"], r["candidate_pairs"])
+    # radius-3 truths are a subset of radius-4 truths AND of candidates,
+    # so measured radius-4 recall can only lose pairs at the edge
+    assert len(within3) <= r["truth_pairs"]

@@ -50,6 +50,7 @@ NESTED_LOOP_WHITELIST = {
     "similarity_lsh_recall",      # 8-row broadcast query set (exact arm)
     "dedup_minhash_quality",      # doc_id < 200 bounded truth arm + 1-row counts
     "similarity_hard_negatives",  # 8-row broadcast anchor set
+    "dedup_simhash_quality",      # doc_id < 300 bounded truth arm + 1-row counts
 }
 
 
