@@ -145,6 +145,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
         "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
         "tpch_q22_sales_opportunity",
+        "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
+        "tpch_q9_product_type_profit", "tpch_q11_important_parts",
+        "tpch_q12_latency_priority", "tpch_q16_supplier_diversity",
         "similarity_lsh_recall", "pipeline_score_calibration",
         "pipeline_k_anonymity", "dedup_minhash_quality",
         "similarity_hard_negatives", "pipeline_blocklist_filter",

@@ -51,6 +51,7 @@ NESTED_LOOP_WHITELIST = {
     "dedup_minhash_quality",      # doc_id < 200 bounded truth arm + 1-row counts
     "similarity_hard_negatives",  # 8-row broadcast anchor set
     "dedup_simhash_quality",      # doc_id < 300 bounded truth arm + 1-row counts
+    "tpch_q11_important_parts",   # 1-row broadcast total-value scalar
 }
 
 
@@ -841,3 +842,73 @@ def test_tpch_q10_topk_and_q13_zero_bucket(spark, sf_dir):
     assert "LeftOuter" in _executed_plan(df13)
     zero = df13.filter("c_count = 0").collect()
     assert zero and zero[0]["custdist"] > 0
+
+
+def test_tpch_q6_pure_pushdown_scan(spark, sf_dir):
+    """tpch_q6_forecast_revenue: all three predicates (shipdate window,
+    discount band, quantity cap) must reach the lineitem parquet scan
+    as PushedFilters, and the ReadSchema must carry exactly the four
+    referenced columns — this query IS the pushdown benchmark, so a
+    post-scan Filter-only plan or a full-width read fails the gate.
+    No join, no sort, one partial+final aggregate pair."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _executed_plan(
+            em.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in plan
+    assert "l_orderkey" not in plan  # column pruning held
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_tpch_q2_window_decorrelation_single_shuffle(spark, sf_dir):
+    """tpch_q2_min_cost_supplier: the correlated min-supplycost
+    subquery must decorrelate into ONE window MIN over p_partkey — no
+    second scan of the derived partsupp, no join-back — with part and
+    the EU supplier shortlist arriving as broadcast probes, and the
+    final ORDER BY ... LIMIT 100 planning TakeOrderedAndProject."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q16_anti_join_and_distinct_pairs(spark, sf_dir):
+    """tpch_q16_supplier_diversity: the NOT IN must plan a broadcast
+    left-ANTI join (s_suppkey is non-null, so no null-aware fallback),
+    the part attribute filters push to the part scan, and the
+    COUNT(DISTINCT) runs as hash aggregation — no sort anywhere."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _executed_plan(
+            em.queries()["tpch_q16_supplier_diversity"](spark, sf_dir)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "LeftAnti" in plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
+    assert "In(p_size" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
