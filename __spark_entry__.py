@@ -152,6 +152,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pipeline_k_anonymity", "dedup_minhash_quality",
         "similarity_hard_negatives", "pipeline_blocklist_filter",
         "dedup_simhash_quality",
+        "events_activity_bitmap", "pipeline_token_budget_epochs",
+        "similarity_mmr_topk", "events_psi_drift",
+        "events_median_halfsample_ci", "events_incident_overlap_join",
+        "events_theil_sen_trend", "events_mahalanobis_outliers",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -2105,3 +2105,302 @@ def test_simhash_band_pigeonhole_guarantee(spark, sf_dir):
     # radius-3 truths are a subset of radius-4 truths AND of candidates,
     # so measured radius-4 recall can only lose pairs at the edge
     assert len(within3) <= r["truth_pairs"]
+
+
+def test_activity_bitmap_identities(spark, sf_dir):
+    """Bit algebra the certified columns must satisfy: popcounts are
+    bounded by the mask widths, first_hour is an actually-set bit,
+    the night flag agrees with the low-6-bit slice, and the bitmap
+    OR-merges like a sketch (the whole point at scale): the OR of all
+    per-user masks equals the mask built from the raw events."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["events_activity_bitmap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["hour_bitmap"]
+        assert 0 < b < (1 << 24)
+        assert 1 <= r["n_active_hours"] <= 24
+        assert r["work_hours"] <= 7  # mask 4064 has 7 bits
+        assert (b >> r["first_hour"]) & 1 == 1
+        assert b & ((1 << r["first_hour"]) - 1) == 0  # nothing below it
+        assert r["night_flag"] == (1 if b & 63 else 0)
+        assert 1 <= r["n_active_dows"] <= 7
+    merged = 0
+    for r in rows:
+        merged |= r["hour_bitmap"]
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.bit_or(F.expr("shiftleft(1L, hour(ts))")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert merged == raw
+
+
+def test_token_budget_waterfill_identities(spark, sf_dir):
+    """KKT/greedy facts the closed-form prefix solve must reproduce:
+    the budget is spent to within one floor-division remainder per
+    uncapped source (never overspent), capped sources form a PREFIX of
+    the cap/weight ratio order, every allocation respects its epoch
+    cap, and uncapped allocations are proportional to weight (exact
+    integer quotient of the same lambda)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["pipeline_token_budget_epochs"](spark, sf_dir).collect()
+    assert rows
+    budget = 3 * sum(r["tokens"] for r in rows)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    uncapped = [r for r in rows if r["capped"] == 0]
+    capped = [r for r in rows if r["capped"] == 1]
+    assert alloc <= budget
+    if uncapped:
+        assert budget - alloc < len(uncapped)  # floor remainders only
+        nc = budget - sum(r["cap_tokens"] for r in capped)
+        nd = sum(r["w"] for r in uncapped)
+        for r in uncapped:
+            assert r["alloc_tokens"] == nc * r["w"] // nd
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+    for r in capped:
+        assert r["alloc_tokens"] == r["cap_tokens"]
+        assert r["epochs_ppm"] == 4_000_000
+    if capped and uncapped:
+        # prefix property: every capped ratio <= every uncapped ratio
+        max_capped = max(r["cap_tokens"] * 1_000_000 // r["w"] for r in capped)
+        min_uncapped = min(
+            r["cap_tokens"] * 1_000_000 // r["w"] for r in uncapped
+        )
+        assert max_capped <= min_uncapped
+
+
+def test_mmr_greedy_matches_reference_replay(spark, sf_dir):
+    """Replay the greedy MMR selection in plain Python over the same
+    integer-dot pool and assert the DataFrame composition picked the
+    identical sequence — the loop-of-tiny-frames form must BE the
+    textbook algorithm, and rank 1 must be the pure-relevance argmax."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.similarity import (
+        _int_dot,
+        _quantize,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    got = [
+        (r["rank"], r["vec_id"], r["rel_iscore"], r["redundancy"])
+        for r in em.queries()["similarity_mmr_topk"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qe")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "qe", _int_dot(F.col("qe"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(12)
+        .collect()
+    )
+    rel = {r["vec_id"]: r["rel"] for r in cand}
+    vecs = {r["vec_id"]: r["qe"] for r in cand}
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    sel = [min(rel, key=lambda v: (-rel[v], v))]
+    expect = [(1, sel[0], rel[sel[0]], None)]
+    for step in range(2, 6):
+        best = None
+        for v in rel:
+            if v in sel:
+                continue
+            red = max(dot(vecs[v], vecs[s]) for s in sel)
+            key = (-(rel[v] - red), v)
+            if best is None or key < best[0]:
+                best = (key, v, red)
+        sel.append(best[1])
+        expect.append((step, best[1], rel[best[1]], best[2]))
+    assert got == expect
+
+
+def test_psi_drift_identities(spark, sf_dir):
+    """PSI facts the frozen-integer pipeline must reproduce: all 10
+    bins present (spine), counts reconcile to the event total, the
+    reported total is the exact sum of per-bin contributions, PSI is
+    non-negative to within the freeze quantum (each true term is
+    (p-q)ln(p/q) >= 0; each frozen term errs by < 1.5e-6 of either
+    factor), and identical halves would give exactly zero."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["events_psi_drift"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert {r["bin"] for r in rows} == set(range(10))
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_events
+    total = rows[0]["psi_e15"]
+    assert all(r["psi_e15"] == total for r in rows)
+    assert total == sum(r["contrib_e15"] for r in rows)
+    # freeze error bound: lr within 0.5 micro of truth, diff within
+    # 0.5 nano -> each product term can only dip ~1.5e-6 * |factor|
+    # below zero; with |lr|<=15e6 micro that is < 2e7 e15-units per bin
+    assert total >= -10 * 2 * 10**7
+
+
+def test_halfsample_median_ci_identities(spark, sf_dir):
+    """Replica medians must each be a genuine median of their half
+    (recomputed independently for one replica), the CI band must be
+    the replica min/max, and the band must bracket the full-sample
+    median (half-samples of the same distribution cannot all sit on
+    one side of it unless the data is pathological — with 16 replicas
+    over this generator it brackets)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["events_median_halfsample_ci"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    lo = min(r["median2x_cents"] for r in rows)
+    hi = max(r["median2x_cents"] for r in rows)
+    assert all(r["ci_low2x_cents"] == lo and r["ci_high2x_cents"] == hi
+               for r in rows)
+    # replay replica b=3 exactly
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("c"),
+    ).collect()
+    import hashlib
+
+    cents = sorted(
+        r["c"] for r in ev
+        if int(hashlib.md5(f"{r['event_id']}:3".encode()).hexdigest()[:4], 16)
+        % 2 == 0
+    )
+    n = len(cents)
+    expect = cents[(n + 1) // 2 - 1] + cents[(n + 2) // 2 - 1]
+    got = next(r for r in rows if r["b"] == 3)
+    assert got["n"] == n and got["median2x_cents"] == expect
+    # full-sample median (2x) sits inside the band
+    full = sorted(r["c"] for r in ev)
+    m = len(full)
+    full2x = full[(m + 1) // 2 - 1] + full[(m + 2) // 2 - 1]
+    assert lo <= full2x <= hi
+
+
+def test_incident_overlap_matches_quadratic(spark, sf_dir):
+    """The bucket+residual decomposition must emit EXACTLY the pairs
+    the direct quadratic interval predicate emits — no pair lost to a
+    bucket boundary, none duplicated by multi-hour sessions — and
+    every overlap must be consistent with its endpoints."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    from pyspark.sql import Window as W
+
+    df = em.queries()["events_incident_overlap_join"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    key = lambda r: (r["user_id"], r["session_start"], r["incident_hour"])  # noqa: E731
+    assert len({key(r) for r in rows}) == len(rows)  # no dupes
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["overlap_us"] >= 0
+        span_us = (r["session_end"] - r["session_start"]).total_seconds() * 1e6
+        assert r["overlap_us"] <= span_us + 1
+    # quadratic replay on the two derived interval sets
+    from user_feed_cdc_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.min("ts").alias("i_s"), F.max("ts").alias("i_e"),
+             F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    wuo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(wuo))
+    all_sess = (
+        ev.select("user_id", "ts",
+                  F.when(lag_us.isNull()
+                         | (F.unix_micros(F.col("ts")) - lag_us
+                            >= 1_800_000_000), 1).otherwise(0).alias("ns"))
+        .withColumn("sid", F.sum("ns").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(
+                W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    quad = all_sess.crossJoin(inc).filter(
+        (F.col("s") <= F.col("i_e")) & (F.col("i_s") <= F.col("e"))
+    )
+    assert quad.count() == len(rows)
+
+
+def test_theil_sen_bounds_and_pair_count(spark, sf_dir):
+    """The median pairwise slope must lie between the extreme pairwise
+    slopes, the pair count must be exactly C(n_days, 2), and on this
+    generator's stationary daily revenue both slope estimates agree on
+    being near zero relative to the daily scale."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    r = em.queries()["events_theil_sen_trend"](spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                   .cast("long")).alias("rev"))
+        .collect()
+    )
+    pts = sorted((row["d"].toordinal(), row["rev"]) for row in daily)
+    slopes = [
+        (r2 - r1) / (d2 - d1)
+        for i, (d1, r1) in enumerate(pts)
+        for (d2, r2) in pts[i + 1:]
+    ]
+    med2x = r["slope2x_micro"] / 1e6
+    assert 2 * min(slopes) - 1e-3 <= med2x <= 2 * max(slopes) + 1e-3
+
+
+def test_mahalanobis_trace_identity(spark, sf_dir):
+    """Sum of Mahalanobis d² over ALL points equals dims*n EXACTLY for
+    the population covariance (trace identity) — recomputed over the
+    full scored frame, it pins the closed-form 2x2 inverse and the
+    n-power cancellation to within the 1e-6 freeze quantum per point.
+    The top-20 must also be the true top-20 of the full frame."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    top = em.queries()["events_mahalanobis_outliers"](spark, sf_dir).collect()
+    assert len(top) == 20
+    # replay the full scoring
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) DIV 100").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    ).collect()
+    n = len(ev)
+    sx = sum(r["x"] for r in ev); sy = sum(r["y"] for r in ev)
+    sxx = sum(r["x"] ** 2 for r in ev); syy = sum(r["y"] ** 2 for r in ev)
+    sxy = sum(r["x"] * r["y"] for r in ev)
+    cxx, cyy, cxy = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    det = float(cxx) * cyy - float(cxy) * cxy
+    d2s = {}
+    for r in ev:
+        dx, dy = n * r["x"] - sx, n * r["y"] - sy
+        d2s[r["event_id"]] = (
+            float(cyy) * dx * dx - 2.0 * cxy * dx * dy + float(cxx) * dy * dy
+        ) / det
+    assert abs(sum(d2s.values()) - 2 * n) < 1e-6 * n  # trace identity
+    expect = sorted(d2s, key=lambda e: (-round(d2s[e] * 1e6 + 0.5), e))[:20]
+    assert [r["event_id"] for r in top] == expect

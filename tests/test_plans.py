@@ -52,6 +52,11 @@ NESTED_LOOP_WHITELIST = {
     "similarity_hard_negatives",  # 8-row broadcast anchor set
     "dedup_simhash_quality",      # doc_id < 300 bounded truth arm + 1-row counts
     "tpch_q11_important_parts",   # 1-row broadcast total-value scalar
+    "pipeline_token_budget_epochs",  # 1-row broadcast budget/lambda scalars
+    "similarity_mmr_topk",        # 1-row query + 12-row cached pool pairs
+    "events_psi_drift",           # 1-row broadcast period-total scalars
+    "events_theil_sen_trend",     # |days|≤calendar bounded pair frame + 1-row OLS
+    "events_mahalanobis_outliers",  # 1-row broadcast co-moment scalars
 }
 
 
@@ -912,3 +917,34 @@ def test_tpch_q16_anti_join_and_distinct_pairs(spark, sf_dir):
     assert "In(p_size" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_activity_bitmap_single_shuffle_no_join(spark, sf_dir):
+    """events_activity_bitmap: the whole query is ONE hash aggregate on
+    user_id — partial BIT_ORs combine map-side so the exchange moves a
+    single bigint per user per mask — with every derived column pure
+    projection above it. Any join or second exchange is a regression."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["events_activity_bitmap"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_token_budget_single_corpus_scan(spark, sf_dir):
+    """pipeline_token_budget_epochs: the corpus is scanned ONCE (the
+    (source, tokens) rollup); the water-filling solve above it runs on
+    |sources| rows — a window plus two 1-row broadcast scalars — so no
+    second documents scan and no sort-merge join may appear."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["pipeline_token_budget_epochs"](spark, sf_dir)
+    )
+    # the rollup is materialized (localCheckpoint) before the solve, so
+    # the corpus scan never appears in the solve plan at all — the four
+    # plan legs all read the |sources|-row RDD
+    assert "documents.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan

@@ -2836,3 +2836,690 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed activity bitmaps (the roaring-bitmap pattern, bigint-sized)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_activity_bitmap",
+    """
+    WITH bm AS (
+        SELECT user_id,
+               CAST(bit_or(CAST(1 AS BIGINT) << hour(ts)) AS BIGINT)
+                   AS hour_bitmap,
+               CAST(bit_or(CAST(1 AS BIGINT) << CAST(dayofweek(ts) AS INT))
+                   AS BIGINT) AS dow_bitmap
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, hour_bitmap,
+           CAST(bit_count(hour_bitmap) AS BIGINT) AS n_active_hours,
+           CAST(bit_count(hour_bitmap & 4064) AS BIGINT) AS work_hours,
+           CAST(bit_count((hour_bitmap & (-hour_bitmap)) - 1) AS BIGINT)
+               AS first_hour,
+           CAST(bit_count(dow_bitmap) AS BIGINT) AS n_active_dows,
+           CASE WHEN (hour_bitmap & 63) <> 0 THEN 1 ELSE 0 END AS night_flag
+    FROM bm
+    """,
+)
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-packed per-user activity bitmaps — the roaring-bitmap /
+    bitmap-index pattern at bigint size: one 24-bit hour-of-day mask
+    and one 7-bit day-of-week mask per user, built by BIT_OR
+    aggregation (shiftleft(1, hour) partials OR-combine map-side, so
+    the shuffle moves ONE bigint per user per mask regardless of event
+    count — the whole point of bitmaps at 100 TB, where count-distinct
+    and set-overlap questions become popcounts over pre-ORed masks).
+    Derived columns are pure bit arithmetic, identical in both
+    engines: active-hour popcount, business-hours popcount (mask
+    0b111111100000 = hours 5-11 … 4064 = bits 5..11), lowest set bit
+    via bit_count((b & -b) - 1) (no log2, no float), day-of-week
+    popcount, and a night-activity flag (hours 0-5, mask 63).
+    Day-of-week numbering: Spark dayofweek() is 1=Sunday..7=Saturday
+    and DuckDB dayofweek() is 0=Sunday..6=Saturday — one bit of the
+    8-bit window differs, so the POPCOUNT (not the raw dow mask) is
+    the certified column. Mergeable like a sketch: daily bitmaps OR
+    into weekly into monthly without recount (same algebra the HLL
+    union entry certifies for cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    bm = ev.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(1L, hour(ts))")).alias("hour_bitmap"),
+        F.bit_or(F.expr("shiftleft(1L, dayofweek(ts))")).alias("dow_bitmap"),
+    )
+    b = F.col("hour_bitmap")
+    return bm.select(
+        "user_id",
+        "hour_bitmap",
+        F.bit_count(b).cast("long").alias("n_active_hours"),
+        F.bit_count(b.bitwiseAND(F.lit(4064))).cast("long").alias("work_hours"),
+        F.bit_count(b.bitwiseAND(-b) - 1).cast("long").alias("first_hour"),
+        F.bit_count(F.col("dow_bitmap")).cast("long").alias("n_active_dows"),
+        F.when(b.bitwiseAND(F.lit(63)) != 0, 1).otherwise(0).alias("night_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift monitor: value distribution, first vs second half of the month
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_WIDTH = 5000  # cents per fixed bin; bin 9 is open-ended
+
+
+@_register(
+    "events_psi_drift",
+    f"""
+    WITH e AS (
+        SELECT CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS period,
+               LEAST({_PSI_BINS - 1},
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                         // {_PSI_WIDTH}) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT b.bin,
+               CAST(COALESCE(SUM(CASE WHEN e.period = 0 THEN 1 END), 0)
+                    AS BIGINT) AS n_a,
+               CAST(COALESCE(SUM(CASE WHEN e.period = 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_b
+        FROM range(0, {_PSI_BINS}) AS b(bin)
+        LEFT JOIN e ON e.bin = b.bin
+        GROUP BY b.bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+               CAST(SUM(n_b) AS BIGINT) AS nb_tot
+        FROM counts
+    ),
+    contrib AS (
+        SELECT c.bin, c.n_a, c.n_b,
+               CAST(FLOOR(LN(CAST((c.n_a + 1) * (t.nb_tot + {_PSI_BINS})
+                                  AS DOUBLE)
+                             / CAST((c.n_b + 1) * (t.na_tot + {_PSI_BINS})
+                                    AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro,
+               CAST(FLOOR((CAST(c.n_a + 1 AS DOUBLE)
+                           / CAST(t.na_tot + {_PSI_BINS} AS DOUBLE)
+                           - CAST(c.n_b + 1 AS DOUBLE)
+                             / CAST(t.nb_tot + {_PSI_BINS} AS DOUBLE))
+                          * 1000000000.0 + 0.5) AS BIGINT) AS diff_nano
+        FROM counts c, tot t
+    )
+    SELECT bin, n_a, n_b,
+           CAST(lr_micro * diff_nano AS BIGINT) AS contrib_e15,
+           CAST(SUM(lr_micro * diff_nano) OVER () AS BIGINT) AS psi_e15
+    FROM contrib
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month — THE production drift monitor for a feature/score
+    column (PSI < 0.1 stable, > 0.25 action): fixed 50-dollar cents
+    bins over event value, Laplace-smoothed (+1 per bin so empty bins
+    stay finite), PSI = sum (p_i - q_i) * ln(p_i / q_i). Cross-engine
+    exactness is the zipf/surprisal recipe applied to a two-sample
+    statistic: the log-ratio collapses to ONE division of exact bigint
+    cross-products — ln((n_a+1)(NB+10) / ((n_b+1)(NA+10))) — frozen to
+    micro units, the probability diff frozen to nano units, and the
+    per-bin contribution is their INTEGER product (1e-15 units, max
+    ~5e15, safely bigint), so the sum order cannot matter. The bin
+    spine is generated 0..{_PSI_BINS - 1} so structurally-empty bins
+    still emit rows (a drift monitor that silently drops an empty bin
+    under-reports the shift into it). Scale: one conditional-agg
+    shuffle keyed by bin (10 groups, map-side collapse), totals as a
+    1-row broadcast (whitelisted) — the monitor costs one scan
+    regardless of corpus size, which is why PSI (not a KS test needing
+    a global sort) is the 100 TB drift gate of choice."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("period"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.expr(
+                f"CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) DIV {_PSI_WIDTH}"
+            ),
+        ).alias("bin"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        spine.join(ev, "bin", "left_outer")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 0, 1)), F.lit(0)
+            ).cast("long").alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)
+            ).cast("long").alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("na_tot"),
+        F.sum("n_b").cast("long").alias("nb_tot"),
+    )
+    smooth = _PSI_BINS
+    lr_micro = F.floor(
+        F.log(
+            ((F.col("n_a") + 1) * (F.col("nb_tot") + smooth)).cast("double")
+            / ((F.col("n_b") + 1) * (F.col("na_tot") + smooth)).cast("double")
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    diff_nano = F.floor(
+        (
+            (F.col("n_a") + 1).cast("double")
+            / (F.col("na_tot") + smooth).cast("double")
+            - (F.col("n_b") + 1).cast("double")
+              / (F.col("nb_tot") + smooth).cast("double")
+        )
+        * 1000000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_a", "n_b",
+        (lr_micro * diff_nano).cast("long").alias("contrib_e15"),
+    )
+    return contrib.withColumn(
+        "psi_e15",
+        F.sum("contrib_e15").over(W.rowsBetween(W.unboundedPreceding,
+                                                W.unboundedFollowing)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Half-sample bootstrap CI for the median (deterministic hash replicas)
+# ---------------------------------------------------------------------------
+
+_HS_REPLICAS = 16
+
+
+@_register(
+    "events_median_halfsample_ci",
+    f"""
+    WITH rep AS (
+        SELECT b.b,
+               CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events e
+        JOIN range(0, {_HS_REPLICAS}) AS b(b)
+          ON CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                      || ':' || CAST(b.b AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2 = 0
+    ),
+    ranked AS (
+        SELECT b, cents,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY b) AS n
+        FROM rep
+    ),
+    med AS (
+        SELECT CAST(b AS BIGINT) AS b, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+               CAST(SUM(cents * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                     THEN 2 ELSE 1 END) AS BIGINT)
+                   AS median2x_cents
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY b
+    )
+    SELECT b, n, median2x_cents,
+           CAST(MIN(median2x_cents) OVER () AS BIGINT) AS ci_low2x_cents,
+           CAST(MAX(median2x_cents) OVER () AS BIGINT) AS ci_high2x_cents
+    FROM med
+    """,
+)
+def events_median_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample bootstrap CI for the median event value —
+    {_HS_REPLICAS} DETERMINISTIC half-sample replicas (membership =
+    one md5 parity bit of event_id x replica, so every engine and
+    every rerun draws the same 'random' halves), an exact interpolated
+    median per replica (kept integer as 2x cents: the two middle
+    order statistics summed, doubled when they coincide), and the
+    replica min/max as the CI band. This is the practitioner's
+    no-distribution-assumptions uncertainty for a SCALE-HOSTILE
+    statistic: a median needs a global order, so classic n-resample
+    bootstrap is n x that cost, while hash-replica membership is a
+    free scan-side bit — the replicate fan-out moves only (b, cents)
+    pairs and each replica's median is a per-partition rank pick, the
+    same shape Spark's percentile machinery uses. Ranking ties on
+    cents only: duplicate cents make row order ambiguous but the
+    VALUES at ranks k1/k2 are multiset-determined, so the pick is
+    deterministic anyway. At 100 TB: replicas shard by (b) across the
+    cluster and the {_HS_REPLICAS}x fan-out of one bigint column is
+    the entire overhead (GK sketches answer the same question
+    approximately; this is the exact-arm certification)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rep = (
+        ev.select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_HS_REPLICAS - 1))).alias("b"),
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+    )
+    wb = W.partitionBy("b")
+    ranked = rep.select(
+        "b", "cents",
+        F.row_number().over(wb.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy("b")
+        .agg(
+            F.any_value("n").cast("long").alias("n"),
+            F.sum(
+                F.col("cents")
+                * F.when(
+                    F.expr("(n + 1) DIV 2 = (n + 2) DIV 2"), 2
+                ).otherwise(1)
+            ).cast("long").alias("median2x_cents"),
+        )
+        .select(F.col("b").cast("long").alias("b"), "n", "median2x_cents")
+    )
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return med.select(
+        "b", "n", "median2x_cents",
+        F.min("median2x_cents").over(whole).cast("long").alias("ci_low2x_cents"),
+        F.max("median2x_cents").over(whole).cast("long").alias("ci_high2x_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: activity sessions × error incidents
+# ---------------------------------------------------------------------------
+
+_INC_MIN_ERRORS = 2  # errors per hour that constitute an incident
+
+
+@_register(
+    "events_incident_overlap_join",
+    f"""
+    WITH flags AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         >= 1800000000
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        GROUP BY user_id, sid
+    ),
+    inc AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS incident_hour,
+               MIN(ts) AS incident_start, MAX(ts) AS incident_end
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1
+        HAVING COUNT(*) >= {_INC_MIN_ERRORS}
+    )
+    SELECT s.user_id, s.session_start, s.session_end,
+           i.incident_hour,
+           CAST(epoch_us(LEAST(s.session_end, i.incident_end))
+                - epoch_us(GREATEST(s.session_start, i.incident_start))
+                AS BIGINT) AS overlap_us
+    FROM sess s
+    JOIN (
+        SELECT UNNEST(generate_series(
+                   CAST(date_trunc('hour', session_start) AS TIMESTAMP),
+                   CAST(date_trunc('hour', session_end) AS TIMESTAMP),
+                   INTERVAL 1 HOUR)) AS h,
+               user_id, session_start, session_end
+        FROM sess
+    ) sh ON sh.user_id = s.user_id
+        AND sh.session_start = s.session_start
+    JOIN inc i ON i.incident_hour = sh.h
+    WHERE s.session_start <= i.incident_end
+      AND i.incident_start <= s.session_end
+    """,
+)
+def events_incident_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — the second range-join shape beside the
+    point-in-interval form (range_join_user_pairs): per-user activity
+    sessions (30-min gaps-and-islands over raw spans) against
+    error-burst incident windows (hours with >= {_INC_MIN_ERRORS}
+    errors, spanning first-to-last error), emitting every
+    session x incident pair whose CLOSED intervals overlap plus the
+    exact overlap in integer microseconds. The scale pattern under
+    certification is BUCKET + RESIDUAL: neither side can equi-join on
+    an interval, so sessions explode to the hour grid they cover,
+    the join runs on the hour key (incidents are hour-keyed by
+    construction), and the true overlap predicate applies as a
+    residual — turning an unbounded inequality join into a hash join
+    whose fan-out is bounded by interval length / bucket width, the
+    standard interval-join decomposition every engine (and Spark's own
+    range-join hints) uses. All comparisons are on raw timestamps and
+    epoch-microsecond bigints — no floats anywhere. At 100 TB: bucket
+    width trades fan-out vs residual selectivity; hour buckets keep
+    the exploded side ~session-hours rows, and AQE broadcasts the
+    (small) incident table."""
+    ev = load_table(spark, sf_dir, "events")
+    wuo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(wuo))
+    flags = ev.select(
+        "user_id", "ts",
+        F.when(
+            lag_us.isNull()
+            | (F.unix_micros(F.col("ts")) - lag_us >= 1_800_000_000),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = (
+        flags.withColumn(
+            "sid",
+            F.sum("new_session").over(
+                W.partitionBy("user_id").orderBy("ts").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("sid")
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("incident_hour"))
+        .agg(
+            F.min("ts").alias("incident_start"),
+            F.max("ts").alias("incident_end"),
+            F.count(F.lit(1)).alias("n_err"),
+        )
+        .filter(F.col("n_err") >= _INC_MIN_ERRORS)
+        .drop("n_err")
+    )
+    sh = sess.select(
+        "user_id", "session_start", "session_end",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', session_start),"
+                " date_trunc('hour', session_end), interval 1 hour)"
+            )
+        ).alias("h"),
+    )
+    joined = sh.join(inc, F.col("h") == F.col("incident_hour")).filter(
+        (F.col("session_start") <= F.col("incident_end"))
+        & (F.col("incident_start") <= F.col("session_end"))
+    )
+    return joined.select(
+        "user_id", "session_start", "session_end", "incident_hour",
+        (
+            F.unix_micros(F.least("session_end", "incident_end"))
+            - F.unix_micros(F.greatest("session_start", "incident_start"))
+        ).cast("long").alias("overlap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) over daily revenue
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day',
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2,
+               CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rn,
+               COUNT(*) OVER () AS np
+        FROM pairs
+    ),
+    ts_med AS (
+        SELECT CAST(ANY_VALUE(np) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(FLOOR(slope * 1000000.0 + 0.5) AS BIGINT)
+                        * CASE WHEN (np + 1) // 2 = (np + 2) // 2
+                               THEN 2 ELSE 1 END) AS BIGINT)
+                   AS slope2x_micro
+        FROM ranked WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    ),
+    ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COUNT(*) * SUM(d * rev) - SUM(d) * SUM(rev) AS BIGINT)
+                   AS num,
+               CAST(COUNT(*) * SUM(d * d) - SUM(d) * SUM(d) AS BIGINT) AS den
+        FROM daily
+    )
+    SELECT o.n_days, t.n_pairs, t.slope2x_micro,
+           CAST(FLOOR(CAST(o.num AS DOUBLE) / CAST(o.den AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS ols_slope_micro
+    FROM ts_med t, ols o
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue — the median of all
+    pairwise day-to-day slopes, the estimator that shrugs off the
+    outlier days that twist OLS (29.3% breakdown point vs OLS's one
+    bad point), reported beside the OLS slope from exact bigint
+    moment sums so the robustness gap is visible in one row. Slope
+    ordering uses the raw IEEE quotient (ONE division of exact bigint
+    cents/day diffs — deterministic in both engines); the two middle
+    order statistics are micro-frozen and summed (2x-units, the
+    even/odd-median trick the half-sample CI entry uses). The pair
+    frame is |days| choose 2 — BOUNDED BY THE CALENDAR, not the
+    corpus (435 pairs for a month, ~66k for a decade), so the
+    quadratic step is a constant-size epilogue to one daily-rollup
+    shuffle; at 100 TB only the rollup grows. Day index is anchored
+    to MIN(date) so the x-axis is integer days with no timezone
+    skew."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(base))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("r2"))
+    pairs = a.join(b, F.col("d2") > F.col("d1")).select(
+        "d1", "d2",
+        (
+            (F.col("r2") - F.col("r1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "d1", "d2")).alias("rn"),
+        F.count(F.lit(1)).over(whole).alias("np"),
+    )
+    ts_med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(np + 2) DIV 2"))
+        )
+        .agg(
+            F.any_value("np").cast("long").alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("slope") * 1000000.0 + F.lit(0.5)).cast("long")
+                * F.when(
+                    F.expr("(np + 1) DIV 2 = (np + 2) DIV 2"), 2
+                ).otherwise(1)
+            ).cast("long").alias("slope2x_micro"),
+        )
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("d") * F.col("rev"))
+            - F.sum("d") * F.sum("rev")
+        ).cast("long").alias("num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("d") * F.col("d"))
+            - F.sum("d") * F.sum("d")
+        ).cast("long").alias("den"),
+    )
+    return ts_med.crossJoin(F.broadcast(ols)).select(
+        "n_days", "n_pairs", "slope2x_micro",
+        F.floor(
+            F.col("num").cast("double") / F.col("den").cast("double")
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long").alias("ols_slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Mahalanobis outliers (value × hour) from exact co-moment sums
+# ---------------------------------------------------------------------------
+
+_MAHA_TOPK = 20
+
+
+@_register(
+    "events_mahalanobis_outliers",
+    f"""
+    WITH pts AS (
+        SELECT event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) // 100 AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    ),
+    scored AS (
+        SELECT p.event_id, p.x, p.y,
+               CAST(FLOOR(
+                   (CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)
+                        * CAST(m.n * p.x - m.sx AS DOUBLE)
+                        * CAST(m.n * p.x - m.sx AS DOUBLE)
+                    - 2.0 * CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                        * CAST(m.n * p.x - m.sx AS DOUBLE)
+                        * CAST(m.n * p.y - m.sy AS DOUBLE)
+                    + CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                        * CAST(m.n * p.y - m.sy AS DOUBLE)
+                        * CAST(m.n * p.y - m.sy AS DOUBLE))
+                   / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                        * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)
+                      - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                        * CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT)
+                   AS d2_micro
+        FROM pts p, m
+    )
+    SELECT event_id, x, y, d2_micro
+    FROM scored
+    ORDER BY d2_micro DESC, event_id
+    LIMIT {_MAHA_TOPK}
+    """,
+)
+def events_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MAHA_TOPK} MULTIVARIATE outliers by 2-D Mahalanobis
+    distance over (value-dollars, hour-of-day) — the correlation-aware
+    generalization of the per-axis z-score entry: a point can be
+    normal on each axis yet far from the joint ellipse, and d² =
+    (p-mu)' SIGMA^-1 (p-mu) is what catches it. The 2x2 inverse is
+    CLOSED FORM, so everything derives from five exact bigint co-moment
+    sums (the moment-profile recipe): centered coordinates n*x-Sx,
+    covariance entries n*Sxx-Sx² etc. are all exact integers; the
+    quadratic form then runs in fp64 with an IDENTICAL operation order
+    in both engines (products would overflow int64 at ~1e32, so the
+    doubles are loads of exact integers — no accumulated float error,
+    just one deterministic expression), micro-frozen before the
+    top-{_MAHA_TOPK} pick so the cutoff cannot ULP-flip. Scale: one
+    partial+final co-moment agg (1 row broadcast back), score is a
+    scan-side projection, TakeOrderedAndProject closes — the same
+    2-pass shape as the z-score entry, independent of corpus size.
+    Value uses dollars (cents DIV 100) to keep x² sums far from bigint
+    range at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) DIV 100").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    # C = n²·Σ and the centered coords are n·(p-mu), so the quadratic
+    # form over adj(C)/det(C) IS d² directly — the n factors cancel
+    # (n⁴ in the numerator against n⁴ in det). Σ d²_i = 2n exactly
+    # (population covariance, 2-D), pinned by pytest.
+    d2 = F.floor(
+        (cyy * dx * dx - F.lit(2.0) * cxy * dx * dy + cxx * dy * dy)
+        / (cxx * cyy - cxy * cxy)
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .select("event_id", "x", "y", d2.alias("d2_micro"))
+        .orderBy(F.col("d2_micro").desc(), "event_id")
+        .limit(_MAHA_TOPK)
+    )

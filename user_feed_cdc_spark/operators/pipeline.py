@@ -2302,3 +2302,164 @@ def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(blocked)).cast("long").alias("blocked_terms"),
         ((n_tokens > 0) & (hits * 100 < _BLOCK_RATE_PCT * n_tokens)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation with epoch caps (water-filling mixture solve)
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4          # no source may repeat more than 4 epochs
+_BUDGET_X = 3           # training budget = 3x the corpus token count
+
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    wt AS (
+        SELECT source, tokens,
+               CAST(1 + CAST('0x' || substr(md5(source), 1, 2) AS BIGINT) % 4
+                    AS BIGINT) AS w,
+               CAST({_EPOCH_CAP} * tokens AS BIGINT) AS cap_tokens
+        FROM tok
+    ),
+    tot AS (
+        SELECT CAST({_BUDGET_X} * SUM(tokens) AS BIGINT) AS budget,
+               CAST(SUM(w) AS BIGINT) AS w_total
+        FROM wt
+    ),
+    ordered AS (
+        SELECT wt.*, t.budget, t.w_total,
+               COALESCE(SUM(cap_tokens) OVER (
+                   ORDER BY cap_tokens * 1000000 // w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_cap,
+               COALESCE(SUM(w) OVER (
+                   ORDER BY cap_tokens * 1000000 // w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_w
+        FROM wt, tot t
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN cap_tokens * (w_total - cum_w)
+                         <= w * (budget - cum_cap)
+                    THEN 1 ELSE 0 END AS capped
+        FROM ordered
+    ),
+    lam AS (
+        SELECT CAST(ANY_VALUE(budget)
+                    - COALESCE(SUM(CASE WHEN capped = 1
+                                        THEN cap_tokens END), 0)
+                    AS BIGINT) AS nc,
+               CAST(ANY_VALUE(w_total)
+                    - COALESCE(SUM(CASE WHEN capped = 1 THEN w END), 0)
+                    AS BIGINT) AS nd
+        FROM flagged
+    )
+    SELECT source, w, tokens, cap_tokens,
+           CAST(capped AS BIGINT) AS capped,
+           CAST(CASE WHEN capped = 1 THEN cap_tokens
+                     ELSE nc * w // nd END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN capped = 1 THEN cap_tokens
+                     ELSE nc * w // nd END * 1000000 // tokens
+                AS BIGINT) AS epochs_ppm
+    FROM flagged, lam
+"""
+
+
+@_register("pipeline_token_budget_epochs", _TOKEN_BUDGET_ORACLE)
+def pipeline_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget allocation — the WATER-FILLING solve
+    behind every published LLM data recipe that names per-source
+    mixture weights plus a max-repeat rule (e.g. the Pile's epoch
+    factors, LLaMA's sampling proportions): given a training budget of
+    {_BUDGET_X}x the corpus, per-source desired weights w (here a
+    deterministic md5-derived 1..4 stand-in for the exogenous recipe
+    table), and a hard cap of {_EPOCH_CAP} epochs per source, allocate
+    alloc_s = min(cap_s, lambda*w_s) with lambda set so the total
+    exactly spends the budget. The greedy/KKT solution is CLOSED-FORM
+    once sources are sorted by cap/w: the capped set is a prefix, and
+    row j is capped iff cap_j*(W - cumW_{{j-1}}) <= w_j*(B - cumC_{{j-1}})
+    — one window over EXCLUSIVE prefix sums, every comparison
+    cross-multiplied bigint (no division until the final per-source
+    quotient, emitted as integer tokens and exact ppm epochs). Scale:
+    ONE (source, token-count) shuffle over the corpus, materialized
+    (localCheckpoint) so the four solve legs never re-touch the scan
+    (plan-gated); the solve itself runs on |sources| rows — a window ordered by an integer
+    ratio key plus two 1-row broadcast scalars (whitelisted) — so the
+    allocation is the same O(corpus scan) at 100 TB, where this
+    decides what a 10^6-GPU-hour run actually reads. Uncapped-set
+    contiguity: if row j is uncapped then lambda only decreases for
+    j+1 while its ratio grows, so the per-row prefix test IS the
+    sequential algorithm (pinned by pytest identities)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+            .cast("long")
+            .alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    wt = tok.select(
+        "source",
+        "tokens",
+        (
+            F.lit(1)
+            + F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long") % 4
+        ).cast("long").alias("w"),
+        (F.lit(_EPOCH_CAP) * F.col("tokens")).cast("long").alias("cap_tokens"),
+        # The solve fans this frame into four plan legs (rows, budget
+        # scalar, capped flags, lambda scalar); materializing the
+        # |sources|-row rollup here keeps the corpus scan at exactly
+        # ONE regardless of how many legs read it (plan-gated).
+    ).localCheckpoint(eager=True)
+    tot = wt.agg(
+        (F.lit(_BUDGET_X) * F.sum("tokens")).cast("long").alias("budget"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    win = (
+        W.orderBy(F.expr("cap_tokens * 1000000 DIV w"), "source")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = (
+        wt.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cap", F.coalesce(F.sum("cap_tokens").over(win), F.lit(0)))
+        .withColumn("cum_w", F.coalesce(F.sum("w").over(win), F.lit(0)))
+        .withColumn(
+            "capped",
+            F.when(
+                F.col("cap_tokens") * (F.col("w_total") - F.col("cum_w"))
+                <= F.col("w") * (F.col("budget") - F.col("cum_cap")),
+                1,
+            ).otherwise(0).cast("long"),
+        )
+    )
+    lam = flagged.agg(
+        (
+            F.any_value("budget")
+            - F.coalesce(
+                F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))), F.lit(0)
+            )
+        ).cast("long").alias("nc"),
+        (
+            F.any_value("w_total")
+            - F.coalesce(F.sum(F.when(F.col("capped") == 1, F.col("w"))), F.lit(0))
+        ).cast("long").alias("nd"),
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(
+        F.expr("nc * w DIV nd")
+    )
+    return flagged.crossJoin(F.broadcast(lam)).select(
+        "source", "w", "tokens", "cap_tokens", "capped",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            "CAST(CASE WHEN capped = 1 THEN cap_tokens"
+            " ELSE nc * w DIV nd END * 1000000 DIV tokens AS BIGINT)"
+        ).alias("epochs_ppm"),
+    )

@@ -1420,3 +1420,161 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idot",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance diversified top-k (Carbonell & Goldstein
+# 1998), the retrieval-diversity selector training-data pipelines use to
+# avoid filling a context/batch with near-duplicate passages
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 12  # relevance-ranked candidate pool the greedy solve runs on
+_MMR_K = 5      # diversified picks
+
+
+@_register(
+    "similarity_mmr_topk",
+    f"""
+    WITH RECURSIVE
+    emb AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 64.0) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT qe AS qv FROM emb WHERE vec_id = 0),
+    rel AS (
+        SELECT e.vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                             i -> e.qe[i] * q.qv[i])) AS BIGINT) AS rel_iscore
+        FROM emb e, q
+        WHERE e.vec_id <> 0
+    ),
+    cand AS (
+        SELECT vec_id, rel_iscore FROM rel
+        ORDER BY rel_iscore DESC, vec_id LIMIT {_MMR_POOL}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_sum(list_transform(range(1, 65),
+                             i -> ea.qe[i] * eb.qe[i])) AS BIGINT) AS sim
+        FROM cand a JOIN emb ea ON ea.vec_id = a.vec_id,
+             cand b JOIN emb eb ON eb.vec_id = b.vec_id
+        WHERE a.vec_id <> b.vec_id
+    ),
+    sel(step, picked, redundancy, sel_ids) AS (
+        SELECT 1,
+               (SELECT vec_id FROM cand
+                ORDER BY rel_iscore DESC, vec_id LIMIT 1),
+               CAST(NULL AS BIGINT),
+               [(SELECT vec_id FROM cand
+                 ORDER BY rel_iscore DESC, vec_id LIMIT 1)]
+        UNION ALL
+        SELECT s.step + 1, nxt.vec_id, nxt.redundancy,
+               list_append(s.sel_ids, nxt.vec_id)
+        FROM sel s, LATERAL (
+            SELECT c.vec_id,
+                   (SELECT MAX(p.sim) FROM pairs p
+                    WHERE p.va = c.vec_id
+                      AND list_contains(s.sel_ids, p.vb)) AS redundancy
+            FROM cand c
+            WHERE NOT list_contains(s.sel_ids, c.vec_id)
+            ORDER BY c.rel_iscore
+                     - (SELECT MAX(p.sim) FROM pairs p
+                        WHERE p.va = c.vec_id
+                          AND list_contains(s.sel_ids, p.vb)) DESC,
+                     c.vec_id
+            LIMIT 1) nxt
+        WHERE s.step < {_MMR_K}
+    )
+    SELECT CAST(s.step AS BIGINT) AS rank, s.picked AS vec_id,
+           c.rel_iscore, s.redundancy,
+           CAST(c.rel_iscore - COALESCE(s.redundancy, 0) AS BIGINT)
+               AS mmr_iscore
+    FROM sel s JOIN cand c ON c.vec_id = s.picked
+    """,
+)
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) for query vec_id=0: greedily pick {_MMR_K} of the
+    {_MMR_POOL} most query-relevant vectors, each round maximizing
+    relevance MINUS max-similarity-to-already-picked (lambda = 1/2,
+    folded into integer scores: mmr = rel - max_sim, both int8-style
+    quantized dots, so the argmax edge is exact in both engines; ties
+    break on vec_id). This is the selector that keeps a RAG context or
+    a curated training batch from being {_MMR_K} copies of the same
+    passage — redundancy is measured against what is already chosen,
+    not the query. Execution shape: the DISTRIBUTED work is the
+    relevance top-{_MMR_POOL} over the corpus (TakeOrderedAndProject,
+    query broadcast — the certified similarity_cosine_topk plan) plus
+    one {_MMR_POOL}x{_MMR_POOL} pairwise-dot frame; both are cached
+    tiny frames, and the greedy solve is {_MMR_K - 1} rounds of
+    anti-join + max + 1-row TakeOrdered over them — pure DataFrame
+    composition, nothing collected, no Python in the loop. At 100 TB
+    only the pool retrieval grows (and swaps to the IVF/LSH arm);
+    greedy MMR stays O(K·POOL) regardless of corpus size. Oracle: the
+    same greedy unrolled as a DuckDB recursive CTE carrying the
+    selected-id list."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qe")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "qe",
+            _int_dot(F.col("qe"), F.col("qv")).alias("rel_iscore"),
+        )
+        .orderBy(F.col("rel_iscore").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .cache()
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select("va", "vb", _int_dot(F.col("ea"), F.col("eb")).alias("sim"))
+        .cache()
+    )
+    pool = cand.select("vec_id", "rel_iscore")
+    selected = (
+        pool.orderBy(F.col("rel_iscore").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel_iscore",
+            F.lit(None).cast("long").alias("redundancy"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        chosen = selected.select(F.col("vec_id").alias("sel_id"))
+        red = (
+            pairs.join(
+                F.broadcast(chosen), F.col("vb") == F.col("sel_id"), "left_semi"
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("redundancy"))
+        )
+        pick = (
+            pool.join(F.broadcast(chosen), pool.vec_id == F.col("sel_id"), "left_anti")
+            .join(red, pool.vec_id == F.col("va"))
+            .orderBy(
+                (F.col("rel_iscore") - F.col("redundancy")).desc(), "vec_id"
+            )
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                "vec_id",
+                "rel_iscore",
+                "redundancy",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.withColumn(
+        "mmr_iscore",
+        (F.col("rel_iscore") - F.coalesce(F.col("redundancy"), F.lit(0))).cast(
+            "long"
+        ),
+    )
