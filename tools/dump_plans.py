@@ -83,6 +83,13 @@ REPRESENTATIVE = [
     "tpch_q22_sales_opportunity",  # anti join + 1-row integer-avg broadcast
     "similarity_lsh_recall",   # union of per-table (tbl,bucket) hash joins
     "pipeline_k_anonymity",    # QI rollup → summary: two partial-agged hash aggs
+    "tpch_q6_forecast_revenue",  # pure pushdown: 3 PushedFilters, 4-col schema
+    "tpch_q2_min_cost_supplier",  # correlated MIN → one window, TakeOrdered
+    "tpch_q16_supplier_diversity",  # distinct pairs + NOT-IN-anti + count distinct
+    "events_activity_bitmap",  # BIT_OR masks: one exchange, zero joins
+    "pipeline_token_budget_epochs",  # checkpointed rollup + prefix-sum window solve
+    "events_incident_overlap_join",  # bucket+residual interval join
+    "events_mahalanobis_outliers",  # 1-row co-moment broadcast + scan-side score
 ]
 
 
