@@ -156,6 +156,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_mmr_topk", "events_psi_drift",
         "events_median_halfsample_ci", "events_incident_overlap_join",
         "events_theil_sen_trend", "events_mahalanobis_outliers",
+        "events_sequence_pattern", "events_cusum_changepoint",
+        "events_autocorrelation", "source_xml_roundtrip",
+        "multimodal_audio_spectrum",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -2404,3 +2404,128 @@ def test_mahalanobis_trace_identity(spark, sf_dir):
     assert abs(sum(d2s.values()) - 2 * n) < 1e-6 * n  # trace identity
     expect = sorted(d2s, key=lambda e: (-round(d2s[e] * 1e6 + 0.5), e))[:20]
     assert [r["event_id"] for r in top] == expect
+
+
+def test_sequence_pattern_python_replay(spark, sf_dir):
+    """Replay the letter-fold and regex for three users in Python
+    (ordered by (ts, event_id), exactly like the window) and pin the
+    matched flag + non-overlapping count; matched must equal
+    n_matches > 0 on every row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    rows = em.queries()["events_sequence_pattern"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["matched"] == (1 if r["n_matches"] > 0 else 0)
+    got = {r["user_id"]: r for r in rows}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", F.substring("event_type", 1, 1)
+                .alias("ch"))
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append((e["ts"], e["event_id"],
+                                                     e["ch"]))
+    pat = re.compile("v[^e]*c[^e]*p")
+    for uid in sorted(by_user)[:3]:
+        seq = "".join(ch for _, _, ch in sorted(by_user[uid]))
+        assert got[uid]["n_events"] == len(seq)
+        assert got[uid]["n_matches"] == len(pat.findall(seq))
+
+
+def test_cusum_and_acf_identities(spark, sf_dir):
+    """CUSUM: the reported peak must equal the Python argmax over the
+    exact integer statistic rebuilt from the daily rollup (earliest-day
+    tie-break, sign included). ACF: n_pairs = n_days - lag for every
+    lag, every coefficient within [-1, 1] modulo the freeze quantum,
+    and lag-1 replayed exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"),
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+                .alias("cents"))
+        .collect()
+    )
+    d0 = min(e["day"] for e in ev)
+    rev = {}
+    for e in ev:
+        rev[(e["day"] - d0).days] = rev.get((e["day"] - d0).days, 0) + e["cents"]
+    days = sorted(rev)
+    base = [rev[d] for d in days if d < 7]
+    n0, bsum = len(base), sum(base)
+    s, prefix, best = {}, 0, None
+    for i, d in enumerate(days, start=1):
+        prefix += rev[d]
+        s[d] = n0 * prefix - i * bsum
+        if best is None or abs(s[d]) > best[0]:
+            best = (abs(s[d]), d, 1 if s[d] > 0 else (-1 if s[d] < 0 else 0))
+    r = em.queries()["events_cusum_changepoint"](spark, sf_dir).collect()[0]
+    assert r["n_days"] == len(days)
+    assert r["max_abs_cusum_scaled"] == best[0]
+    assert r["change_day"] == best[1]
+    assert r["direction"] == best[2]
+
+    acf = {a["lag"]: a for a in
+           em.queries()["events_autocorrelation"](spark, sf_dir).collect()}
+    assert set(acf) == set(range(1, 8))
+    for lag, a in acf.items():
+        assert a["n_pairs"] == len(days) - lag
+        assert abs(a["acf_micro"]) <= 1000001
+    xs = [(rev[d], rev[d + 1]) for d in days if d + 1 in rev]
+    n = len(xs)
+    sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+    sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    r1 = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(
+        n * syy - sy * sy)
+    assert acf[1]["acf_micro"] == math.floor(r1 * 1e6 + 0.5)
+
+
+def test_audio_spectrum_pure_tones_and_parseval(spark, sf_dir):
+    """Certify the FFT analysis itself (the registry entry is rows-only
+    by contract): synthesized pure tones land in exactly their bin
+    with >99% of non-DC power; Parseval ties spectral power to
+    time-domain energy; and the Spark entry emits one integer row per
+    WAV doc with bins inside the rfft range."""
+    import math
+
+    import numpy as np
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.multimodal import audio_spectrum
+
+    n = 96
+    for k in (1, 3, 7, 17, 40):
+        tone = [int(12000 * math.sin(2 * math.pi * k * i / n))
+                for i in range(n)]
+        bin_, ppm, nb = audio_spectrum(tone)
+        assert bin_ == k and ppm > 990_000 and nb == n // 2 + 1
+    two = [int(8000 * math.sin(2 * math.pi * 5 * i / n)
+               + 3000 * math.sin(2 * math.pi * 11 * i / n))
+           for i in range(n)]
+    bin_, ppm, _ = audio_spectrum(two)
+    assert bin_ == 5 and 500_000 < ppm < 990_000
+    # Parseval: sum|X|^2 / n == sum s^2 (within float tolerance)
+    x = np.asarray(two, dtype=np.float64)
+    full = np.abs(np.fft.fft(x)) ** 2
+    assert abs(full.sum() / n - (x * x).sum()) < 1e-3 * (x * x).sum() + 1e-6
+
+    rows = em.queries()["multimodal_audio_spectrum"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dominant_bin"] <= r["n_samples"] // 2
+        assert 0 <= r["dom_power_ppm"] <= 1_000_000

@@ -57,6 +57,8 @@ NESTED_LOOP_WHITELIST = {
     "events_psi_drift",           # 1-row broadcast period-total scalars
     "events_theil_sen_trend",     # |days|≤calendar bounded pair frame + 1-row OLS
     "events_mahalanobis_outliers",  # 1-row broadcast co-moment scalars
+    "events_cusum_changepoint",   # 1-row baseline/peak broadcast scalars
+    "events_autocorrelation",     # 1-row min-date broadcast anchor
 }
 
 

@@ -3523,3 +3523,281 @@ def events_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("d2_micro").desc(), "event_id")
         .limit(_MAHA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE / CEP emulation)
+# ---------------------------------------------------------------------------
+
+_SEQ_PATTERN = "v[^e]*c[^e]*p"  # view → click → purchase, no error between
+
+
+@_register(
+    "events_sequence_pattern",
+    f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CASE WHEN regexp_matches(seq, '{_SEQ_PATTERN}')
+                THEN 1 ELSE 0 END AS matched,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT)
+               AS n_matches
+    FROM seqs
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-SEQUENCE pattern matching — the MATCH_RECOGNIZE / CEP
+    operator class, emulated the classic way Spark (which lacks
+    MATCH_RECOGNIZE) does it: each user's event-type stream collapses
+    to a letter string in exact (ts, event_id) order, and the pattern
+    'view, then click, then purchase, with no error anywhere between'
+    becomes the regex {_SEQ_PATTERN!r} evaluated per user — matched
+    flag plus non-overlapping match count (both engines scan leftmost
+    greedy non-overlapping, verified identical). The alphabet is the
+    5 event types' distinct initials, so one char per event. Scale:
+    ONE groupBy shuffle moving single chars per event; the per-user
+    string is bounded by per-user activity, and a real deployment
+    bounds it harder by sessionizing first (the session entry's
+    gaps-and-islands key slots in as a second GROUP BY column
+    unchanged). The regex then runs scan-side over the grouped rows —
+    no joins, no explosion, which is exactly why the string-fold
+    emulation is the standard pattern for funnels-with-exclusion at
+    warehouse scale (Snowflake/Flink expose MATCH_RECOGNIZE; this IS
+    its NFA run, one user at a time)."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ).getField("ch"),
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.when(
+            F.col("seq").rlike(_SEQ_PATTERN), 1
+        ).otherwise(0).alias("matched"),
+        F.expr(f"regexp_count(seq, '{_SEQ_PATTERN}')").cast("long").alias(
+            "n_matches"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over daily revenue
+# ---------------------------------------------------------------------------
+
+_CUSUM_BASELINE_DAYS = 7
+
+
+@_register(
+    "events_cusum_changepoint",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day',
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(SUM(rev) AS BIGINT) AS base_sum,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily WHERE d < {_CUSUM_BASELINE_DAYS}
+    ),
+    cusum AS (
+        SELECT d.d, d.rev,
+               CAST(b.n0 * SUM(d.rev) OVER (ORDER BY d.d
+                                            ROWS UNBOUNDED PRECEDING)
+                    - (ROW_NUMBER() OVER (ORDER BY d.d)) * b.base_sum
+                    AS BIGINT) AS s_scaled
+        FROM daily d, base b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(ABS(s_scaled)) AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(MIN(CASE WHEN ABS(s_scaled) =
+                         (SELECT MAX(ABS(s_scaled)) FROM cusum)
+                    THEN d END) AS BIGINT) AS change_day,
+           CAST(MAX(CASE WHEN ABS(s_scaled) =
+                         (SELECT MAX(ABS(s_scaled)) FROM cusum)
+                    THEN SIGN(s_scaled) END) AS BIGINT) AS direction
+    FROM cusum
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue — the classical
+    monitoring statistic beside the PSI entry (PSI asks 'did the
+    distribution drift between two snapshots'; CUSUM asks WHEN the
+    level shifted): S_d = running sum of deviations from the
+    first-{_CUSUM_BASELINE_DAYS}-day baseline mean, change point =
+    argmax |S_d|. Everything stays in EXACT integers by
+    cross-multiplying the baseline mean away — S_scaled(d) =
+    n0 * prefix_sum(rev) - rank(d) * baseline_sum, bigint cents — so
+    the argmax day and direction cannot ULP-flip (ties resolve to the
+    earliest day). Scale: one daily-rollup shuffle, one ordered
+    prefix-sum window over |days| rows, a 1-row baseline broadcast
+    (whitelisted) — the detector is calendar-sized no matter the
+    corpus. On this stationary generator the detected shift is noise
+    (pinned small relative to n0*sigma*sqrt(n) by pytest), which is
+    itself the monitoring contract: a flat series must not alarm."""
+    ev = load_table(spark, sf_dir, "events")
+    base_day = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(base_day))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    base = daily.filter(F.col("d") < _CUSUM_BASELINE_DAYS).agg(
+        F.sum("rev").cast("long").alias("base_sum"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(base)).select(
+        "d",
+        (
+            F.col("n0") * F.sum("rev").over(wd)
+            - F.row_number().over(W.orderBy("d")) * F.col("base_sum")
+        ).cast("long").alias("s_scaled"),
+    )
+    peak = cusum.agg(F.max(F.abs(F.col("s_scaled"))).alias("peak"))
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.any_value("peak").cast("long").alias("max_abs_cusum_scaled"),
+            F.min(
+                F.when(F.abs(F.col("s_scaled")) == F.col("peak"), F.col("d"))
+            ).cast("long").alias("change_day"),
+            F.max(
+                F.when(
+                    F.abs(F.col("s_scaled")) == F.col("peak"),
+                    F.signum(F.col("s_scaled")),
+                )
+            ).cast("long").alias("direction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue (lags 1..7)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@_register(
+    "events_autocorrelation",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day',
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM range(1, {_ACF_MAX_LAG + 1}) AS l(lag)
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag
+    ),
+    sums AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / SQRT(CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS acf_micro
+    FROM sums
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..{_ACF_MAX_LAG} —
+    the third leg of the time-series monitoring kit (PSI: distribution
+    drift; CUSUM: level shift; ACF: periodicity — a weekly cycle shows
+    as a lag-7 spike). Each lag's Pearson r comes from exact bigint
+    co-moment sums over the (x_t, x_(t+lag)) pairs; the only float ops
+    are one division and two IEEE-exact SQRTs (the safe subset per
+    the cross-engine rule: no pow, no ln on the value path), frozen to
+    micro units. The lag join is daily-vs-daily on d+lag — an
+    equi-join on a calendar-sized frame, so like the Theil-Sen entry
+    the cost is ONE daily-rollup shuffle and a constant-size epilogue;
+    the lag spine explodes {_ACF_MAX_LAG}x |days| rows, nothing
+    corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    base_day = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(base_day))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("rev").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("lag"),
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("y"))
+    lagged = a.join(b, F.col("db") == F.col("da") + F.col("lag"))
+    sums = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    deny = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.floor(num / denx / deny * 1000000.0 + F.lit(0.5)).cast("long").alias(
+            "acf_micro"
+        ),
+    )

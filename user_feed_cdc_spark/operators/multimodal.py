@@ -1115,3 +1115,75 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, energy long, peak long, "
         "zero_crossings long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectrum: DFT dominant-frequency featurization over decoded PCM
+# ---------------------------------------------------------------------------
+
+
+def audio_spectrum(samples: list[int]) -> tuple[int, int, int]:
+    """(dominant_bin, dom_power_ppm, n_bins) of an int16 PCM clip via
+    the real DFT: dominant_bin = argmax over k >= 1 of |X_k|^2
+    (DC excluded — it is offset, not pitch; ties break to the lowest
+    bin), dom_power_ppm = that bin's share of non-DC spectral power in
+    integer ppm. numpy's rfft is deterministic for identical input;
+    the emitted values are integers so downstream certification is
+    float-free. Pytest certifies the analysis itself: synthesized
+    pure tones land in their exact bin with > 99% of the power, and
+    Parseval's identity ties total spectral power back to the
+    time-domain energy the certified audio_stats entry computes."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    if len(spec) <= 1:
+        return 0, 0, int(len(spec))
+    body = spec[1:]
+    total = float(body.sum())
+    k = int(body.argmax()) + 1  # argmax takes the FIRST max: lowest bin
+    ppm = int(body[k - 1] * 1_000_000 // total) if total > 0 else 0
+    return k, ppm, int(len(spec))
+
+
+@_register("multimodal_audio_spectrum", None)  # numpy FFT → rows-only
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL featurization over decoded PCM — the first genuinely
+    frequency-domain stage of the audio ladder (audio_stats is pure
+    time-domain): per clip, the dominant DFT bin and its share of
+    non-DC power, the cheap pitch/tonality fingerprint an audio corpus
+    pipeline computes for language/music/noise routing before any
+    model. Same certified plumbing as every multimodal stage: real
+    RIFF/WAVE containers from with_media_payload, decode_wav inside
+    the Arrow-batched mapInPandas, numpy rfft per clip (96 samples —
+    vectorized C, no Python loop over samples), integer-only output
+    columns. No SQL oracle can run an FFT, so the entry is rows-only
+    BY CONTRACT with the analysis itself pytest-certified (pure-tone
+    bin placement + Parseval against the hash-certified energy
+    column). At 100 TB: payload bytes stream through Python once;
+    (doc_id, 3 ints) is all that ever shuffles; clip-level FFTs are
+    embarrassingly parallel and O(n log n) in clip length."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 1)
+    )
+    mm = with_media_payload(docs).select("doc_id", "payload")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "dominant_bin": [],
+                   "dom_power_ppm": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                k, ppm, _nb = audio_spectrum(samples)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["dominant_bin"].append(k)
+                out["dom_power_ppm"].append(ppm)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, n_samples long, dominant_bin long, dom_power_ppm long",
+    )

@@ -23,6 +23,10 @@ Format notes (all verified lossless for the events schema):
   strings; the JSON `props` column exercises quoting/escaping.
 - JSON lines: same timestamp pin; Jackson doubles are shortest
   round-trip.
+- XML (built-in as of Spark 4): rowTag-framed elements, same
+  microsecond timestamp pin; entity escaping of the JSON `props`
+  payload (quotes, angle brackets) is exactly what the
+  props-length column certifies.
 
 At 100 TB: these readers are scan-parallel like parquet (file-split
 based); explicit schemas skip the inference pass that would otherwise
@@ -98,10 +102,14 @@ def roundtrip_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = _scratch_path(f"events_{fmt}", sf_dir, key)
 
     opts = {}
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         opts["timestampFormat"] = _TS_FMT
     if fmt == "csv":
         opts["header"] = "true"
+    if fmt == "xml":
+        # Spark 4 ships the (formerly spark-xml) source built in; a
+        # rowTag is mandatory on both sides of the trip
+        opts["rowTag"] = "event"
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
@@ -167,7 +175,7 @@ def _make_entry(fmt: str):
     return entry
 
 
-for _fmt in ("orc", "csv", "json"):
+for _fmt in ("orc", "csv", "json", "xml"):
     _register(f"source_{_fmt}_roundtrip", _ROUNDTRIP_ORACLE)(_make_entry(_fmt))
 
 
