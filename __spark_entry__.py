@@ -137,8 +137,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_binary_hamming_topk", "similarity_rerank_topk",
         "similarity_ivf_kmeans_topk", "similarity_ann_lsh",
         "multimodal_binary_stats",
-        # TPC-H-shape completions (late r08; never certified — queue
-        # behind the announced r09 leaders, ahead of the stale tail)
+        # Late-r08 additions (TPC-H completion through the final
+        # analytics/retrieval batch; never certified — queue behind
+        # the announced r09 leaders, ahead of the stale tail; every
+        # one is hash-green in CORRECTNESS_LOCAL_r08 at sf0.01)
         "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
         "tpch_q7_volume_shipping", "tpch_q8_market_share",
         "tpch_q10_returned_items", "tpch_q13_customer_distribution",
@@ -158,7 +160,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_theil_sen_trend", "events_mahalanobis_outliers",
         "events_sequence_pattern", "events_cusum_changepoint",
         "events_autocorrelation", "source_xml_roundtrip",
-        "multimodal_audio_spectrum",
+        "multimodal_audio_spectrum", "graph_personalized_pagerank",
+        "dedup_containment_pairs",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -2529,3 +2529,83 @@ def test_audio_spectrum_pure_tones_and_parseval(spark, sf_dir):
     for r in rows:
         assert 1 <= r["dominant_bin"] <= r["n_samples"] // 2
         assert 0 <= r["dom_power_ppm"] <= 1_000_000
+
+
+def test_containment_flags_and_asymmetric_case(spark, sf_dir):
+    """Output flags must agree with the exact integer cross-multiplied
+    definition on every emitted pair; and a constructed strict-subset
+    pair (A quoted whole inside a much longer B) must flag a_in_b=1 /
+    b_in_a=0 while its Jaccard sits far below the 0.8 bar — the case
+    the symmetric entry structurally misses, certified even though
+    this generator's planted dups happen to be symmetric."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.operators.dedup import shingles
+
+    rows = em.queries()["dedup_containment_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["a_in_b"] == (1 if r["inter"] * 5 >= 4 * r["n_a"] else 0)
+        assert r["b_in_a"] == (1 if r["inter"] * 5 >= 4 * r["n_b"] else 0)
+        assert r["inter"] <= min(r["n_a"], r["n_b"])
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b_text = a_text + " " + " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame([(1, a_text), (2, b_text)], "doc_id long, text string")
+    sh = df.select("doc_id", shingles(F.col("text"), 3).alias("ss"))
+    a = sh.filter("doc_id = 1").select(F.col("ss").alias("ss_a"))
+    b = sh.filter("doc_id = 2").select(F.col("ss").alias("ss_b"))
+    r = a.crossJoin(b).select(
+        F.size(F.array_intersect("ss_a", "ss_b")).alias("inter"),
+        F.size("ss_a").alias("na"), F.size("ss_b").alias("nb"),
+    ).collect()[0]
+    assert r["inter"] * 5 >= 4 * r["na"]      # A contained in B
+    assert r["inter"] * 5 < 4 * r["nb"]       # B not contained in A
+    union = r["na"] + r["nb"] - r["inter"]
+    assert r["inter"] / union < 0.2           # Jaccard misses it
+
+
+def test_personalized_pagerank_seed_locality(spark, sf_dir):
+    """PPR structure: exact Python replay of the 3-iteration loop from
+    the derived (+1,+2) edge rule matches every score; mass is
+    conserved minus dangling leakage (sum <= 1); every positive score
+    sits within 2 hops' reach of a seed in iteration terms; and the
+    zero set is exactly the nodes the replay says get no mass."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: r["ppr"]
+        for r in em.queries()["graph_personalized_pagerank"](spark, sf_dir)
+        .collect()
+    }
+    users = sorted(
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().collect()
+    )
+    uset = set(users)
+    edges = [
+        (u, u + k) for u in users for k in (1, 2) if u + k in uset
+    ]
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    seeds = [u for u in users if u % 17 == 0]
+    ns = float(len(seeds))
+    tele = {u: (1.0 / ns if u % 17 == 0 else 0.0) for u in users}
+    r = dict(tele)
+    for _ in range(3):
+        s = {u: 0.0 for u in users}
+        for u, v in edges:
+            s[v] += r[u] / deg[u]
+        r = {u: 0.15 * tele[u] + 0.85 * s[u] for u in users}
+    import math
+
+    for u in users:
+        assert got[u] == math.floor(r[u] * 1e6 + 0.5) / 1e6, u
+    # each emitted score is half-up micro-rounded, so the sum can sit
+    # up to 0.5e-6 per node above the true (<= 1) mass
+    assert sum(got.values()) <= 1.0 + 5e-7 * len(got)
+    assert all(v >= 0 for v in got.values())

@@ -59,6 +59,7 @@ NESTED_LOOP_WHITELIST = {
     "events_mahalanobis_outliers",  # 1-row broadcast co-moment scalars
     "events_cusum_changepoint",   # 1-row baseline/peak broadcast scalars
     "events_autocorrelation",     # 1-row min-date broadcast anchor
+    "dedup_containment_pairs",    # doc_id < 250 bounded exact baseline
 }
 
 

@@ -1321,3 +1321,86 @@ def dedup_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("true_positives", "candidate_pairs").alias("precision_ppm"),
         ppm("true_positives", "truth_pairs").alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: subset-duplication the symmetric Jaccard misses
+# ---------------------------------------------------------------------------
+
+_CONT_BOUND = 250
+_CONT_NUM = 4   # containment threshold 4/5 = 0.8, compared exactly
+_CONT_DEN = 5
+
+
+@_register(
+    "dedup_containment_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   AS ss
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE doc_id < {_CONT_BOUND}
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+           CAST(len(a.ss) AS BIGINT) AS n_a,
+           CAST(len(b.ss) AS BIGINT) AS n_b,
+           CASE WHEN len(list_intersect(a.ss, b.ss)) * {_CONT_DEN}
+                     >= {_CONT_NUM} * len(a.ss) THEN 1 ELSE 0 END
+               AS a_in_b,
+           CASE WHEN len(list_intersect(a.ss, b.ss)) * {_CONT_DEN}
+                     >= {_CONT_NUM} * len(b.ss) THEN 1 ELSE 0 END
+               AS b_in_a
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ss, b.ss)) * {_CONT_DEN}
+          >= {_CONT_NUM} * LEAST(len(a.ss), len(b.ss))
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle CONTAINMENT C(A→B) = |A∩B| / |A| over the
+    bounded window — the subset-duplication detector the symmetric
+    Jaccard entry structurally misses: a short doc quoted whole inside
+    a long one has high containment but LOW Jaccard (the union is
+    dominated by the long side), and real pipelines (CCNet,
+    RefinedWeb, Broder's original resemblance-vs-containment split)
+    test BOTH. 3-token shingle sets, threshold 0.8 compared as exact
+    integer cross-multiplication (inter*5 >= 4*|A|), both directions
+    emitted per surviving pair so the asymmetry is visible in the
+    output. Bounded O(n²) by contract like dedup_ngram_jaccard (the
+    ground-truth arm); the scale path reuses the SAME MinHash banding
+    machinery — E[minhash match] estimates Jaccard, and containment
+    derives from it via |A∩B| = j/(1+j)·(|A|+|B|) with exact set
+    sizes, so no new corpus-scale operator is needed, just this exact
+    twin to certify against. Ref parity: SURVEY §2.3 E2 (near-dup
+    family)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CONT_BOUND)
+        .select("doc_id", shingles(F.col("text"), 3).alias("ss"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    na, nb = F.size("ss_a"), F.size("ss_b")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter * _CONT_DEN >= _CONT_NUM * F.least(na, nb))
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("inter"),
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            F.when(inter * _CONT_DEN >= _CONT_NUM * na, 1).otherwise(0).alias(
+                "a_in_b"
+            ),
+            F.when(inter * _CONT_DEN >= _CONT_NUM * nb, 1).otherwise(0).alias(
+                "b_in_a"
+            ),
+        )
+    )

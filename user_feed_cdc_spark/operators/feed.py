@@ -641,3 +641,104 @@ def feed_page_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page": 100,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart random walk) — recommendation scores
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+_PPR_SEED_MOD = 17  # seed set: user_id % 17 == 0
+
+
+def _ppr_oracle(iters: int) -> str:
+    """Unrolled personalized-PageRank iterations (same chained-CTE
+    treatment as _pagerank_oracle): the teleport term returns mass to
+    the SEED SET instead of uniformly, r0 concentrates there, so the
+    fixpoint scores proximity to the seeds."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    r{k + 1} AS (
+        SELECT u.user_id,
+               0.15 * (CASE WHEN u.user_id % {_PPR_SEED_MOD} = 0
+                            THEN 1.0 / ns.ns ELSE CAST(0 AS DOUBLE) END)
+               + 0.85 * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+        FROM users u
+        CROSS JOIN ns
+        LEFT JOIN (
+            SELECT e.following_id AS user_id, SUM(p.r / d.d) AS s
+            FROM followers e
+            JOIN r{k} p ON p.user_id = e.follower_id
+            JOIN deg d ON d.follower_id = e.follower_id
+            GROUP BY e.following_id
+        ) c ON c.user_id = u.user_id
+    )""")
+    return (
+        _FOLLOWERS_CTE
+        + f"""
+    , deg AS (SELECT follower_id, COUNT(*) AS d FROM followers GROUP BY 1),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM users
+           WHERE user_id % {_PPR_SEED_MOD} = 0),
+    r0 AS (SELECT user_id,
+                  CASE WHEN user_id % {_PPR_SEED_MOD} = 0
+                       THEN 1.0 / ns.ns ELSE CAST(0 AS DOUBLE) END AS r
+           FROM users CROSS JOIN ns),"""
+        + ",".join(steps)
+        + f"""
+    SELECT user_id, FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS ppr
+    FROM r{iters}
+    """
+    )
+
+
+@_register("graph_personalized_pagerank", _ppr_oracle(_PPR_ITERS))
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank — the random walk restarts at a SEED SET
+    (user_id % {17} == 0) instead of uniformly, so the fixpoint scores
+    every user's graph proximity TO THE SEEDS: the classic
+    who-to-follow / feed-candidate-source signal (Twitter's WTF
+    system), and the one PageRank variant a feed engine actually
+    serves per-cohort. Same deterministic 3-iteration power loop and
+    unrolled-CTE oracle as graph_pagerank; the only changes are the
+    restart vector (mass 1/|S| on seeds, 0 elsewhere) and the teleport
+    term (0.15 to seeds only) — per-node SUMs still have ≤ 2 addends
+    (in-degree ≤ 2 here), so IEEE addition order cannot move a bit and
+    only the final score is micro-rounded. At 100 TB the scale shape
+    is graph_pagerank's (rank vector iterates, edges persist
+    partitioned by follower_id) with one PPR-specific win: scores
+    decay geometrically from the seeds, so after k hops the non-zero
+    frontier — not the whole vertex set — is the working state, and a
+    per-cohort batch of PPR runs shares the one edge frame. Ref
+    parity: the reference's feed is exactly 'activities of users I
+    follow' (/root/reference/main.py:136-190); PPR is its ranking
+    extension over the same derived follow graph."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    edges = derived_followers(spark, sf_dir)
+    deg = edges.groupBy("follower_id").agg(F.count(F.lit(1)).alias("d"))
+    seeds = users.filter(F.col("user_id") % _PPR_SEED_MOD == 0)
+    ns = float(seeds.count())  # one scalar, mirrored by the oracle's ns CTE
+    teleport = F.when(
+        F.col("user_id") % _PPR_SEED_MOD == 0, F.lit(1.0) / F.lit(ns)
+    ).otherwise(F.lit(0.0))
+    rank = users.withColumn("r", teleport)
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges.join(rank, edges["follower_id"] == rank["user_id"])
+            .join(deg, "follower_id")
+            .select(
+                F.col("following_id").alias("user_id"),
+                (F.col("r") / F.col("d")).alias("c"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = users.join(contrib, "user_id", "left").select(
+            "user_id",
+            (
+                F.lit(0.15) * teleport
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return rank.select("user_id", r2(F.col("r"), 6).alias("ppr"))
