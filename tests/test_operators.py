@@ -2609,3 +2609,27 @@ def test_personalized_pagerank_seed_locality(spark, sf_dir):
     # up to 0.5e-6 per node above the true (<= 1) mass
     assert sum(got.values()) <= 1.0 + 5e-7 * len(got)
     assert all(v >= 0 for v in got.values())
+
+
+def test_streaming_bitmap_matches_batch_and_is_idempotent(spark, sf_dir):
+    """The live BIT_OR stream must equal the batch bitmap on the shared
+    columns, and OR-ing any replica of per-batch partial masks into the
+    final mask must change nothing (idempotence — the property that
+    makes bitmap state replay/retry-safe without exactly-once
+    machinery)."""
+    import __spark_entry__ as em
+
+    live = {
+        r["user_id"]: (r["hour_bitmap"], r["n_active_hours"])
+        for r in em.queries()["streaming_activity_bitmap_live"](
+            spark, sf_dir
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["hour_bitmap"], r["n_active_hours"])
+        for r in em.queries()["events_activity_bitmap"](spark, sf_dir)
+        .collect()
+    }
+    assert live == batch
+    for b, n in live.values():
+        assert (b | b) == b and bin(b).count("1") == n

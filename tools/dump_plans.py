@@ -90,6 +90,9 @@ REPRESENTATIVE = [
     "pipeline_token_budget_epochs",  # checkpointed rollup + prefix-sum window solve
     "events_incident_overlap_join",  # bucket+residual interval join
     "events_mahalanobis_outliers",  # 1-row co-moment broadcast + scan-side score
+    "events_sequence_pattern",  # letter-fold + scan-side regex, zero joins
+    "graph_personalized_pagerank",  # seed-restart Pregel-on-dataframes loop
+    "dedup_containment_pairs",  # bounded exact arm of the containment family
 ]
 
 

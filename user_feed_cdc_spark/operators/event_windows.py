@@ -3801,3 +3801,49 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf_micro"
         ),
     )
+
+
+@_register(
+    "streaming_activity_bitmap_live",
+    """
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << hour(ts)) AS BIGINT)
+               AS hour_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << hour(ts))) AS BIGINT)
+               AS n_active_hours
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_activity_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BITMAP aggregate live under the oracle gate — sixth live
+    streaming family after fixed windows, merging windows, dedup
+    state, stream joins, and HLL distinct: per-user hour-of-day masks
+    accumulate by BIT_OR over the replayed event file stream (complete
+    mode, availableNow drain, memory sink hashed against the batch
+    GROUP BY). BIT_OR is idempotent and commutative, which makes it
+    the ideal streaming accumulator: replays, retries, and
+    out-of-order arrival CANNOT corrupt the state (a|a = a), so unlike
+    counters it needs no exactly-once reasoning to stay correct — the
+    property that makes bitmap presence state the production choice
+    for 'was user X active in hour H' at 100 TB, and the streaming
+    half of the batch events_activity_bitmap entry's OR-mergeability
+    story. State is ONE bigint per user per mask — the smallest
+    per-key streaming state in the whole registry."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    bm = stream.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(1L, hour(ts))")).alias("hour_bitmap")
+    )
+    agg = bm.select(
+        "user_id", "hour_bitmap",
+        F.bit_count(F.col("hour_bitmap")).cast("long").alias("n_active_hours"),
+    )
+    return run_to_memory(
+        spark, agg, "streaming_activity_bitmap_live_sink", "complete"
+    )
