@@ -162,6 +162,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_autocorrelation", "source_xml_roundtrip",
         "multimodal_audio_spectrum", "graph_personalized_pagerank",
         "dedup_containment_pairs", "streaming_activity_bitmap_live",
+        "dedup_source_signatures",
         # ---- positions 51+ ----
         # r05-certified tail (r09 window draws from here)
         "multimodal_frame_sample",

@@ -2633,3 +2633,66 @@ def test_streaming_bitmap_matches_batch_and_is_idempotent(spark, sf_dir):
     assert live == batch
     for b, n in live.values():
         assert (b | b) == b and bin(b).count("1") == n
+
+
+def test_source_signature_discrimination(spark, sf_dir):
+    """The fixture saturates (one shared vocabulary → every source pair
+    near-identical), so discrimination is certified on constructed
+    sources: an identical pair must agree on all 16 signature
+    positions with exact Jaccard 1, a disjoint pair must land near 0
+    on both arms, and on the real fixture the estimate must track the
+    exact arm within the binomial error of 16 hashes."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    rows = em.queries()["dedup_source_signatures"](spark, sf_dir).collect()
+    assert len(rows) == 190  # C(20,2)
+    for r in rows:
+        # 16-hash binomial: se = sqrt(j(1-j)/16) <= 0.125 → 4 se bound
+        assert abs(r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]) <= 500_000
+        assert r["inter"] <= r["un"]
+
+    docs = spark.createDataFrame(
+        [
+            ("dupA", "apple banana cherry date elder fig grape"),
+            ("dupB", "apple banana cherry date elder fig grape"),
+            ("other", "xray yankee zulu quebec romeo sierra tango"),
+        ],
+        "source string, text string",
+    )
+    tok = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    ).distinct()
+    sig = (
+        tok.select(
+            "source", "token",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"),
+                                       F.col("token"))), 1, 8),
+                    16, 10,
+                ).cast("long")
+            ).alias("mh")
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in sig:
+        by_src.setdefault(r["source"], {})[r["h"]] = r["mh"]
+    dup_matches = sum(
+        by_src["dupA"][h] == by_src["dupB"][h] for h in range(16)
+    )
+    cross_matches = sum(
+        by_src["dupA"][h] == by_src["other"][h] for h in range(16)
+    )
+    assert dup_matches == 16
+    assert cross_matches == 0

@@ -1404,3 +1404,168 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level dedup: mergeable per-source MinHash signatures
+# ---------------------------------------------------------------------------
+
+_SRC_SIG_HASHES = 16
+
+
+@_register(
+    "dedup_source_signatures",
+    f"""
+    WITH tok AS (
+        SELECT DISTINCT source, t AS token
+        FROM documents,
+             UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS u(t)
+    ),
+    sig AS (
+        SELECT source, h,
+               MIN(CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':'
+                                            || token), 1, 8) AS BIGINT))
+                   AS mh
+        FROM tok, range(0, {_SRC_SIG_HASHES}) AS r(h)
+        GROUP BY source, h
+    ),
+    psig AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sig_matches
+        FROM sig a JOIN sig b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+    SELECT p.src_a, p.src_b, p.sig_matches,
+           CAST(p.sig_matches * 1000000 // {_SRC_SIG_HASHES} AS BIGINT)
+               AS est_jaccard_ppm,
+           CAST(COALESCE(e.inter, 0) AS BIGINT) AS inter,
+           CAST(na.n + nb.n - COALESCE(e.inter, 0) AS BIGINT) AS un,
+           CAST(COALESCE(e.inter, 0) * 1000000
+                // (na.n + nb.n - COALESCE(e.inter, 0)) AS BIGINT)
+               AS exact_jaccard_ppm
+    FROM psig p
+    LEFT JOIN ex e ON e.src_a = p.src_a AND e.src_b = p.src_b
+    JOIN sz na ON na.source = p.src_a
+    JOIN sz nb ON nb.source = p.src_b
+    """,
+)
+def dedup_source_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-level dedup — duplicated DUMPS, not duplicated docs: each
+    source's whole token set collapses to a {_SRC_SIG_HASHES}-hash
+    MinHash signature, and every source pair is scored by signature
+    agreement (E[matches/k] = Jaccard) beside the EXACT token-set
+    Jaccard, both in integer ppm under one hash gate. This is the
+    curation step that catches a re-crawled or re-labeled copy of an
+    entire dump before doc-level dedup ever runs — CommonCrawl snapshot
+    overlap, dataset-collection double-inclusion — and the signature is
+    the reason it scales: MIN is associative/commutative, so per-shard
+    signatures MERGE like the HLL/bitmap family (min of mins), the
+    full corpus never co-locates, and comparing S sources costs
+    S·k integers, not S token sets. The exact arm here is the bounded
+    certification twin (|sources|² pairs over this fixture); at 10^4
+    sources the estimate IS the product and the exact arm runs on
+    flagged pairs only. All hashing is md5-derived 32-bit integers —
+    bit-identical cross-engine, like every certified MinHash twin in
+    this family (SURVEY §2.3 E2). Fixture note: this generator draws
+    every source from ONE shared vocabulary, so all 190 pairs score as
+    near-duplicate dumps (exact Jaccard 0.97-1.0) — a legitimately
+    pathological all-duplicates corpus that saturates the harness;
+    DISCRIMINATION (dup pair → 16/16 matches, disjoint pair → ~0) is
+    pinned by pytest on constructed disjoint/identical sources."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    sig = (
+        tok.select(
+            "source", "token",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SRC_SIG_HASHES - 1))
+            ).alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("h").cast("string"),
+                                F.lit(":"),
+                                F.col("token"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("mh")
+        )
+    )
+    a = sig.select(
+        F.col("source").alias("src_a"), "h", F.col("mh").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"), "h", F.col("mh").alias("mh_b")
+    )
+    psig = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).cast("long").alias("sig_matches")
+        )
+    )
+    ta = tok.select(F.col("source").alias("src_a"), "token")
+    tb = tok.select(F.col("source").alias("src_b"), "token")
+    ex = (
+        ta.join(tb, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    un = F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        psig.join(ex, ["src_a", "src_b"], "left_outer")
+        .join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a", "src_b", "sig_matches",
+            F.expr(
+                f"CAST(sig_matches * 1000000 DIV {_SRC_SIG_HASHES} AS BIGINT)"
+            ).alias("est_jaccard_ppm"),
+            F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter"),
+            un.cast("long").alias("un"),
+            (
+                F.coalesce(F.col("inter"), F.lit(0)) * 1000000
+            ).cast("long").alias("_num"),
+        )
+        .withColumn(
+            "exact_jaccard_ppm",
+            F.expr("CAST(_num DIV un AS BIGINT)"),
+        )
+        .drop("_num")
+    )
