@@ -76,6 +76,25 @@ def main() -> int:
         sec / base[n] for n, sec in full.items() if n in base and base[n] > 0
     )
     host_factor = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    # Sanity bound: calibrating by the suite-wide median would absorb a
+    # genuine UNIFORM regression (e.g. a global config change slowing
+    # most queries ~1.35x) into host_factor and flag nothing. A median
+    # drift beyond HOST_FACTOR_BOUND is no longer plausibly host noise
+    # (observed boot-to-boot drift is 1.1-1.4x); above it we refuse to
+    # calibrate silently — warn loudly and clamp the factor to the
+    # bound so the per-query holds re-engage on the excess.
+    HOST_FACTOR_BOUND = 1.5
+    host_factor_raw = host_factor
+    if host_factor > HOST_FACTOR_BOUND:
+        print(
+            f"  WARNING suite-wide median ratio {host_factor:.2f}x exceeds "
+            f"the host-calibration sanity bound ({HOST_FACTOR_BOUND}x); "
+            f"this looks like a real global slowdown, not host drift — "
+            f"clamping host_factor to {HOST_FACTOR_BOUND}x so per-query "
+            f"holds re-engage",
+            file=sys.stderr,
+        )
+        host_factor = HOST_FACTOR_BOUND
 
     regressions, noise_notes, improved, new = {}, {}, 0, []
     for name, sec in full.items():
@@ -103,7 +122,7 @@ def main() -> int:
         print(f"  UNMEASURED {name}: baselined but absent from BENCH_FULL.json")
     print(
         f"{len(full)} benched | {len(base)} baselined | {len(new)} new | "
-        f"host_factor {host_factor:.2f}x | "
+        f"host_factor {host_factor:.2f}x (raw {host_factor_raw:.2f}x) | "
         f"{improved} faster than baseline | {len(regressions)} regressed "
         f"(> {threshold}x host-adjusted and > {floor}s) | "
         f"{len(noise_notes)} noise-band | {len(unmeasured)} unmeasured"

@@ -3628,16 +3628,20 @@ _CUSUM_BASELINE_DAYS = 7
                     - (ROW_NUMBER() OVER (ORDER BY d.d)) * b.base_sum
                     AS BIGINT) AS s_scaled
         FROM daily d, base b
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_days,
+               MAX(ABS(s_scaled)) AS max_abs,
+               MIN(CASE WHEN ABS(s_scaled) =
+                        (SELECT MAX(ABS(s_scaled)) FROM cusum)
+                   THEN d * 4 + CAST(SIGN(s_scaled) AS BIGINT) + 1 END) AS enc
+        FROM cusum
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(MAX(ABS(s_scaled)) AS BIGINT) AS max_abs_cusum_scaled,
-           CAST(MIN(CASE WHEN ABS(s_scaled) =
-                         (SELECT MAX(ABS(s_scaled)) FROM cusum)
-                    THEN d END) AS BIGINT) AS change_day,
-           CAST(MAX(CASE WHEN ABS(s_scaled) =
-                         (SELECT MAX(ABS(s_scaled)) FROM cusum)
-                    THEN SIGN(s_scaled) END) AS BIGINT) AS direction
-    FROM cusum
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(max_abs AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(enc // 4 AS BIGINT) AS change_day,
+           CAST(enc % 4 - 1 AS BIGINT) AS direction
+    FROM stats
     """,
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3649,8 +3653,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax |S_d|. Everything stays in EXACT integers by
     cross-multiplying the baseline mean away — S_scaled(d) =
     n0 * prefix_sum(rev) - rank(d) * baseline_sum, bigint cents — so
-    the argmax day and direction cannot ULP-flip (ties resolve to the
-    earliest day). Scale: one daily-rollup shuffle, one ordered
+    the argmax day and direction cannot ULP-flip. Ties at max |S|
+    resolve to the EARLIEST day, and direction is decoded from that
+    same row (a single min over an enc = day*4 + sign+1 packing), so a
+    simultaneous +peak/-peak tie cannot report a direction belonging
+    to a different day than change_day. Scale: one daily-rollup shuffle, one ordered
     prefix-sum window over |days| rows, a 1-row baseline broadcast
     (whitelisted) — the detector is calendar-sized no matter the
     corpus. On this stationary generator the detected shift is noise
@@ -3689,15 +3696,25 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.any_value("peak").cast("long").alias("max_abs_cusum_scaled"),
+            # Encode (day, sign) of every peak-tied row into one bigint,
+            # enc = d*4 + sign+1 (sign+1 in {0,1,2}, d >= 0), and take the
+            # MIN: both fields then decode from the SAME earliest-tied
+            # row, so direction can never belong to a different day than
+            # change_day when a +peak and a -peak tie at equal |S|.
             F.min(
-                F.when(F.abs(F.col("s_scaled")) == F.col("peak"), F.col("d"))
-            ).cast("long").alias("change_day"),
-            F.max(
                 F.when(
                     F.abs(F.col("s_scaled")) == F.col("peak"),
-                    F.signum(F.col("s_scaled")),
+                    F.col("d") * 4
+                    + F.signum(F.col("s_scaled")).cast("long")
+                    + 1,
                 )
-            ).cast("long").alias("direction"),
+            ).alias("_enc"),
+        )
+        .select(
+            "n_days",
+            "max_abs_cusum_scaled",
+            (F.col("_enc") / 4).cast("long").alias("change_day"),
+            (F.col("_enc") % 4 - 1).cast("long").alias("direction"),
         )
     )
 

@@ -1580,6 +1580,12 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two cached pool frames (measured at sf0.1: 14.2→8.9 s cold,
         # 5.8→2.1 s warm).
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    # The final-round localCheckpoint above is eager, so every pick is
+    # already materialized and the two cached pool frames can be
+    # released now — otherwise each invocation leaks two cached frames
+    # for the session lifetime.
+    cand.unpersist(blocking=False)
+    pairs.unpersist(blocking=False)
     return selected.withColumn(
         "mmr_iscore",
         (F.col("rel_iscore") - F.coalesce(F.col("redundancy"), F.lit(0))).cast(

@@ -901,7 +901,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
                {_CENTS_SQL}
                  - CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
-                   * CAST(l.l_quantity AS BIGINT) AS amount_cents
+                   * CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS amount_cents
         FROM lineitem l
         JOIN part p     ON p.p_partkey = l.l_partkey
                        AND p.p_name LIKE 'blue %'
@@ -917,8 +917,13 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     which this schema lacks): profit on blue parts per supplier nation
     per order year, where profit = discounted revenue minus
     retail-cost-of-goods. Both money legs are frozen to bigint cents
-    BEFORE the subtraction (quantity is integral in this generator, so
-    cost = retail_cents x qty is exact), making the per-line amount —
+    BEFORE the subtraction, and quantity is frozen the same way as the
+    money columns — FLOOR(q + 0.5) on both engines — because DuckDB's
+    CAST(double AS BIGINT) rounds-to-nearest while Spark's
+    cast('long') truncates toward zero; a fractional quantity would
+    silently diverge the hash under the naive casts (quantities are
+    integral in this generator, but the freeze makes the contract
+    generator-independent). This keeps the per-line amount —
     and therefore every SUM order — engine-exact. Plan: the p_name
     LIKE probe is the selective one (1/8 of parts) and broadcasts into
     the lineitem scan first; supplier+nation broadcast; the single
@@ -944,7 +949,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         _cents().alias("rev_cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
