@@ -62,19 +62,133 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
 
     # Registration order is the driver's check order, and the driver only
     # certifies a PREFIX of the registry (each round covers the first 50
-    # entries). Rotation policy: NEW + DRIVER-FAILED entries first, then
-    # never-certified, then stalest-certification-first. Round-8 window
-    # = new r08 entries + the two r07 driver failures (both reshaped to
-    # scalar output this round) + the 24 round-7 additions that have
-    # never had a driver row + stale-r05 fill to 50. The r05 tail and
-    # the r06 batch follow in r09/r10.
+    # entries). Rotation policy (documented since r08): NEW +
+    # DRIVER-FAILED entries first, then never-certified, then
+    # stalest-certification-first. Round-9 window = 50 entries drawn
+    # EXCLUSIVELY from the 69 never-driver-certified entries (r08
+    # VERDICT directive #1: burn down certification debt before growing
+    # the registry) — the full TPC-H completion sweep, the PQ/MMR/
+    # LSH-recall similarity arm, the r08 stats family (KM survival,
+    # CUPED, power analysis, CUSUM), and all 4 uncertified live
+    # streaming gates. The three entries whose CODE changed this round
+    # (tpch_q9 quantity freeze, cusum tie-row decode, mmr unpersist)
+    # are all inside the window so the changes get a driver row
+    # immediately. 19 never-certified entries spill past the boundary
+    # and LEAD the r10 window together with the (capped) r09 additions,
+    # reaching zero backlog in r10.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r08 window ----
-        # new in round 8 (never certified)
+        # ---- r09 window: never-driver-certified entries only ----
+        "events_dow_seasonality", "cdc_lifecycle_violations",
+        "similarity_pq_topk", "multimodal_audio_stats", "text_vocab_oov_rate",
+        "text_js_divergence_sources", "pipeline_data_card",
+        "events_revenue_concentration", "pipeline_shard_skew_report",
+        "tpch_q18_large_orders", "tpch_q17_small_quantity_revenue",
+        "events_survival_km", "pipeline_temperature_mixture",
+        "sketch_heavy_hitters_bounded", "cdc_incremental_agg_maintenance",
+        "text_phrase_search", "tpch_q21_waiting_suppliers",
+        "events_cuped_adjustment", "streaming_interval_join_live",
+        "pipeline_weighted_sample", "events_power_analysis",
+        "streaming_two_level_rollup_live", "streaming_stateful_totals_live",
+        "source_bucketed_join", "events_stickiness_ratio",
+        "events_growth_accounting", "asof_cogrouped_merge",
+        "text_arrow_byte_stats", "tpch_q4_priority_exists",
+        "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q10_returned_items",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_suppliers", "tpch_q22_sales_opportunity",
+        "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
+        "tpch_q9_product_type_profit", "tpch_q11_important_parts",
+        "tpch_q12_latency_priority", "tpch_q16_supplier_diversity",
+        "similarity_lsh_recall", "events_cusum_changepoint",
+        "similarity_mmr_topk", "streaming_activity_bitmap_live",
+        "graph_personalized_pagerank",
+        # ---- window boundary (the driver certifies the 50 above) ----
+        # never-certified spill — leads the r10 window
+        "pipeline_score_calibration", "pipeline_k_anonymity",
+        "dedup_minhash_quality", "similarity_hard_negatives",
+        "pipeline_blocklist_filter", "dedup_simhash_quality",
+        "events_activity_bitmap", "pipeline_token_budget_epochs",
+        "events_psi_drift", "events_median_halfsample_ci",
+        "events_incident_overlap_join", "events_theil_sen_trend",
+        "events_mahalanobis_outliers", "events_sequence_pattern",
+        "events_autocorrelation", "source_xml_roundtrip",
+        "multimodal_audio_spectrum", "dedup_containment_pairs",
+        "dedup_source_signatures",
+        # new-in-r09 entries queue here (behind the spill, ahead of the
+        # certified tail) so the r10 window = spill + r09 additions
+        # reaches zero backlog
+        # ---- certified tail, stalest driver row first ----
+        # last certified r05
+        "cdc_canonical_activities", "events_sliding_counts",
+        "events_session_stats", "events_attribution_join",
+        "events_trending_users", "range_join_user_pairs",
+        "asof_last_purchase", "asof_last_purchase_tolerance",
+        "dedup_exact_latest_event", "dedup_minhash_md5_pairs",
+        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
+        "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
+        "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
+        "similarity_ann_lsh", "multimodal_binary_stats",
+        "multimodal_frame_sample", "multimodal_feature_extract",
+        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
+        "split_stratified_train", "pipeline_corpus_clean",
+        "pipeline_decontaminate", "sketch_distinct_users",
+        "sketch_value_quantiles", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_new_docs",
+        "dedup_embedding_cosine", "dedup_embedding_lsh", "text_token_counts",
+        "text_doc_stats", "text_quality_scores", "text_lang_id",
+        "text_fingerprints", "text_regex_tokens", "text_tfidf_top_terms",
+        "text_repetition_scores", "pipeline_zorder_stats",
+        # last certified r06
+        "asof_next_purchase", "similarity_lsh_md5_buckets",
+        "sketch_distinct_users_bounded", "events_daily_retention",
+        "events_cohort_matrix", "pricing_summary", "filter_project",
+        "join_inner", "join_left_outer", "join_semi", "join_anti",
+        "join_broadcast_dim", "join_multiway_region_revenue", "agg_distinct",
+        "agg_percentiles", "agg_salted_hot_keys", "rollup_flag_status",
+        "cube_status_priority", "grouping_sets_revenue", "case_when_pivot",
+        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
+        "window_rank_family", "window_running_analytics",
+        "window_range_frame", "window_topk_per_customer",
+        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
+        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
+        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
+        "multimodal_rollup", "pipeline_pack_sequences",
+        "pipeline_shuffle_shards", "pipeline_source_mixture",
+        "pipeline_mixture_weighted", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_label_centroid_dist",
+        "similarity_quantized_topk", "text_bigram_top_terms",
+        "text_chunk_documents", "text_lang_rollup",
+        "text_winnow_fingerprints",
+        # last certified r07
+        "sketch_value_quantiles_bounded", "sketch_top_users",
+        "sketch_top_users_bounded", "sketch_bloom_prefilter",
+        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
+        "agg_sorted_strings", "agg_argmax_funcs", "join_lateral_topk",
+        "join_salted_skew", "join_null_aware_anti", "window_value_functions",
+        "pivot_event_type_revenue", "graph_two_hop_reach",
+        "graph_triangle_count", "graph_pagerank",
+        "graph_connected_components", "graph_reachability_recursive",
+        "events_rfm_segments", "events_value_histogram",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized", "similarity_matryoshka_topk",
+        "dedup_minhash_md5_clusters", "multimodal_resize",
+        "text_boilerplate_ngrams", "text_edit_distance_pairs",
+        "text_bpe_merge_pairs", "text_bigram_surprisal",
+        "text_udtf_sentences", "pipeline_boilerplate_filter",
+        "pipeline_quality_mixture", "pipeline_reservoir_sample",
+        "pipeline_pii_scrub", "pipeline_training_funnel",
+        "pipeline_profile_columns", "pipeline_quality_checks",
+        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
+        "streaming_hourly_rollup_live", "streaming_session_stats_live",
+        "streaming_dedup_live", "streaming_hourly_users_live",
+        "feed_topk_per_user",
+        # last certified r08 (freshest)
         "multimodal_resize_certified", "cdc_merge_into_state",
         "text_tfidf_cosine_pairs", "events_moment_profile",
         "events_corr_value_hour", "events_iqr_outliers",
@@ -85,152 +199,20 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "window_distribution_ranks", "pipeline_contamination_score",
         "events_ab_test_ztest", "tpch_q3_shipping_priority",
         "events_day_over_day_growth", "events_ewma_values",
-        # failed the r07 driver canonicalizer (ARRAY outputs — reshaped
-        # to scalar CSV this round; must re-certify)
         "similarity_pandas_udf_normalize", "text_hashed_features",
-        # round-7 additions, never driver-certified
-        "dedup_substring_windows", "dedup_semantic",
-        "pipeline_dsir_weights", "text_zipf_slope",
-        "streaming_enrich_join_live", "asof_nearest_purchase",
-        "sql_pipe_pricing", "multimodal_phash_dedup",
-        "text_inverted_index", "text_bm25_topk",
-        "events_groupmap_ranks", "pipeline_curriculum_order",
-        "events_conversion_wilson_ci", "events_type_cooccurrence",
-        "events_lag_features", "events_multitouch_attribution",
-        "source_orc_roundtrip", "source_csv_roundtrip",
-        "source_json_roundtrip", "source_partitioned_pruned",
-        "source_schema_evolution", "source_json_permissive",
-        "source_python_datasource", "events_grouped_agg_mad",
-        # stale r05-certified entries fill the window to 50
-        "feed_single_user_page",
+        "dedup_substring_windows", "dedup_semantic", "pipeline_dsir_weights",
+        "text_zipf_slope", "streaming_enrich_join_live",
+        "asof_nearest_purchase", "sql_pipe_pricing", "multimodal_phash_dedup",
+        "text_inverted_index", "text_bm25_topk", "events_groupmap_ranks",
+        "pipeline_curriculum_order", "events_conversion_wilson_ci",
+        "events_type_cooccurrence", "events_lag_features",
+        "events_multitouch_attribution", "source_orc_roundtrip",
+        "source_csv_roundtrip", "source_json_roundtrip",
+        "source_partitioned_pruned", "source_schema_evolution",
+        "source_json_permissive", "source_python_datasource",
+        "events_grouped_agg_mad", "feed_single_user_page",
         "feed_single_user_page_offset", "join_full_outer",
         "events_hourly_rollup",
-        # ---- window boundary (the driver certifies the 50 above) ----
-        # new in round 8, past the window by design (it is at capacity);
-        # never certified — these LEAD the r09 window under the
-        # never-certified-first policy, a one-round lag with full
-        # local-gate evidence in CORRECTNESS_LOCAL_r08
-        "events_dow_seasonality", "cdc_lifecycle_violations",
-        "similarity_pq_topk", "multimodal_audio_stats",
-        "text_vocab_oov_rate", "text_js_divergence_sources",
-        "pipeline_data_card", "events_revenue_concentration",
-        "pipeline_shard_skew_report",
-        "tpch_q18_large_orders", "tpch_q17_small_quantity_revenue",
-        "events_survival_km", "pipeline_temperature_mixture",
-        "sketch_heavy_hitters_bounded",
-        "cdc_incremental_agg_maintenance", "text_phrase_search",
-        "tpch_q21_waiting_suppliers", "events_cuped_adjustment",
-        "streaming_interval_join_live",
-        "pipeline_weighted_sample", "events_power_analysis",
-        "streaming_two_level_rollup_live",
-        "streaming_stateful_totals_live", "source_bucketed_join",
-        "events_stickiness_ratio", "events_growth_accounting",
-        "asof_cogrouped_merge", "text_arrow_byte_stats",
-        "cdc_canonical_activities",
-        "events_sliding_counts", "events_session_stats",
-        "events_attribution_join", "events_trending_users",
-        "range_join_user_pairs", "asof_last_purchase",
-        "asof_last_purchase_tolerance", "dedup_exact_latest_event",
-        "dedup_minhash_md5_pairs", "cdc_scd2_history",
-        "text_unigram_surprisal", "similarity_knn_join",
-        "pipeline_decontaminate_fuzzy",
-        "similarity_binary_hamming_topk", "similarity_rerank_topk",
-        "similarity_ivf_kmeans_topk", "similarity_ann_lsh",
-        "multimodal_binary_stats",
-        # Late-r08 additions (TPC-H completion through the final
-        # analytics/retrieval batch; never certified — queue behind
-        # the announced r09 leaders, ahead of the stale tail; every
-        # one is hash-green in CORRECTNESS_LOCAL_r08 at sf0.01)
-        "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
-        "tpch_q7_volume_shipping", "tpch_q8_market_share",
-        "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-        "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
-        "tpch_q22_sales_opportunity",
-        "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
-        "tpch_q9_product_type_profit", "tpch_q11_important_parts",
-        "tpch_q12_latency_priority", "tpch_q16_supplier_diversity",
-        "similarity_lsh_recall", "pipeline_score_calibration",
-        "pipeline_k_anonymity", "dedup_minhash_quality",
-        "similarity_hard_negatives", "pipeline_blocklist_filter",
-        "dedup_simhash_quality",
-        "events_activity_bitmap", "pipeline_token_budget_epochs",
-        "similarity_mmr_topk", "events_psi_drift",
-        "events_median_halfsample_ci", "events_incident_overlap_join",
-        "events_theil_sen_trend", "events_mahalanobis_outliers",
-        "events_sequence_pattern", "events_cusum_changepoint",
-        "events_autocorrelation", "source_xml_roundtrip",
-        "multimodal_audio_spectrum", "graph_personalized_pagerank",
-        "dedup_containment_pairs", "streaming_activity_bitmap_live",
-        "dedup_source_signatures",
-        # ---- positions 51+ ----
-        # r05-certified tail (r09 window draws from here)
-        "multimodal_frame_sample",
-        "multimodal_feature_extract",
-        "cdc_upsert_state", "cdc_metadata_map_stats",
-        "cdc_dead_letter_stats",
-        "split_stratified_train", "pipeline_corpus_clean",
-        "pipeline_decontaminate",
-        "sketch_distinct_users", "sketch_value_quantiles",
-        "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_incremental_new_docs",
-        "dedup_embedding_cosine", "dedup_embedding_lsh",
-        "text_token_counts", "text_doc_stats", "text_quality_scores",
-        "text_lang_id", "text_fingerprints", "text_regex_tokens",
-        "text_tfidf_top_terms", "text_repetition_scores",
-        "pipeline_zorder_stats",
-        # certified green in r06
-        "asof_next_purchase", "similarity_lsh_md5_buckets",
-        "sketch_distinct_users_bounded", "events_daily_retention",
-        "events_cohort_matrix",
-        "pricing_summary", "filter_project", "join_inner",
-        "join_left_outer", "join_semi", "join_anti",
-        "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
-        "rollup_flag_status", "cube_status_priority",
-        "grouping_sets_revenue", "case_when_pivot",
-        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
-        "window_rank_family", "window_running_analytics",
-        "window_range_frame", "window_topk_per_customer",
-        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract",
-        "null_safe_funcs", "array_funcs",
-        "events_funnel_conversion",
-        "dedup_simhash_md5",
-        "multimodal_rollup",
-        "pipeline_pack_sequences", "pipeline_shuffle_shards",
-        "pipeline_source_mixture", "pipeline_mixture_weighted",
-        "similarity_cosine_topk", "similarity_ivf_topk",
-        "similarity_label_centroid_dist", "similarity_quantized_topk",
-        "text_bigram_top_terms", "text_chunk_documents",
-        "text_lang_rollup", "text_winnow_fingerprints",
-        # certified green in r07 (freshest)
-        "sketch_value_quantiles_bounded", "sketch_top_users",
-        "sketch_top_users_bounded", "sketch_bloom_prefilter",
-        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
-        "agg_sorted_strings", "agg_argmax_funcs",
-        "join_lateral_topk", "join_salted_skew", "join_null_aware_anti",
-        "window_value_functions", "pivot_event_type_revenue",
-        "graph_two_hop_reach", "graph_triangle_count", "graph_pagerank",
-        "graph_connected_components", "graph_reachability_recursive",
-        "events_rfm_segments", "events_value_histogram",
-        "events_anomaly_zscore", "events_markov_transitions",
-        "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized",
-        "similarity_matryoshka_topk",
-        "dedup_minhash_md5_clusters",
-        "multimodal_resize",
-        "text_boilerplate_ngrams", "text_edit_distance_pairs",
-        "text_bpe_merge_pairs",
-        "text_bigram_surprisal", "text_udtf_sentences",
-        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
-        "pipeline_reservoir_sample", "pipeline_pii_scrub",
-        "pipeline_training_funnel", "pipeline_profile_columns",
-        "pipeline_quality_checks",
-        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
-        "streaming_hourly_rollup_live", "streaming_session_stats_live",
-        "streaming_dedup_live", "streaming_hourly_users_live",
-        "feed_topk_per_user",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

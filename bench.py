@@ -85,18 +85,21 @@ def main() -> None:
         .save()
     )
 
-    # Two passes per query, report the per-query MIN. One pass charges
-    # whichever queries run first with the remaining JIT/codegen
-    # compiles their operator mix triggers first (the registry order
-    # rotates every round, so single-pass numbers move 2-3x round to
-    # round for unchanged queries); the min of two is the steady-state
+    # Three passes per query, report the per-query MIN (r08 VERDICT
+    # directive: sub-second queries showed up to 1.6x same-code
+    # run-to-run variance under min-of-two, which will eventually fire
+    # the 2x regression gate spuriously). One pass charges whichever
+    # queries run first with the remaining JIT/codegen compiles their
+    # operator mix triggers first (the registry order rotates every
+    # round, so single-pass numbers move 2-3x round to round for
+    # unchanged queries); the min over passes is the steady-state
     # latency — the quantity that matters for throughput at scale,
     # where every compile is amortized across thousands of tasks.
     from user_feed_cdc_spark.operators.cdc import evict_fixture_cache
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         # Start each pass from a clean cache: accumulated persisted state
         # (per-query persists + the CDC fixture cache) otherwise crowds
         # the storage pool and the late-registry queries pay eviction
@@ -172,6 +175,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Noise-control policy, recorded so the artifact is
+        # self-describing (r08 VERDICT item 5): each timing is the
+        # minimum over 3 full suite passes (fresh cache + explicit GC
+        # between passes), plus one isolated re-measure for any query
+        # still >2x its committed baseline.
+        "timing_policy": "min_of_3_passes_plus_isolated_retry",
     }
     if errors:
         result["errors"] = errors
