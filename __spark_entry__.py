@@ -119,6 +119,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_autocorrelation", "source_xml_roundtrip",
         "multimodal_audio_spectrum", "dedup_containment_pairs",
         "dedup_source_signatures",
+        # upgraded rows-only → hash-certified in r09 (symbolic dHash
+        # oracle): its r08 driver row was the last err:no_oracle in the
+        # window rotation, so it re-queues with the r10 leaders to get
+        # a hash-gated driver row
+        "multimodal_phash_dedup",
         # new-in-r09 entries queue here (behind the spill, ahead of the
         # certified tail) so the r10 window = spill + r09 additions
         # reaches zero backlog
@@ -202,7 +207,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_pandas_udf_normalize", "text_hashed_features",
         "dedup_substring_windows", "dedup_semantic", "pipeline_dsir_weights",
         "text_zipf_slope", "streaming_enrich_join_live",
-        "asof_nearest_purchase", "sql_pipe_pricing", "multimodal_phash_dedup",
+        "asof_nearest_purchase", "sql_pipe_pricing",
         "text_inverted_index", "text_bm25_topk", "events_groupmap_ranks",
         "pipeline_curriculum_order", "events_conversion_wilson_ci",
         "events_type_cooccurrence", "events_lag_features",

@@ -973,7 +973,63 @@ def dhash64(w: int, h: int, rgb: bytes) -> int:
     return bits
 
 
-@_register("multimodal_phash_dedup", None)  # Python decode → rows-only
+_PHASH_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS tl
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) >= 1
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN
+                 list_transform(range(0, 32), i -> CAST(ascii(substr(text,
+                     CAST((i % tl) + 1 AS INT), 1)) AS BIGINT))
+               ELSE
+                 list_transform(range(0, 32), i ->
+                   (CAST(ascii(substr(text,
+                        CAST(((3 * i) % tl) + 1 AS INT), 1)) AS BIGINT)
+                    + ascii(substr(text,
+                        CAST(((3 * i + 1) % tl) + 1 AS INT), 1))
+                    + ascii(substr(text,
+                        CAST(((3 * i + 2) % tl) + 1 AS INT), 1))) // 3)
+               END AS gray
+        FROM m
+    ),
+    b AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 32), k ->
+                 CASE WHEN gray[CAST((k // 8) // 2 * 8
+                                     + (k % 8) * 8 // 9 + 1 AS INT)]
+                        > gray[CAST((k // 8) // 2 * 8
+                                     + ((k % 8) + 1) * 8 // 9 + 1 AS INT)]
+                      THEN CAST(1 AS BIGINT) << CAST(31 - k AS INT)
+                      ELSE 0 END)) AS hi,
+               list_sum(list_transform(range(32, 64), k ->
+                 CASE WHEN gray[CAST((k // 8) // 2 * 8
+                                     + (k % 8) * 8 // 9 + 1 AS INT)]
+                        > gray[CAST((k // 8) // 2 * 8
+                                     + ((k % 8) + 1) * 8 // 9 + 1 AS INT)]
+                      THEN CAST(1 AS BIGINT) << CAST(63 - k AS INT)
+                      ELSE 0 END)) AS lo
+        FROM g
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST((hi - CASE WHEN hi >= 2147483648
+                          THEN 4294967296 ELSE 0 END)
+                    * 4294967296 + lo AS BIGINT) AS phash
+        FROM b
+    )
+    SELECT doc_id, phash, TRUE AS decoded,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) OVER (PARTITION BY phash) AS BIGINT)
+               AS exemplar_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
+    FROM h
+"""
+
+
+@_register("multimodal_phash_dedup", _PHASH_ORACLE)
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via PERCEPTUAL hash: decode each image payload
     (GIF/BMP, dispatched on magic bytes), compute the 64-bit dHash, and
@@ -989,13 +1045,31 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the exact-dedup shuffle shape. At 100 TB payload bytes
     stream through Python workers once and never shuffle; production
     hardening is banding the 64 bits like SimHash for hamming-distance
-    (not just equal-hash) candidates. Rows-only by contract (SQL cannot
-    decode containers); the dhash64 kernel itself is pinned by unit
-    tests (identity, brightness invariance, gradient sensitivity)."""
+    (not just equal-hash) candidates.
+
+    HASH-CERTIFIED since r09 (was the registry's last rows-only/
+    no-oracle entry — r08 VERDICT item 2): the DuckDB oracle replays
+    the ENTIRE decode→dHash pass symbolically via the byte-derivation
+    trick multimodal_resize_certified proved out. Container content
+    derives from the doc's ASCII bytes (content[p] = text_byte[p mod
+    len]); GIF decode expands the 256-gray palette to tripled-gray RGB
+    so gray[i] = content[i], BMP decode is the identity so gray[i] =
+    mean of content[3i..3i+2]; the 9x8 dHash grid is pure integer index
+    math ((c*8)//9 column taps, r//2 row taps), so the oracle rebuilds
+    all 64 comparison bits with list_transform(range(...)) and packs
+    them into the same signed two's-complement BIGINT as two 32-bit
+    halves — every byte the Python decoders and the dhash64 kernel
+    touch is pinned by value AND position under the hash gate. A
+    decode fallback (NULL phash) would hash-mismatch the oracle's
+    decoded=TRUE row — loud by design; none occur on the synthetic
+    corpus, and the dhash64 kernel keeps its own unit tests (identity,
+    brightness invariance, gradient sensitivity). Empty docs filtered
+    in BOTH engines (none exist; makes the mod-len contract total)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0  # the image rows of the media corpus
+        (F.col("doc_id") % 3 == 0)  # the image rows of the media corpus
+        & (F.length("text") >= 1)
     )
     mm = with_media_payload(docs).select("doc_id", "payload")
 
