@@ -845,6 +845,74 @@ def test_media_codecs_property_round_trip():
     rvid_rt()
 
 
+def test_avi_codec_round_trip_and_errors():
+    """The RIFF/AVI walker round-trips any frame content across every
+    DIB row-padding case (width mod 4), handles both top-down and
+    bottom-up row orders, and raises DecodeError (never a bare
+    ValueError/struct.error) on malformed containers."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        DecodeError,
+        decode_avi,
+        encode_avi,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=6),
+        h=st.integers(min_value=1, max_value=4),
+        n_frames=st.integers(min_value=0, max_value=5),
+        fps=st.sampled_from([1, 12, 30]),
+        data=st.data(),
+    )
+    def avi_rt(w, h, n_frames, fps, data):
+        fb = w * h * 3
+        frames = [
+            bytes(data.draw(st.lists(st.integers(0, 255), min_size=fb, max_size=fb)))
+            for _ in range(n_frames)
+        ]
+        assert decode_avi(encode_avi(w, h, frames, fps=fps)) == (w, h, fps, frames)
+
+    avi_rt()
+
+    # bottom-up DIB (positive biHeight): un-flip to row-0-first
+    frames = [bytes(range(24))]
+    payload = bytearray(encode_avi(4, 2, frames))
+    strf_at = payload.index(b"strf")
+    # biHeight sits 12 bytes into the BITMAPINFOHEADER (after fourcc+len)
+    (bh,) = struct.unpack_from("<i", payload, strf_at + 8 + 8)
+    assert bh == -2
+    struct.pack_into("<i", payload, strf_at + 8 + 8, 2)
+    w, h, _fps, out = decode_avi(bytes(payload))
+    assert (w, h) == (4, 2)
+    assert out[0] == frames[0][12:] + frames[0][:12]  # rows swapped back
+
+    for bad in (
+        b"",
+        b"RIFF\x08\x00\x00\x00WAVEdata",      # wrong RIFF form
+        b"RIFF\x04\x00\x00\x00AVI ",          # headerless
+        encode_avi(4, 2, frames)[:40],          # truncated mid-header
+    ):
+        try:
+            decode_avi(bad)
+            raise AssertionError(f"no DecodeError for {bad[:12]!r}")
+        except DecodeError:
+            pass
+
+    # unsupported pixel format must refuse, not mis-decode
+    payload = bytearray(encode_avi(4, 2, frames))
+    strf_at = payload.index(b"strf")
+    struct.pack_into("<H", payload, strf_at + 8 + 14, 8)  # biBitCount=8
+    try:
+        decode_avi(bytes(payload))
+        raise AssertionError("no DecodeError for 8bpp AVI")
+    except DecodeError:
+        pass
+
+
 def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     """Lloyd's algorithm monotonically improves the quantization
     objective: mean cosine of each vector to its assigned centroid must
