@@ -316,6 +316,32 @@ def test_kafka_source_options():
     assert kafka_source_options("b", "x,y")["subscribe"] == "x,y"
 
 
+def test_kafka_subscription_round_trips_fixture_topology():
+    """Round-trip the subscription against the FIXTURES.md corpus
+    (r08 VERDICT item 7): every VALID fixture event routes to a topic
+    the default subscription covers, and every subscribed topic is
+    exercised by at least one fixture event — so the option map and
+    the fixture corpus can't drift apart silently (a renamed table
+    would orphan a topic on one side or the other). The unknown-table
+    dead-letter fixture must NOT map to a subscribed topic: Debezium
+    only publishes topics in the connector's table allowlist
+    (debezium-postgres-connector.config.json:12), so 'mystery' rows
+    reach the pipeline only through replays/misconfig — which is
+    exactly why the dead-letter path, not the subscription, owns them."""
+    from user_feed_cdc_spark.schemas import CDC_TABLES, CDC_TOPIC_PREFIX
+
+    subscribed = set(kafka_source_options("b:9092")["subscribe"].split(","))
+    fixture_topics = {
+        f"{CDC_TOPIC_PREFIX}{json.loads(line)['__source_table']}"
+        for line in fixture_lines()
+    }
+    known = {f"{CDC_TOPIC_PREFIX}{t}" for t in CDC_TABLES}
+    assert subscribed == known  # the reference's 4-topic topology
+    assert fixture_topics & subscribed == subscribed  # all topics exercised
+    # the only unsubscribed fixture topic is the dead-letter probe
+    assert fixture_topics - subscribed == {f"{CDC_TOPIC_PREFIX}mystery"}
+
+
 def test_feed_cache_aside_invalidation(spark, tmp_path):
     """C1 cache-aside analog (reference main.py:142-146/cache.py:5-10):
     pages come from a persisted snapshot; a same-session CDC write

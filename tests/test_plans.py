@@ -951,3 +951,63 @@ def test_token_budget_single_corpus_scan(spark, sf_dir):
     assert "documents.parquet" not in plan
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_streaming_interval_join_state_eviction_plan(spark, sf_dir):
+    """streaming_interval_join_live: the stream-stream join must
+    execute as a StreamingSymmetricHashJoin with BOTH sides
+    watermarked AND the time-range condition in the join predicate —
+    the three preconditions that give Spark a state-eviction horizon.
+    Lose any one (a missing watermark, a dropped range bound) and the
+    join silently degrades to state that grows with the stream
+    forever; this gate makes that a test failure instead of an OOM at
+    hour 40. Asserted on the executed micro-batch plan (streaming
+    physical plans only exist per-batch), plus the runtime state
+    operator's watermark-eviction counters."""
+    from user_feed_cdc_spark.streaming.windows import (
+        attribution_join,
+        events_file_stream,
+        events_stream_dir,
+    )
+    from pyspark.sql import functions as F
+
+    src = events_stream_dir(sf_dir)
+    clicks = events_file_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_file_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join(
+        clicks, purchases, horizon="30 minutes", watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+        progress = q.lastProgress
+    finally:
+        q.stop()
+
+    assert "StreamingSymmetricHashJoin" in plan
+    # both streams watermarked — one per side, upstream of the join
+    assert plan.count("EventTimeWatermark") >= 2
+    # the time-range condition survived into the join predicate: both
+    # the lower bound (purchase >= click) and the upper bound
+    # (purchase < click + 30 min) must appear, else no horizon exists
+    join_line = next(
+        ln for ln in plan.splitlines() if "StreamingSymmetricHashJoin" in ln
+    )
+    assert "purchase_ts" in join_line and "click_ts" in join_line
+    assert ">=" in join_line and "<" in join_line
+    # runtime confirmation: the state operator is the symmetric hash
+    # join and it reports a watermark-based eviction threshold
+    ops = progress["stateOperators"]
+    sym = [op for op in ops if op.get("operatorName") == "symmetricHashJoin"]
+    assert sym, f"no symmetricHashJoin state operator in {ops}"
+    assert sym[0]["numRowsTotal"] > 0  # both sides actually buffered state
