@@ -127,7 +127,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # new-in-r09 entries queue here (behind the spill, ahead of the
         # certified tail) so the r10 window = spill + r09 additions
         # reaches zero backlog
-        "multimodal_video_avi_stats",
+        "multimodal_video_avi_stats", "text_dup_ngram_fraction",
+        "similarity_range_search", "cdc_snapshot_diff",
         # ---- certified tail, stalest driver row first ----
         # last certified r05
         "cdc_canonical_activities", "events_sliding_counts",

@@ -894,3 +894,129 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     )
     delta = inserts.unionByName(retractions)
     return maintain_agg_view(base_view, delta).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconcile two point-in-time states of the keyed table
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH cut AS (
+        SELECT MIN(ts) + INTERVAL 10 DAY AS t1,
+               MIN(ts) + INTERVAL 20 DAY AS t2
+        FROM events
+    ),
+    ch AS (
+        SELECT event_id % 500 AS key, ts, event_id AS eid,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS val,
+               c.t1,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS pack
+        FROM events, cut c
+        WHERE ts <= c.t2
+    ),
+    snaps AS (
+        SELECT key,
+               arg_max(op, pack)  FILTER (WHERE ts <= t1) AS op1,
+               arg_max(eid, pack) FILTER (WHERE ts <= t1) AS eid1,
+               arg_max(val, pack) FILTER (WHERE ts <= t1) AS val1,
+               arg_max(op, pack)  AS op2,
+               arg_max(eid, pack) AS eid2,
+               arg_max(val, pack) AS val2
+        FROM ch
+        GROUP BY key
+    ),
+    d AS (
+        SELECT key, eid1, eid2, val1, val2,
+               (op1 IS NOT NULL AND op1 <> 'd') AS live1,
+               (op2 IS NOT NULL AND op2 <> 'd') AS live2
+        FROM snaps
+    ),
+    labeled AS (
+        SELECT key,
+               CASE WHEN NOT live1 AND live2 THEN 'added'
+                    WHEN live1 AND NOT live2 THEN 'removed'
+                    WHEN live1 AND live2 AND eid1 <> eid2 THEN 'changed'
+               END AS status,
+               CASE WHEN live1 THEN eid1 END AS version_before,
+               CASE WHEN live2 THEN eid2 END AS version_after,
+               CASE WHEN live1 THEN val1 END AS value_before,
+               CASE WHEN live2 THEN val2 END AS value_after
+        FROM d
+    )
+    SELECT * FROM labeled WHERE status IS NOT NULL
+"""
+
+
+@_register("cdc_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION over the CDC changelog: the keyed
+    table's state as of T1 (min_ts+10d) vs as of T2 (min_ts+20d),
+    reduced to the per-key delta — 'added' (dead-or-absent at T1, live
+    at T2), 'removed' (live at T1, deleted by T2), 'changed' (live at
+    both, different version); keys untouched between snapshots emit
+    nothing. This is the audit/consistency read every CDC deployment
+    runs (did the downstream table drift? what does the daily export
+    contain?) and the incremental-export driver (ship exactly the diff,
+    not the snapshot) — the consuming complement of
+    cdc_timetravel_lookup's single-instant read.
+
+    Plan: ONE changelog scan (ts <= T2 pushed to the scan), ONE
+    key-partitioned groupBy computing BOTH snapshots simultaneously —
+    each is a conditional MAX over the (ts, event_id, op, val) struct,
+    whose lexicographic order IS the changelog resolution order with
+    the same event_id tiebreak the upsert/SCD2/timetravel family pins.
+    No self-join of two snapshot materializations (the naive shape),
+    no window: at 100 TB the diff costs exactly one shuffle of the
+    T2-bounded changelog, and on a lake table the T1..T2 slice prunes
+    to the partitions between the snapshots. The oracle computes the
+    same two as-of states via packed-string arg_max with FILTER — the
+    join-free aggregate twin. Values are cent-frozen, versions are
+    exact event_ids, so every status edge is integer-exact."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 10 DAYS")).alias("t1"),
+        (F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("t2"),
+    )
+    ch = (
+        ev.join(F.broadcast(cuts))
+        .filter(F.col("ts") <= F.col("t2"))
+        .select(
+            (F.col("event_id") % 500).alias("key"),
+            "ts",
+            "t1",
+            F.struct(
+                "ts",
+                F.col("event_id").alias("eid"),
+                _op().alias("op"),
+                r2(F.col("value")).alias("val"),
+            ).alias("st"),
+        )
+    )
+    snaps = ch.groupBy("key").agg(
+        F.max(F.when(F.col("ts") <= F.col("t1"), F.col("st"))).alias("s1"),
+        F.max("st").alias("s2"),
+    )
+    live1 = F.col("s1").isNotNull() & (F.col("s1.op") != "d")
+    live2 = F.col("s2").isNotNull() & (F.col("s2.op") != "d")
+    status = (
+        F.when(~live1 & live2, "added")
+        .when(live1 & ~live2, "removed")
+        .when(live1 & live2 & (F.col("s1.eid") != F.col("s2.eid")), "changed")
+    )
+    return (
+        snaps.select(
+            "key",
+            status.alias("status"),
+            F.when(live1, F.col("s1.eid")).alias("version_before"),
+            F.when(live2, F.col("s2.eid")).alias("version_after"),
+            F.when(live1, F.col("s1.val")).alias("value_before"),
+            F.when(live2, F.col("s2.val")).alias("value_after"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

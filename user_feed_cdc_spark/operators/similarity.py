@@ -1592,3 +1592,77 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search: ALL neighbors above a similarity threshold (not top-k)
+# ---------------------------------------------------------------------------
+
+_RANGE_N_PROBES = 4
+_RANGE_THRESHOLD = 1000  # quantized-dot units (~cos 0.24 at |q| ≈ 64)
+
+
+@_register(
+    "similarity_range_search",
+    f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 64.0) AS BIGINT)) AS qp
+        FROM embeddings WHERE vec_id < {_RANGE_N_PROBES}
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 64.0) AS BIGINT)) AS qc
+        FROM embeddings
+    )
+    SELECT probe_id, vec_id, label, iscore
+    FROM (
+        SELECT p.probe_id, c.vec_id, c.label,
+               CAST(list_sum(list_transform(range(1, len(qp) + 1),
+                             i -> qp[i] * qc[i])) AS BIGINT) AS iscore
+        FROM p, c
+        WHERE c.vec_id <> p.probe_id
+    )
+    WHERE iscore >= {_RANGE_THRESHOLD}
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search — every corpus vector whose similarity to a probe
+    clears a threshold, however many there are — the retrieval mode
+    dedup thresholds, radius joins, and recall-first RAG filters need
+    where top-k is wrong (k truncates dense neighborhoods and pads
+    sparse ones). {_RANGE_N_PROBES} probe vectors broadcast into ONE
+    corpus scan; the score is the exact int8-style quantized dot
+    (floor(x*64) per coordinate — bit-deterministic, so the >= edge
+    cannot ULP-flip between engines) and the predicate filters scan-
+    side: no sort, no TakeOrdered, no state — the cheapest possible
+    plan shape for the semantics. Output size is data-dependent by
+    design.
+
+    At 100 TB: the broadcast-probe scan IS the production
+    shape for small probe batches (the corpus never shuffles and the
+    filter pushes into the scan stage); for large probe sets, swap the
+    crossJoin for the IVF/LSH bucket-join arms certified beside this
+    entry (same threshold predicate over candidate buckets, same
+    integer score) — range semantics compose with every pruning index
+    in the family because the final filter is a pure per-row
+    predicate. Threshold {_RANGE_THRESHOLD} sits at the ~99th
+    percentile of the probe-score distribution, so matches stay sparse
+    exactly as a dedup-radius query's do."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _RANGE_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), _quantize(F.col("embedding")).alias("qp")
+    )
+    return (
+        emb.select("vec_id", "label", _quantize(F.col("embedding")).alias("qc"))
+        .join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            _int_dot(F.col("qp"), F.col("qc")).alias("iscore"),
+        )
+        .filter(F.col("iscore") >= _RANGE_THRESHOLD)
+    )

@@ -1805,3 +1805,95 @@ def text_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_byte_stats,
         "doc_id long, n_chars long, n_bytes long, n_spaces long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram fraction (Gopher/FineWeb quality signal)
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_N = 3
+
+_DUP_NGRAM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(tk) - {_DUP_NGRAM_N}, 0) + 1),
+                   i -> md5(array_to_string(
+                       tk[CAST(i + 1 AS INT):CAST(i + {_DUP_NGRAM_N} AS INT)],
+                       ' ')))) AS gs
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS gk FROM sh),
+    cnt AS (SELECT gk, COUNT(*) AS n_docs FROM ex GROUP BY gk),
+    per AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM ex e JOIN cnt c USING (gk)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shingles, n_dup,
+           FLOOR(CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_fraction
+    FROM per
+"""
+
+
+@_register("text_dup_ngram_fraction", _DUP_NGRAM_ORACLE)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate {_DUP_NGRAM_N}-gram fraction per doc —
+    the corpus-level repetition signal the Gopher/MassiveText and
+    FineWeb quality rules threshold on (distinct from
+    text_repetition_scores, which measures WITHIN-doc repetition): for
+    each document, the fraction of its distinct word {_DUP_NGRAM_N}-
+    grams that also occur in at least one OTHER document. High values
+    mark boilerplate-heavy docs (licence blocks, navigation chrome,
+    templated spam) that survive exact and near dedup because the
+    surrounding text differs — exactly the rows a pretraining mix
+    wants down-weighted.
+
+    Shingle keys are md5 strings (the md5-twin convention: both
+    engines group on identical 128-bit keys, so even a collision
+    cannot diverge the gate). Corpus-frequency counting needs no
+    distinct aggregate: shingles() emits each doc's gram set
+    deduplicated, so COUNT(*) per key IS the containing-doc count.
+    Plan: one explode → one gk-keyed partial-agged groupBy, and the
+    fraction join reuses that exchange (both sides hash-partitioned on
+    gk). At 100 TB the keys become xxhash64 (8-byte shuffle payload,
+    certified by this md5 twin), the head-N token bound from the dedup
+    family caps explode fan-out, and n_docs>=2 keys can be bloom-
+    prefiltered before the join — the same banded-shuffle posture as
+    minhash LSH, with no all-pairs stage anywhere. The ratio divides
+    two small exact BIGINTs in fp64 and micro-rounds — hash-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from user_feed_cdc_spark.operators.dedup import shingles
+
+    ex = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), _DUP_NGRAM_N)).alias("g")
+    ).select("doc_id", F.md5("g").alias("gk"))
+    cnt = ex.groupBy("gk").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        ex.join(cnt, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        r2(
+            F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
