@@ -60,6 +60,8 @@ NESTED_LOOP_WHITELIST = {
     "events_cusum_changepoint",   # 1-row baseline/peak broadcast scalars
     "events_autocorrelation",     # 1-row min-date broadcast anchor
     "dedup_containment_pairs",    # doc_id < 250 bounded exact baseline
+    "similarity_range_search",    # 4-row broadcast probe set (bounded by contract)
+    "cdc_snapshot_diff",          # 1-row broadcast T1/T2 cutoff scalars
 }
 
 

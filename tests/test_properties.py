@@ -411,3 +411,24 @@ def test_cusum_cross_multiplied_argmax_matches_float(revs):
     # sign agreement at the integer argmax
     if s_int[best_i] != 0:
         assert (s_int[best_i] > 0) == (s_float[best_i] > -1e-9)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=1, max_size=40),
+)
+def test_cusum_enc_packing_decodes_earliest_tied_row(s_scaled):
+    """r08 ADVICE: when a +peak and a -peak tie at max |S|, change_day
+    and direction must decode from the SAME (earliest) tied row. The
+    enc = d*4 + sign+1 packing guarantees it: min(enc) over tied rows
+    carries both fields of one row, for ANY tie layout."""
+    peak = max(abs(v) for v in s_scaled)
+    tied = [(d, v) for d, v in enumerate(s_scaled) if abs(v) == peak]
+    enc = min(
+        d * 4 + ((v > 0) - (v < 0)) + 1 for d, v in tied
+    )
+    change_day, direction = enc // 4, enc % 4 - 1
+    first_d, first_v = tied[0]
+    assert change_day == first_d
+    assert direction == ((first_v > 0) - (first_v < 0))
