@@ -129,6 +129,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # reaches zero backlog
         "multimodal_video_avi_stats", "text_dup_ngram_fraction",
         "similarity_range_search", "cdc_snapshot_diff",
+        "events_max_concurrent_sessions",
         # ---- certified tail, stalest driver row first ----
         # last certified r05
         "cdc_canonical_activities", "events_sliding_counts",

@@ -3864,3 +3864,131 @@ def streaming_activity_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_memory(
         spark, agg, "streaming_activity_bitmap_live_sink", "complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency: peak simultaneous sessions per day
+# ---------------------------------------------------------------------------
+
+_CONC_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+@_register(
+    "events_max_concurrent_sessions",
+    f"""
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts))
+                         > {_CONC_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sid AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM sid GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT s_start AS ts, 1 AS delta FROM sess
+        UNION ALL
+        SELECT s_end AS ts, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT CAST(ts AS DATE) AS day, delta,
+               SUM(delta) OVER (ORDER BY ts, delta) AS run_all
+        FROM deltas
+    )
+    SELECT day,
+           CAST(MAX(run_all) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+    FROM run GROUP BY day
+    """,
+)
+def events_max_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the sweep-line / interval-
+    stabbing pattern the registry lacked (events_incident_overlap_join
+    asks 'which intervals overlap'; this asks 'how many at once', the
+    capacity-planning number): 30-min-gap sessions become [first_event,
+    last_event + 30 min) intervals, each interval emits a +1 at start
+    and a -1 at end, and the running sum of deltas in (ts, delta)
+    order IS the live-session count — the -1-before-+1 tie rule gives
+    half-open semantics, so back-to-back sessions never double-count.
+
+    Scale shape: the session build is the certified gaps-and-islands
+    pair of per-user windows; the sweep is NOT one global ordered
+    window (which would single-thread 100 TB) but the two-level
+    prefix-sum trick the pipeline family pins — a per-DAY partitioned
+    running sum plus a |days|-row carry frame (cumulative sum of prior
+    days' delta totals, broadcast back), and carry + local_run equals
+    the global cumsum exactly because integer addition reassociates.
+    The oracle computes the straightforward single-window global
+    cumsum, certifying the decomposition. Ties are safe under RANGE
+    frames in both engines: peers aggregate together, so equal-(ts,
+    delta) groups see one deterministic value and the per-day MAX
+    cannot depend on intra-tie order. Session gaps compare in exact
+    MICROSECONDS (unix_micros/epoch_us) — a whole-second cast would
+    disagree with the oracle on sub-second gaps. Days fully inside a
+    long session emit no row (no delta falls on them) — the output is
+    the peak at state-change points, which is where the max lives."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = (
+        ev.select("user_id", "ts")
+        .withColumn(
+            "sid",
+            F.sum(F.when(gap > _CONC_GAP_US, 1).otherwise(0)).over(wu),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
+    deltas = deltas.withColumn("day", F.to_date("ts"))
+    local = deltas.withColumn(
+        "run_local",
+        F.sum("delta").over(W.partitionBy("day").orderBy("ts", "delta")),
+    )
+    carry = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("dtot"))
+        .withColumn(
+            "carry",
+            F.coalesce(
+                F.sum("dtot").over(
+                    W.orderBy("day").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("day", "carry")
+    )
+    return (
+        local.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("carry") + F.col("run_local"))
+            .cast("long")
+            .alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+    )
