@@ -93,6 +93,10 @@ REPRESENTATIVE = [
     "events_sequence_pattern",  # letter-fold + scan-side regex, zero joins
     "graph_personalized_pagerank",  # seed-restart Pregel-on-dataframes loop
     "dedup_containment_pairs",  # bounded exact arm of the containment family
+    "cdc_snapshot_diff",       # dual as-of snapshots: one scan, one groupBy
+    "similarity_range_search",  # broadcast probes, scan-side threshold filter
+    "events_max_concurrent_sessions",  # two-level sweep-line prefix sum
+    "text_dup_ngram_fraction",  # md5-keyed shingle counts, exchange-reusing join
 ]
 
 
