@@ -130,6 +130,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_video_avi_stats", "text_dup_ngram_fraction",
         "similarity_range_search", "cdc_snapshot_diff",
         "events_max_concurrent_sessions",
+        "graph_link_prediction",
         # ---- certified tail, stalest driver row first ----
         # last certified r05
         "cdc_canonical_activities", "events_sliding_counts",

@@ -742,3 +742,109 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return rank.select("user_id", r2(F.col("r"), 6).alias("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for non-edges
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "graph_link_prediction",
+    _FOLLOWERS_CTE
+    + """
+    , und AS (
+        SELECT DISTINCT LEAST(follower_id, following_id) AS a,
+               GREATEST(follower_id, following_id) AS b
+        FROM followers
+    ),
+    adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+    wedges AS (
+        SELECT w1.u AS u, w2.v AS v
+        FROM adj w1 JOIN adj w2 ON w2.u = w1.v AND w1.u < w2.v
+    ),
+    cand AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedges GROUP BY u, v
+    ),
+    nonedge AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.a = c.u AND e.b = c.v)
+    )
+    SELECT n.u, n.v, n.common_neighbors,
+           FLOOR(CAST(n.common_neighbors AS DOUBLE)
+                 / CAST(du.deg + dv.deg - n.common_neighbors AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM nonedge n
+    JOIN deg du ON du.u = n.u
+    JOIN deg dv ON dv.u = n.v
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the follow graph — common-neighbor count
+    and neighbor-set Jaccard for every NON-adjacent pair at distance 2
+    (the candidate set a 'people you may know' / graph-completion pass
+    scores): wedges u–w–v enumerated once per common neighbor via the
+    rank-ordered (u < v) adjacency self-join, aggregated to
+    |common(u,v)|, existing edges anti-joined out, and Jaccard =
+    cn / (deg_u + deg_v − cn) from a degree rollup joined back.
+
+    Scale shape — all hash equi-joins: the wedge join is keyed on the
+    pivot vertex (the same skew point as graph_triangle_count, with
+    the same orient-by-degree mitigation available), the non-edge
+    filter is an anti equi-join on the canonical pair, and the degree
+    table joins twice on a vertex key (AQE broadcasts it when small).
+    Nothing is quadratic in the graph: work ∝ Σ_w deg(w)² — the wedge
+    count — which a pivot-degree cap bounds exactly as in triangle
+    counting; candidates never materialize beyond distance-2 pairs.
+    The Jaccard divides two small exact integers in fp64 with the
+    integer subtraction BEFORE the cast in both engines, then
+    micro-rounds — hash-stable."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    e = derived_followers(spark, sf_dir)
+    und = e.select(
+        F.least("follower_id", "following_id").alias("a"),
+        F.greatest("follower_id", "following_id").alias("b"),
+    ).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        adj.select(F.col("u"), F.col("v").alias("w"))
+        .join(
+            adj.select(F.col("u").alias("w"), F.col("v")),
+            "w",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors")
+    )
+    nonedge = cand.join(
+        und,
+        (cand["u"] == und["a"]) & (cand["v"] == und["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            r2(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
