@@ -1862,24 +1862,29 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines group on identical 128-bit keys, so even a collision
     cannot diverge the gate). Corpus-frequency counting needs no
     distinct aggregate: shingles() emits each doc's gram set
-    deduplicated, so COUNT(*) per key IS the containing-doc count.
-    Plan: one explode → one gk-keyed partial-agged groupBy, and the
-    fraction join reuses that exchange (both sides hash-partitioned on
-    gk). At 100 TB the keys become xxhash64 (8-byte shuffle payload,
+    deduplicated, so the count per key IS the containing-doc count.
+    Plan: ONE scan → ONE explode → a gk-partitioned window count (the
+    same shuffle a groupBy would pay, but no join and no second
+    shingle derivation — the groupBy+join-back form re-ran the md5
+    explode on both sides, 2x the scan work), then the per-doc rollup.
+    At 100 TB the keys become xxhash64 (8-byte shuffle payload,
     certified by this md5 twin), the head-N token bound from the dedup
-    family caps explode fan-out, and n_docs>=2 keys can be bloom-
-    prefiltered before the join — the same banded-shuffle posture as
-    minhash LSH, with no all-pairs stage anywhere. The ratio divides
-    two small exact BIGINTs in fp64 and micro-rounds — hash-stable."""
+    family caps explode fan-out, and the gk window partitions by a
+    hash key so no single partition can exceed the hottest shingle's
+    doc count — the same banded-shuffle posture as minhash LSH, with
+    no all-pairs stage anywhere. The oracle keeps the equivalent
+    groupBy+join formulation, certifying the window rewrite. The ratio
+    divides two small exact BIGINTs in fp64 and micro-rounds —
+    hash-stable."""
     docs = load_table(spark, sf_dir, "documents")
     from user_feed_cdc_spark.operators.dedup import shingles
 
     ex = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), _DUP_NGRAM_N)).alias("g")
     ).select("doc_id", F.md5("g").alias("gk"))
-    cnt = ex.groupBy("gk").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("gk"))
     per = (
-        ex.join(cnt, "gk")
+        ex.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
