@@ -3956,10 +3956,35 @@ def events_max_concurrent_sessions(
             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
         )
     )
-    deltas = sess.select(
-        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
-    deltas = deltas.withColumn("day", F.to_date("ts"))
+    # ONE pass builds both deltas per session (explode of a 2-struct
+    # array — the union-of-two-selects form re-ran the per-user
+    # session windows twice), and the checkpoint materializes the
+    # compact ±1 frame (2 rows/session, far smaller than events) so
+    # the local-run and carry branches don't each re-derive it from
+    # the raw scan: 4 events scans -> 1. At cluster scale this
+    # materialization point is persist() on the same rollup (the
+    # dedup_minhash_lsh materialize= pattern) — sessions, not events,
+    # is what you pin.
+    deltas = (
+        sess.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("s_end").alias("ts"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.col("d.ts").alias("ts"),
+            F.col("d.delta").alias("delta"),
+            F.to_date("d.ts").alias("day"),
+        )
+        .localCheckpoint(eager=True)
+    )
     local = deltas.withColumn(
         "run_local",
         F.sum("delta").over(W.partitionBy("day").orderBy("ts", "delta")),
