@@ -1013,3 +1013,32 @@ def test_streaming_interval_join_state_eviction_plan(spark, sf_dir):
     sym = [op for op in ops if op.get("operatorName") == "symmetricHashJoin"]
     assert sym, f"no symmetricHashJoin state operator in {ops}"
     assert sym[0]["numRowsTotal"] > 0  # both sides actually buffered state
+
+
+def test_dup_ngram_single_scan_no_join(spark, sf_dir):
+    """text_dup_ngram_fraction: the corpus-frequency count is a
+    gk-partitioned window over ONE explode — the groupBy+join-back form
+    re-derived the md5 shingle explode on both sides (2 scans, 2x the
+    hashing; measured 2x slower). A join or second documents scan is a
+    regression."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["text_dup_ngram_fraction"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_concurrent_sessions_checkpointed_deltas(spark, sf_dir):
+    """events_max_concurrent_sessions: the ±1 delta frame is built in
+    ONE pass (explode, not union-of-selects) and checkpointed, so the
+    local-run and carry branches read the materialized rollup — the
+    raw events scan must not appear in the final plan at all (it ran
+    once, inside the eager checkpoint)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["events_max_concurrent_sessions"](spark, sf_dir)
+    )
+    assert "events.parquet" not in plan
+    assert "BroadcastHashJoin" in plan  # the |days|-row carry join
