@@ -2764,3 +2764,87 @@ def test_source_signature_discrimination(spark, sf_dir):
     )
     assert dup_matches == 16
     assert cross_matches == 0
+
+
+def test_snapshot_diff_status_invariants(spark, sf_dir):
+    """cdc_snapshot_diff: every status implies the right null pattern —
+    added has no before-version, removed has no after-version, changed
+    has BOTH and they differ (direction of the version edge is what the
+    incremental exporter keys on)."""
+    from user_feed_cdc_spark.operators.cdc import cdc_snapshot_diff
+
+    rows = cdc_snapshot_diff(spark, sf_dir).collect()
+    assert rows, "the generator's c/u/d mix must produce a diff"
+    seen = set()
+    for r in rows:
+        seen.add(r.status)
+        if r.status == "added":
+            assert r.version_before is None and r.version_after is not None
+        elif r.status == "removed":
+            assert r.version_before is not None and r.version_after is None
+        else:
+            assert r.status == "changed"
+            assert r.version_before is not None and r.version_after is not None
+            assert r.version_before != r.version_after
+    # 'removed' needs a key whose LAST pre-T2 change is a delete while
+    # it was live at T1 — present at sf0.01, can be absent at sf0.001
+    assert seen <= {"added", "removed", "changed"}
+    assert {"added", "changed"} <= seen
+
+
+def test_link_prediction_chain_structure(spark, sf_dir):
+    """graph_link_prediction on the deterministic u->u+1,u+2 chain:
+    every candidate is a distance-2 pair (gap 3 or 4), gap-4 pairs have
+    exactly one common neighbor, and no candidate is an existing edge
+    (gap 1 or 2)."""
+    from user_feed_cdc_spark.operators.feed import graph_link_prediction
+
+    rows = graph_link_prediction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        gap = r.v - r.u
+        assert gap in (3, 4), f"non-distance-2 candidate {r}"
+        assert 1 <= r.common_neighbors <= 2
+        if gap == 4:
+            assert r.common_neighbors == 1
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_max_concurrent_sessions_bounds(spark, sf_dir):
+    """events_max_concurrent_sessions: gaps-and-islands sessions of one
+    user can never overlap (the next session starts >30 min after the
+    previous last event, which is exactly when the previous interval
+    closes), so peak concurrency is bounded by the distinct-user count;
+    and every emitted day has a positive peak."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.operators.event_windows import (
+        events_max_concurrent_sessions,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.countDistinct("user_id"))
+        .first()[0]
+    )
+    rows = events_max_concurrent_sessions(spark, sf_dir).collect()
+    assert rows
+    assert max(r.peak_concurrency for r in rows) <= n_users
+    assert all(r.peak_concurrency >= 1 for r in rows)
+
+
+def test_dup_ngram_fraction_bounds(spark, sf_dir):
+    """text_dup_ngram_fraction: counts are consistent (0 <= dup <=
+    total) and the fraction is the micro-rounded ratio."""
+    from user_feed_cdc_spark.operators.textanalysis import (
+        text_dup_ngram_fraction,
+    )
+
+    rows = text_dup_ngram_fraction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_shingles
+        assert 0.0 <= r.dup_fraction <= 1.0
+        expected = int(r.n_dup / r.n_shingles * 1e6 + 0.5) / 1e6
+        assert abs(r.dup_fraction - expected) < 1e-9
