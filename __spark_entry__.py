@@ -131,6 +131,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_range_search", "cdc_snapshot_diff",
         "events_max_concurrent_sessions",
         "graph_link_prediction",
+        "source_txn_log_snapshot",
         # ---- certified tail, stalest driver row first ----
         # last certified r05
         "cdc_canonical_activities", "events_sliding_counts",

@@ -2848,3 +2848,34 @@ def test_dup_ngram_fraction_bounds(spark, sf_dir):
         assert 0.0 <= r.dup_fraction <= 1.0
         expected = int(r.n_dup / r.n_shingles * 1e6 + 0.5) / 1e6
         assert abs(r.dup_fraction - expected) < 1e-9
+
+
+def test_txn_log_snapshot_replay_matters(spark, sf_dir):
+    """The txn-log fixture must make log replay LOAD-BEARING: reading
+    every file in the directory (ignoring the removes) double-counts
+    the compacted buckets, while the replayed snapshot equals the
+    source table exactly."""
+    import os
+
+    from user_feed_cdc_spark.schemas import TABLE_SCHEMAS
+    from user_feed_cdc_spark.sources.formats import _txn_log_table
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    root, _log = _txn_log_table(spark, sf_dir)
+    all_files = [
+        os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith(("f", "c"))
+    ]
+    naive = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*all_files)
+    n_src = load_table(spark, sf_dir, "events").count()
+    from user_feed_cdc_spark.sources.formats import source_txn_log_snapshot
+
+    snap_n = (
+        source_txn_log_snapshot(spark, sf_dir)
+        .groupBy()
+        .sum("n")
+        .first()[0]
+    )
+    assert snap_n == n_src
+    assert naive.count() > n_src  # the removed files are still on disk

@@ -756,3 +756,94 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log table snapshot (mini lakehouse-format mechanics)
+# ---------------------------------------------------------------------------
+
+
+def _txn_log_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime)) a tiny lakehouse-style table:
+    seven parquet data files plus a JSON transaction log of three
+    commits — v0 adds b0..b2, v1 adds b3..b5, v2 COMPACTS b1+b2 into c12
+    (remove f1, remove f2, add c12). The live snapshot therefore equals
+    the full events table exactly once, while the DIRECTORY contains the
+    removed files too — a reader that lists files instead of replaying
+    the log double-counts buckets 1 and 2 and fails the hash gate."""
+    import json
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txnlog:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    root = _scratch_path("txnlog", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(6))
+        for b in range(6):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"f{b}")
+            )
+        ev.filter(bucket.isin(1, 2)).write.mode("overwrite").parquet(
+            os.path.join(root, "c12")
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        commits = [
+            [("add", "f0"), ("add", "f1"), ("add", "f2")],
+            [("add", "f3"), ("add", "f4"), ("add", "f5")],
+            [("remove", "f1"), ("remove", "f2"), ("add", "c12")],
+        ]
+        for v, actions in enumerate(commits):
+            with open(os.path.join(log_dir, f"{v:05d}.json"), "w") as f:
+                for action, name in actions:
+                    f.write(
+                        json.dumps(
+                            {"version": v, "action": action, "file": name}
+                        )
+                        + "\n"
+                    )
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_snapshot", _ROUNDTRIP_ORACLE)
+def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse TABLE-FORMAT mechanics, end to end: reconstruct the
+    live snapshot of a table from its transaction log — the read
+    protocol Delta/Iceberg/Hudi run on every query — and certify the
+    result against the oracle over the original rows. The log is three
+    JSON commits over seven parquet files, the last a compaction
+    (remove two files, add their merged replacement); a reader that
+    trusts the directory listing instead of the log double-counts the
+    compacted buckets and the value hash fails loudly — the gate
+    certifies the log replay itself. Last-action-wins per file is
+    computed as a MAX over (version, action) structs (one action per
+    file per commit; 'add' > no further action, a later 'remove'
+    wins by version), so re-added files generalize correctly.
+
+    This is file-level time travel, the complement of the row-level
+    CDC family (cdc_timetravel_lookup reads a key AS OF a timestamp;
+    this reads a TABLE as of a log version). Scale posture: the log
+    replay touches |log| rows and only the FILE LIST reaches the
+    driver (exactly what a production table format's planning phase
+    does — data files never move until the pruned scan); snapshot
+    reads then parallelize over live files like any parquet scan, and
+    checkpointing the replayed file list every N commits (Delta's
+    _last_checkpoint) bounds replay cost as the log grows."""
+    root, log_dir = _txn_log_table(spark, sf_dir)
+    log = spark.read.schema("version long, action string, file string").json(
+        os.path.join(log_dir, "*.json")
+    )
+    last = (
+        log.groupBy("file")
+        .agg(F.max(F.struct("version", "action")).alias("st"))
+        .filter(F.col("st.action") == "add")
+    )
+    live = [r.file for r in last.select("file").collect()]  # planning phase:
+    # |files| rows to the driver, the table-format catalog step — data
+    # files themselves never leave the executors
+    paths = [os.path.join(root, name) for name in sorted(live)]
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)
