@@ -912,6 +912,53 @@ def test_avi_codec_round_trip_and_errors():
     except DecodeError:
         pass
 
+    # r09 ADVICE hardening: (a) frame chunks from OTHER streams
+    # ('01dc' — a second track / audio) are skipped, never interleaved
+    # into the video frame list
+    base = encode_avi(4, 2, frames)
+    movi_at = base.index(b"movi")
+    stray = struct.pack("<4sI", b"01dc", 4) + b"\xde\xad\xbe\xef"
+    # splice a foreign-stream chunk right after 'movi' and grow the
+    # enclosing LIST + RIFF sizes to keep the container well-formed
+    payload = bytearray(base[: movi_at + 4] + stray + base[movi_at + 4 :])
+    (riff_sz,) = struct.unpack_from("<I", payload, 4)
+    struct.pack_into("<I", payload, 4, riff_sz + len(stray))
+    (movi_sz,) = struct.unpack_from("<I", payload, movi_at - 4)
+    struct.pack_into("<I", payload, movi_at - 4, movi_sz + len(stray))
+    assert decode_avi(bytes(payload)) == (4, 2, 12, frames)
+
+    # (b) a chunk length overrunning its ENCLOSING list raises even
+    # when it stays inside the payload (no cross-list reads)
+    payload = bytearray(encode_avi(4, 2, frames))
+    avih_at = payload.index(b"avih")
+    struct.pack_into("<I", payload, avih_at + 4, 4096)  # huge avih len
+    try:
+        decode_avi(bytes(payload))
+        raise AssertionError("no DecodeError for list-overrunning chunk")
+    except DecodeError:
+        pass
+
+    # (c) zero avih height must refuse (stride*height == 0 would let
+    # empty frames 'decode' silently)
+    payload = bytearray(encode_avi(4, 2, frames))
+    avih_at = payload.index(b"avih")
+    struct.pack_into("<I", payload, avih_at + 8 + 36, 0)  # dwHeight=0
+    try:
+        decode_avi(bytes(payload))
+        raise AssertionError("no DecodeError for zero avih height")
+    except DecodeError:
+        pass
+
+    # (d) avih dims disagreeing with strf must refuse
+    payload = bytearray(encode_avi(4, 2, frames))
+    avih_at = payload.index(b"avih")
+    struct.pack_into("<I", payload, avih_at + 8 + 32, 8)  # dwWidth=8 (!=strf 4)
+    try:
+        decode_avi(bytes(payload))
+        raise AssertionError("no DecodeError for avih/strf dim mismatch")
+    except DecodeError:
+        pass
+
 
 def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     """Lloyd's algorithm monotonically improves the quantization

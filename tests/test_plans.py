@@ -1031,10 +1031,11 @@ def test_dup_ngram_single_scan_no_join(spark, sf_dir):
 
 def test_concurrent_sessions_checkpointed_deltas(spark, sf_dir):
     """events_max_concurrent_sessions: the ±1 delta frame is built in
-    ONE pass (explode, not union-of-selects) and checkpointed, so the
-    local-run and carry branches read the materialized rollup — the
-    raw events scan must not appear in the final plan at all (it ran
-    once, inside the eager checkpoint)."""
+    ONE pass (explode, not union-of-selects) and materialized to a
+    cached scratch parquet (not localCheckpoint — no session-lifetime
+    RDD blocks, r09 ADVICE), so the local-run and carry branches read
+    the materialized rollup — the raw events scan must not appear in
+    the final plan at all (it ran once, producing the scratch file)."""
     import __spark_entry__ as em
 
     plan = _executed_plan(

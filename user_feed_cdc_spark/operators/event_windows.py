@@ -3958,32 +3958,45 @@ def events_max_concurrent_sessions(
     )
     # ONE pass builds both deltas per session (explode of a 2-struct
     # array — the union-of-two-selects form re-ran the per-user
-    # session windows twice), and the checkpoint materializes the
-    # compact ±1 frame (2 rows/session, far smaller than events) so
-    # the local-run and carry branches don't each re-derive it from
-    # the raw scan: 4 events scans -> 1. At cluster scale this
-    # materialization point is persist() on the same rollup (the
-    # dedup_minhash_lsh materialize= pattern) — sessions, not events,
-    # is what you pin.
-    deltas = (
-        sess.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
-                    ),
-                    F.struct(
-                        F.col("s_end").alias("ts"), F.lit(-1).alias("delta")
-                    ),
-                )
-            ).alias("d")
-        )
-        .select(
-            F.col("d.ts").alias("ts"),
-            F.col("d.delta").alias("delta"),
-            F.to_date("d.ts").alias("day"),
-        )
-        .localCheckpoint(eager=True)
+    # session windows twice), and the materialization makes the
+    # compact ±1 frame (2 rows/session, far smaller than events)
+    # readable by both the local-run and carry branches without
+    # re-deriving it from the raw scan: 4 events scans -> 1. The
+    # materialization is a scratch parquet cached per (sf, source
+    # mtime) — not localCheckpoint, whose RDD blocks linger for the
+    # session until ContextCleaner/GC notices (r09 ADVICE); the
+    # scratch file has deterministic stale-generation cleanup and
+    # repeat invocations skip the sessionization entirely. At cluster
+    # scale the same point is persist()+unpersist() bracketing the
+    # job — sessions, not events, is what you pin.
+    deltas_src = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("s_end").alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("d")
+    ).select(
+        F.col("d.ts").alias("ts"),
+        F.col("d.delta").alias("delta"),
+        F.to_date("d.ts").alias("day"),
+    )
+    import hashlib
+    import os
+
+    from user_feed_cdc_spark.sources.formats import _scratch_path
+
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    key = hashlib.md5(f"concdeltas:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    path = _scratch_path("conc_deltas", sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        deltas_src.write.mode("overwrite").parquet(path)
+    deltas = spark.read.schema("ts timestamp, delta int, day date").parquet(
+        path
     )
     local = deltas.withColumn(
         "run_local",

@@ -421,23 +421,28 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     by chunk, not fixed offsets (real AVIs carry JUNK/INFO/idx1 chunks
     in arbitrary positions): validate 'RIFF'/'AVI ', read dims from
     avih, fps from strh dwRate/dwScale, pixel format from strf
-    (24bpp BI_RGB only), then collect '00db'/'00dc' frame chunks from
-    LIST movi, strip per-row DIB padding, and un-flip bottom-up frames
-    (positive biHeight) so callers always see row 0 first. Returns
+    (24bpp BI_RGB only), then collect stream-0 '00db'/'00dc' frame
+    chunks from LIST movi, strip per-row DIB padding, and un-flip
+    bottom-up frames (positive biHeight) so callers always see row 0
+    first. Chunk extents are validated against the ENCLOSING list's
+    end (not just the payload), so a malformed length can't read
+    sibling-list bytes; frames from other streams ('01dc' audio, a
+    second video track) are skipped, never interleaved. Returns
     (width, height, fps, frames)."""
     riff, _size, ftype = struct.unpack_from("<4sI4s", payload, 0)
     if riff != b"RIFF" or ftype != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = None
     fps = top_down = None
+    strf_dims = None
     raw_frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, fps, top_down
+        nonlocal width, height, fps, top_down, strf_dims
         while pos + 8 <= end:
             cid, clen = struct.unpack_from("<4sI", payload, pos)
             body_at = pos + 8
-            if body_at + clen > len(payload):
+            if body_at + clen > end:  # bound by the ENCLOSING list
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
                 walk(body_at + 4, body_at + clen)  # skip list fourcc
@@ -445,6 +450,10 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
                 _, _, _, _, _n, _, _, _, width, height = struct.unpack_from(
                     "<10I", payload, body_at
                 )
+                if width <= 0 or height <= 0:
+                    raise ValueError(
+                        f"non-positive avih dims {width}x{height}"
+                    )
             elif cid == b"strh":
                 fcc, _h, _f, _p, _l, _init, scale, rate = struct.unpack_from(
                     "<4s4sIHHIII", payload, body_at
@@ -460,13 +469,20 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
                         f"unsupported AVI stream bpp={bpp} compression={comp}"
                     )
                 top_down = bh < 0
-            elif cid[2:] in (b"db", b"dc"):
+                strf_dims = (bw, abs(bh))
+            elif cid[:2] == b"00" and cid[2:] in (b"db", b"dc"):
+                # stream 00 = the declared video stream; other-stream
+                # chunks (audio '01wb', a second track) never interleave
                 raw_frames.append(payload[body_at : body_at + clen])
             pos = body_at + clen + (clen % 2)  # chunks are word-aligned
 
     walk(12, len(payload))
     if width is None or fps is None or top_down is None:
         raise ValueError("AVI missing avih/strh/strf header")
+    if strf_dims is not None and strf_dims != (width, height):
+        raise ValueError(
+            f"avih dims {width}x{height} disagree with strf {strf_dims}"
+        )
     row_raw = width * 3
     stride = row_raw + (4 - row_raw % 4) % 4
     frames = []

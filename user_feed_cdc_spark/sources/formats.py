@@ -819,9 +819,13 @@ def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusts the directory listing instead of the log double-counts the
     compacted buckets and the value hash fails loudly — the gate
     certifies the log replay itself. Last-action-wins per file is
-    computed as a MAX over (version, action) structs (one action per
-    file per commit; 'add' > no further action, a later 'remove'
-    wins by version), so re-added files generalize correctly.
+    computed as a MAX over (version, action_rank) structs with an
+    EXPLICIT numeric rank (remove=1 > add=0), not string collation:
+    across commits the later version wins (re-added files generalize
+    correctly), and within one commit a remove deliberately beats an
+    add (a file both added and removed in the same commit is dead) —
+    though the log writer holds the one-action-per-file-per-commit
+    invariant, so that tiebreak is defensive, not load-bearing.
 
     This is file-level time travel, the complement of the row-level
     CDC family (cdc_timetravel_lookup reads a key AS OF a timestamp;
@@ -836,10 +840,15 @@ def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = spark.read.schema("version long, action string, file string").json(
         os.path.join(log_dir, "*.json")
     )
+    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
     last = (
         log.groupBy("file")
-        .agg(F.max(F.struct("version", "action")).alias("st"))
-        .filter(F.col("st.action") == "add")
+        .agg(
+            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
+                "st"
+            )
+        )
+        .filter(F.col("st.action_rank") == 0)  # 0 = add survives
     )
     live = [r.file for r in last.select("file").collect()]  # planning phase:
     # |files| rows to the driver, the table-format catalog step — data
