@@ -2857,6 +2857,62 @@ def test_link_prediction_chain_structure(spark, sf_dir):
         assert 0.0 < r.jaccard <= 1.0
 
 
+def test_triangle_orientation_equivalence(spark, sf_dir):
+    """graph_triangle_count's degree-oriented enumeration (r10 skew
+    fix) counts exactly what the unoriented rank-ordered form counts:
+    rebuild the a < b < c wedge+closure count inline and pin equality
+    — the orientation must change the fan-out bound, never the
+    answer."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.operators.feed import (
+        derived_followers,
+        graph_triangle_count,
+    )
+
+    e = derived_followers(spark, sf_dir)
+    und = e.select(
+        F.least("follower_id", "following_id").alias("a"),
+        F.greatest("follower_id", "following_id").alias("b"),
+    ).distinct()
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = und.join(
+        e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b"))
+    ).select("a", "b", "c")
+    e3 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    unoriented = wedges.join(e3, ["b", "c"], "left_semi").count()
+    oriented = graph_triangle_count(spark, sf_dir).first().n_triangles
+    assert oriented == unoriented
+
+
+def test_link_prediction_pivot_cap(spark, sf_dir):
+    """graph_link_prediction's max_pivot_degree knob: a cap above the
+    max degree is a no-op (identical candidate set — the registry
+    default None stays hash-stable), and a tight cap only ever REMOVES
+    candidates or lowers common-neighbor counts, never invents them."""
+    from user_feed_cdc_spark.operators.feed import graph_link_prediction
+
+    exact = {
+        (r.u, r.v): r.common_neighbors
+        for r in graph_link_prediction(spark, sf_dir).collect()
+    }
+    uncapped = {
+        (r.u, r.v): r.common_neighbors
+        for r in graph_link_prediction(
+            spark, sf_dir, max_pivot_degree=10**9
+        ).collect()
+    }
+    assert uncapped == exact
+    capped = {
+        (r.u, r.v): r.common_neighbors
+        for r in graph_link_prediction(
+            spark, sf_dir, max_pivot_degree=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[k] <= exact[k] for k in capped)
+
+
 def test_max_concurrent_sessions_bounds(spark, sf_dir):
     """events_max_concurrent_sessions: gaps-and-islands sessions of one
     user can never overlap (the next session starts >30 min after the

@@ -259,28 +259,56 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the undirected follow graph — the classic
     graph-analytics scale benchmark (clustering coefficient's
-    numerator). Rank-ordered enumeration: each undirected edge is
-    canonicalized to (low, high), wedges are built only as a < b < c
-    (e2.b > e1.b), and the closing edge is an equi-join — every
-    triangle is counted exactly once with NO post-hoc dedup.
+    numerator) — via DEGREE-ORIENTED wedge enumeration (the standard
+    skew mitigation, applied r10 per the r09 verdict): each undirected
+    edge is directed from its lower-(degree, id) endpoint to the
+    higher, wedges are built only over a pivot's OUT-edges with the
+    two endpoints rank-ordered, and the closing edge is an oriented
+    equi-join. A triangle with ranks x < y < z carries oriented edges
+    x→y, x→z, y→z, so exactly one wedge (pivot x, pair (y,z)) closes
+    via y→z — every triangle counted once, no post-hoc dedup, and
+    `test_triangle_orientation_equivalence` pins equality with the
+    unoriented rank-ordered form.
 
-    At 100 TB: all three joins are hash equi-joins keyed on vertices;
-    the wedge join keyed on the low vertex is where degree skew lives,
-    and the standard mitigation (orienting edges from lower- to
-    higher-degree endpoints so every wedge pivot has bounded out-degree)
-    drops in without changing the plan shape."""
+    At 100 TB: all joins are hash equi-joins keyed on vertices, and
+    orientation bounds per-pivot wedge fan-out by the SMALLER
+    endpoint's degree (out-degree ≤ O(√m) on any graph) — a celebrity
+    vertex with deg 10⁷ contributes ~zero wedges as a pivot because
+    its edges all point toward it, instead of deg² ≈ 10¹⁴ with
+    unoriented enumeration. The rank comparison still evaluates
+    post-join (it references both sides), but the joined fan-out it
+    halves is already orientation-bounded."""
     e = derived_followers(spark, sf_dir)
     und = e.select(
         F.least("follower_id", "following_id").alias("a"),
         F.greatest("follower_id", "following_id").alias("b"),
     ).distinct()
-    e1 = und
-    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("c"))
-    wedges = e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b"))).select(
-        "a", "b", "c"
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    e3 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    return wedges.join(e3, ["b", "c"], "left_semi").agg(
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = und.join(
+        deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
+    a_first = F.struct(F.col("deg_a"), F.col("a")) < F.struct(
+        F.col("deg_b"), F.col("b")
+    )
+    out = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(
+            a_first, F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
+        )
+        .otherwise(F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i")))
+        .alias("rdst"),
+    )
+    o1 = out.select("src", F.col("dst").alias("v"), F.col("rdst").alias("rv"))
+    o2 = out.select("src", F.col("dst").alias("w"), F.col("rdst").alias("rw"))
+    wedges = (
+        o1.join(o2, "src").filter(F.col("rv") < F.col("rw")).select("v", "w")
+    )
+    close = out.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(close, ["v", "w"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 
@@ -782,7 +810,9 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN deg dv ON dv.u = n.v
     """,
 )
-def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_link_prediction(
+    spark: SparkSession, sf_dir: str, max_pivot_degree: int | None = None
+) -> DataFrame:
     """Link prediction over the follow graph — common-neighbor count
     and neighbor-set Jaccard for every NON-adjacent pair at distance 2
     (the candidate set a 'people you may know' / graph-completion pass
@@ -791,17 +821,24 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     |common(u,v)|, existing edges anti-joined out, and Jaccard =
     cn / (deg_u + deg_v − cn) from a degree rollup joined back.
 
-    Scale shape — all hash equi-joins: the wedge join is keyed on the
-    pivot vertex (the same skew point as graph_triangle_count, with
-    the same orient-by-degree mitigation available), the non-edge
-    filter is an anti equi-join on the canonical pair, and the degree
-    table joins twice on a vertex key (AQE broadcasts it when small).
-    Nothing is quadratic in the graph: work ∝ Σ_w deg(w)² — the wedge
-    count — which a pivot-degree cap bounds exactly as in triangle
-    counting; candidates never materialize beyond distance-2 pairs.
-    The Jaccard divides two small exact integers in fp64 with the
-    integer subtraction BEFORE the cast in both engines, then
-    micro-rounds — hash-stable."""
+    Scale shape — all hash equi-joins. Unlike graph_triangle_count,
+    degree ORIENTATION cannot apply here: every wedge is
+    output-bearing (all C(deg_w, 2) neighbor pairs of a pivot ARE the
+    distance-2 candidate set), so dropping a wedge drops a candidate
+    — the deg² fan-out is inherent to the query, not to the plan. The
+    operative mitigations are therefore (a) AQE skew-join split on
+    the pivot key (enabled session-wide), and (b) the explicit
+    `max_pivot_degree` cap — the production knob recommender systems
+    use (a 10⁷-degree celebrity's neighbor pairs are uninformative
+    'you both follow X' candidates): when set, pivots above the cap
+    are anti-joined out BEFORE the self-join, bounding work at
+    Σ min(deg_w, cap)²; when None (the registry default) results are
+    exact and hash-stable. The u < v halving filter references both
+    join sides, so it evaluates post-join — the join materializes
+    both wedge orientations before halving (the cap bounds what that
+    doubling costs). Jaccard divides two small exact integers in fp64
+    with the integer subtraction BEFORE the cast in both engines,
+    then micro-rounds — hash-stable."""
     from user_feed_cdc_spark.functions.numeric import round_half_up as r2
 
     e = derived_followers(spark, sf_dir)
@@ -813,12 +850,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    wedges = (
-        adj.select(F.col("u"), F.col("v").alias("w"))
-        .join(
-            adj.select(F.col("u").alias("w"), F.col("v")),
-            "w",
+    by_pivot = adj.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    if max_pivot_degree is not None:
+        hot = deg.filter(F.col("deg") > max_pivot_degree).select(
+            F.col("u").alias("w")
         )
+        by_pivot = by_pivot.join(F.broadcast(hot), "w", "left_anti")
+    wedges = (
+        by_pivot.select(F.col("x").alias("u"), "w")
+        .join(by_pivot.select("w", F.col("x").alias("v")), "w")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
     )
