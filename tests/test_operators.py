@@ -2982,3 +2982,63 @@ def test_txn_log_snapshot_replay_matters(spark, sf_dir):
     )
     assert snap_n == n_src
     assert naive.count() > n_src  # the removed files are still on disk
+
+
+def test_txn_log_checkpoint_skips_old_commits(spark, sf_dir, tmp_path):
+    """The checkpoint reader's replay cost is bounded by construction:
+    copy the checkpointed table, DELETE every commit file at or below
+    the checkpoint version, and the read still reconstructs the exact
+    snapshot — proof the protocol never opens pre-checkpoint history.
+    Also pins that the checkpoint is load-bearing: the pre-checkpoint
+    compaction (f1+f2→c12) is visible only through the checkpoint's
+    live list once those commits are gone."""
+    import os
+    import shutil
+
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_log_ckpt_table,
+        read_txn_log_checkpointed,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    root, log_dir = _txn_log_ckpt_table(spark, sf_dir)
+    root2 = str(tmp_path / "txnckpt_copy")
+    shutil.copytree(root, root2)
+    log2 = os.path.join(root2, "_log")
+    removed = 0
+    for name in list(os.listdir(log2)):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            if int(name.split(".")[0]) <= 2:
+                os.remove(os.path.join(log2, name))
+                removed += 1
+    assert removed == 3  # v0, v1, v2 gone — only the checkpoint remains
+    snap = read_txn_log_checkpointed(spark, root2, log2)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert snap.count() == n_src
+    assert snap.select("event_id").distinct().count() == n_src
+
+
+def test_txn_log_dv_newest_wins(spark, sf_dir):
+    """Deletion vectors: the winning DV per file is the NEWEST, which
+    the fixture makes strictly wider for f1 (v2: %10 in (3,7) ⊋ v1:
+    %10=3). Pin that exactly the oracle's predicate rows are absent
+    from the read — including the %10==7 rows of bucket 1 that only
+    the superseding DV names — and that bucket 3 keeps its %10==7
+    rows (its v1 DV was never replaced)."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.formats import source_txn_log_deletes
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.pmod(F.col("event_id"), F.lit(6))
+    m = F.pmod(F.col("event_id"), F.lit(10))
+    deleted = ((b == 1) & m.isin(3, 7)) | ((b == 3) & (m == 3))
+    expect_n = ev.filter(~deleted).count()
+    got_n = (
+        source_txn_log_deletes(spark, sf_dir).groupBy().sum("n").first()[0]
+    )
+    assert got_n == expect_n
+    # sanity: the fixture actually exercises both DV generations
+    assert ev.filter((b == 1) & (m == 7)).count() > 0
+    assert ev.filter((b == 3) & (m == 7)).count() > 0

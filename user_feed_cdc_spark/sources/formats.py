@@ -856,3 +856,274 @@ def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = [os.path.join(root, name) for name in sorted(live)]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log checkpoint read (bounded replay as the log grows)
+# ---------------------------------------------------------------------------
+
+
+def _txn_log_ckpt_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime)) a checkpointed txn-log
+    table: eight buckets f0..f7 of events (pmod 8), five commits —
+    v0 adds f0..f2, v1 adds f3..f5, v2 compacts f1+f2 into c12, then
+    a CHECKPOINT at v2 (`00002.checkpoint.json` = the live file list
+    after replaying v0..v2, plus `_last_checkpoint` naming it), then
+    v3 adds f6..f7 and v4 REWRITES f0 as f0r (remove + re-add of the
+    same rows — an OPTIMIZE-style rewrite that exercises last-action-
+    wins past the checkpoint). Final live set = {c12, f3..f7, f0r} =
+    every bucket exactly once, so the snapshot equals the events
+    table and the usual fidelity oracle certifies the replay."""
+    import json
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txnckpt:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    root = _scratch_path("txnckpt", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(8))
+        for b in range(8):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"f{b}")
+            )
+        ev.filter(bucket.isin(1, 2)).write.mode("overwrite").parquet(
+            os.path.join(root, "c12")
+        )
+        ev.filter(bucket == 0).write.mode("overwrite").parquet(
+            os.path.join(root, "f0r")
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        commits = [
+            [("add", "f0"), ("add", "f1"), ("add", "f2")],
+            [("add", "f3"), ("add", "f4"), ("add", "f5")],
+            [("remove", "f1"), ("remove", "f2"), ("add", "c12")],
+            [("add", "f6"), ("add", "f7")],
+            [("remove", "f0"), ("add", "f0r")],
+        ]
+        for v, actions in enumerate(commits):
+            with open(os.path.join(log_dir, f"{v:05d}.json"), "w") as f:
+                for action, name in actions:
+                    f.write(
+                        json.dumps(
+                            {"version": v, "action": action, "file": name}
+                        )
+                        + "\n"
+                    )
+        ckpt_live = ["f0", "f3", "f4", "f5", "c12"]  # replay of v0..v2
+        with open(os.path.join(log_dir, "00002.checkpoint.json"), "w") as f:
+            for name in ckpt_live:
+                f.write(
+                    json.dumps({"version": 2, "action": "add", "file": name})
+                    + "\n"
+                )
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            f.write(json.dumps({"version": 2}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+def read_txn_log_checkpointed(
+    spark: SparkSession, root: str, log_dir: str
+) -> DataFrame:
+    """The checkpoint read protocol (Delta's `_last_checkpoint`
+    mechanics): load the checkpoint pointer, read the checkpoint's
+    live-file list as the base state, replay ONLY commits with
+    version > checkpoint on top (same last-action-wins MAX-struct as
+    the full replay), and scan the resulting live files. Replay cost
+    is |checkpoint| + |commits since|, bounded no matter how long the
+    table's history grows — `test_txn_log_checkpoint_skips_old_commits`
+    proves pre-checkpoint commit files are never read by deleting
+    them. Exposed as a helper (root/log_dir parameterized) so tests
+    can drive mutated copies."""
+    import json
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        ckpt_version = json.loads(f.readline())["version"]
+    tail = [
+        os.path.join(log_dir, name)
+        for name in os.listdir(log_dir)  # planning step: |log| names
+        if name.endswith(".json")
+        and not name.endswith(".checkpoint.json")
+        and int(name.split(".")[0]) > ckpt_version
+    ]
+    log_schema = "version long, action string, file string"
+    base = spark.read.schema(log_schema).json(
+        os.path.join(log_dir, f"{ckpt_version:05d}.checkpoint.json")
+    )
+    log = base.unionByName(spark.read.schema(log_schema).json(tail))
+    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
+    last = (
+        log.groupBy("file")
+        .agg(
+            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
+                "st"
+            )
+        )
+        .filter(F.col("st.action_rank") == 0)
+    )
+    live = [r.file for r in last.select("file").collect()]
+    paths = [os.path.join(root, name) for name in sorted(live)]
+    return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+
+
+@_register("source_txn_log_checkpoint", _ROUNDTRIP_ORACLE)
+def source_txn_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse checkpoint read, the second half of the table-format
+    read protocol (source_txn_log_snapshot certified full-log replay):
+    a five-commit history with a checkpoint at v2 is read by loading
+    `_last_checkpoint` → the checkpointed live list → replaying only
+    the two post-checkpoint commits — which include a compaction
+    BEFORE the checkpoint (f1+f2→c12, visible only via the
+    checkpoint's state) and an OPTIMIZE-style rewrite AFTER it
+    (f0→f0r, visible only via the tail replay), so the hash gate
+    fails if either side of the protocol is wrong. Scale posture:
+    replay cost is |checkpoint entries| + |commits since checkpoint|
+    regardless of total history length — exactly why Delta/Iceberg
+    write checkpoints every N commits; only the file LIST reaches the
+    driver, and the snapshot scan parallelizes over live files."""
+    root, log_dir = _txn_log_ckpt_table(spark, sf_dir)
+    return _fidelity_agg(read_txn_log_checkpointed(spark, root, log_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: row-level deletes without rewriting data files
+# ---------------------------------------------------------------------------
+
+_TXN_DV_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum
+    FROM events
+    WHERE NOT (   (event_id % 6 = 1 AND event_id % 10 IN (3, 7))
+               OR (event_id % 6 = 3 AND event_id % 10 = 3))
+    GROUP BY event_type
+"""
+
+
+def _txn_log_dv_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime)) a table with DELETION
+    VECTORS: six buckets f0..f5 (pmod 6) added at v0, then v1 attaches
+    DV sidecars to f1 (event_id%10==3) and f3 (event_id%10==3), and v2
+    REPLACES f1's DV with a wider one (event_id%10 in (3,7)) — Delta's
+    semantics exactly: a DV is a per-file sidecar naming deleted rows,
+    the newest DV per file fully supersedes older ones (they are
+    cumulative snapshots, not deltas), and data files are never
+    rewritten. Sidecars are parquet of the deleted event_ids (the
+    repo's row-address analogue of a roaring bitmap of row indexes)."""
+    import json
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txndv:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    root = _scratch_path("txndv", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(6))
+        for b in range(6):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"f{b}")
+            )
+        mod10 = F.pmod(F.col("event_id"), F.lit(10))
+        dvs = [
+            ("dv_f1a", (bucket == 1) & (mod10 == 3)),
+            ("dv_f3a", (bucket == 3) & (mod10 == 3)),
+            ("dv_f1b", (bucket == 1) & mod10.isin(3, 7)),
+        ]
+        for name, pred in dvs:
+            ev.filter(pred).select("event_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, name))
+        os.makedirs(log_dir, exist_ok=True)
+        commits = [
+            [{"action": "add", "file": f"f{b}"} for b in range(6)],
+            [
+                {"action": "dv", "file": "f1", "dv": "dv_f1a"},
+                {"action": "dv", "file": "f3", "dv": "dv_f3a"},
+            ],
+            [{"action": "dv", "file": "f1", "dv": "dv_f1b"}],
+        ]
+        for v, actions in enumerate(commits):
+            with open(os.path.join(log_dir, f"{v:05d}.json"), "w") as f:
+                for a in actions:
+                    f.write(json.dumps({"version": v, **a}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_deletes", _TXN_DV_ORACLE)
+def source_txn_log_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read — the row-level half of the lakehouse
+    protocol (in-domain: the reference's Debezium config retains
+    delete tombstones, debezium-postgres-connector.config.json:17-18).
+    Replay the log for (a) live files (add/remove last-action-wins)
+    and (b) the NEWEST dv action per file; scan live files tagging
+    each row with its originating file (input_file_name → parent dir,
+    the file-group identity); read the winning DV sidecars tagged the
+    same way; LEFT ANTI join on (file, event_id). The v2 DV for f1
+    supersedes v1's — a reader that unions all DVs instead of taking
+    the newest per file would pass only by luck of supersets, so the
+    fixture makes the newer DV strictly wider and the oracle's WHERE
+    mirrors exactly the two winning vectors.
+
+    Scale posture: DV application is a hash anti-join keyed (file,
+    row-id) — shuffle ∝ |deleted rows|, not table size, and Spark
+    prunes it per-file the same way Delta's reader applies each
+    bitmap to its own file-group scan; data files are never
+    rewritten (merge-on-read), which is the entire point of DVs at
+    100 TB: a 1e5-row delete against a 1e11-row table costs a sidecar
+    write, not a rewrite."""
+    root, log_dir = _txn_log_dv_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string, dv string"
+    ).json(os.path.join(log_dir, "*.json"))
+    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
+    live = (
+        log.filter(F.col("action").isin("add", "remove"))
+        .groupBy("file")
+        .agg(
+            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
+                "st"
+            )
+        )
+        .filter(F.col("st.action_rank") == 0)
+    )
+    winning_dv = (
+        log.filter(F.col("action") == "dv")
+        .groupBy("file")
+        .agg(F.max(F.struct(F.col("version"), F.col("dv"))).alias("st"))
+        .select("file", F.col("st.dv").alias("dv"))
+    )
+    live_files = sorted(r.file for r in live.select("file").collect())
+    dv_map = {r.file: r.dv for r in winning_dv.collect()}  # planning step:
+    # |files| + |dv| rows to the driver, like the snapshot read
+    scan = (
+        spark.read.schema(TABLE_SCHEMAS["events"])
+        .parquet(*[os.path.join(root, name) for name in live_files])
+        .withColumn(
+            "_file",
+            F.regexp_extract(F.input_file_name(), "/([^/]+)/[^/]+$", 1),
+        )
+    )
+    dv_schema = "event_id long"
+    dv_rows = None
+    for fname, dvname in sorted(dv_map.items()):
+        part = (
+            spark.read.schema(dv_schema)
+            .parquet(os.path.join(root, dvname))
+            .withColumn("_file", F.lit(fname))
+        )
+        dv_rows = part if dv_rows is None else dv_rows.unionByName(part)
+    if dv_rows is not None:
+        scan = scan.join(
+            F.broadcast(dv_rows), ["_file", "event_id"], "left_anti"
+        )
+    return _fidelity_agg(scan.drop("_file"))
