@@ -344,33 +344,52 @@ def decode_rvid(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 
 
 def encode_avi(
-    width: int, height: int, frames: list[bytes], fps: int = VID_FPS
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = VID_FPS,
+    compression: bytes | None = None,
 ) -> bytes:
-    """RIFF/AVI, one uncompressed 24bpp DIB video stream: LIST hdrl
-    (avih MainAVIHeader + LIST strl (strh 'vids'/'DIB ' +
-    strf BITMAPINFOHEADER)) + LIST movi of '00db' frame chunks — the
-    standard container an uncompressed-video export or an ffmpeg
-    `-c:v rawvideo` step produces (reference parity: the repo treats
-    video as opaque binary + typed metadata; this is the real-format
-    tier beside the RVID raw transport). biHeight is written NEGATIVE
-    (top-down DIB), so frame bytes are stored row 0 first, matching
-    the content-derivation order — and rows are padded to 4 bytes like
-    any DIB. Every frame must be width*height*3 bytes."""
+    """RIFF/AVI, one video stream: LIST hdrl (avih MainAVIHeader +
+    LIST strl (strh 'vids' + strf BITMAPINFOHEADER)) + LIST movi of
+    frame chunks — the standard container an uncompressed-video export
+    or an ffmpeg `-c:v rawvideo` step produces (reference parity: the
+    repo treats video as opaque binary + typed metadata; this is the
+    real-format tier beside the RVID raw transport).
+
+    Default (compression=None): uncompressed 24bpp DIB '00db' frames,
+    biHeight written NEGATIVE (top-down DIB) so frame bytes are stored
+    row 0 first matching the content-derivation order, rows padded to
+    4 bytes like any DIB, every frame exactly width*height*3 bytes.
+
+    compression=b'MJPG' (or any fourcc): strf biCompression carries
+    the fourcc, frames are stored VERBATIM in '00dc' chunks (a
+    compressed bitstream's chunk body is opaque — no stride, no
+    padding discipline) — the container shape real MJPEG/H.264 AVIs
+    have, used to certify that decode_avi refuses compressed codecs
+    and the digest fallback engages (multimodal_codec_fallback)."""
     row_raw = width * 3
     pad = (4 - row_raw % 4) % 4
     frame_stored = (row_raw + pad) * height
-    stored = []
-    for i, fr in enumerate(frames):
-        if len(fr) != width * height * 3:
-            raise ValueError(
-                f"frame {i} is {len(fr)} bytes, expected {width * height * 3}"
+    if compression is None:
+        stored = []
+        for i, fr in enumerate(frames):
+            if len(fr) != width * height * 3:
+                raise ValueError(
+                    f"frame {i} is {len(fr)} bytes, "
+                    f"expected {width * height * 3}"
+                )
+            stored.append(
+                b"".join(
+                    fr[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
+                    for r in range(height)
+                )
             )
-        stored.append(
-            b"".join(
-                fr[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
-                for r in range(height)
-            )
-        )
+    else:
+        if len(compression) != 4:
+            raise ValueError("compression must be a 4-byte fourcc")
+        stored = list(frames)
+        frame_stored = max((len(fr) for fr in frames), default=0)
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
@@ -380,9 +399,13 @@ def encode_avi(
         frame_stored,              # suggested buffer
         width, height, 0, 0, 0, 0,
     )
+    handler = compression if compression is not None else b"DIB "
+    bi_compression = (
+        struct.unpack("<I", compression)[0] if compression is not None else 0
+    )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ",
+        b"vids", handler,
         0, 0, 0, 0,                # flags, priority, language, initial
         1, fps,                    # dwScale, dwRate (fps = rate/scale)
         0, len(frames),            # start, length (frames)
@@ -392,7 +415,7 @@ def encode_avi(
     strf = struct.pack(
         "<IiiHHIIiiII",
         40, width, -height,        # negative = top-down DIB
-        1, 24, 0,                  # planes, bpp, BI_RGB
+        1, 24, bi_compression,     # planes, bpp, BI_RGB or codec fourcc
         frame_stored, 0, 0, 0, 0,
     )
 
@@ -411,7 +434,8 @@ def encode_avi(
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in stored))
+    frame_id = b"00db" if compression is None else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(frame_id, fr) for fr in stored))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
@@ -1438,6 +1462,127 @@ def multimodal_video_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, fps long, n_frames long, "
         "n_sampled long, sampled_sum long, sampled_wsum long, "
         "phash_first long, decoded boolean",
+    )
+
+
+_CODEC_FALLBACK_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS tl
+        FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           (doc_id % 2 = 0) AS decoded,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+               AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 list_sum(list_transform(range(0, 96), i ->
+                   CAST(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                        AS BIGINT)))
+                 ELSE 0 END AS BIGINT) AS frame_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 list_sum(list_transform(range(72, 96), i ->
+                   CAST(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                        AS BIGINT)))
+                 ELSE
+                 list_sum(list_transform(range(40, 64), i ->
+                   CAST(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                        AS BIGINT)))
+                 END AS BIGINT) AS tail_sum
+    FROM m
+"""
+
+
+@_register("multimodal_codec_fallback", _CODEC_FALLBACK_ORACLE)
+def multimodal_codec_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CERTIFIED FALLBACK for compressed video codecs (r09 verdict
+    item 6): a mixed population — even doc_ids get the standard
+    uncompressed-DIB AVI, odd doc_ids get the SAME container with
+    strf biCompression='MJPG' and opaque '00dc' bitstream chunks (two
+    32-byte chunks derived from the doc's bytes) — runs through the
+    one decode path. decode_avi demuxes the uncompressed rows
+    (n_frames=4 + exact frame-byte checksum) and REFUSES the
+    compressed rows at the strf check; the DECODE_FALLBACK_ERRORS
+    handler then records decoded=false with byte accounting taken
+    from the RAW payload (the sum of its last 24 bytes — which the
+    container layout puts inside the final compressed chunk).
+
+    The oracle replays both arms symbolically: the tail of an
+    uncompressed container is frame 3 (content bytes 72..95) and the
+    tail of the compressed one is bitstream bytes 40..63, so the hash
+    gate certifies three things at once — the dispatch (which rows
+    decoded), the decoded bytes, and that the fallback accounted the
+    true payload bytes rather than zeroing out. This pins the exact
+    contract the MJPEG/H.264 plug point documents: compressed
+    payloads pass through with faithful byte accounting, never
+    silently mis-decode, never fail the stage. Scale: same
+    narrow-over-scan shape as the AVI stats entry — payloads stream
+    through Arrow once, 5 scalar columns out, no shuffle."""
+    import pandas as pd
+
+    content_len = IMG_W * IMG_H * 3  # 96: 4 uncompressed frames of 24
+    fb = VID_W * VID_H * 3
+    comp_len = 64  # 2 opaque 'MJPG' chunks of 32
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if doc_id % 2 == 0:
+                    content = (raw * (content_len // max(len(raw), 1) + 1))[
+                        :content_len
+                    ]
+                    frames = [
+                        bytes(content[i : i + fb])
+                        for i in range(0, content_len, fb)
+                    ]
+                    payloads.append(encode_avi(VID_W, VID_H, frames))
+                else:
+                    stream = (raw * (comp_len // max(len(raw), 1) + 1))[
+                        :comp_len
+                    ]
+                    chunks = [bytes(stream[:32]), bytes(stream[32:])]
+                    payloads.append(
+                        encode_avi(
+                            VID_W, VID_H, chunks, compression=b"MJPG"
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "decoded": [], "n_frames": [],
+                "frame_sum": [], "tail_sum": [],
+            }
+            for payload in pdf["payload"]:
+                pb = bytes(payload)
+                try:
+                    _w, _h, _fps, frames = decode_avi(pb)
+                    cat = b"".join(frames)
+                    out["decoded"].append(True)
+                    out["n_frames"].append(len(frames))
+                    out["frame_sum"].append(sum(cat))
+                except DECODE_FALLBACK_ERRORS:
+                    out["decoded"].append(False)
+                    out["n_frames"].append(0)
+                    out["frame_sum"].append(0)
+                out["tail_sum"].append(sum(pb[-24:]))
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, decoded boolean, n_frames long, frame_sum long, "
+        "tail_sum long",
     )
 
 
