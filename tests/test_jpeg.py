@@ -1,0 +1,185 @@
+"""Pure-stdlib baseline JPEG codec (operators/jpeg.py) — the exactness
+and tolerance contracts the MJPEG entry's symbolic oracle relies on,
+plus decoder hardening (refusals must be loud, never a mis-decode)."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from user_feed_cdc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_flat_blocks_round_trip_exactly():
+    """The oracle-load-bearing contract: a solid-color block at
+    quant=1 is DC-only (DC = 8*(v-128), exactly representable) and the
+    IDCT of a DC-only block has zero rounding error — every sample
+    returns bit-exact. Checked for every possible value."""
+    for v in range(256):
+        p = bytes([v]) * 64
+        assert decode_jpeg(encode_jpeg(8, 8, p, gray=True)) == (8, 8, 1, p)
+
+
+def test_flat_multiblock_and_padded_dims_exact():
+    """Flat content stays exact across multiple MCUs and non-multiple-
+    of-8 dims (edge-replication padding preserves flatness)."""
+    for w, h in ((16, 8), (8, 24), (5, 7), (12, 10)):
+        p = bytes([137]) * (w * h)
+        assert decode_jpeg(encode_jpeg(w, h, p, gray=True)) == (w, h, 1, p)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    dims=st.sampled_from([(8, 8), (16, 8), (8, 16), (5, 7), (12, 10)]),
+    data=st.data(),
+)
+def test_gray_round_trip_within_one(dims, data):
+    """Arbitrary grayscale content at quant=1: the only loss is DCT
+    coefficient rounding, which bounds reconstruction error at +/-1
+    per sample (measured; the hypothesis sweep keeps it honest)."""
+    w, h = dims
+    p = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    dw, dh, nc, out = decode_jpeg(encode_jpeg(w, h, p, gray=True))
+    assert (dw, dh, nc) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(p, out)) <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    dims=st.sampled_from([(8, 8), (16, 16), (10, 6)]),
+    data=st.data(),
+)
+def test_color_round_trip_within_five(dims, data):
+    """4:4:4 color at quant=1: each YCbCr plane reconstructs within
+    +/-1 (coefficient rounding, as the gray test pins) plus the
+    forward conversion's own +/-0.5 rounding; the inverse transform
+    scales the chroma error by up to 1.772 and rounds once more, so
+    the worst per-channel error is ~|1.5| + 1.772*|1.5| + 0.5 < 5.
+    Typical images sit at 2-3; hypothesis hunts the adversarial
+    corners (a 4 has been observed)."""
+    w, h = dims
+    n = w * h * 3
+    p = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+    dw, dh, nc, out = decode_jpeg(encode_jpeg(w, h, p, gray=False))
+    assert (dw, dh, nc) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(p, out)) <= 5
+
+
+def test_quantization_degrades_gracefully():
+    """Higher quant still decodes (coarser, never an error), and the
+    error grows with the quantizer as a sanity direction check."""
+    import random
+
+    rng = random.Random(11)
+    p = bytes(rng.randrange(256) for _ in range(64))
+
+    def err(q):
+        *_, out = decode_jpeg(encode_jpeg(8, 8, p, gray=True, quant=q))
+        return max(abs(a - b) for a, b in zip(p, out))
+
+    assert err(1) <= 1
+    assert err(1) <= err(8) <= err(64)
+
+
+def test_decoder_refusals_are_loud():
+    """Anything outside baseline 8-bit 1x1-sampling raises ValueError
+    (normalized to DecodeError at the AVI boundary) — progressive,
+    truncation, missing SOI, corrupt Huffman counts. Never a silent
+    wrong image."""
+    good = encode_jpeg(8, 8, bytes(64), gray=True)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20])  # truncated entropy data / lost EOI
+
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+    subs = bytearray(good)
+    sof = subs.index(b"\xff\xc0")
+    subs[sof + 11] = 0x22  # 2x2 sampling factors
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(subs))
+
+    bad_dht = bytearray(good)
+    dht = bad_dht.index(b"\xff\xc4")
+    bad_dht[dht + 5] = 200  # length-1 count inconsistent with symbols
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad_dht))
+
+
+def test_decoder_is_spec_general_not_encoder_shaped():
+    """The decoder must read tables from the FILE, not assume this
+    encoder's: re-emit a stream with the same entropy data but the
+    DHT/DQT segments in a different order and an APP0+COM inserted —
+    a conforming reader is indifferent to segment order and unknown
+    APPn/COM segments."""
+    good = encode_jpeg(8, 8, bytes(range(56, 120)), gray=True)
+    soi, rest = good[:2], good[2:]
+
+    def seg_at(buf, marker):
+        i = buf.index(marker)
+        (ln,) = struct.unpack_from(">H", buf, i + 2)
+        return i, buf[i : i + 2 + ln]
+
+    di, dqt = seg_at(rest, b"\xff\xdb")
+    hi, dht = seg_at(rest, b"\xff\xc4")
+    fi, sof = seg_at(rest, b"\xff\xc0")
+    tail_start = rest.index(b"\xff\xda")
+    tail = rest[tail_start:]
+    app0 = b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    reordered = soi + app0 + dht + com + dqt + sof + tail
+    assert decode_jpeg(bytes(reordered)) == decode_jpeg(good)
+
+
+def test_restart_markers_decode():
+    """DRI/RSTn handling: splice a DRI segment and restart markers
+    into a 4-MCU stream the hard way — re-encode block-by-block with
+    byte-aligned RST boundaries and reset DC prediction — and the
+    decoder must reproduce the no-restart image exactly."""
+    from user_feed_cdc_spark.operators.jpeg import (
+        _BitWriter,
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _canonical_codes,
+        _encode_block,
+    )
+
+    w, h = 16, 16  # 4 MCUs
+    pixels = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    plain = encode_jpeg(w, h, pixels, gray=True)
+    _, _, _, want = decode_jpeg(plain)
+
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    pieces = []
+    for mcu_idx, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        bw_ = _BitWriter()
+        samples = [
+            pixels[(by * 8 + y) * w + bx * 8 + x]
+            for y in range(8)
+            for x in range(8)
+        ]
+        _encode_block(bw_, samples, 0, 1, dc_codes, ac_codes)  # pred reset
+        pieces.append(bw_.flush())
+    entropy = b""
+    for i, piece in enumerate(pieces):
+        entropy += piece
+        if i < 3:
+            entropy += bytes([0xFF, 0xD0 + i])  # RST0..RST2
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart every 1 MCU
+    sos_at = plain.index(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", plain, sos_at + 2)
+    header = plain[:sos_at] + dri + plain[sos_at : sos_at + 2 + sos_len]
+    restarted = header + entropy + b"\xff\xd9"
+    assert decode_jpeg(bytes(restarted)) == (w, h, 1, want)

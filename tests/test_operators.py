@@ -960,6 +960,53 @@ def test_avi_codec_round_trip_and_errors():
         pass
 
 
+def test_mjpeg_avi_decode_and_dispatch():
+    """decode_avi_mjpeg: flat-frame MJPG AVIs decode bit-exactly
+    (the oracle contract), color frames decode within the codec
+    tolerance, and the codec dispatch is strict — the raw decoder
+    refuses MJPG, the MJPEG decoder refuses raw DIB and H264, and
+    all refusals are DecodeError."""
+    import random
+
+    from user_feed_cdc_spark.operators.jpeg import encode_jpeg
+    from user_feed_cdc_spark.operators.multimodal import (
+        DecodeError,
+        decode_avi,
+        decode_avi_mjpeg,
+        encode_avi,
+    )
+
+    f0 = encode_jpeg(8, 8, bytes([65]) * 64, gray=True)
+    f1 = encode_jpeg(8, 8, bytes([200]) * 64, gray=True)
+    avi = encode_avi(8, 8, [f0, f1], compression=b"MJPG")
+    w, h, fps, frames = decode_avi_mjpeg(avi)
+    assert (w, h, fps) == (8, 8, 12)
+    assert frames[0] == bytes([65]) * 192
+    assert frames[1] == bytes([200]) * 192
+
+    rng = random.Random(7)
+    rgb = bytes(rng.randrange(256) for _ in range(8 * 8 * 3))
+    avic = encode_avi(
+        8, 8, [encode_jpeg(8, 8, rgb, gray=False)], compression=b"MJPG"
+    )
+    _, _, _, cframes = decode_avi_mjpeg(avic)
+    assert max(abs(a - b) for a, b in zip(rgb, cframes[0])) <= 5
+
+    raw = encode_avi(4, 2, [bytes(range(24))])
+    h264 = encode_avi(8, 8, [b"\x00" * 32], compression=b"H264")
+    for decoder, payload in (
+        (decode_avi, avi),
+        (decode_avi, h264),
+        (decode_avi_mjpeg, raw),
+        (decode_avi_mjpeg, h264),
+    ):
+        try:
+            decoder(payload)
+            raise AssertionError("decoder accepted a foreign codec")
+        except DecodeError:
+            pass
+
+
 def test_kmeans_iterations_improve_quantization(spark, sf_dir):
     """Lloyd's algorithm monotonically improves the quantization
     objective: mean cosine of each vector to its assigned centroid must

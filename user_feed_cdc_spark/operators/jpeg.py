@@ -1,0 +1,578 @@
+"""Pure-stdlib baseline JPEG (ITU-T T.81) codec — the MJPEG plug point
+made real (r09 VERDICT item 6: "a pure-stdlib baseline-JPEG decoder is
+the one genuinely heavy missing codec").
+
+Decoder: spec-general baseline sequential DCT — markers (SOI/APPn/COM/
+DQT/DHT/DRI/SOF0/SOS/EOI), canonical Huffman tables rebuilt from DHT
+(so any conforming baseline stream decodes, not just this encoder's),
+byte-unstuffing (FF00) and RSTn restart handling, per-MCU DC prediction,
+dequant + dezigzag + float IDCT, grayscale (1 component) and 4:4:4
+YCbCr (3 components, 1x1 sampling). Progressive (SOF2), arithmetic
+coding, 12-bit precision, and subsampled chroma refuse loudly with
+DecodeError-convertible ValueErrors — never a silent mis-decode.
+
+Encoder (for fixtures and round-trip tests): grayscale or 4:4:4 color,
+quality expressed directly as a uniform quantizer value (quant=1 =>
+coefficients stored exactly as rounded DCT outputs). Huffman tables are
+SIMPLE canonical codes (all DC categories at one length, all AC symbols
+at one length) — valid per T.81 (DHT admits any canonical table), chosen
+over the Annex K defaults so table construction is transparently
+correct; the tables travel in the file's DHT segments, which is the only
+place a baseline decoder reads them from.
+
+Exactness contract used by the symbolic oracle
+(multimodal_video_mjpeg_stats): a FLAT 8x8 block survives the full
+encode->decode cycle bit-exactly at quant=1 — its DCT is DC-only with
+DC = 8*(v-128) exactly representable, and the float IDCT of a DC-only
+block is v-128 in every cell with zero rounding error. Non-flat content
+round-trips within +/-1 per sample at quant=1 (coefficient rounding),
+pinned by hypothesis tests.
+
+Reference parity note: the reference treats media as opaque binary
+(user_feed_cdc/README.md pipeline diagram); this codec exists so the
+Spark engine's video tier decodes the dominant intra-frame codec rather
+than stubbing it.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# cos((2x+1)*u*pi/16) table shared by DCT and IDCT
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _dct2d(block: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y * 8 + x] * _COS[x][u] * _COS[y][v]
+            out[v * 8 + u] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _idct2d(coef: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += _C[u] * _C[v] * coef[v * 8 + u] * _COS[x][u] * _COS[y][v]
+            out[y * 8 + x] = 0.25 * s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman (DHT wire format: 16 length counts + symbols)
+# ---------------------------------------------------------------------------
+
+# Encoder tables: every DC category (0..11) as a 4-bit code, every AC
+# (run,size) symbol as a 9-bit code (162 symbols <= 2^9 minus headroom;
+# 9 bits keeps the all-ones max-length code unused, which T.81 C.2
+# requires of DHT tables).
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = [16 * r + s for r in range(16) for s in range(1, 11)]
+_ENC_AC_VALS = [0x00, 0xF0] + _ENC_AC_VALS  # EOB, ZRL, then (run,size)
+_ENC_AC_BITS = [0] * 16
+_ENC_AC_BITS[8] = len(_ENC_AC_VALS)  # all at 9 bits (index 8 = length 9)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment per T.81 C.2."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with FF00
+    unstuffing; stops AT markers (returns them to the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("JPEG entropy data truncated at FF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerReached(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard pad bits, expect FF Dx; return the marker byte."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos < len(d) and d[self.pos] != 0xFF:
+            raise ValueError("expected restart marker, found data byte")
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated at restart marker")
+        m = d[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+class _MarkerReached(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+class _HuffTable:
+    """Canonical decode table from DHT (bits, vals): fast path keyed by
+    (length, code) lookup walking lengths 1..16."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        if sum(bits) != len(vals):
+            raise ValueError("DHT length counts disagree with symbol count")
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _encode_block(
+    bw: _BitWriter,
+    samples: list[int],
+    pred: int,
+    quant: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    coef = _dct2d([s - 128.0 for s in samples])
+    q = [int(round(coef[ZIGZAG[i]] / quant)) for i in range(64)]
+    diff = q[0] - pred
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if q[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        size = _category(q[i])
+        sc, sl = ac_codes[16 * run + size]
+        bw.write(sc, sl)
+        bw.write(q[i] if q[i] >= 0 else q[i] + (1 << size) - 1, size)
+        run = 0
+    if last_nz != 63:
+        ec, el = ac_codes[0x00]
+        bw.write(ec, el)
+    return q[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    gray: bool = True,
+    quant: int = 1,
+) -> bytes:
+    """Baseline JPEG: grayscale (pixels = w*h bytes) or 4:4:4 YCbCr
+    color (pixels = w*h*3 RGB bytes). Uniform quantizer `quant` in
+    every coefficient slot (1 = store rounded DCT exactly). Dimensions
+    need not be multiples of 8 — edge samples replicate into the
+    partial blocks (the standard padding choice)."""
+    ncomp = 1 if gray else 3
+    if len(pixels) != width * height * (1 if gray else 3):
+        raise ValueError("pixel buffer does not match dims")
+    if not (0 < quant < 256):
+        raise ValueError("quant must fit an 8-bit table")
+
+    if gray:
+        planes = [list(pixels)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            ys.append(min(255, max(0, int(round(y)))))
+            cbs.append(min(255, max(0, int(round(cb)))))
+            crs.append(min(255, max(0, int(round(cr)))))
+        planes = [ys, cbs, crs]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    qtab = bytes([quant] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab  # DQT
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp)  # SOF0
+    out += struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    dht = bytearray()
+    for tc, bits, vals in (
+        (0, _ENC_DC_BITS, _ENC_DC_VALS),
+        (1, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        dht += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)  # SOS
+    out += bytes([ncomp])
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"  # spectral 0..63, no successive approx
+
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    blocks_w = (width + 7) // 8
+    blocks_h = (height + 7) // 8
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            for c in range(ncomp):
+                plane = planes[c]
+                samples = []
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        samples.append(plane[sy * width + sx])
+                preds[c] = _encode_block(
+                    bw, samples, preds[c], quant, dc_codes, ac_codes
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG. Returns (width, height,
+    ncomp, samples): ncomp 1 => grayscale plane, ncomp 3 => interleaved
+    RGB (YCbCr converted with the T.871 fixed coefficients). Raises
+    ValueError on anything outside baseline 8-bit with 1x1 sampling —
+    progressive, arithmetic, 12-bit, or subsampled streams refuse
+    rather than mis-decode."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, comps) comps: list of (id, tq)
+
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        nxt = pos + seglen
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[o : o + 64])
+                if len(qtables[tq]) != 64:
+                    raise ValueError("short quant table")
+                o += 64
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                htables[(tc, th)] = _HuffTable(bits, vals)
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled chroma unsupported (1x1 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                payload, nxt, frame, scan, qtables, htables, restart_interval
+            )
+        elif marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        pos = nxt
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    qtables: dict[int, list[int]],
+    htables: dict[tuple[int, int], _HuffTable],
+    restart_interval: int,
+) -> tuple[int, int, int, bytes]:
+    width, height, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    ncomp = len(comps)
+    comp_q = []
+    comp_dc = []
+    comp_ac = []
+    for (cid, tq), (scs, td, ta) in zip(comps, scan):
+        if scs != cid:
+            raise ValueError("scan component order mismatch")
+        if tq not in qtables:
+            raise ValueError("missing quant table")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("missing Huffman table")
+        comp_q.append(qtables[tq])
+        comp_dc.append(htables[(0, td)])
+        comp_ac.append(htables[(1, ta)])
+
+    blocks_w = (width + 7) // 8
+    blocks_h = (height + 7) // 8
+    planes = [[0] * (blocks_w * 8 * blocks_h * 8) for _ in range(ncomp)]
+    br = _BitReader(payload, pos)
+    preds = [0] * ncomp
+    mcu = 0
+    done = False
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            if done:
+                break
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = br.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("expected RSTn marker")
+                preds = [0] * ncomp
+            try:
+                for c in range(ncomp):
+                    blk = _decode_block(br, comp_dc[c], comp_ac[c])
+                    preds[c] += blk[0]
+                    blk[0] = preds[c]
+                    _render_block(
+                        blk, comp_q[c], planes[c], bx, by, blocks_w * 8
+                    )
+            except _MarkerReached as e:
+                if e.marker == 0xD9 or 0xD0 <= e.marker <= 0xD7:
+                    raise ValueError("JPEG scan ended early") from e
+                raise ValueError(
+                    f"unexpected marker {e.marker:02x} in scan"
+                ) from e
+            mcu += 1
+
+    stride = blocks_w * 8
+    if ncomp == 1:
+        out = bytearray(width * height)
+        p = planes[0]
+        for y in range(height):
+            row = p[y * stride : y * stride + width]
+            out[y * width : (y + 1) * width] = bytes(row)
+        return width, height, 1, bytes(out)
+    out = bytearray(width * height * 3)
+    py, pcb, pcr = planes
+    i = 0
+    for y in range(height):
+        base = y * stride
+        for x in range(width):
+            yv = py[base + x]
+            cb = pcb[base + x] - 128
+            cr = pcr[base + x] - 128
+            r = int(round(yv + 1.402 * cr))
+            g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yv + 1.772 * cb))
+            out[i] = min(255, max(0, r))
+            out[i + 1] = min(255, max(0, g))
+            out[i + 2] = min(255, max(0, b))
+            i += 3
+    return width, height, 3, bytes(out)
+
+
+def _decode_block(
+    br: _BitReader, dc: _HuffTable, ac: _HuffTable
+) -> list[int]:
+    """One 8x8 block in zigzag order; index 0 holds the DC DIFF."""
+    blk = [0] * 64
+    cat = dc.decode(br)
+    if cat > 11:
+        raise ValueError("invalid DC category")
+    blk[0] = _extend(br.read_bits(cat), cat) if cat else 0
+    k = 1
+    while k < 64:
+        sym = ac.decode(br)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError("AC coefficient index overflow")
+        blk[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return blk
+
+
+def _render_block(
+    blk: list[int],
+    qtab: list[int],
+    plane: list[int],
+    bx: int,
+    by: int,
+    stride: int,
+) -> None:
+    coef = [0.0] * 64
+    for i in range(64):
+        coef[ZIGZAG[i]] = blk[i] * qtab[i]
+    spatial = _idct2d(coef)
+    for y in range(8):
+        base = (by * 8 + y) * stride + bx * 8
+        for x in range(8):
+            v = int(round(spatial[y * 8 + x])) + 128
+            plane[base + x] = min(255, max(0, v))
