@@ -64,26 +64,133 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # certifies a PREFIX of the registry (each round covers the first 50
     # entries). Rotation policy (documented since r08): NEW +
     # DRIVER-FAILED entries first, then never-certified, then
-    # stalest-certification-first. Round-9 window = 50 entries drawn
-    # EXCLUSIVELY from the 69 never-driver-certified entries (r08
-    # VERDICT directive #1: burn down certification debt before growing
-    # the registry) — the full TPC-H completion sweep, the PQ/MMR/
-    # LSH-recall similarity arm, the r08 stats family (KM survival,
-    # CUPED, power analysis, CUSUM), and all 4 uncertified live
-    # streaming gates. The three entries whose CODE changed this round
-    # (tpch_q9 quantity freeze, cusum tie-row decode, mmr unpersist)
-    # are all inside the window so the changes get a driver row
-    # immediately. 19 never-certified entries spill past the boundary
-    # and LEAD the r10 window together with the (capped) r09 additions,
-    # reaching zero backlog in r10.
+    # stalest-certification-first. Round-10 window = the ZERO-BACKLOG
+    # round (r09 VERDICT directive #1): the 4 new r10 entries, then ALL
+    # 35 entries with no clean driver row yet — the r09 spill, the r09
+    # additions, and the 9 rows-only-by-design entries whose only prior
+    # driver rows were err:no_oracle (a clean rows-only row is still
+    # external evidence) — then graph_triangle_count (code changed this
+    # round: degree-oriented wedge join, hash unchanged) and 10
+    # stalest-certified (r05) to fill. After this window lands, the
+    # union of CORRECTNESS_r01..r10 covers every registry entry.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r09 window: never-driver-certified entries only ----
-        "events_dow_seasonality", "cdc_lifecycle_violations",
-        "similarity_pq_topk", "multimodal_audio_stats", "text_vocab_oov_rate",
+        # ---- r10 window: zero-backlog round ----
+        # 4 new r10 entries lead (rotation policy: NEW first),
+        "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
+        "source_txn_log_checkpoint", "source_txn_log_deletes",
+        # then ALL 35 never-driver-certified entries (the r09
+        # spill + r09 additions + the 9 rows-only-by-design
+        # entries whose only driver rows were err:no_oracle —
+        # a clean rows-only row is still external evidence),
+        "pipeline_score_calibration", "pipeline_k_anonymity",
+        "dedup_minhash_quality", "similarity_hard_negatives",
+        "pipeline_blocklist_filter", "dedup_simhash_quality",
+        "events_activity_bitmap", "pipeline_token_budget_epochs",
+        "events_psi_drift", "events_median_halfsample_ci",
+        "events_incident_overlap_join", "events_theil_sen_trend",
+        "events_mahalanobis_outliers", "events_sequence_pattern",
+        "events_autocorrelation", "source_xml_roundtrip",
+        "multimodal_audio_spectrum", "dedup_containment_pairs",
+        "dedup_source_signatures", "multimodal_phash_dedup",
+        "multimodal_video_avi_stats", "text_dup_ngram_fraction",
+        "similarity_range_search", "cdc_snapshot_diff",
+        "events_max_concurrent_sessions", "graph_link_prediction",
+        "source_txn_log_snapshot", "similarity_ann_lsh",
+        "multimodal_feature_extract", "sketch_distinct_users",
+        "sketch_value_quantiles", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_lsh", "multimodal_resize",
+        # then graph_triangle_count (code changed r10: degree
+        # orientation) and 10 stalest-certified (r05) fill:
+        "graph_triangle_count", "cdc_canonical_activities",
+        "events_sliding_counts", "events_session_stats",
+        "events_attribution_join", "events_trending_users",
+        "range_join_user_pairs", "asof_last_purchase",
+        "asof_last_purchase_tolerance", "dedup_exact_latest_event",
+        "dedup_minhash_md5_pairs",
+        # ---- window boundary (the driver certifies the 50 above) ----
+        # certified tail, stalest driver row first
+        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
+        "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
+        "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
+        "multimodal_binary_stats", "multimodal_frame_sample",
+        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
+        "split_stratified_train", "pipeline_corpus_clean",
+        "pipeline_decontaminate", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "dedup_incremental_new_docs", "dedup_embedding_cosine",
+        "text_token_counts", "text_doc_stats", "text_quality_scores",
+        "text_lang_id", "text_fingerprints", "text_regex_tokens",
+        "text_tfidf_top_terms", "text_repetition_scores",
+        "pipeline_zorder_stats", "asof_next_purchase",
+        "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
+        "events_daily_retention", "events_cohort_matrix", "pricing_summary",
+        "filter_project", "join_inner", "join_left_outer", "join_semi",
+        "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
+        "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
+        "rollup_flag_status", "cube_status_priority", "grouping_sets_revenue",
+        "case_when_pivot", "unpivot_flag_measures", "set_ops",
+        "sort_limit_topk", "window_rank_family", "window_running_analytics",
+        "window_range_frame", "window_topk_per_customer",
+        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
+        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
+        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
+        "multimodal_rollup", "pipeline_pack_sequences",
+        "pipeline_shuffle_shards", "pipeline_source_mixture",
+        "pipeline_mixture_weighted", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_label_centroid_dist",
+        "similarity_quantized_topk", "text_bigram_top_terms",
+        "text_chunk_documents", "text_lang_rollup",
+        "text_winnow_fingerprints", "sketch_value_quantiles_bounded",
+        "sketch_top_users", "sketch_top_users_bounded",
+        "sketch_bloom_prefilter", "sketch_distinct_overlap_bounded",
+        "sketch_union_daily_to_weekly", "agg_sorted_strings",
+        "agg_argmax_funcs", "join_lateral_topk", "join_salted_skew",
+        "join_null_aware_anti", "window_value_functions",
+        "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
+        "graph_connected_components", "graph_reachability_recursive",
+        "events_rfm_segments", "events_value_histogram",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized", "similarity_matryoshka_topk",
+        "dedup_minhash_md5_clusters", "text_boilerplate_ngrams",
+        "text_edit_distance_pairs", "text_bpe_merge_pairs",
+        "text_bigram_surprisal", "text_udtf_sentences",
+        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
+        "pipeline_reservoir_sample", "pipeline_pii_scrub",
+        "pipeline_training_funnel", "pipeline_profile_columns",
+        "pipeline_quality_checks", "cdc_timetravel_lookup", "sql_udf_pricing",
+        "json_variant_stats", "streaming_hourly_rollup_live",
+        "streaming_session_stats_live", "streaming_dedup_live",
+        "streaming_hourly_users_live", "feed_topk_per_user",
+        "multimodal_resize_certified", "cdc_merge_into_state",
+        "text_tfidf_cosine_pairs", "events_moment_profile",
+        "events_corr_value_hour", "events_iqr_outliers",
+        "streaming_sliding_counts_live", "union_by_name_evolution",
+        "string_collation_groups", "events_daily_locf",
+        "feed_page_parameterized", "source_python_datasource_write",
+        "pipeline_linear_quality_score", "source_python_stream_datasource",
+        "window_distribution_ranks", "pipeline_contamination_score",
+        "events_ab_test_ztest", "tpch_q3_shipping_priority",
+        "events_day_over_day_growth", "events_ewma_values",
+        "similarity_pandas_udf_normalize", "text_hashed_features",
+        "dedup_substring_windows", "dedup_semantic", "pipeline_dsir_weights",
+        "text_zipf_slope", "streaming_enrich_join_live",
+        "asof_nearest_purchase", "sql_pipe_pricing", "text_inverted_index",
+        "text_bm25_topk", "events_groupmap_ranks",
+        "pipeline_curriculum_order", "events_conversion_wilson_ci",
+        "events_type_cooccurrence", "events_lag_features",
+        "events_multitouch_attribution", "source_orc_roundtrip",
+        "source_csv_roundtrip", "source_json_roundtrip",
+        "source_partitioned_pruned", "source_schema_evolution",
+        "source_json_permissive", "source_python_datasource",
+        "events_grouped_agg_mad", "feed_single_user_page",
+        "feed_single_user_page_offset", "join_full_outer",
+        "events_hourly_rollup", "events_dow_seasonality",
+        "cdc_lifecycle_violations", "similarity_pq_topk",
+        "multimodal_audio_stats", "text_vocab_oov_rate",
         "text_js_divergence_sources", "pipeline_data_card",
         "events_revenue_concentration", "pipeline_shard_skew_report",
         "tpch_q18_large_orders", "tpch_q17_small_quantity_revenue",
@@ -107,122 +214,6 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_lsh_recall", "events_cusum_changepoint",
         "similarity_mmr_topk", "streaming_activity_bitmap_live",
         "graph_personalized_pagerank",
-        # ---- window boundary (the driver certifies the 50 above) ----
-        # never-certified spill — leads the r10 window
-        "pipeline_score_calibration", "pipeline_k_anonymity",
-        "dedup_minhash_quality", "similarity_hard_negatives",
-        "pipeline_blocklist_filter", "dedup_simhash_quality",
-        "events_activity_bitmap", "pipeline_token_budget_epochs",
-        "events_psi_drift", "events_median_halfsample_ci",
-        "events_incident_overlap_join", "events_theil_sen_trend",
-        "events_mahalanobis_outliers", "events_sequence_pattern",
-        "events_autocorrelation", "source_xml_roundtrip",
-        "multimodal_audio_spectrum", "dedup_containment_pairs",
-        "dedup_source_signatures",
-        # upgraded rows-only → hash-certified in r09 (symbolic dHash
-        # oracle): its r08 driver row was the last err:no_oracle in the
-        # window rotation, so it re-queues with the r10 leaders to get
-        # a hash-gated driver row
-        "multimodal_phash_dedup",
-        # new-in-r09 entries queue here (behind the spill, ahead of the
-        # certified tail) so the r10 window = spill + r09 additions
-        # reaches zero backlog
-        "multimodal_video_avi_stats", "text_dup_ngram_fraction",
-        "similarity_range_search", "cdc_snapshot_diff",
-        "events_max_concurrent_sessions",
-        "graph_link_prediction",
-        "source_txn_log_snapshot",
-        # ---- certified tail, stalest driver row first ----
-        # last certified r05
-        "cdc_canonical_activities", "events_sliding_counts",
-        "events_session_stats", "events_attribution_join",
-        "events_trending_users", "range_join_user_pairs",
-        "asof_last_purchase", "asof_last_purchase_tolerance",
-        "dedup_exact_latest_event", "dedup_minhash_md5_pairs",
-        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
-        "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
-        "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
-        "similarity_ann_lsh", "multimodal_binary_stats",
-        "multimodal_frame_sample", "multimodal_feature_extract",
-        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
-        "split_stratified_train", "pipeline_corpus_clean",
-        "pipeline_decontaminate", "sketch_distinct_users",
-        "sketch_value_quantiles", "dedup_exact_docs", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_new_docs",
-        "dedup_embedding_cosine", "dedup_embedding_lsh", "text_token_counts",
-        "text_doc_stats", "text_quality_scores", "text_lang_id",
-        "text_fingerprints", "text_regex_tokens", "text_tfidf_top_terms",
-        "text_repetition_scores", "pipeline_zorder_stats",
-        # last certified r06
-        "asof_next_purchase", "similarity_lsh_md5_buckets",
-        "sketch_distinct_users_bounded", "events_daily_retention",
-        "events_cohort_matrix", "pricing_summary", "filter_project",
-        "join_inner", "join_left_outer", "join_semi", "join_anti",
-        "join_broadcast_dim", "join_multiway_region_revenue", "agg_distinct",
-        "agg_percentiles", "agg_salted_hot_keys", "rollup_flag_status",
-        "cube_status_priority", "grouping_sets_revenue", "case_when_pivot",
-        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
-        "window_rank_family", "window_running_analytics",
-        "window_range_frame", "window_topk_per_customer",
-        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
-        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
-        "multimodal_rollup", "pipeline_pack_sequences",
-        "pipeline_shuffle_shards", "pipeline_source_mixture",
-        "pipeline_mixture_weighted", "similarity_cosine_topk",
-        "similarity_ivf_topk", "similarity_label_centroid_dist",
-        "similarity_quantized_topk", "text_bigram_top_terms",
-        "text_chunk_documents", "text_lang_rollup",
-        "text_winnow_fingerprints",
-        # last certified r07
-        "sketch_value_quantiles_bounded", "sketch_top_users",
-        "sketch_top_users_bounded", "sketch_bloom_prefilter",
-        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
-        "agg_sorted_strings", "agg_argmax_funcs", "join_lateral_topk",
-        "join_salted_skew", "join_null_aware_anti", "window_value_functions",
-        "pivot_event_type_revenue", "graph_two_hop_reach",
-        "graph_triangle_count", "graph_pagerank",
-        "graph_connected_components", "graph_reachability_recursive",
-        "events_rfm_segments", "events_value_histogram",
-        "events_anomaly_zscore", "events_markov_transitions",
-        "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized", "similarity_matryoshka_topk",
-        "dedup_minhash_md5_clusters", "multimodal_resize",
-        "text_boilerplate_ngrams", "text_edit_distance_pairs",
-        "text_bpe_merge_pairs", "text_bigram_surprisal",
-        "text_udtf_sentences", "pipeline_boilerplate_filter",
-        "pipeline_quality_mixture", "pipeline_reservoir_sample",
-        "pipeline_pii_scrub", "pipeline_training_funnel",
-        "pipeline_profile_columns", "pipeline_quality_checks",
-        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
-        "streaming_hourly_rollup_live", "streaming_session_stats_live",
-        "streaming_dedup_live", "streaming_hourly_users_live",
-        "feed_topk_per_user",
-        # last certified r08 (freshest)
-        "multimodal_resize_certified", "cdc_merge_into_state",
-        "text_tfidf_cosine_pairs", "events_moment_profile",
-        "events_corr_value_hour", "events_iqr_outliers",
-        "streaming_sliding_counts_live", "union_by_name_evolution",
-        "string_collation_groups", "events_daily_locf",
-        "feed_page_parameterized", "source_python_datasource_write",
-        "pipeline_linear_quality_score", "source_python_stream_datasource",
-        "window_distribution_ranks", "pipeline_contamination_score",
-        "events_ab_test_ztest", "tpch_q3_shipping_priority",
-        "events_day_over_day_growth", "events_ewma_values",
-        "similarity_pandas_udf_normalize", "text_hashed_features",
-        "dedup_substring_windows", "dedup_semantic", "pipeline_dsir_weights",
-        "text_zipf_slope", "streaming_enrich_join_live",
-        "asof_nearest_purchase", "sql_pipe_pricing",
-        "text_inverted_index", "text_bm25_topk", "events_groupmap_ranks",
-        "pipeline_curriculum_order", "events_conversion_wilson_ci",
-        "events_type_cooccurrence", "events_lag_features",
-        "events_multitouch_attribution", "source_orc_roundtrip",
-        "source_csv_roundtrip", "source_json_roundtrip",
-        "source_partitioned_pruned", "source_schema_evolution",
-        "source_json_permissive", "source_python_datasource",
-        "events_grouped_agg_mad", "feed_single_user_page",
-        "feed_single_user_page_offset", "join_full_outer",
-        "events_hourly_rollup",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"
