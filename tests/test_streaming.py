@@ -451,10 +451,11 @@ def test_stateful_v2_transform_with_state(spark, sf_dir, events_dir):
     as the v1 applyInPandasWithState operator — the final update per
     user equals the batch groupBy over the whole table. Skipped where
     google.protobuf (the state-server protocol dependency) is absent.
-    r09 status check: `import google.protobuf` still fails in this
-    sandbox and the no-install rule forbids vendoring a wheel, so the
-    skip stands; the fake-ValueState pytest above pins the processor
-    logic until an environment provides protobuf."""
+    r10 status check: `import google.protobuf` still fails in this
+    sandbox (ModuleNotFoundError, re-verified 2026-08-15) and no
+    broker listens on :9092, so both env-gated skips stand; the
+    fake-ValueState pytest above pins the processor logic until an
+    environment provides protobuf."""
     pytest.importorskip("google.protobuf")
     from user_feed_cdc_spark.streaming.stateful import running_user_totals_v2
 
