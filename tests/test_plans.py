@@ -1043,3 +1043,31 @@ def test_concurrent_sessions_checkpointed_deltas(spark, sf_dir):
     )
     assert "events.parquet" not in plan
     assert "BroadcastHashJoin" in plan  # the |days|-row carry join
+
+
+def test_txn_log_deletes_broadcast_anti_join(spark, sf_dir):
+    """source_txn_log_deletes: the deletion vectors apply as a
+    BROADCAST anti equi-join keyed (file, event_id) — shuffle cost
+    proportional to |deleted rows|, never the table; and no
+    nested-loop shape may creep into the merge-on-read path."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["source_txn_log_deletes"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # DVs are small by contract
+
+
+def test_txn_log_checkpoint_plan_is_scan_only(spark, sf_dir):
+    """source_txn_log_checkpoint: after the driver-side planning step
+    (checkpoint + tail replay -> live file list), the DATA plan is a
+    plain parallel parquet scan + one aggregate — no joins; and the
+    scan must read only live files (f0, f1, f2 were removed or
+    rewritten, so their paths may not appear)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["source_txn_log_checkpoint"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Join" not in plan
+    dirs = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert dirs == {"f0r", "c12", "f3", "f4", "f5", "f6", "f7"}, dirs

@@ -1572,14 +1572,20 @@ def multimodal_video_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        flat: dict[int, bytes] = {}  # 256 possible solid frames, built
+        # on demand per executor — the fixture encode is not the code
+        # under test, the decode is
+
+        def jpeg_of(v: int) -> bytes:
+            if v not in flat:
+                flat[v] = encode_jpeg(8, 8, bytes([v]) * 64)
+            return flat[v]
+
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
                 raw = text.encode("utf-8")
-                frames = [
-                    encode_jpeg(8, 8, bytes([raw[s % len(raw)]]) * 64)
-                    for s in range(2)
-                ]
+                frames = [jpeg_of(raw[s % len(raw)]) for s in range(2)]
                 payloads.append(
                     encode_avi(8, 8, frames, compression=b"MJPG")
                 )
