@@ -183,3 +183,31 @@ def test_restart_markers_decode():
     header = plain[:sos_at] + dri + plain[sos_at : sos_at + 2 + sos_len]
     restarted = header + entropy + b"\xff\xd9"
     assert decode_jpeg(bytes(restarted)) == (w, h, 1, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_decoder_survives_arbitrary_bytes(data):
+    """Fuzz the untrusted-bytes contract: random payloads and random
+    single-byte corruptions of a valid stream either decode (returning
+    well-formed output) or raise ValueError — never another exception
+    class, never a hang. This is the boundary DECODE_FALLBACK_ERRORS
+    relies on at the AVI layer."""
+    mode = data.draw(st.sampled_from(["random", "corrupt", "truncate"]))
+    if mode == "random":
+        blob = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=0, max_size=200))
+        )
+    else:
+        good = bytearray(encode_jpeg(8, 8, bytes(range(100, 164)), gray=True))
+        if mode == "corrupt":
+            i = data.draw(st.integers(0, len(good) - 1))
+            good[i] = data.draw(st.integers(0, 255))
+        else:
+            good = good[: data.draw(st.integers(0, len(good) - 1))]
+        blob = bytes(good)
+    try:
+        w, h, nc, out = decode_jpeg(blob)
+        assert len(out) == w * h * (3 if nc == 3 else 1)
+    except ValueError:
+        pass

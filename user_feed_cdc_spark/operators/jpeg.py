@@ -366,7 +366,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     RGB (YCbCr converted with the T.871 fixed coefficients). Raises
     ValueError on anything outside baseline 8-bit with 1x1 sampling —
     progressive, arithmetic, 12-bit, or subsampled streams refuse
-    rather than mis-decode."""
+    rather than mis-decode — and on ANY malformed payload: low-level
+    walk errors (struct.error / IndexError from truncated segments)
+    normalize to ValueError here, the single exception class the
+    untrusted-bytes contract exposes (fuzz-pinned in test_jpeg.py)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(str(e) or type(e).__name__) from e
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
