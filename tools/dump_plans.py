@@ -97,6 +97,8 @@ REPRESENTATIVE = [
     "similarity_range_search",  # broadcast probes, scan-side threshold filter
     "events_max_concurrent_sessions",  # two-level sweep-line prefix sum
     "text_dup_ngram_fraction",  # md5-keyed shingle counts, exchange-reusing join
+    "source_txn_log_checkpoint",  # checkpoint read: scan-only data plan
+    "source_txn_log_deletes",  # DV merge-on-read: broadcast anti-join
 ]
 
 
