@@ -1071,3 +1071,89 @@ def test_txn_log_checkpoint_plan_is_scan_only(spark, sf_dir):
     assert "Join" not in plan
     dirs = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
     assert dirs == {"f0r", "c12", "f3", "f4", "f5", "f6", "f7"}, dirs
+
+
+def test_txn_log_data_skipping_prunes_files(spark, sf_dir):
+    """source_txn_log_data_skipping: the stats-pruned scan must read
+    ONLY the two files whose [min,max] can satisfy event_id <= max/2
+    — r2/r3 never appear in inputFiles(), so half the table's bytes
+    are provably untouched; and the data plan stays join-free."""
+    import __spark_entry__ as em
+
+    df = em.queries()["source_txn_log_data_skipping"](spark, sf_dir)
+    assert "Join" not in _executed_plan(df)
+    dirs = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert dirs == {"r0", "r1"}, dirs
+
+
+def test_streaming_left_outer_join_eviction_plan(spark, sf_dir):
+    """streaming_left_outer_join_live: same three eviction
+    preconditions as the inner gate (StreamingSymmetricHashJoin, both
+    sides watermarked, range bounds in the predicate) PLUS the outer
+    specifics — the join type is LeftOuter (null emission is what the
+    eviction horizon enables) and the state operator actually REMOVED
+    rows during the replay (numRowsRemoved > 0), proof eviction ran
+    rather than state surviving to query stop."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+    )
+
+    src = events_stream_dir(sf_dir)
+    c = (
+        events_file_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        events_file_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = c.join(
+        p,
+        (c.user_id == p.p_user)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+        progress = q.lastProgress
+    finally:
+        q.stop()
+
+    assert "StreamingSymmetricHashJoin" in plan
+    assert plan.count("EventTimeWatermark") >= 2
+    join_line = next(
+        ln for ln in plan.splitlines() if "StreamingSymmetricHashJoin" in ln
+    )
+    assert "LeftOuter" in join_line
+    assert "purchase_ts" in join_line and "click_ts" in join_line
+    assert ">=" in join_line and "<" in join_line
+    ops = progress["stateOperators"]
+    sym = [op for op in ops if op.get("operatorName") == "symmetricHashJoin"]
+    assert sym, f"no symmetricHashJoin state operator in {ops}"
+    assert sym[0]["numRowsRemoved"] > 0  # eviction actually ran

@@ -2415,6 +2415,139 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEFT_OUTER_JOIN_ORACLE = """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id,
+               ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST(
+                 (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                 (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 1 HOUR AS wm_ts
+    ),
+    j AS (
+        SELECT c.user_id, c.click_id, c.click_ts,
+               p.purchase_id, p.purchase_ts
+        FROM c LEFT JOIN p
+          ON p.p_user = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id,
+           CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT)
+               AS secs_to_purchase
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 30 MINUTE + INTERVAL 1 SECOND < wm.wm_ts
+"""
+
+
+@_register("streaming_left_outer_join_live", _LEFT_OUTER_JOIN_ORACLE)
+def streaming_left_outer_join_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join live under the oracle
+    gate — the join-mode completion of streaming_interval_join_live
+    (inner, green r09). The outer side is the semantics Structured
+    Streaming can only offer BECAUSE of the eviction machinery: a
+    click's NULL-padded row may be emitted only when the engine can
+    PROVE no future purchase will match — i.e. when the global
+    watermark (the MIN across both streams' watermarks) passes
+    click_ts + range. Unmatched clicks younger than that horizon are
+    still legitimately in state when the replay drains, so the gate
+    mirrors the horizon exactly as the chained-rollup entry mirrors
+    its closed-window rule: both engines keep matched pairs
+    unconditionally and null rows only where click_ts + 30min + 1s <
+    min(max_click_ts, max_purchase_ts) − 1h — the 1 s guard band
+    keeping the comparison independent of the engine's eviction
+    strictness at the exact boundary (the cutoff literal is computed
+    once from the table during planning and applied IDENTICALLY to
+    the drained sink and the oracle, so a boundary row is kept or
+    dropped by both engines together). Empirically the replayed
+    stream emits every null row under the unguarded cutoff
+    (207/207 at sf0.001) — the guard is belt-and-braces, not a
+    coverage hole.
+
+    At 100 TB/day the posture is the inner entry's (state bounded by
+    watermark + range per user key) plus the outer-specific cost:
+    unmatched left rows hold state until the FULL horizon, so the
+    null-row fraction — the abandonment rate in this domain — is the
+    state multiplier to capacity-plan for."""
+    import datetime
+
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mc = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    mp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    cutoff = (
+        min(mc, mp)
+        - datetime.timedelta(hours=1)
+        - datetime.timedelta(minutes=30, seconds=1)
+    )
+
+    src = events_stream_dir(sf_dir)
+    c = (
+        events_file_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        events_file_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = c.join(
+        p,
+        (c.user_id == p.p_user)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )
+    sink = run_to_memory(
+        spark, joined, "streaming_left_outer_join_live_sink", "append"
+    )
+    return sink.filter(
+        F.col("purchase_id").isNotNull()
+        | (F.col("click_ts") < F.lit(cutoff))
+    ).drop("click_ts")
+
+
 _POWER_ORACLE = """
     WITH conv AS (
         SELECT event_type, user_id,
