@@ -55,26 +55,65 @@ _C = [1 / math.sqrt(2)] + [1.0] * 7
 
 
 def _dct2d(block: list[float]) -> list[float]:
-    out = [0.0] * 64
-    for v in range(8):
+    """Separable 2D DCT-II: a 1D pass over rows then columns (8·8·8
+    ops per pass instead of the 64·64 direct form — the decode/encode
+    hot loop). F(u,v) = 0.25·C(u)C(v)·ΣΣ f·cosΦ factors exactly into
+    per-axis (0.5·C·Σ f·cos) transforms; float results are identical
+    up to reassociation, and the flat-block bit-exactness contract is
+    pinned by test_jpeg.py for every value."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        row = block[base : base + 8]
         for u in range(8):
-            s = 0.0
-            for y in range(8):
-                for x in range(8):
-                    s += block[y * 8 + x] * _COS[x][u] * _COS[y][v]
-            out[v * 8 + u] = 0.25 * _C[u] * _C[v] * s
+            cu = _COS
+            s = (
+                row[0] * cu[0][u] + row[1] * cu[1][u] + row[2] * cu[2][u]
+                + row[3] * cu[3][u] + row[4] * cu[4][u] + row[5] * cu[5][u]
+                + row[6] * cu[6][u] + row[7] * cu[7][u]
+            )
+            tmp[base + u] = 0.5 * _C[u] * s
+    out = [0.0] * 64
+    for u in range(8):
+        col = [tmp[y * 8 + u] for y in range(8)]
+        for v in range(8):
+            cv = _COS
+            s = (
+                col[0] * cv[0][v] + col[1] * cv[1][v] + col[2] * cv[2][v]
+                + col[3] * cv[3][v] + col[4] * cv[4][v] + col[5] * cv[5][v]
+                + col[6] * cv[6][v] + col[7] * cv[7][v]
+            )
+            out[v * 8 + u] = 0.5 * _C[v] * s
     return out
 
 
 def _idct2d(coef: list[float]) -> list[float]:
+    """Separable 2D IDCT (inverse of _dct2d, same two-pass shape):
+    f(x) = Σ_u 0.5·C(u)·G(u)·cos((2x+1)uπ/16) applied over columns
+    then rows. A DC-only block still yields the exact constant
+    (single term, no accumulation), preserving the flat-block
+    exactness the symbolic oracle relies on."""
+    tmp = [0.0] * 64
+    for u in range(8):
+        col = [0.5 * _C[v] * coef[v * 8 + u] for v in range(8)]
+        for y in range(8):
+            cy = _COS[y]
+            tmp[y * 8 + u] = (
+                col[0] * cy[0] + col[1] * cy[1] + col[2] * cy[2]
+                + col[3] * cy[3] + col[4] * cy[4] + col[5] * cy[5]
+                + col[6] * cy[6] + col[7] * cy[7]
+            )
     out = [0.0] * 64
     for y in range(8):
+        base = y * 8
+        row = [0.5 * _C[u] * tmp[base + u] for u in range(8)]
         for x in range(8):
-            s = 0.0
-            for v in range(8):
-                for u in range(8):
-                    s += _C[u] * _C[v] * coef[v * 8 + u] * _COS[x][u] * _COS[y][v]
-            out[y * 8 + x] = 0.25 * s
+            cx = _COS[x]
+            out[base + x] = (
+                row[0] * cx[0] + row[1] * cx[1] + row[2] * cx[2]
+                + row[3] * cx[3] + row[4] * cx[4] + row[5] * cx[5]
+                + row[6] * cx[6] + row[7] * cx[7]
+            )
     return out
 
 
