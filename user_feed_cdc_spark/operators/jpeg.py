@@ -199,7 +199,10 @@ class _BitReader:
                 raise _MarkerReached(nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # keep only the live low bits before appending — without the
+        # mask, acc grows one byte per fill for the whole scan and
+        # every read_bit shift goes bigint-slow on large images
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
