@@ -3089,3 +3089,29 @@ def test_txn_log_dv_newest_wins(spark, sf_dir):
     # sanity: the fixture actually exercises both DV generations
     assert ev.filter((b == 1) & (m == 7)).count() > 0
     assert ev.filter((b == 3) & (m == 7)).count() > 0
+
+
+def test_holt_recursion_invariants(spark, sf_dir):
+    """events_holt_linear_trend: the fold's per-day outputs must obey
+    the Holt recurrence — fitted_t = level_{t-1} + trend_{t-1}, and
+    level_t = (cents_t + fitted_t) / 2 (alpha = 1/2) — within the
+    micro-rounding of the emitted columns; day 1 carries the standard
+    init (level = cents, trend = 0, fitted NULL)."""
+    from user_feed_cdc_spark.operators.event_windows import (
+        events_holt_linear_trend,
+    )
+
+    rows = sorted(
+        events_holt_linear_trend(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) >= 3
+    first = rows[0]
+    assert first.fitted is None
+    assert first.level == float(first.cents)
+    assert first.trend == 0.0
+    for prev, cur in zip(rows, rows[1:]):
+        want_fit = prev.level + prev.trend
+        assert abs(cur.fitted - want_fit) < 3e-6, (cur.day, cur.fitted, want_fit)
+        want_level = 0.5 * cur.cents + 0.5 * cur.fitted
+        assert abs(cur.level - want_level) < 3e-6, (cur.day,)

@@ -1902,6 +1902,121 @@ def events_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+        FROM events GROUP BY 1
+    ),
+    rec AS (
+        SELECT rn, day, cents,
+               CAST(cents AS DOUBLE) AS level,
+               CAST(0 AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, d.cents,
+               0.5 * CAST(d.cents AS DOUBLE) + 0.5 * (r.level + r.trend),
+               0.5 * ((0.5 * CAST(d.cents AS DOUBLE)
+                       + 0.5 * (r.level + r.trend)) - r.level)
+                   + 0.5 * r.trend,
+               r.level + r.trend
+        FROM rec r JOIN daily d ON d.rn = r.rn + 1
+    )
+    SELECT day, cents,
+           FLOOR(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+           FLOOR(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           FLOOR(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+    FROM rec
+"""
+
+
+@_register("events_holt_linear_trend", _HOLT_ORACLE)
+def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=β=1/2)
+    over the daily revenue series — TRUE SEQUENTIAL RECURSION, the
+    thing events_ewma_values' docstring explicitly declined ('a
+    per-row recursion no engine parallelizes') — executed JVM-SIDE as
+    a higher-order fold: the |days|-bounded series is collected into
+    ONE array cell (sort_array(collect_list), a calendar-bounded row,
+    never the driver) and `aggregate()` threads the (level, trend)
+    state through it inside whole-stage codegen, appending per-day
+    outputs; posexplode returns rows. No Python, no driver loop, no
+    window — the pattern for any bounded-length recurrence (Kalman
+    passes, HP filters) on top of an arbitrarily large event scan.
+
+    Cross-engine exactness without an integer contract: one fp64
+    recursion step is the LITERALLY IDENTICAL expression tree in the
+    Spark lambda and the DuckDB recursive CTE — l' = 0.5·y + 0.5·(l+t)
+    and t' = 0.5·(l'−l) + 0.5·t with l' spelled out textually in the
+    trend line on BOTH engines — so ~30 sequential IEEE ops produce
+    bit-identical doubles (the house float-order rule applied to a
+    recursion instead of a single expression); outputs micro-frozen
+    once, after the recursion. fitted_t = l_{t−1}+t_{t−1} is the
+    one-step forecast (NULL on day 1, the standard init l₁=y₁, b₁=0).
+
+    At 100 TB: the scan+rollup dominates and parallelizes fully; the
+    fold touches |days| structs in one task — the right trade for a
+    recurrence that is sequential by definition."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a")
+    )
+    rows = one.select(
+        F.explode(
+            F.expr(
+                """
+                aggregate(
+                  slice(a, 2, greatest(size(a) - 1, 0)),
+                  named_struct(
+                    'level', CAST(a[0].cents AS DOUBLE),
+                    'trend', CAST(0.0D AS DOUBLE),
+                    'rows', array(named_struct(
+                        'day', a[0].day, 'cents', a[0].cents,
+                        'level', CAST(a[0].cents AS DOUBLE),
+                        'trend', CAST(0.0D AS DOUBLE),
+                        'fitted', CAST(NULL AS DOUBLE)))
+                  ),
+                  (acc, x) -> named_struct(
+                    'level', 0.5D * CAST(x.cents AS DOUBLE)
+                              + 0.5D * (acc.level + acc.trend),
+                    'trend', 0.5D * ((0.5D * CAST(x.cents AS DOUBLE)
+                                      + 0.5D * (acc.level + acc.trend))
+                                     - acc.level)
+                              + 0.5D * acc.trend,
+                    'rows', array_append(acc.rows, named_struct(
+                        'day', x.day, 'cents', x.cents,
+                        'level', 0.5D * CAST(x.cents AS DOUBLE)
+                                  + 0.5D * (acc.level + acc.trend),
+                        'trend', 0.5D * ((0.5D * CAST(x.cents AS DOUBLE)
+                                          + 0.5D * (acc.level + acc.trend))
+                                         - acc.level)
+                                  + 0.5D * acc.trend,
+                        'fitted', acc.level + acc.trend))
+                  ),
+                  acc -> acc.rows
+                )
+                """
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("cents"),
+        r2(F.col("r.level"), 6).alias("level"),
+        r2(F.col("r.trend"), 6).alias("trend"),
+        r2(F.col("r.fitted"), 6).alias("fitted"),
+    )
+
+
 _DOW_ORACLE = """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,

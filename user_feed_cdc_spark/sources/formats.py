@@ -1236,3 +1236,58 @@ def source_txn_log_data_skipping(
         *[os.path.join(root, name) for name in survivors]
     )
     return _fidelity_agg(scan.filter(F.col("event_id") <= hi))
+
+
+_TXN_TT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum
+    FROM events
+    WHERE event_id % 6 IN (0, 1, 2)
+    GROUP BY event_type
+"""
+
+
+@_register("source_txn_log_time_travel", _TXN_TT_ORACLE)
+def source_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF — file-level time travel on the transaction log
+    (the row-level twin is cdc_timetravel_lookup): replay ONLY commits
+    with version <= 0 over the same three-commit table
+    source_txn_log_snapshot reads at HEAD, yielding the v0 live set
+    {f0, f1, f2} — buckets 0..2 of events, a strictly different
+    answer than the head snapshot, so the hash gate proves the
+    version predicate actually bounded the replay (a reader that
+    ignores it reproduces HEAD and fails loudly). Same last-action-
+    wins MAX-struct mechanics; the version filter is a pushdown on
+    the log scan, not a post-replay subtraction — exactly how
+    Delta/Iceberg resolve `VERSION AS OF v` (replay commits 0..v,
+    or nearest checkpoint <= v plus tail).
+
+    Scale posture: identical to the snapshot read — |log <= v| rows
+    replayed, file list to the driver, parallel scan of the v0
+    files; historical versions cost no data movement beyond their
+    own live files."""
+    root, log_dir = _txn_log_table(spark, sf_dir)
+    log = (
+        spark.read.schema("version long, action string, file string")
+        .json(os.path.join(log_dir, "*.json"))
+        .filter(F.col("version") <= 0)  # VERSION AS OF 0
+    )
+    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
+    last = (
+        log.groupBy("file")
+        .agg(
+            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
+                "st"
+            )
+        )
+        .filter(F.col("st.action_rank") == 0)
+    )
+    live = [r.file for r in last.select("file").collect()]
+    paths = [os.path.join(root, name) for name in sorted(live)]
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)
