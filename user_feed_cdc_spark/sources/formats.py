@@ -953,7 +953,11 @@ def read_txn_log_checkpointed(
     base = spark.read.schema(log_schema).json(
         os.path.join(log_dir, f"{ckpt_version:05d}.checkpoint.json")
     )
-    log = base.unionByName(spark.read.schema(log_schema).json(tail))
+    log = (
+        base.unionByName(spark.read.schema(log_schema).json(tail))
+        if tail  # a checkpoint at HEAD has no tail to replay
+        else base
+    )
     rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
     last = (
         log.groupBy("file")
