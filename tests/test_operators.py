@@ -3115,3 +3115,35 @@ def test_holt_recursion_invariants(spark, sf_dir):
         assert abs(cur.fitted - want_fit) < 3e-6, (cur.day, cur.fitted, want_fit)
         want_level = 0.5 * cur.cents + 0.5 * cur.fitted
         assert abs(cur.level - want_level) < 3e-6, (cur.day,)
+
+
+def test_txn_log_checkpoint_at_head_has_empty_tail(spark, sf_dir, tmp_path):
+    """A checkpoint written at HEAD leaves nothing to replay: write a
+    v4 checkpoint (the final live set) into a copy, point
+    _last_checkpoint at it, and the reader must reconstruct the exact
+    snapshot from the checkpoint alone (empty-tail guard path)."""
+    import json
+    import os
+    import shutil
+
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_log_ckpt_table,
+        read_txn_log_checkpointed,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    root, _log = _txn_log_ckpt_table(spark, sf_dir)
+    root2 = str(tmp_path / "txnckpt_head")
+    shutil.copytree(root, root2)
+    log2 = os.path.join(root2, "_log")
+    live_at_head = ["c12", "f3", "f4", "f5", "f6", "f7", "f0r"]
+    with open(os.path.join(log2, "00004.checkpoint.json"), "w") as f:
+        for name in live_at_head:
+            f.write(
+                json.dumps({"version": 4, "action": "add", "file": name})
+                + "\n"
+            )
+    with open(os.path.join(log2, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 4}) + "\n")
+    snap = read_txn_log_checkpointed(spark, root2, log2)
+    assert snap.count() == load_table(spark, sf_dir, "events").count()
