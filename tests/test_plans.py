@@ -62,6 +62,7 @@ NESTED_LOOP_WHITELIST = {
     "dedup_containment_pairs",    # doc_id < 250 bounded exact baseline
     "similarity_range_search",    # 4-row broadcast probe set (bounded by contract)
     "cdc_snapshot_diff",          # 1-row broadcast T1/T2 cutoff scalars
+    "text_bpe_apply_merges",      # 1-row broadcast learned-merge table
 }
 
 

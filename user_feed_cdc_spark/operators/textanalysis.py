@@ -872,6 +872,117 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_APPLY_K = 4  # merges applied in learned rank order
+
+
+@_register(
+    "text_bpe_apply_merges",
+    f"""
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT UNNEST(list_transform(
+            range(1, length(w)),
+            i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+    merges AS (
+        SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+        FROM counts
+        QUALIFY rk <= {_BPE_APPLY_K}
+    ),
+    m AS (
+        SELECT (SELECT pair FROM merges WHERE rk = 1) AS m1,
+               (SELECT pair FROM merges WHERE rk = 2) AS m2,
+               (SELECT pair FROM merges WHERE rk = 3) AS m3,
+               (SELECT pair FROM merges WHERE rk = 4) AS m4
+    ),
+    applied AS (
+        SELECT d.doc_id,
+               length(replace(d.text, ' ', '')) AS n_chars,
+               length(replace(
+                   replace(replace(replace(replace(
+                       d.text, m.m1, chr(1)), m.m2, chr(2)),
+                       m.m3, chr(3)), m.m4, chr(4)),
+                   ' ', '')) AS n_symbols
+        FROM documents d CROSS JOIN m
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_chars - n_symbols AS BIGINT) AS n_merged
+    FROM applied
+    """,
+)
+def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — the tokenization half that text_bpe_merge_pairs'
+    learn half was missing (E17 completion): the top-{_BPE_APPLY_K}
+    learned merges are applied to every document IN RANK ORDER, each
+    replacing all non-overlapping occurrences left-to-right — exactly
+    how a trained BPE tokenizer segments text (apply merges by
+    priority; earlier merges consume characters so later ones see the
+    updated sequence, which chained replace() reproduces because both
+    engines replace left-to-right non-overlapping and the sentinel
+    symbols \\x01..\\x04 can never collide with raw-text pairs). The
+    per-doc accounting is the token-budget arithmetic a training
+    pipeline runs: symbol count before (chars sans spaces), after,
+    and merges applied (= chars saved, since each merge replaces two
+    symbols with one). All-integer outputs — the whole learn+apply
+    pipeline sits under the value hash with no float contract.
+
+    Scale: the merge table is a bounded aggregate (alphabet² keys)
+    broadcast as ONE row; application is a per-row string pass in
+    whole-stage codegen over the doc scan — no shuffle beyond the
+    tiny learn rollup, the same narrow shape at any corpus size.
+    Successive BPE rounds = re-learn over the applied column, a loop
+    of this same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    counts = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rank order frozen into a sortable struct so the 1-row collect
+    # is order-independent: ascending (-n, pair) == (n DESC, pair)
+    mrow = (
+        counts.orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_APPLY_K)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("n")).alias("negn"), F.col("pair"))
+                )
+            ).alias("ms")
+        )
+    )
+    t = F.col("text")
+    for k in range(_BPE_APPLY_K):
+        t = F.replace(t, F.col("ms")[k]["pair"], F.lit(chr(k + 1)))
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_symbols = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return (
+        docs.crossJoin(F.broadcast(mrow))
+        .select(
+            "doc_id",
+            n_chars.cast("long").alias("n_chars"),
+            n_symbols.cast("long").alias("n_symbols"),
+            (n_chars - n_symbols).cast("long").alias("n_merged"),
+        )
+    )
+
+
 @_register(
     "text_bigram_surprisal",
     """
