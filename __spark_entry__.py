@@ -65,12 +65,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # entries). Rotation policy (documented since r08): NEW +
     # DRIVER-FAILED entries first, then never-certified, then
     # stalest-certification-first. Round-10 window = the ZERO-BACKLOG
-    # round (r09 VERDICT directive #1): the 9 new r10 entries, then ALL
+    # round (r09 VERDICT directive #1): the 10 new r10 entries, then ALL
     # 35 entries with no clean driver row yet — the r09 spill, the r09
     # additions, and the 9 rows-only-by-design entries whose only prior
     # driver rows were err:no_oracle (a clean rows-only row is still
     # external evidence) — then graph_triangle_count (code changed this
-    # round: degree-oriented wedge join, hash unchanged) and 5
+    # round: degree-oriented wedge join, hash unchanged) and 4
     # stalest-certified (r05) to fill. After this window lands, the
     # union of CORRECTNESS_r01..r10 covers every registry entry.
     # Every entry additionally passes the full local oracle gate every
@@ -79,12 +79,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # certification before their driver row).
     priority = [
         # ---- r10 window: zero-backlog round ----
-        # 9 new r10 entries lead (rotation policy: NEW first),
+        # 10 new r10 entries lead (rotation policy: NEW first),
         "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
         "source_txn_log_checkpoint", "source_txn_log_deletes",
         "source_txn_log_data_skipping", "streaming_left_outer_join_live",
         "source_txn_log_time_travel", "events_holt_linear_trend",
-        "text_bpe_apply_merges",
+        "text_bpe_apply_merges", "source_txn_log_bloom_index",
         # then ALL 35 never-driver-certified entries (the r09
         # spill + r09 additions + the 9 rows-only-by-design
         # entries whose only driver rows were err:no_oracle —
@@ -110,9 +110,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # orientation) and 10 stalest-certified (r05) fill:
         "graph_triangle_count", "cdc_canonical_activities",
         "events_sliding_counts", "events_session_stats",
-        "events_attribution_join", "events_trending_users",
-        # ---- window boundary (the driver certifies the 50 above) ----
+        "events_attribution_join", # ---- window boundary (the driver certifies the 50 above) ----
         # certified tail, stalest driver row first
+        "events_trending_users",
         "range_join_user_pairs",
         "asof_last_purchase", "asof_last_purchase_tolerance",
         "dedup_exact_latest_event", "dedup_minhash_md5_pairs",

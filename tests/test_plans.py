@@ -1158,3 +1158,53 @@ def test_streaming_left_outer_join_eviction_plan(spark, sf_dir):
     sym = [op for op in ops if op.get("operatorName") == "symmetricHashJoin"]
     assert sym, f"no symmetricHashJoin state operator in {ops}"
     assert sym[0]["numRowsRemoved"] > 0  # eviction actually ran
+
+
+def test_txn_log_bloom_index_prunes_files(spark, sf_dir):
+    """source_txn_log_bloom_index: recompute the per-file bloom tests
+    INDEPENDENTLY (read sidecars, hash the probe with the twin
+    function) and pin inputFiles() to exactly that survivor set —
+    which must be a strict subset of the four files (the pruning is
+    real) and must contain the probe's true home file (the pruning is
+    sound). With ~8 bits/key the expected survivor count is 1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.formats import (
+        _fbloom_positions,
+        _txn_log_bloom_table,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    df = em.queries()["source_txn_log_bloom_index"](spark, sf_dir)
+    scanned = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+
+    root, log_dir = _txn_log_bloom_table(spark, sf_dir)
+    import json
+
+    entries = []
+    with open(os.path.join(log_dir, "00000.json")) as fh:
+        for line in fh:
+            entries.append(json.loads(line))
+    probe = (
+        load_table(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    )
+    expect = set()
+    for a in sorted(entries, key=lambda a: a["file"]):
+        words = {
+            r.word: r.bits
+            for r in spark.read.schema("word long, bits long")
+            .parquet(os.path.join(root, a["bloom"]))
+            .collect()
+        }
+        if all(
+            (words.get(p // 64, 0) >> (p % 64)) & 1
+            for p in _fbloom_positions(probe, a["m"])
+        ):
+            expect.add(a["file"])
+    assert scanned == expect, (scanned, expect)
+    assert len(scanned) < 4  # pruned at least one file
+    # soundness: the probe's true row came back
+    assert df.count() == 1

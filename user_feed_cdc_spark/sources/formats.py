@@ -1295,3 +1295,163 @@ def source_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = [os.path.join(root, name) for name in sorted(live)]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Per-file bloom index: point-lookup file pruning where min/max can't
+# ---------------------------------------------------------------------------
+
+_FBLOOM_K = 4  # hash functions per key
+
+_TXN_BLOOM_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    WHERE event_id = (SELECT MAX(event_id) FROM events)
+"""
+
+
+def _fbloom_positions(key: int, m: int) -> list[int]:
+    """Driver-side twin of the builder's JVM bit expression: position
+    d = int(md5('fbloom{d}:{key}')[:8 hex], 16) % m — byte-identical
+    to conv(substr(md5(concat(...)), 1, 8), 16, 10) % m."""
+    return [
+        int(
+            hashlib.md5(f"fbloom{d}:{key}".encode()).hexdigest()[:8], 16
+        )
+        % m
+        for d in range(_FBLOOM_K)
+    ]
+
+
+def _txn_log_bloom_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime)) a table laid out so BLOOM
+    pruning is the ONLY pruning that works: four files u0..u3 covering
+    user_id quartiles, each with a bloom sidecar over its event_ids.
+    An event_id point lookup gets nothing from min/max stats here —
+    event_ids are scattered uniformly across the user-clustered files,
+    so every file's [min,max] contains every probe — but each id
+    LIVES in exactly one file, which the per-file bloom knows. m is
+    sized ~8 bits/key (next power of two), k=4 → false-positive rate
+    ≈ (1−e^{−k/8})⁴ < 2·10⁻⁴, effectively zero extra files scanned."""
+    import json
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txnbloom:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    root = _scratch_path("txnbloom", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events")
+        n_total = ev.count()
+        m = 1 << max(12, (8 * n_total).bit_length())
+        max_user = ev.agg(F.max("user_id")).first()[0]
+        bounds = [0] + [max_user * (k + 1) // 4 for k in range(3)] + [
+            max_user
+        ]
+        actions = []
+        for k in range(4):
+            lo, hi = bounds[k], bounds[k + 1]
+            part = ev.filter(
+                (F.col("user_id") > lo) if k else (F.col("user_id") >= 0)
+            ).filter(F.col("user_id") <= hi)
+            part.write.mode("overwrite").parquet(os.path.join(root, f"u{k}"))
+            pos_exprs = [
+                f"CAST(conv(substr(md5(concat('fbloom{d}:',"
+                f" CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {m}L"
+                for d in range(_FBLOOM_K)
+            ]
+            bits = (
+                part.select(
+                    F.explode(
+                        F.array(*[F.expr(e) for e in pos_exprs])
+                    ).alias("pos")
+                )
+                .groupBy((F.col("pos") / 64).cast("long").alias("word"))
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                    ).alias("bits")
+                )
+            )
+            bits.write.mode("overwrite").parquet(
+                os.path.join(root, f"bloom_u{k}")
+            )
+            actions.append(
+                {
+                    "action": "add",
+                    "file": f"u{k}",
+                    "bloom": f"bloom_u{k}",
+                    "m": m,
+                }
+            )
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "00000.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps({"version": 0, **a}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_bloom_index", _TXN_BLOOM_ORACLE)
+def source_txn_log_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEX file pruning — the point-lookup leg of the mini
+    table format (Delta's bloom filter index / Parquet column blooms),
+    complementing min/max data skipping, which provably CANNOT help
+    here: the probe column (event_id) is uniform across files
+    clustered by user_id, so every file's range contains every probe.
+    The reader replays the log for (file, bloom sidecar, m), loads
+    each sidecar's packed bit words (|files| × m/64 longs — planning-
+    scale, like Delta reading its index), tests the probe's k
+    positions, scans ONLY files whose bloom says maybe, and applies
+    the residual equality filter — a bloom 'no' is definite so
+    pruning is sound, a false-positive 'maybe' costs I/O never
+    correctness. The probe (the table's max event_id) lives in
+    exactly one file; the plan gate recomputes the bloom tests
+    independently and pins inputFiles() to exactly the surviving set.
+
+    At 100 TB: a point lookup over a 4096-file table touches the
+    index (kilobytes/file) plus ~one data file instead of all files —
+    the difference between a seek and a table scan; sidecars merge
+    per file like any bloom (bit-OR), so compaction rebuilds them
+    from the members only."""
+    root, log_dir = _txn_log_bloom_table(spark, sf_dir)
+    probe = (
+        load_table(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    )
+    log = spark.read.schema(
+        "version long, action string, file string, bloom string, m long"
+    ).json(os.path.join(log_dir, "*.json"))
+    files = [
+        (r.file, r.bloom, r.m)
+        for r in log.filter(F.col("action") == "add").collect()
+    ]  # planning step: |files| rows
+    survivors = []
+    for fname, bloomname, m in sorted(files):
+        words = {
+            r.word: r.bits
+            for r in spark.read.schema("word long, bits long")
+            .parquet(os.path.join(root, bloomname))
+            .collect()
+        }  # planning step: m/64 packed longs per file
+        hit = all(
+            (words.get(pos // 64, 0) >> (pos % 64)) & 1
+            for pos in _fbloom_positions(probe, m)
+        )
+        if hit:
+            survivors.append(fname)
+    scan = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        *[os.path.join(root, name) for name in survivors]
+    )
+    return scan.filter(F.col("event_id") == probe).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
