@@ -115,6 +115,23 @@ def test_decoder_refusals_are_loud():
         decode_jpeg(bytes(bad_dht))
 
 
+def test_huge_declared_dims_refuse_before_allocating():
+    """Resource-exhaustion guard (r10 ADVICE): a tiny payload whose SOF
+    declares 65535x65535 must raise ValueError BEFORE the multi-GB
+    plane allocation — the entropy bytes present can't possibly cover
+    the declared MCU count (every block costs >= 2 bits)."""
+    import time
+
+    good = bytearray(encode_jpeg(8, 8, bytes(64), gray=True))
+    sof = good.index(b"\xff\xc0")
+    struct.pack_into(">HH", good, sof + 5, 65535, 65535)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="entropy bytes"):
+        decode_jpeg(bytes(good))
+    # the refusal is a header-arithmetic check, not an allocation race
+    assert time.monotonic() - t0 < 1.0
+
+
 def test_decoder_is_spec_general_not_encoder_shaped():
     """The decoder must read tables from the FILE, not assume this
     encoder's: re-emit a stream with the same entropy data but the

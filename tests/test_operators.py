@@ -959,6 +959,39 @@ def test_avi_codec_round_trip_and_errors():
     except DecodeError:
         pass
 
+    # (e) r10 ADVICE: a real multi-stream AVI (video + audio) must
+    # decode — the audio strl's strf is a WAVEFORMATEX, and parsing it
+    # as a BITMAPINFOHEADER would clobber bpp/comp/strf_dims with
+    # garbage and refuse a perfectly good file
+    base = encode_avi(4, 2, frames)
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"auds", b"\x01\x00\x00\x00",
+        0, 0, 0, 0, 1, 8000, 0, 16000, 0, 0, 2, 0, 0, 0, 0,
+    )
+    strf_a = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+
+    def _chunk(fourcc, body):
+        return (
+            struct.pack("<4sI", fourcc, len(body))
+            + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+
+    audio_strl = _chunk(
+        b"LIST", b"strl" + _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)
+    )
+    movi_list_at = base.index(b"movi") - 8  # LIST header before 'movi'
+    payload = bytearray(
+        base[:movi_list_at] + audio_strl + base[movi_list_at:]
+    )
+    (riff_sz,) = struct.unpack_from("<I", payload, 4)
+    struct.pack_into("<I", payload, 4, riff_sz + len(audio_strl))
+    hdrl_at = payload.index(b"hdrl")
+    (hdrl_sz,) = struct.unpack_from("<I", payload, hdrl_at - 4)
+    struct.pack_into("<I", payload, hdrl_at - 4, hdrl_sz + len(audio_strl))
+    assert decode_avi(bytes(payload)) == (4, 2, 12, frames)
+
 
 def test_mjpeg_avi_decode_and_dispatch():
     """decode_avi_mjpeg: flat-frame MJPG AVIs decode bit-exactly
@@ -3029,6 +3062,65 @@ def test_txn_log_snapshot_replay_matters(spark, sf_dir):
     )
     assert snap_n == n_src
     assert naive.count() > n_src  # the removed files are still on disk
+
+
+def test_txn_log_replay_asserts_one_action_per_file_per_commit(spark):
+    """r10 VERDICT item 1: a log carrying add+remove of the SAME file
+    in ONE commit has no defined replay order — the replay must refuse
+    loudly instead of resolving by a tiebreak. Valid histories (remove
+    and re-add across DIFFERENT commits) still replay fine."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.formats import _replay_live_files
+
+    ok = spark.createDataFrame(
+        [(0, "add", "f0"), (1, "remove", "f0"), (2, "add", "f0"),
+         (0, "add", "f1"), (1, "remove", "f1")],
+        "version long, action string, file string",
+    )
+    assert _replay_live_files(ok) == ["f0"]
+
+    bad = spark.createDataFrame(
+        [(0, "add", "f0"), (0, "remove", "f0"), (0, "add", "f1")],
+        "version long, action string, file string",
+    )
+    with pytest.raises(ValueError, match="one-action-per-file-per-commit"):
+        _replay_live_files(bad)
+
+
+def test_bloom_sidecar_reads_are_one_job(spark, sf_dir):
+    """r10 VERDICT item: loading the bloom index must be ONE globbed
+    Spark job over all sidecars (the 4096-file scenario would
+    otherwise launch 4096 sequential driver jobs), and the batched
+    result must agree with reading each sidecar individually."""
+    from user_feed_cdc_spark.sources.formats import (
+        _read_bloom_sidecars,
+        _txn_log_bloom_table,
+    )
+
+    root, _log = _txn_log_bloom_table(spark, sf_dir)
+    names = [f"bloom_u{k}" for k in range(4)]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fbloom-sidecar-pin", "job-count pin")
+    try:
+        batched = _read_bloom_sidecars(spark, root, names)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("fbloom-sidecar-pin")
+    assert len(jobs) == 1, f"expected 1 sidecar-read job, saw {len(jobs)}"
+
+    assert set(batched) == set(names)
+    for name in names:
+        import os
+
+        solo = {
+            r.word: r.bits
+            for r in spark.read.schema("word long, bits long")
+            .parquet(os.path.join(root, name))
+            .collect()
+        }
+        assert batched[name] == solo
 
 
 def test_txn_log_checkpoint_skips_old_commits(spark, sf_dir, tmp_path):

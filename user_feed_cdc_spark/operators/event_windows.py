@@ -4239,7 +4239,16 @@ def events_max_concurrent_sessions(
     from user_feed_cdc_spark.sources.formats import _scratch_path
 
     mtime = int(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    key = hashlib.md5(f"concdeltas:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    # Cache key folds in the sessionization LOGIC, not just the source
+    # (r10 ADVICE): unlike the txn-log fixtures (pure functions of the
+    # data), the deltas depend on the gap constant and struct shape —
+    # a code change here must invalidate the scratch, not silently
+    # reuse stale deltas until testdata regenerates. Bump _V on any
+    # change to the delta derivation above.
+    logic = f"gap={_CONC_GAP_US}:v=2"
+    key = hashlib.md5(
+        f"concdeltas:{sf_dir}:{mtime}:{logic}".encode()
+    ).hexdigest()[:12]
     path = _scratch_path("conc_deltas", sf_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         deltas_src.write.mode("overwrite").parquet(path)

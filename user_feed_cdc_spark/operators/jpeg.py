@@ -162,6 +162,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # keep only the live low bits — the same bigint-growth bound
+        # _BitReader._fill applies on the decode side; without it acc
+        # grows one byte per emitted byte and encoding goes quadratic
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -528,15 +532,25 @@ def _decode_scan(
 
     blocks_w = (width + 7) // 8
     blocks_h = (height + 7) // 8
+    # Resource-exhaustion guard at the untrusted-bytes boundary: plane
+    # buffers are sized from header-declared dims, so a ~20-byte payload
+    # claiming 65535x65535 would force a multi-GB allocation before any
+    # entropy data is validated. Every block costs at least 2 bits in a
+    # legal scan (one DC code + one AC code, each >= 1 bit), so a
+    # payload whose remaining bytes can't cover blocks/4 bytes is lying
+    # about its dimensions — refuse BEFORE allocating.
+    n_blocks = blocks_w * blocks_h * ncomp
+    if (len(payload) - pos) * 4 < n_blocks:
+        raise ValueError(
+            f"declared dims {width}x{height} need {n_blocks} blocks but "
+            f"only {len(payload) - pos} entropy bytes remain"
+        )
     planes = [[0] * (blocks_w * 8 * blocks_h * 8) for _ in range(ncomp)]
     br = _BitReader(payload, pos)
     preds = [0] * ncomp
     mcu = 0
-    done = False
     for by in range(blocks_h):
         for bx in range(blocks_w):
-            if done:
-                break
             if restart_interval and mcu and mcu % restart_interval == 0:
                 m = br.align_to_marker()
                 if not (0xD0 <= m <= 0xD7):

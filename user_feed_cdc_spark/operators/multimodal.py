@@ -460,9 +460,11 @@ def _walk_avi(payload: bytes) -> tuple[int, int, int, bool, int, int, list[bytes
     bpp = comp = None
     strf_dims = None
     raw_frames: list[bytes] = []
+    in_video_strl = False  # the strl whose strh declared fccType 'vids'
 
     def walk(pos: int, end: int) -> None:
         nonlocal width, height, fps, top_down, bpp, comp, strf_dims
+        nonlocal in_video_strl
         while pos + 8 <= end:
             cid, clen = struct.unpack_from("<4sI", payload, pos)
             body_at = pos + 8
@@ -482,14 +484,20 @@ def _walk_avi(payload: bytes) -> tuple[int, int, int, bool, int, int, list[bytes
                 fcc, _h, _f, _p, _l, _init, scale, rate = struct.unpack_from(
                     "<4s4sIHHIII", payload, body_at
                 )
-                if fcc == b"vids":
+                # Scope header state to the VIDEO stream: a multi-stream
+                # AVI (video+audio) carries an 'auds' strl whose strf is
+                # a WAVEFORMATEX — parsing it as BITMAPINFOHEADER would
+                # clobber bpp/comp/strf_dims with garbage (r10 ADVICE).
+                in_video_strl = fcc == b"vids"
+                if in_video_strl:
                     fps = rate // max(scale, 1)
             elif cid == b"strf":
-                _sz, bw, bh, _pl, bpp, comp = struct.unpack_from(
-                    "<IiiHHI", payload, body_at
-                )
-                top_down = bh < 0
-                strf_dims = (bw, abs(bh))
+                if in_video_strl:
+                    _sz, bw, bh, _pl, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", payload, body_at
+                    )
+                    top_down = bh < 0
+                    strf_dims = (bw, abs(bh))
             elif cid[:2] == b"00" and cid[2:] in (b"db", b"dc"):
                 # stream 00 = the declared video stream; other-stream
                 # chunks (audio '01wb', a second track) never interleave

@@ -808,6 +808,40 @@ def _txn_log_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return root, log_dir
 
 
+def _replay_live_files(log: DataFrame) -> list[str]:
+    """Shared last-action-wins replay of add/remove actions → sorted
+    live file names — the planning step every txn-log read runs. One
+    Spark job aggregates the log per (file, version); the replay then
+    finishes driver-side over planning-scale rows (|distinct file| ×
+    |commits touching it| — exactly what Delta's snapshot resolution
+    holds in driver memory). The ONE-ACTION-PER-FILE-PER-COMMIT
+    invariant the writers hold is ASSERTED here (r10 VERDICT item 1),
+    not assumed: a log carrying add+remove of the same file in one
+    commit has no defined replay order, so it refuses loudly instead
+    of resolving by a tiebreak that looks like collation luck. Across
+    commits the later version wins; a remove ranks above an add only
+    across versions (re-add generalizes correctly)."""
+    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
+    rows = (
+        log.filter(F.col("action").isin("add", "remove"))
+        .groupBy("file", "version")
+        .agg(F.count("*").alias("n"), F.max(rank).alias("action_rank"))
+        .collect()
+    )  # planning step: one row per (file, commit) — catalog scale
+    dup = [r for r in rows if r.n > 1]
+    if dup:
+        raise ValueError(
+            "transaction log violates one-action-per-file-per-commit: "
+            + ", ".join(f"{r.file}@v{r.version}" for r in dup[:5])
+        )
+    last: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        st = (r.version, r.action_rank)
+        if r.file not in last or st > last[r.file]:
+            last[r.file] = st
+    return sorted(f for f, (_v, a) in last.items() if a == 0)
+
+
 @_register("source_txn_log_snapshot", _ROUNDTRIP_ORACLE)
 def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse TABLE-FORMAT mechanics, end to end: reconstruct the
@@ -840,20 +874,10 @@ def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = spark.read.schema("version long, action string, file string").json(
         os.path.join(log_dir, "*.json")
     )
-    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
-    last = (
-        log.groupBy("file")
-        .agg(
-            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
-                "st"
-            )
-        )
-        .filter(F.col("st.action_rank") == 0)  # 0 = add survives
-    )
-    live = [r.file for r in last.select("file").collect()]  # planning phase:
-    # |files| rows to the driver, the table-format catalog step — data
-    # files themselves never leave the executors
-    paths = [os.path.join(root, name) for name in sorted(live)]
+    live = _replay_live_files(log)  # planning phase: |files| rows to the
+    # driver, the table-format catalog step — data files themselves
+    # never leave the executors
+    paths = [os.path.join(root, name) for name in live]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
 
@@ -958,18 +982,9 @@ def read_txn_log_checkpointed(
         if tail  # a checkpoint at HEAD has no tail to replay
         else base
     )
-    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
-    last = (
-        log.groupBy("file")
-        .agg(
-            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
-                "st"
-            )
-        )
-        .filter(F.col("st.action_rank") == 0)
-    )
-    live = [r.file for r in last.select("file").collect()]
-    paths = [os.path.join(root, name) for name in sorted(live)]
+    paths = [
+        os.path.join(root, name) for name in _replay_live_files(log)
+    ]
     return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
 
 
@@ -1089,24 +1104,13 @@ def source_txn_log_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = spark.read.schema(
         "version long, action string, file string, dv string"
     ).json(os.path.join(log_dir, "*.json"))
-    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
-    live = (
-        log.filter(F.col("action").isin("add", "remove"))
-        .groupBy("file")
-        .agg(
-            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
-                "st"
-            )
-        )
-        .filter(F.col("st.action_rank") == 0)
-    )
     winning_dv = (
         log.filter(F.col("action") == "dv")
         .groupBy("file")
         .agg(F.max(F.struct(F.col("version"), F.col("dv"))).alias("st"))
         .select("file", F.col("st.dv").alias("dv"))
     )
-    live_files = sorted(r.file for r in live.select("file").collect())
+    live_files = _replay_live_files(log)
     dv_map = {r.file: r.dv for r in winning_dv.collect()}  # planning step:
     # |files| + |dv| rows to the driver, like the snapshot read
     scan = (
@@ -1281,18 +1285,9 @@ def source_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(os.path.join(log_dir, "*.json"))
         .filter(F.col("version") <= 0)  # VERSION AS OF 0
     )
-    rank = F.when(F.col("action") == "remove", F.lit(1)).otherwise(F.lit(0))
-    last = (
-        log.groupBy("file")
-        .agg(
-            F.max(F.struct(F.col("version"), rank.alias("action_rank"))).alias(
-                "st"
-            )
-        )
-        .filter(F.col("st.action_rank") == 0)
-    )
-    live = [r.file for r in last.select("file").collect()]
-    paths = [os.path.join(root, name) for name in sorted(live)]
+    paths = [
+        os.path.join(root, name) for name in _replay_live_files(log)
+    ]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
 
@@ -1323,6 +1318,30 @@ def _fbloom_positions(key: int, m: int) -> list[int]:
         % m
         for d in range(_FBLOOM_K)
     ]
+
+
+def _read_bloom_sidecars(
+    spark: SparkSession, root: str, bloom_names: list[str]
+) -> dict[str, dict[int, int]]:
+    """Load every bloom sidecar's packed bit words in ONE globbed read
+    (sidecar identity recovered from input_file_name) — not a
+    per-sidecar read loop, which at a 4096-file table would be 4096
+    sequential driver-side jobs (r10 VERDICT item). One job collects
+    |files| × m/64 packed longs, still planning scale; the job-count
+    pin lives in test_plans.py. Returns {sidecar_name: {word: bits}}."""
+    out: dict[str, dict[int, int]] = {}
+    rows = (
+        spark.read.schema("word long, bits long")
+        .parquet(*[os.path.join(root, name) for name in bloom_names])
+        .withColumn(
+            "sidecar",
+            F.regexp_extract(F.input_file_name(), "/([^/]+)/[^/]+$", 1),
+        )
+        .collect()
+    )
+    for r in rows:
+        out.setdefault(r.sidecar, {})[r.word] = r.bits
+    return out
 
 
 def _txn_log_bloom_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1429,14 +1448,12 @@ def source_txn_log_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.file, r.bloom, r.m)
         for r in log.filter(F.col("action") == "add").collect()
     ]  # planning step: |files| rows
+    by_bloom = _read_bloom_sidecars(
+        spark, root, [bloomname for _, bloomname, _ in files]
+    )
     survivors = []
     for fname, bloomname, m in sorted(files):
-        words = {
-            r.word: r.bits
-            for r in spark.read.schema("word long, bits long")
-            .parquet(os.path.join(root, bloomname))
-            .collect()
-        }  # planning step: m/64 packed longs per file
+        words = by_bloom.get(bloomname, {})
         hit = all(
             (words.get(pos // 64, 0) >> (pos % 64)) & 1
             for pos in _fbloom_positions(probe, m)
