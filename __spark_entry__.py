@@ -64,54 +64,31 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # certifies a PREFIX of the registry (each round covers the first 50
     # entries). Rotation policy (documented since r08): NEW +
     # DRIVER-FAILED entries first, then never-certified, then
-    # stalest-certification-first. Round-10 window = the ZERO-BACKLOG
-    # round (r09 VERDICT directive #1): the 10 new r10 entries, then ALL
-    # 35 entries with no clean driver row yet — the r09 spill, the r09
-    # additions, and the 9 rows-only-by-design entries whose only prior
-    # driver rows were err:no_oracle (a clean rows-only row is still
-    # external evidence) — then graph_triangle_count (code changed this
-    # round: degree-oriented wedge join, hash unchanged) and 4
-    # stalest-certified (r05) to fill. After this window lands, the
-    # union of CORRECTNESS_r01..r10 covers every registry entry.
+    # CODE-CHANGED-since-last-driver-row, then stalest-certification-
+    # first. Round-11 window (backlog is ZERO since r10 — the union of
+    # CORRECTNESS_r01..r10 covers all entries): the new r11 entries,
+    # then every entry whose CODE changed this round (txn-log replay
+    # refactored through _replay_live_files + batched bloom sidecar
+    # read; AVI walker stream-scoping; JPEG decoder allocation guard;
+    # concurrent-sessions cache key), then the stalest-certified cohort
+    # (r05/r06 driver rows) to fill.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r10 window: zero-backlog round ----
-        # 10 new r10 entries lead (rotation policy: NEW first),
+        # ---- r11 window ----
+        # new r11 entries lead (rotation policy: NEW first),
+        "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
+        # then code-changed-this-round entries (replay/walker/decoder
+        # refactors — hashes expected unchanged, but external evidence
+        # beats expectation),
+        "source_txn_log_snapshot", "source_txn_log_checkpoint",
+        "source_txn_log_deletes", "source_txn_log_time_travel",
+        "source_txn_log_bloom_index", "multimodal_video_avi_stats",
         "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
-        "source_txn_log_checkpoint", "source_txn_log_deletes",
-        "source_txn_log_data_skipping", "streaming_left_outer_join_live",
-        "source_txn_log_time_travel", "events_holt_linear_trend",
-        "text_bpe_apply_merges", "source_txn_log_bloom_index",
-        # then ALL 35 never-driver-certified entries (the r09
-        # spill + r09 additions + the 9 rows-only-by-design
-        # entries whose only driver rows were err:no_oracle —
-        # a clean rows-only row is still external evidence),
-        "pipeline_score_calibration", "pipeline_k_anonymity",
-        "dedup_minhash_quality", "similarity_hard_negatives",
-        "pipeline_blocklist_filter", "dedup_simhash_quality",
-        "events_activity_bitmap", "pipeline_token_budget_epochs",
-        "events_psi_drift", "events_median_halfsample_ci",
-        "events_incident_overlap_join", "events_theil_sen_trend",
-        "events_mahalanobis_outliers", "events_sequence_pattern",
-        "events_autocorrelation", "source_xml_roundtrip",
-        "multimodal_audio_spectrum", "dedup_containment_pairs",
-        "dedup_source_signatures", "multimodal_phash_dedup",
-        "multimodal_video_avi_stats", "text_dup_ngram_fraction",
-        "similarity_range_search", "cdc_snapshot_diff",
-        "events_max_concurrent_sessions", "graph_link_prediction",
-        "source_txn_log_snapshot", "similarity_ann_lsh",
-        "multimodal_feature_extract", "sketch_distinct_users",
-        "sketch_value_quantiles", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_lsh", "multimodal_resize",
-        # then graph_triangle_count (code changed r10: degree
-        # orientation) and 10 stalest-certified (r05) fill:
-        "graph_triangle_count", "cdc_canonical_activities",
-        "events_sliding_counts", "events_session_stats",
-        "events_attribution_join", # ---- window boundary (the driver certifies the 50 above) ----
-        # certified tail, stalest driver row first
+        "events_max_concurrent_sessions",
+        # then stalest-certified (r05/r06 driver rows) fill:
         "events_trending_users",
         "range_join_user_pairs",
         "asof_last_purchase", "asof_last_purchase_tolerance",
@@ -129,7 +106,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats", "asof_next_purchase",
         "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
-        "events_daily_retention", "events_cohort_matrix", "pricing_summary",
+        "events_daily_retention", "events_cohort_matrix",
+        # ---- window boundary (the driver certifies the 50 above) ----
+        # certified tail, stalest driver row first
+        "pricing_summary",
         "filter_project", "join_inner", "join_left_outer", "join_semi",
         "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
         "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
@@ -217,6 +197,27 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "similarity_lsh_recall", "events_cusum_changepoint",
         "similarity_mmr_topk", "streaming_activity_bitmap_live",
         "graph_personalized_pagerank",
+        # r10 window (driver-certified r10 — freshest rows, so last)
+        "source_txn_log_data_skipping", "streaming_left_outer_join_live",
+        "events_holt_linear_trend", "text_bpe_apply_merges",
+        "pipeline_score_calibration", "pipeline_k_anonymity",
+        "dedup_minhash_quality", "similarity_hard_negatives",
+        "pipeline_blocklist_filter", "dedup_simhash_quality",
+        "events_activity_bitmap", "pipeline_token_budget_epochs",
+        "events_psi_drift", "events_median_halfsample_ci",
+        "events_incident_overlap_join", "events_theil_sen_trend",
+        "events_mahalanobis_outliers", "events_sequence_pattern",
+        "events_autocorrelation", "source_xml_roundtrip",
+        "multimodal_audio_spectrum", "dedup_containment_pairs",
+        "dedup_source_signatures", "multimodal_phash_dedup",
+        "text_dup_ngram_fraction", "similarity_range_search",
+        "cdc_snapshot_diff", "graph_link_prediction",
+        "similarity_ann_lsh", "multimodal_feature_extract",
+        "sketch_distinct_users", "sketch_value_quantiles",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+        "multimodal_resize", "graph_triangle_count",
+        "cdc_canonical_activities", "events_sliding_counts",
+        "events_session_stats", "events_attribution_join",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -3088,6 +3088,120 @@ def test_txn_log_replay_asserts_one_action_per_file_per_commit(spark):
         _replay_live_files(bad)
 
 
+def test_txn_writer_concurrent_commits(tmp_path):
+    """The committer's optimistic-concurrency semantics (r10 VERDICT
+    directive 2): (a) losing the version-allocation race retries and
+    lands at the next number, (b) blind appends never conflict even
+    when other commits landed since the transaction began, (c) two
+    transactions removing the SAME file (concurrent OPTIMIZE of one
+    file group) — the second raises CommitConflict, (d) a transaction
+    staging two actions for one file refuses at write time."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+    )
+
+    w = TxnLogWriter(str(tmp_path / "t"))
+    assert w.latest_version() == -1
+    assert w.begin().add("f0").commit() == 0
+    assert w.begin().add("f1").commit() == 1
+    assert w.live_files() == ["f0", "f1"]
+
+    # (a) allocation race: a foreign writer steals version 2 after this
+    # transaction began — the commit must land at 3, not clobber 2
+    txn = w.begin().add("f2")
+    import json
+    import os
+
+    with open(os.path.join(w.log_dir, "00002.json"), "w") as f:
+        f.write(json.dumps({"version": 2, "action": "add", "file": "g0"}) + "\n")
+    assert txn.commit() == 3
+    assert w.live_files() == ["f0", "f1", "f2", "g0"]
+
+    # (b) blind append with a concurrent REMOVE in between: no conflict
+    txn_b = w.begin().add("f3")
+    w.begin().remove("g0").commit()  # v4
+    assert txn_b.commit() == 5
+    assert w.live_files() == ["f0", "f1", "f2", "f3"]
+
+    # (c) concurrent remove-remove conflicts
+    txn_c1 = w.begin().remove("f0").add("f0c")
+    txn_c2 = w.begin().remove("f0").add("f0d")
+    assert txn_c1.commit() == 6
+    with pytest.raises(CommitConflict, match="f0"):
+        txn_c2.commit()
+
+    # (d) intra-transaction invariant
+    with pytest.raises(ValueError, match="more than one action"):
+        w.begin().add("x").remove("x").commit()
+
+
+def test_txn_writer_checkpoints_and_txn_watermark(tmp_path):
+    """Committer-written checkpoints: at checkpoint_interval=3 the
+    writer checkpoints at v2/v5, _last_checkpoint tracks the newest,
+    the checkpointed live set is correct, the streaming txn watermark
+    is carried FORWARD into checkpoints (idempotence survives log
+    vacuuming, like Delta's SetTransaction), and live_files stays
+    correct after the pre-checkpoint commits are deleted."""
+    import json
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=3)
+    w.begin().add("a0").set_txn("app", 0).commit()  # v0
+    w.begin().add("a1").set_txn("app", 1).commit()  # v1
+    w.begin().remove("a0").add("a0r").commit()      # v2 -> checkpoint
+    assert w._checkpoint_version() == 2
+    with open(os.path.join(w.log_dir, "00002.checkpoint.json")) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    adds = sorted(x["file"] for x in lines if x["action"] == "add")
+    assert adds == ["a0r", "a1"]
+    txns = [x for x in lines if x["action"] == "txn"]
+    assert txns == [{"version": 2, "action": "txn", "app": "app", "batch": 1}]
+
+    w.begin().add("a2").set_txn("app", 2).commit()  # v3
+    # vacuum everything at or below the checkpoint: replay must still work
+    for v in (0, 1, 2):
+        os.remove(os.path.join(w.log_dir, f"{v:05d}.json"))
+    assert w.live_files() == ["a0r", "a1", "a2"]
+    assert w.last_txn("app") == 2
+    assert w.last_txn("other") is None
+
+    w.begin().add("a3").commit()  # v4
+    w.begin().add("a4").commit()  # v5 -> checkpoint
+    assert w._checkpoint_version() == 5
+    assert w.live_files() == ["a0r", "a1", "a2", "a3", "a4"]
+
+
+def test_txn_commit_batch_is_idempotent(spark, tmp_path):
+    """The foreachBatch sink body: a replayed batch (same batch_id)
+    must be a no-op — no new commit, no duplicated data file — while
+    a fresh batch_id writes and commits."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        commit_batch,
+    )
+
+    w = TxnLogWriter(str(tmp_path / "t"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    assert commit_batch(w, df, 0, app="sink") == "batch00000"
+    assert w.latest_version() == 0
+    # replay of batch 0: skipped entirely
+    assert commit_batch(w, df, 0, app="sink") is None
+    assert w.latest_version() == 0
+    assert commit_batch(w, df, 1, app="sink") == "batch00001"
+    assert w.live_files() == ["batch00000", "batch00001"]
+    import os
+
+    total = spark.read.parquet(
+        *[os.path.join(w.root, f) for f in w.live_files()]
+    ).count()
+    assert total == 10
+
+
 def test_bloom_sidecar_reads_are_one_job(spark, sf_dir):
     """r10 VERDICT item: loading the bloom index must be ONE globbed
     Spark job over all sidecars (the 4096-file scenario would

@@ -1472,3 +1472,164 @@ def source_txn_log_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.unix_micros("ts").alias("ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-written transaction logs: the WRITE protocol, certified by
+# reading back a log the engine itself committed (txn_writer.py)
+# ---------------------------------------------------------------------------
+
+
+def _txn_writer_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, protocol rev)) a table whose
+    ENTIRE transaction log the engine wrote through TxnLogWriter — no
+    fixture JSON anywhere: nine single-bucket append commits (pmod 9
+    of events), each an optimistic transaction, with
+    checkpoint_interval=4 making the COMMITTER write checkpoints at
+    v3 and v7 (+ repoint _last_checkpoint), then an engine-side
+    OPTIMIZE at v9 — a real Spark job merging b0+b1 into c01 and a
+    remove/remove/add transaction — so the reader must apply both an
+    engine-written checkpoint AND a post-checkpoint rewrite. Final
+    live set = {c01, b2..b8} = events exactly once."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txnwriter:{sf_dir}:{mtime}:v1".encode()).hexdigest()[
+        :12
+    ]
+    root = _scratch_path("txnwriter", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root, checkpoint_interval=4)
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(9))
+        for b in range(9):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"b{b}")
+            )
+            writer.begin().add(f"b{b}").commit()  # v0..v8
+        merged = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+            os.path.join(root, "b0"), os.path.join(root, "b1")
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(root, "c01"))
+        writer.begin().remove("b0").remove("b1").add("c01").commit()  # v9
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_writer_roundtrip", _ROUNDTRIP_ORACLE)
+def source_txn_log_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lakehouse WRITE protocol certified end to end (r10 VERDICT
+    directive 2): every commit in this table's log was produced by the
+    engine's own committer (txn_writer.TxnLogWriter — optimistic
+    O_CREAT|O_EXCL version allocation, conflict checks, invariant
+    enforcement at write time), including TWO checkpoints the
+    committer wrote itself (v3, v7 at checkpoint_interval=4) and an
+    engine-side OPTIMIZE (b0+b1 → c01, a remove/remove/add
+    transaction) landing AFTER the newest checkpoint. The certified
+    checkpoint READER (source_txn_log_checkpoint) then reconstructs
+    the snapshot — base state from the engine-written checkpoint plus
+    a two-commit tail containing the rewrite — and the fidelity agg
+    hashes it against the original events table. A committer that
+    mis-numbers versions, drops actions, checkpoints the wrong live
+    set, or breaks the one-action-per-file invariant moves the hash
+    or trips the replay assertion.
+
+    Scale posture: the committer is pure control plane — it touches
+    only JSON log lines (catalog scale; conflict checks replay just
+    the commits since the transaction's base version), while data
+    files move exclusively through Spark jobs; checkpoints bound
+    replay cost exactly as on the read side. Concurrency semantics
+    (allocation races retry, concurrent remove-remove conflicts
+    raise) are pinned by tests/test_operators.py."""
+    root, log_dir = _txn_writer_table(spark, sf_dir)
+    return _fidelity_agg(read_txn_log_checkpointed(spark, root, log_dir))
+
+
+def _events_multifile_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A directory holding events as FOUR parquet files (pmod 4 of
+    event_id), built once per (sf, source-mtime): with
+    maxFilesPerTrigger=1 a file stream replays it as four genuine
+    micro-batches — the single-file events.parquet replay the other
+    live entries use gives only one."""
+    import glob
+    import shutil
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"evmulti:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    path = _scratch_path("events_multifile", sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        os.makedirs(path, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(4))
+        for b in range(4):
+            tmp = os.path.join(path, f"_tmp{b}")
+            ev.filter(bucket == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.replace(part, os.path.join(path, f"ev{b}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(path, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return path
+
+
+@_register("streaming_txn_sink_live", _ROUNDTRIP_ORACLE)
+def streaming_txn_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIVE streaming write through the txn-log committer — the
+    Spark form of the reference's feed sink (event_processor.py:89-113
+    appends each batch to serving storage) upgraded from at-least-once
+    to effectively-once: events replay as FOUR micro-batches
+    (maxFilesPerTrigger=1 over the four-file fixture), foreachBatch
+    runs txn_writer.commit_batch — skip if the app's txn watermark
+    already covers the batch (idempotent replay), else write the
+    batch's parquet data file THEN commit [add, txn] atomically —
+    with checkpoint_interval=2 making the sink write checkpoints at
+    v1 and v3 mid-stream. After the drain, the certified checkpoint
+    reader reconstructs the table from the sink's own log and the
+    fidelity agg hashes it against the source events. A sink that
+    duplicates a replayed batch, commits before the data lands, or
+    checkpoints a stale live set moves the hash. Fresh sink root per
+    invocation (uuid key; the scratch pruner clears the previous
+    run's) — the stream must actually run to pass, never a cache.
+
+    Scale posture: per batch the sink adds one data file (executors)
+    and one JSON commit (driver, catalog scale); the txn watermark
+    lives in the log and survives checkpointing (carried forward like
+    Delta's SetTransaction), so replay-after-crash stays exactly-once
+    even once old commits are vacuumed."""
+    import uuid
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        commit_batch,
+    )
+
+    stream_dir = _events_multifile_stream_dir(spark, sf_dir)
+    root = _scratch_path("txnsink", sf_dir, uuid.uuid4().hex[:12])
+    os.makedirs(root, exist_ok=True)
+    writer = TxnLogWriter(root, checkpoint_interval=2)
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: commit_batch(writer, bdf, bid, app="events_sink")
+        )
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _fidelity_agg(
+        read_txn_log_checkpointed(spark, root, writer.log_dir)
+    )

@@ -1,0 +1,326 @@
+"""Engine-side lakehouse WRITE protocol — the committer half of the
+mini table format whose READ side (snapshot replay, checkpoints,
+deletion vectors, data skipping, time travel, bloom index) is
+certified in sources/formats.py. Until now every transaction log was
+fixture-built; this module lets the ENGINE produce logs: optimistic-
+concurrency version allocation, logical conflict checks, checkpoint
+writing, and an idempotent streaming foreachBatch sink — the write
+path a user of the reference's feed table (event_processor.py:89-113
+appends each activity batch to serving storage) hits first.
+
+Protocol (a faithful miniature of Delta's OptimisticTransaction):
+
+* A transaction captures the table version it read (`begin()`), stages
+  add/remove/txn actions, and commits by ATOMICALLY creating
+  `{version:05d}.json` with O_CREAT|O_EXCL — the filesystem is the
+  arbiter, exactly Delta's put-if-absent contract on the log store.
+* Losing the creation race is not an error: the transaction re-checks
+  LOGICAL conflicts against the commits that landed since its base
+  version and retries at the next number. Blind appends (only adds)
+  never conflict; a transaction that REMOVES files (compaction,
+  rewrite, delete) conflicts iff a concurrent commit removed any of
+  the same files — they are no longer live to remove (concurrent
+  OPTIMIZE of the same file group, the classic case).
+* Every commit holds the ONE-ACTION-PER-FILE-PER-COMMIT invariant at
+  write time (the replay side independently asserts it — see
+  formats._replay_live_files).
+* With `checkpoint_interval=N`, every Nth commit also writes
+  `{v:05d}.checkpoint.json` (the live file list as of v, plus the
+  newest txn action per streaming app — Delta checkpoints carry
+  SetTransaction for the same reason: idempotence must survive log
+  vacuuming) and repoints `_last_checkpoint` via tmp+rename, so a
+  crash mid-checkpoint never corrupts the pointer.
+* Streaming: `commit_batch` is the foreachBatch body — skip if the
+  app's txn watermark already covers this batch_id (a replayed batch
+  after a sink-side crash), else (re)write the batch's data file and
+  commit [add, txn] in one atomic commit. Effectively-once end to
+  end given the checkpointed source offsets.
+
+Scale posture: the writer is a DRIVER-SIDE control-plane object —
+it reads and writes only the JSON log (|actions| lines, catalog
+scale); data files move exclusively through Spark jobs. Conflict
+checks replay only the commits since the transaction's base version
+(|concurrent actions|), and checkpoints bound that window as the
+history grows. At 100 TB the log is kilobytes per commit while the
+table is terabytes — the entire point of log-structured table
+formats.
+
+Reference parity: the reference writes its feed through an
+at-least-once Cassandra batch insert with swallowed failures
+(user_feed_cdc/event_processor.py:89-113, env.py:14-15); this
+committer upgrades that contract to atomic, conflict-checked,
+idempotent-replay commits while keeping the data path identical
+(parquet files written by executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class CommitConflict(Exception):
+    """A concurrent commit logically invalidated this transaction
+    (e.g. it removed a file this transaction also removes). The caller
+    should re-derive its work from the new snapshot and retry — the
+    staged actions reference state that no longer exists."""
+
+
+def _last_wins(actions: list[dict]) -> list[str]:
+    """Driver-side twin of formats._replay_live_files over already-
+    loaded action dicts: last-action-wins per file, remove outranking
+    add only across versions; asserts one-action-per-file-per-commit."""
+    seen: set[tuple[str, int]] = set()
+    last: dict[str, tuple[int, int]] = {}
+    for a in actions:
+        if a.get("action") not in ("add", "remove"):
+            continue
+        key = (a["file"], a["version"])
+        if key in seen:
+            raise ValueError(
+                "transaction log violates one-action-per-file-per-commit: "
+                f"{a['file']}@v{a['version']}"
+            )
+        seen.add(key)
+        st = (a["version"], 1 if a["action"] == "remove" else 0)
+        if a["file"] not in last or st > last[a["file"]]:
+            last[a["file"]] = st
+    return sorted(f for f, (_v, r) in last.items() if r == 0)
+
+
+class TxnLogWriter:
+    """Control-plane committer for one transaction-log table rooted at
+    `root` (data file dirs as siblings of the `_log` dir — the layout
+    every formats.py txn-log reader consumes)."""
+
+    def __init__(self, root: str, checkpoint_interval: int | None = None):
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.checkpoint_interval = checkpoint_interval
+
+    # -- log scanning (planning scale: file names + JSON lines) --------
+
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and not name.endswith(
+                ".checkpoint.json"
+            ):
+                out.append(int(name.split(".")[0]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        """Highest committed version, -1 for an empty table."""
+        vs = self._commit_versions()
+        return vs[-1] if vs else -1
+
+    def _actions_between(self, lo: int, hi: int) -> list[dict]:
+        acts: list[dict] = []
+        for v in self._commit_versions():
+            if lo <= v <= hi:
+                path = os.path.join(self.log_dir, f"{v:05d}.json")
+                with open(path) as f:
+                    acts.extend(
+                        json.loads(line) for line in f if line.strip()
+                    )
+        return acts
+
+    def _checkpoint_version(self) -> int | None:
+        p = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.loads(f.readline())["version"]
+
+    def _replay_actions(self, hi: int) -> list[dict]:
+        """Checkpoint base (when one exists at or below hi) + tail —
+        the same bounded replay the reader runs, so the writer stays
+        correct after pre-checkpoint commits are vacuumed."""
+        ckpt = self._checkpoint_version()
+        if ckpt is not None and ckpt <= hi:
+            path = os.path.join(self.log_dir, f"{ckpt:05d}.checkpoint.json")
+            with open(path) as f:
+                acts = [json.loads(line) for line in f if line.strip()]
+            lo = ckpt + 1
+        else:
+            acts, lo = [], 0
+        acts.extend(self._actions_between(lo, hi))
+        return acts
+
+    def live_files(self, as_of: int | None = None) -> list[str]:
+        """Sorted live data-file names as of a version (default HEAD)."""
+        hi = self.latest_version() if as_of is None else as_of
+        if hi < 0:
+            return []
+        return _last_wins(self._replay_actions(hi))
+
+    def last_txn(self, app: str) -> int | None:
+        """Newest txn watermark for a streaming app (None if never
+        committed) — the idempotence check Delta's txnVersion serves."""
+        hi = self.latest_version()
+        if hi < 0:
+            return None
+        best = None
+        for a in self._replay_actions(hi):
+            if a.get("action") == "txn" and a.get("app") == app:
+                best = a["batch"] if best is None else max(best, a["batch"])
+        return best
+
+    # -- transactions ---------------------------------------------------
+
+    def begin(self) -> "Transaction":
+        return Transaction(self, self.latest_version())
+
+    def write_checkpoint(self, version: int) -> None:
+        """Materialize the live set as of `version` (plus the newest
+        txn action per app) into `{version:05d}.checkpoint.json`, then
+        repoint `_last_checkpoint` atomically (tmp + rename) — a crash
+        between the two files leaves the old pointer valid."""
+        acts = self._replay_actions(version)
+        lines = [
+            {"version": version, "action": "add", "file": f}
+            for f in _last_wins(acts)
+        ]
+        txns: dict[str, dict] = {}
+        for a in acts:
+            if a.get("action") == "txn" and (
+                a["app"] not in txns
+                or a["version"] >= txns[a["app"]]["version"]
+            ):
+                txns[a["app"]] = a
+        lines.extend(
+            {
+                "version": version,
+                "action": "txn",
+                "app": app,
+                "batch": t["batch"],
+            }
+            for app, t in sorted(txns.items())
+        )
+        ckpt = os.path.join(self.log_dir, f"{version:05d}.checkpoint.json")
+        tmp = ckpt + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            for line in lines:
+                f.write(json.dumps(line) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ckpt)
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        tmp = ptr + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": version}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
+
+
+class Transaction:
+    """One optimistic transaction: stage actions, then `commit()` —
+    which allocates the next version atomically, re-checking logical
+    conflicts against any commits that landed since `base_version`."""
+
+    def __init__(self, writer: TxnLogWriter, base_version: int):
+        self.writer = writer
+        self.base_version = base_version
+        self.actions: list[dict] = []
+
+    def add(self, file: str, **stats) -> "Transaction":
+        """Stage an add action; extra keyword stats (min/max, bloom
+        sidecar name, m) are recorded on the action line, which is how
+        the data-skipping and bloom-index readers get their metadata."""
+        self.actions.append({"action": "add", "file": file, **stats})
+        return self
+
+    def remove(self, file: str) -> "Transaction":
+        self.actions.append({"action": "remove", "file": file})
+        return self
+
+    def set_txn(self, app: str, batch: int) -> "Transaction":
+        """Stage a streaming-app watermark (Delta's SetTransaction)."""
+        self.actions.append({"action": "txn", "app": app, "batch": batch})
+        return self
+
+    def commit(self) -> int:
+        """Write the commit; returns the version it landed at. Raises
+        CommitConflict if a concurrent commit removed a file this
+        transaction removes; ValueError if the transaction itself
+        violates one-action-per-file-per-commit."""
+        files = [
+            a["file"] for a in self.actions if a["action"] in ("add", "remove")
+        ]
+        if len(files) != len(set(files)):
+            dupes = sorted({f for f in files if files.count(f) > 1})
+            raise ValueError(
+                "transaction stages more than one action for: "
+                + ", ".join(dupes[:5])
+            )
+        w = self.writer
+        while True:
+            target = w.latest_version() + 1
+            if target > self.base_version + 1:
+                # commits landed since we began — logical conflict check
+                self._check_conflicts(self.base_version + 1, target - 1)
+            path = os.path.join(w.log_dir, f"{target:05d}.json")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # lost the allocation race: loop — the next pass sees the
+                # winner's commit and conflict-checks against it too
+                continue
+            with os.fdopen(fd, "w") as f:
+                for a in self.actions:
+                    f.write(json.dumps({"version": target, **a}) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            interval = w.checkpoint_interval
+            if interval and (target + 1) % interval == 0:
+                w.write_checkpoint(target)
+            return target
+
+    def _check_conflicts(self, lo: int, hi: int) -> None:
+        my_removes = {
+            a["file"] for a in self.actions if a["action"] == "remove"
+        }
+        if not my_removes:
+            return  # blind append: no read set, never conflicts
+        concurrent_removed = {
+            a["file"]
+            for a in self.writer._actions_between(lo, hi)
+            if a.get("action") == "remove"
+        }
+        clash = sorted(my_removes & concurrent_removed)
+        if clash:
+            raise CommitConflict(
+                f"concurrent commits v{lo}..v{hi} already removed: "
+                + ", ".join(clash[:5])
+                + f" (transaction based on v{self.base_version})"
+            )
+
+
+def commit_batch(
+    writer: TxnLogWriter,
+    batch_df,
+    batch_id: int,
+    app: str,
+    prefix: str = "batch",
+) -> str | None:
+    """The foreachBatch body of a txn-log streaming sink: skip if this
+    app's txn watermark already covers batch_id (a replayed batch —
+    its file is committed, rewriting would double it), else (re)write
+    the batch's parquet data file and commit [add, txn] atomically.
+    The data write happens BEFORE the commit, so a crash between the
+    two leaves an orphan file that is invisible to every log reader —
+    the same safety order Delta relies on. Returns the committed data
+    file name, or None for a skipped replay."""
+    last = writer.last_txn(app)
+    if last is not None and last >= batch_id:
+        return None
+    name = f"{prefix}{batch_id:05d}"
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(writer.root, name)
+    )
+    txn = writer.begin()
+    txn.add(name).set_txn(app, batch_id)
+    txn.commit()
+    return name
