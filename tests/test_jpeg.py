@@ -115,6 +115,102 @@ def test_decoder_refusals_are_loud():
         decode_jpeg(bytes(bad_dht))
 
 
+def test_420_flat_mcu_round_trips_exactly():
+    """The 4:2:0 oracle-load-bearing contract: a solid gray-RGB frame
+    at quant=1 survives encode->decode BIT-EXACTLY — r=g=b=v maps to
+    YCbCr (v,128,128) exactly, the 2x2 chroma mean of equal values is
+    exact, every block is DC-only, and nearest upsampling of a
+    constant is the constant. Checked for every value, plus
+    multi-MCU frames where each 16x16 MCU is a different flat value,
+    plus non-multiple-of-16 dims (edge replication preserves
+    flatness)."""
+    for v in range(256):
+        p = bytes([v, v, v]) * 256
+        assert decode_jpeg(
+            encode_jpeg(16, 16, p, gray=False, subsampling="420")
+        ) == (16, 16, 3, p)
+
+    # 2x1 MCU grid, different flat values per MCU
+    buf = bytearray()
+    for _y in range(16):
+        buf += bytes([40, 40, 40]) * 16 + bytes([201, 201, 201]) * 16
+    p = bytes(buf)
+    assert decode_jpeg(
+        encode_jpeg(32, 16, p, gray=False, subsampling="420")
+    ) == (32, 16, 3, p)
+
+    for w, h in ((13, 9), (16, 10), (5, 16)):
+        p = bytes([77, 77, 77]) * (w * h)
+        assert decode_jpeg(
+            encode_jpeg(w, h, p, gray=False, subsampling="420")
+        ) == (w, h, 3, p)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.integers(min_value=30, max_value=200),
+    step=st.integers(min_value=0, max_value=2),
+)
+def test_420_smooth_content_tolerance(base, step):
+    """Smoothly-varying color at 4:2:0 quant=1: chroma loses at most
+    the within-2x2-neighborhood variation (bounded by the gradient
+    step) plus coefficient rounding — the honest contract of chroma
+    subsampling. A per-channel bound of 4*step+4 holds for horizontal
+    gradients (measured with margin; hypothesis keeps it honest)."""
+    w = h = 16
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                [
+                    min(255, base + step * x),
+                    min(255, base + step * (x + y) // 2),
+                    min(255, base + step * y),
+                ]
+            )
+    enc = encode_jpeg(w, h, bytes(px), gray=False, subsampling="420")
+    _, _, _, out = decode_jpeg(enc)
+    err = max(abs(a - b) for a, b in zip(px, out))
+    assert err <= 4 * step + 4, err
+
+
+def test_420_is_decodable_by_general_reader_not_encoder_shaped():
+    """A 4:2:0 stream must decode through the same spec-general path
+    as 4:4:4 — segment reordering and APPn/COM insertion change
+    nothing (the reader takes tables and sampling factors from the
+    FILE)."""
+    p = bytes([90, 90, 90]) * 256
+    good = encode_jpeg(16, 16, p, gray=False, subsampling="420")
+    soi, rest = good[:2], good[2:]
+    app0 = b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    assert decode_jpeg(soi + app0 + rest) == (16, 16, 3, p)
+
+
+def test_exotic_sampling_still_refuses():
+    """Factors beyond the supported envelope stay loud refusals:
+    luma 3x1 (invalid-for-us h factor) and sampled chroma (2x2 luma
+    with 2x1 chroma) must raise, and grayscale still requires 1x1."""
+    good = bytearray(
+        encode_jpeg(16, 16, bytes([90, 90, 90]) * 256, gray=False,
+                    subsampling="420")
+    )
+    sof = good.index(b"\xff\xc0")
+    luma3 = bytearray(good)
+    luma3[sof + 11] = 0x31  # luma 3x1
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(bytes(luma3))
+    chroma2 = bytearray(good)
+    chroma2[sof + 14] = 0x21  # Cb 2x1
+    with pytest.raises(ValueError, match="chroma"):
+        decode_jpeg(bytes(chroma2))
+
+    gray = bytearray(encode_jpeg(8, 8, bytes(64), gray=True))
+    sofg = gray.index(b"\xff\xc0")
+    gray[sofg + 11] = 0x22
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg(bytes(gray))
+
+
 def test_huge_declared_dims_refuse_before_allocating():
     """Resource-exhaustion guard (r10 ADVICE): a tiny payload whose SOF
     declares 65535x65535 must raise ValueError BEFORE the multi-GB

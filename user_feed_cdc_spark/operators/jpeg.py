@@ -6,13 +6,18 @@ Decoder: spec-general baseline sequential DCT — markers (SOI/APPn/COM/
 DQT/DHT/DRI/SOF0/SOS/EOI), canonical Huffman tables rebuilt from DHT
 (so any conforming baseline stream decodes, not just this encoder's),
 byte-unstuffing (FF00) and RSTn restart handling, per-MCU DC prediction,
-dequant + dezigzag + float IDCT, grayscale (1 component) and 4:4:4
-YCbCr (3 components, 1x1 sampling). Progressive (SOF2), arithmetic
-coding, 12-bit precision, and subsampled chroma refuse loudly with
-DecodeError-convertible ValueErrors — never a silent mis-decode.
+dequant + dezigzag + float IDCT, grayscale (1 component) and YCbCr
+(3 components) at 4:4:4 AND subsampled-chroma forms with luma factors
+up to 2x2 — 4:2:0 (the dominant real-world baseline form: MCU = four
+luma blocks + Cb + Cr, nearest-neighbor chroma upsample), 4:2:2,
+4:4:0 (r10 VERDICT gap 3 closed). Progressive (SOF2), arithmetic
+coding, 12-bit precision, and exotic sampling (factors > 2, sampled
+chroma) refuse loudly with DecodeError-convertible ValueErrors —
+never a silent mis-decode.
 
-Encoder (for fixtures and round-trip tests): grayscale or 4:4:4 color,
-quality expressed directly as a uniform quantizer value (quant=1 =>
+Encoder (for fixtures and round-trip tests): grayscale, 4:4:4, or
+4:2:0 color (chroma 2x2-mean downsample), quality expressed directly
+as a uniform quantizer value (quant=1 =>
 coefficients stored exactly as rounded DCT outputs). Huffman tables are
 SIMPLE canonical codes (all DC categories at one length, all AC symbols
 at one length) — valid per T.81 (DHT admits any canonical table), chosen
@@ -330,20 +335,34 @@ def encode_jpeg(
     pixels: bytes,
     gray: bool = True,
     quant: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JPEG: grayscale (pixels = w*h bytes) or 4:4:4 YCbCr
-    color (pixels = w*h*3 RGB bytes). Uniform quantizer `quant` in
-    every coefficient slot (1 = store rounded DCT exactly). Dimensions
-    need not be multiples of 8 — edge samples replicate into the
-    partial blocks (the standard padding choice)."""
+    """Baseline JPEG: grayscale (pixels = w*h bytes) or YCbCr color
+    (pixels = w*h*3 RGB bytes) at 4:4:4 or — the dominant real-world
+    form — 4:2:0 (luma 2x2, chroma quarter resolution via 2x2
+    averaging, MCU = four luma blocks + Cb + Cr). Uniform quantizer
+    `quant` in every coefficient slot (1 = store rounded DCT exactly).
+    Dimensions need not be multiples of the MCU — edge samples
+    replicate into the partial blocks (the standard padding choice).
+
+    Exactness contract extends to 4:2:0: a FLAT region aligned to the
+    16x16 MCU survives encode->decode bit-exactly at quant=1 — the
+    2x2 chroma average of equal values is exact, every block is
+    DC-only, and nearest-neighbor upsampling of a constant is the
+    constant (pinned by tests/test_jpeg.py)."""
     ncomp = 1 if gray else 3
     if len(pixels) != width * height * (1 if gray else 3):
         raise ValueError("pixel buffer does not match dims")
     if not (0 < quant < 256):
         raise ValueError("quant must fit an 8-bit table")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if gray and subsampling != "444":
+        raise ValueError("grayscale has no chroma to subsample")
 
     if gray:
-        planes = [list(pixels)]
+        planes = [(list(pixels), width, height)]
+        factors = [(1, 1)]
     else:
         ys, cbs, crs = [], [], []
         for i in range(0, len(pixels), 3):
@@ -354,7 +373,32 @@ def encode_jpeg(
             ys.append(min(255, max(0, int(round(y)))))
             cbs.append(min(255, max(0, int(round(cb)))))
             crs.append(min(255, max(0, int(round(cr)))))
-        planes = [ys, cbs, crs]
+        if subsampling == "444":
+            planes = [
+                (ys, width, height), (cbs, width, height),
+                (crs, width, height),
+            ]
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:  # 420: chroma at quarter resolution, 2x2 mean
+            cw, ch = (width + 1) // 2, (height + 1) // 2
+
+            def down(p: list[int]) -> list[int]:
+                out = []
+                for cy in range(ch):
+                    for cx in range(cw):
+                        s = 0
+                        for dy in range(2):
+                            for dx in range(2):
+                                sy = min(2 * cy + dy, height - 1)
+                                sx = min(2 * cx + dx, width - 1)
+                                s += p[sy * width + sx]
+                        out.append((s + 2) // 4)  # round half up
+                return out
+
+            planes = [
+                (ys, width, height), (down(cbs), cw, ch), (down(crs), cw, ch),
+            ]
+            factors = [(2, 2), (1, 1), (1, 1)]
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -363,7 +407,8 @@ def encode_jpeg(
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp)  # SOF0
     out += struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
-        out += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+        fh, fv = factors[c]
+        out += bytes([c + 1, (fh << 4) | fv, 0])  # id, sampling, qtable 0
     dht = bytearray()
     for tc, bits, vals in (
         (0, _ENC_DC_BITS, _ENC_DC_VALS),
@@ -381,21 +426,26 @@ def encode_jpeg(
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
     preds = [0] * ncomp
-    blocks_w = (width + 7) // 8
-    blocks_h = (height + 7) // 8
-    for by in range(blocks_h):
-        for bx in range(blocks_w):
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    mcus_w = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_h = (height + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
             for c in range(ncomp):
-                plane = planes[c]
-                samples = []
-                for y in range(8):
-                    sy = min(by * 8 + y, height - 1)
-                    for x in range(8):
-                        sx = min(bx * 8 + x, width - 1)
-                        samples.append(plane[sy * width + sx])
-                preds[c] = _encode_block(
-                    bw, samples, preds[c], quant, dc_codes, ac_codes
-                )
+                plane, pw, ph = planes[c]
+                fh, fv = factors[c]
+                for by in range(fv):
+                    for bx in range(fh):
+                        samples = []
+                        for y in range(8):
+                            sy = min((my * fv + by) * 8 + y, ph - 1)
+                            for x in range(8):
+                                sx = min((mx * fh + bx) * 8 + x, pw - 1)
+                                samples.append(plane[sy * pw + sx])
+                        preds[c] = _encode_block(
+                            bw, samples, preds[c], quant, dc_codes, ac_codes
+                        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -409,13 +459,15 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JPEG. Returns (width, height,
     ncomp, samples): ncomp 1 => grayscale plane, ncomp 3 => interleaved
-    RGB (YCbCr converted with the T.871 fixed coefficients). Raises
-    ValueError on anything outside baseline 8-bit with 1x1 sampling —
-    progressive, arithmetic, 12-bit, or subsampled streams refuse
-    rather than mis-decode — and on ANY malformed payload: low-level
-    walk errors (struct.error / IndexError from truncated segments)
-    normalize to ValueError here, the single exception class the
-    untrusted-bytes contract exposes (fuzz-pinned in test_jpeg.py)."""
+    RGB (YCbCr converted with the T.871 fixed coefficients; subsampled
+    chroma — 4:2:0 / 4:2:2 / 4:4:0 — upsampled nearest-neighbor).
+    Raises ValueError on anything outside baseline 8-bit with luma
+    factors <= 2x2 and unsampled chroma — progressive, arithmetic,
+    12-bit, or exotic-sampling streams refuse rather than mis-decode —
+    and on ANY malformed payload: low-level walk errors (struct.error /
+    IndexError from truncated segments) normalize to ValueError here,
+    the single exception class the untrusted-bytes contract exposes
+    (fuzz-pinned in test_jpeg.py)."""
     try:
         return _decode_jpeg(payload)
     except (struct.error, IndexError) as e:
@@ -478,11 +530,24 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                comps.append((cid, tq, hv >> 4, hv & 0x0F))
+            # Sampling support: 4:4:4 (all 1x1), and subsampled chroma
+            # with luma factors up to 2x2 — 4:2:0 (2x2), 4:2:2 (2x1),
+            # 4:4:0 (1x2). Anything else refuses loudly.
+            if nc == 1:
+                if comps[0][2:] != (1, 1):
+                    raise ValueError("grayscale must be 1x1 sampled")
+            else:
+                h0, v0 = comps[0][2], comps[0][3]
+                if h0 not in (1, 2) or v0 not in (1, 2):
                     raise ValueError(
-                        "subsampled chroma unsupported (1x1 only)"
+                        f"luma sampling {h0}x{v0} unsupported (max 2x2)"
                     )
-                comps.append((cid, tq))
+                for _cid, _tq, hh, vv in comps[1:]:
+                    if (hh, vv) != (1, 1):
+                        raise ValueError(
+                            "chroma sampling factors must be 1x1"
+                        )
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -519,7 +584,7 @@ def _decode_scan(
     comp_q = []
     comp_dc = []
     comp_ac = []
-    for (cid, tq), (scs, td, ta) in zip(comps, scan):
+    for (cid, tq, _hh, _vv), (scs, td, ta) in zip(comps, scan):
         if scs != cid:
             raise ValueError("scan component order mismatch")
         if tq not in qtables:
@@ -530,8 +595,11 @@ def _decode_scan(
         comp_dc.append(htables[(0, td)])
         comp_ac.append(htables[(1, ta)])
 
-    blocks_w = (width + 7) // 8
-    blocks_h = (height + 7) // 8
+    factors = [(hh, vv) for _cid, _tq, hh, vv in comps]
+    hmax = max(hh for hh, _ in factors)
+    vmax = max(vv for _, vv in factors)
+    mcus_w = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_h = (height + 8 * vmax - 1) // (8 * vmax)
     # Resource-exhaustion guard at the untrusted-bytes boundary: plane
     # buffers are sized from header-declared dims, so a ~20-byte payload
     # claiming 65535x65535 would force a multi-GB allocation before any
@@ -539,31 +607,43 @@ def _decode_scan(
     # legal scan (one DC code + one AC code, each >= 1 bit), so a
     # payload whose remaining bytes can't cover blocks/4 bytes is lying
     # about its dimensions — refuse BEFORE allocating.
-    n_blocks = blocks_w * blocks_h * ncomp
+    n_blocks = mcus_w * mcus_h * sum(hh * vv for hh, vv in factors)
     if (len(payload) - pos) * 4 < n_blocks:
         raise ValueError(
             f"declared dims {width}x{height} need {n_blocks} blocks but "
             f"only {len(payload) - pos} entropy bytes remain"
         )
-    planes = [[0] * (blocks_w * 8 * blocks_h * 8) for _ in range(ncomp)]
+    # per-component sampling planes, MCU-padded: comp c covers
+    # (mcus_w*hh*8) x (mcus_h*vv*8) samples
+    strides = [mcus_w * hh * 8 for hh, _ in factors]
+    planes = [
+        [0] * (strides[c] * mcus_h * factors[c][1] * 8)
+        for c in range(ncomp)
+    ]
     br = _BitReader(payload, pos)
     preds = [0] * ncomp
     mcu = 0
-    for by in range(blocks_h):
-        for bx in range(blocks_w):
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 m = br.align_to_marker()
                 if not (0xD0 <= m <= 0xD7):
                     raise ValueError("expected RSTn marker")
                 preds = [0] * ncomp
             try:
+                # T.81 interleaved MCU order: per component, its
+                # vv x hh data units raster-wise, components in SOF order
                 for c in range(ncomp):
-                    blk = _decode_block(br, comp_dc[c], comp_ac[c])
-                    preds[c] += blk[0]
-                    blk[0] = preds[c]
-                    _render_block(
-                        blk, comp_q[c], planes[c], bx, by, blocks_w * 8
-                    )
+                    hh, vv = factors[c]
+                    for by in range(vv):
+                        for bx in range(hh):
+                            blk = _decode_block(br, comp_dc[c], comp_ac[c])
+                            preds[c] += blk[0]
+                            blk[0] = preds[c]
+                            _render_block(
+                                blk, comp_q[c], planes[c],
+                                mx * hh + bx, my * vv + by, strides[c],
+                            )
             except _MarkerReached as e:
                 if e.marker == 0xD9 or 0xD0 <= e.marker <= 0xD7:
                     raise ValueError("JPEG scan ended early") from e
@@ -572,8 +652,8 @@ def _decode_scan(
                 ) from e
             mcu += 1
 
-    stride = blocks_w * 8
     if ncomp == 1:
+        stride = strides[0]
         out = bytearray(width * height)
         p = planes[0]
         for y in range(height):
@@ -582,13 +662,19 @@ def _decode_scan(
         return width, height, 1, bytes(out)
     out = bytearray(width * height * 3)
     py, pcb, pcr = planes
+    (h0, v0), (h1, v1), (h2, v2) = factors
+    s0, s1, s2 = strides
     i = 0
     for y in range(height):
-        base = y * stride
+        y0 = (y * v0 // vmax) * s0
+        y1 = (y * v1 // vmax) * s1
+        y2 = (y * v2 // vmax) * s2
         for x in range(width):
-            yv = py[base + x]
-            cb = pcb[base + x] - 128
-            cr = pcr[base + x] - 128
+            # nearest-neighbor upsample: each component sampled on its
+            # own grid (identity for the full-resolution luma)
+            yv = py[y0 + x * h0 // hmax]
+            cb = pcb[y1 + x * h1 // hmax] - 128
+            cr = pcr[y2 + x * h2 // hmax] - 128
             r = int(round(yv + 1.402 * cr))
             g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
             b = int(round(yv + 1.772 * cb))
