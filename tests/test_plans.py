@@ -1208,3 +1208,36 @@ def test_txn_log_bloom_index_prunes_files(spark, sf_dir):
     assert len(scanned) < 4  # pruned at least one file
     # soundness: the probe's true row came back
     assert df.count() == 1
+
+
+def test_triangle_count_plan_is_all_equi_joins(spark, sf_dir):
+    """graph_triangle_count's degree-oriented plan (the r10 rework the
+    r11 baseline refresh is keyed on — BENCH_BASELINE.json
+    plan_changes): every join must be a hash/merge EQUI join on vertex
+    keys and the closing edge a LeftSemi — no nested-loop or cartesian
+    anywhere. The rank filter evaluates post-join, but the fan-out it
+    halves is orientation-bounded, which only holds if the wedge join
+    really is keyed on the pivot."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["graph_triangle_count"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in triangle plan"
+
+
+def test_txn_writer_roundtrip_plan_is_scan_only(spark, sf_dir):
+    """source_txn_log_writer_roundtrip: after the driver-side planning
+    step (checkpoint + tail replay of the engine-written log), the
+    executed plan must be a pure parquet scan + aggregate over exactly
+    the live files {c01, b2..b8} — the removed b0/b1 never enter the
+    scan even though they remain on disk."""
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.formats import _txn_writer_table
+
+    df = em.queries()["source_txn_log_writer_roundtrip"](spark, sf_dir)
+    scanned = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert scanned == {"c01"} | {f"b{i}" for i in range(2, 9)}, scanned
+    root, _log = _txn_writer_table(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Join" not in plan  # replay is planning-phase, not a join
