@@ -3176,6 +3176,61 @@ def test_txn_writer_checkpoints_and_txn_watermark(tmp_path):
     assert w.live_files() == ["a0r", "a1", "a2", "a3", "a4"]
 
 
+def test_txn_writer_vacuum_and_true_concurrency(tmp_path):
+    """(a) vacuum deletes exactly the data files whose last action is a
+    remove at or below the newest checkpoint — never live files, never
+    files removed only in the tail — and prunes the pre-checkpoint
+    commits; readers starting from the checkpoint are unaffected.
+    (b) A REAL race: 16 threads blind-appending concurrently must all
+    land at distinct versions with every file live — the O_CREAT|O_EXCL
+    arbitration under genuine contention, not the simulated race."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=4)
+    for name in ("a0", "a1", "a2"):
+        os.makedirs(os.path.join(w.root, name))
+        w.begin().add(name).commit()            # v0..v2
+    w.begin().remove("a0").add("a0r").commit()  # v3 -> checkpoint
+    os.makedirs(os.path.join(w.root, "a0r"))
+    w.begin().remove("a1").add("a1r").commit()  # v4 (tail remove)
+    os.makedirs(os.path.join(w.root, "a1r"))
+    assert w._checkpoint_version() == 3
+
+    deleted = w.vacuum()
+    assert deleted == ["a0"]  # a1's remove is in the tail: retained
+    assert not os.path.exists(os.path.join(w.root, "a0"))
+    assert os.path.exists(os.path.join(w.root, "a1"))
+    assert sorted(w._commit_versions()) == [4]  # v0..v3 pruned
+    assert w.live_files() == ["a0r", "a1r", "a2"]
+
+    # (b) true concurrency
+    import threading
+
+    w2 = TxnLogWriter(str(tmp_path / "c"))
+    versions, errors = [], []
+    lock = threading.Lock()
+
+    def append(i: int) -> None:
+        try:
+            v = w2.begin().add(f"t{i}").commit()
+            with lock:
+                versions.append(v)
+        except Exception as e:  # noqa: BLE001 — the test asserts none
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(versions) == list(range(16))  # distinct, gapless
+    assert w2.live_files() == sorted(f"t{i}" for i in range(16))
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

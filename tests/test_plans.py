@@ -1241,3 +1241,22 @@ def test_txn_writer_roundtrip_plan_is_scan_only(spark, sf_dir):
     root, _log = _txn_writer_table(spark, sf_dir)
     plan = _executed_plan(df)
     assert "Join" not in plan  # replay is planning-phase, not a join
+
+
+def test_txn_delete_rewrite_is_copy_on_write(spark, sf_dir):
+    """source_txn_log_delete_rewrite: the DELETE must have rewritten
+    ONLY the stats-candidate file (r0 → r0d) — untouched quarters scan
+    as their originals with no 'd' sibling on disk — and the dead
+    original never enters the scan though it remains on disk."""
+    import os
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.formats import _txn_delete_table
+
+    df = em.queries()["source_txn_log_delete_rewrite"](spark, sf_dir)
+    scanned = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert scanned == {"r0d", "r1", "r2", "r3"}, scanned
+    root, _log = _txn_delete_table(spark, sf_dir)
+    assert os.path.exists(os.path.join(root, "r0"))  # CoW keeps the old file
+    for k in (1, 2, 3):
+        assert not os.path.exists(os.path.join(root, f"r{k}d"))

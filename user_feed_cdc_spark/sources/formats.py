@@ -1633,3 +1633,123 @@ def streaming_txn_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fidelity_agg(
         read_txn_log_checkpointed(spark, root, writer.log_dir)
     )
+
+
+_TXN_DELETE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum
+    FROM events
+    WHERE event_id > (SELECT MAX(event_id) // 8 FROM events)
+    GROUP BY event_type
+"""
+
+
+def _txn_delete_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) an engine-written table
+    then run an engine-side DELETE through the committer: four
+    range-clustered files r0..r3 (event_id quarters) committed with
+    min/max stats on their add actions, then
+    `DELETE WHERE event_id <= max/8` executed COPY-ON-WRITE — the
+    stats prune the candidate set to the files whose [min,max] can
+    contain a match (r0 only here), each candidate is rewritten
+    without the matching rows (r0 → r0d, a real Spark job), and ONE
+    transaction commits every remove+add so the DELETE is atomic:
+    readers see either the old table or the fully-deleted one, never
+    a partial. Untouched files are never rewritten — the copy-on-write
+    contract that makes selective DELETEs affordable at scale."""
+    import json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(f"txndelete:{sf_dir}:{mtime}:v1".encode()).hexdigest()[
+        :12
+    ]
+    root = _scratch_path("txndelete", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        max_id = int(ev.agg(F.max("event_id")).first()[0])
+        bounds = [0] + [max_id * (k + 1) // 4 for k in range(3)] + [max_id]
+        stats_by_file = {}
+        for k in range(4):
+            lo, hi = bounds[k], bounds[k + 1]
+            part = ev.filter(
+                (F.col("event_id") > lo) if k else (F.col("event_id") >= 0)
+            ).filter(F.col("event_id") <= hi)
+            part.write.mode("overwrite").parquet(os.path.join(root, f"r{k}"))
+            st = part.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            stats_by_file[f"r{k}"] = (int(st.mn), int(st.mx))
+            writer.begin().add(
+                f"r{k}", min_id=int(st.mn), max_id=int(st.mx)
+            ).commit()
+        # DELETE WHERE event_id <= max/8, copy-on-write:
+        # stats-prune candidates, rewrite each, commit atomically
+        cut = max_id // 8
+        txn = writer.begin()
+        for name, (mn, _mx) in sorted(stats_by_file.items()):
+            if mn > cut:
+                continue  # stats prove no row matches: never rewritten
+            kept = (
+                spark.read.schema(TABLE_SCHEMAS["events"])
+                .parquet(os.path.join(root, name))
+                .filter(F.col("event_id") > cut)
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(root, name + "d")
+            )
+            st = kept.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            txn.remove(name)
+            txn.add(name + "d", min_id=int(st.mn), max_id=int(st.mx))
+        txn.commit()
+        with open(os.path.join(root, "_DELETE_META"), "w") as f:
+            f.write(json.dumps({"cut": cut}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_delete_rewrite", _TXN_DELETE_ORACLE)
+def source_txn_log_delete_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine-side row-level DELETE, copy-on-write — the DML layer on
+    top of the committer (the rewrite twin of source_txn_log_deletes'
+    merge-on-read deletion vectors): `DELETE WHERE event_id <= max/8`
+    runs as stats-pruned candidate selection (only r0's [min,max] can
+    contain a match), a Spark rewrite of each candidate without the
+    matching rows, and ONE atomic remove+add transaction — so the
+    snapshot replay yields exactly the surviving rows with NO residual
+    filter at read time, which is what the hash gate certifies (a
+    rewrite that drops a surviving row or keeps a deleted one moves
+    the fidelity hash; a non-atomic commit could double- or
+    zero-count r0). The plan gate pins that untouched files were
+    never rewritten and the dead original never enters the scan.
+
+    Scale posture: DELETE cost ∝ data in files that might match (one
+    quarter here) — never a table rewrite; candidate selection is
+    O(|files|) driver-side stats math, the same planning pass as
+    data skipping; the atomic multi-file commit is one JSON file.
+    Copy-on-write vs the DV path is the standard read-amplification /
+    write-amplification trade: rewrite once and reads stay pure
+    scans, or sidecar the deletes and pay an anti-join per read."""
+    root, log_dir = _txn_delete_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string"
+    ).json(os.path.join(log_dir, "*.json"))
+    paths = [
+        os.path.join(root, name) for name in _replay_live_files(log)
+    ]
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)

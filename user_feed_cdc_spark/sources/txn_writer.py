@@ -172,6 +172,45 @@ class TxnLogWriter:
     def begin(self) -> "Transaction":
         return Transaction(self, self.latest_version())
 
+    def vacuum(self) -> list[str]:
+        """Physically delete data files that are (a) not live at HEAD
+        and (b) invisible to every reader that starts from the newest
+        checkpoint — i.e. their last action is a remove at or below the
+        checkpoint version (the bounded form of Delta's retention
+        window: a reader replaying checkpoint+tail can never reference
+        them; time travel below the checkpoint is forfeited, which is
+        VACUUM's documented trade everywhere). Requires a checkpoint —
+        vacuuming without one would break full-log replay. Also prunes
+        the now-unreferenced pre-checkpoint commit files. Returns the
+        deleted data-file names."""
+        import shutil
+
+        ckpt = self._checkpoint_version()
+        if ckpt is None:
+            raise ValueError("vacuum requires a checkpoint")
+        # scan the RAW commit files, not the checkpoint-based replay —
+        # the checkpoint carries only the surviving adds, so the very
+        # removes vacuum exists to collect are invisible through it
+        last: dict[str, tuple[int, int]] = {}
+        for a in self._actions_between(0, self.latest_version()):
+            if a.get("action") not in ("add", "remove"):
+                continue
+            st = (a["version"], 1 if a["action"] == "remove" else 0)
+            if a["file"] not in last or st > last[a["file"]]:
+                last[a["file"]] = st
+        live_now = set(self.live_files())  # defensive double-check
+        doomed = sorted(
+            f
+            for f, (v, r) in last.items()
+            if r == 1 and v <= ckpt and f not in live_now
+        )
+        for name in doomed:
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        for v in self._commit_versions():
+            if v <= ckpt:
+                os.remove(os.path.join(self.log_dir, f"{v:05d}.json"))
+        return doomed
+
     def write_checkpoint(self, version: int) -> None:
         """Materialize the live set as of `version` (plus the newest
         txn action per app) into `{version:05d}.checkpoint.json`, then
