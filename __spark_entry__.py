@@ -81,6 +81,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # new r11 entries lead (rotation policy: NEW first),
         "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
         "multimodal_video_mjpeg_420_stats", "source_txn_log_delete_rewrite",
+        "source_txn_log_optimize_cluster",
         # then code-changed-this-round entries (replay/walker/decoder
         # refactors — hashes expected unchanged, but external evidence
         # beats expectation),

@@ -151,6 +151,57 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
     assert out2.filter(F.col("user_id") == "9").count() == 1
 
 
+def test_feed_sink_commits_through_txn_log(spark, tmp_path):
+    """The feed sink writing through the lakehouse committer
+    (sink_format='txnlog'): (a) the txn-log snapshot read returns
+    byte-for-byte the same activities as the dynamic-overwrite parquet
+    layout over the same source, (b) the log shows one commit per
+    micro-batch with the feed_sink txn watermark, and (c) a replay of
+    the same batches (fresh source checkpoint, same app lineage —
+    the redelivery case the watermark exists for) changes nothing."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        file_json_stream,
+        read_feed_txnlog,
+        write_feed_stream,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "batch1.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+
+    def run(feed, ckpt, fmt):
+        acts = normalize_events(file_json_stream(spark, str(src)))
+        q = write_feed_stream(
+            acts, str(tmp_path / feed), str(tmp_path / ckpt),
+            sink_format=fmt,
+        )
+        q.awaitTermination()
+
+    run("feed_pq", "ck_pq", "parquet")
+    run("feed_tx", "ck_tx", "txnlog")
+
+    # activity_id is a per-run uuid; compare the deterministic columns
+    key_cols = ["user_id", "activity_type", "event_timestamp", "target_id"]
+    pq = spark.read.parquet(str(tmp_path / "feed_pq"))
+    tx = read_feed_txnlog(spark, str(tmp_path / "feed_tx"))
+    assert sorted(map(tuple, pq.select(*key_cols).collect())) == sorted(
+        map(tuple, tx.select(*key_cols).collect())
+    )
+    assert {"activity_date", "user_bucket"} <= set(tx.columns)
+
+    w = TxnLogWriter(str(tmp_path / "feed_tx"))
+    assert w.latest_version() == 0  # one micro-batch -> one commit
+    assert w.last_txn("feed_sink") == 0
+
+    # redelivery: fresh checkpoint restarts batch ids at 0; the txn
+    # watermark must make the replayed batch a no-op
+    run("feed_tx", "ck_tx2", "txnlog")
+    assert w.latest_version() == 0
+    tx2 = read_feed_txnlog(spark, str(tmp_path / "feed_tx"))
+    assert tx2.count() == tx.count()
+
+
 def test_upsert_pipeline_lifecycle(spark, tmp_path):
     """Upsert-mode materialization: a row APPEARS on create, CHANGES on
     update, VANISHES on delete — the c→u→d lifecycle the reference's

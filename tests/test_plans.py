@@ -1260,3 +1260,21 @@ def test_txn_delete_rewrite_is_copy_on_write(spark, sf_dir):
     assert os.path.exists(os.path.join(root, "r0"))  # CoW keeps the old file
     for k in (1, 2, 3):
         assert not os.path.exists(os.path.join(root, f"r{k}d"))
+
+
+def test_txn_optimize_cluster_enables_pruning(spark, sf_dir):
+    """source_txn_log_optimize_cluster: after the engine-side
+    re-cluster, the event_id range predicate must scan exactly ONE of
+    the four clustered files (z0) — the pre-OPTIMIZE user-clustered
+    files (still on disk) never enter the scan, and pruning that was
+    provably impossible on them now works."""
+    import os
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.formats import _txn_optimize_table
+
+    df = em.queries()["source_txn_log_optimize_cluster"](spark, sf_dir)
+    scanned = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert scanned == {"z0"}, scanned
+    root, _log = _txn_optimize_table(spark, sf_dir)
+    assert os.path.exists(os.path.join(root, "u0"))  # old layout retained

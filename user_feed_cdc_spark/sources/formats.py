@@ -1753,3 +1753,123 @@ def source_txn_log_delete_rewrite(
     ]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
+
+
+_TXN_OPTIMIZE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum
+    FROM events
+    WHERE event_id <= (SELECT MAX(event_id) // 4 FROM events)
+    GROUP BY event_type
+"""
+
+
+def _txn_optimize_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) a table that the engine
+    RE-CLUSTERS through the committer: four user_id-clustered files
+    u0..u3 committed with event_id min/max stats — a layout where every
+    file's [min,max] spans the whole event_id domain, so an event_id
+    range predicate can prune NOTHING — then an engine-side OPTIMIZE
+    CLUSTER BY: one Spark job re-sorts the table into four contiguous
+    event_id ranges z0..z3, and ONE atomic transaction removes the old
+    files and adds the new ones with their (now tight) stats. The
+    maintenance op that MAKES data skipping work — Delta's OPTIMIZE
+    ZORDER / liquid clustering in miniature."""
+    import json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnoptimize:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnoptimize", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        max_user = int(ev.agg(F.max("user_id")).first()[0])
+        ubounds = [0] + [max_user * (k + 1) // 4 for k in range(3)] + [
+            max_user
+        ]
+        for k in range(4):
+            lo, hi = ubounds[k], ubounds[k + 1]
+            part = ev.filter(
+                (F.col("user_id") > lo) if k else (F.col("user_id") >= 0)
+            ).filter(F.col("user_id") <= hi)
+            part.write.mode("overwrite").parquet(os.path.join(root, f"u{k}"))
+            st = part.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            writer.begin().add(
+                f"u{k}", min_id=int(st.mn), max_id=int(st.mx)
+            ).commit()
+        # OPTIMIZE CLUSTER BY event_id: re-sort into contiguous ranges,
+        # publish old->new atomically in one transaction
+        max_id = int(ev.agg(F.max("event_id")).first()[0])
+        ebounds = [0] + [max_id * (k + 1) // 4 for k in range(3)] + [max_id]
+        txn = writer.begin()
+        for k in range(4):
+            lo, hi = ebounds[k], ebounds[k + 1]
+            part = ev.filter(
+                (F.col("event_id") > lo) if k else (F.col("event_id") >= 0)
+            ).filter(F.col("event_id") <= hi)
+            part.write.mode("overwrite").parquet(os.path.join(root, f"z{k}"))
+            st = part.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            txn.remove(f"u{k}")
+            txn.add(f"z{k}", min_id=int(st.mn), max_id=int(st.mx))
+        txn.commit()
+        with open(os.path.join(root, "_META"), "w") as f:
+            f.write(json.dumps({"max_id": max_id}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_optimize_cluster", _TXN_OPTIMIZE_ORACLE)
+def source_txn_log_optimize_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine-side OPTIMIZE CLUSTER BY through the committer, certified
+    by the PRUNING IT ENABLES: the table starts user_id-clustered
+    (every file's event_id [min,max] spans the domain — stats-pruning
+    provably useless), the engine re-sorts it into contiguous event_id
+    ranges and publishes old→new in ONE atomic remove/add transaction,
+    and this reader then answers `event_id <= max/4` by stats-pruning
+    the post-OPTIMIZE log — scanning exactly one of the four clustered
+    files (plan-gated on inputFiles()) with the residual filter keeping
+    correctness independent of the stats. The hash gate certifies the
+    whole chain: a re-clustering that loses or duplicates a row, or
+    stats recorded off by one, moves the fidelity hash against the
+    original table.
+
+    Scale posture: OPTIMIZE is the amortized cost that converts every
+    later selective scan from O(table) to O(matching fraction) — the
+    entire economics of Z-ORDER/liquid clustering; the rewrite is one
+    shuffle (a range-partitioned sort), its commit is one JSON file,
+    and readers racing it see the old or new layout atomically, never
+    a mix (last-action-wins replay)."""
+    root, log_dir = _txn_optimize_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string, min_id long, max_id long"
+    ).json(os.path.join(log_dir, "*.json"))
+    live = set(_replay_live_files(log))
+    stats = {
+        r.file: (r.min_id, r.max_id)
+        for r in log.filter(F.col("action") == "add").collect()
+        if r.file in live
+    }  # planning step: |files| rows
+    hi = max(mx for _mn, mx in stats.values()) // 4
+    survivors = sorted(f for f, (mn, _mx) in stats.items() if mn <= hi)
+    scan = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        *[os.path.join(root, name) for name in survivors]
+    )
+    return _fidelity_agg(scan.filter(F.col("event_id") <= hi))

@@ -343,6 +343,7 @@ def commit_batch(
     batch_id: int,
     app: str,
     prefix: str = "batch",
+    partition_by: list[str] | None = None,
 ) -> str | None:
     """The foreachBatch body of a txn-log streaming sink: skip if this
     app's txn watermark already covers batch_id (a replayed batch —
@@ -351,14 +352,22 @@ def commit_batch(
     The data write happens BEFORE the commit, so a crash between the
     two leaves an orphan file that is invisible to every log reader —
     the same safety order Delta relies on. Returns the committed data
-    file name, or None for a skipped replay."""
+    file name, or None for a skipped replay.
+
+    `partition_by` lays the batch's file out hive-partitioned inside
+    its own directory (the feed sink's (activity_date, user_bucket)
+    pruning layout). The `app` watermark is tied to ONE source
+    checkpoint lineage — micro-batch ids restart at 0 on a fresh
+    checkpoint, so a new lineage over the same table needs a new app
+    id (the same contract as Delta's txnAppId)."""
     last = writer.last_txn(app)
     if last is not None and last >= batch_id:
         return None
     name = f"{prefix}{batch_id:05d}"
-    batch_df.write.mode("overwrite").parquet(
-        os.path.join(writer.root, name)
-    )
+    out = batch_df.write.mode("overwrite")
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.parquet(os.path.join(writer.root, name))
     txn = writer.begin()
     txn.add(name).set_txn(app, batch_id)
     txn.commit()
