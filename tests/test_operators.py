@@ -3231,6 +3231,48 @@ def test_txn_writer_vacuum_and_true_concurrency(tmp_path):
     assert w2.live_files() == sorted(f"t{i}" for i in range(16))
 
 
+def test_txn_writer_vacuum_edge_cases(tmp_path):
+    """Vacuum interactions that would silently corrupt the table if
+    unguarded: (a) vacuum with the checkpoint at HEAD deletes every
+    commit file — version numbering must continue from the CHECKPOINT,
+    not reset to 0 (a reset commit would land below the checkpoint and
+    be invisible to replay); (b) time travel below a vacuumed
+    checkpoint refuses instead of replaying a partial history; (c) a
+    transaction whose conflict-evidence window was vacuumed while it
+    was open refuses conservatively."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+    )
+
+    w = TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=2)
+    for name in ("a0", "a1"):
+        os.makedirs(os.path.join(w.root, name))
+        w.begin().add(name).commit()  # v0, v1 -> checkpoint at v1 (HEAD)
+    assert w._checkpoint_version() == 1
+    w.vacuum()  # nothing removed is collectable, but commits <= 1 prune
+    assert w._commit_versions() == []
+    # (a) the next commit must land at v2, not v0
+    assert w.latest_version() == 1
+    os.makedirs(os.path.join(w.root, "a2"))
+    assert w.begin().add("a2").commit() == 2
+    assert w.live_files() == ["a0", "a1", "a2"]
+    # (b) time travel below the vacuumed checkpoint refuses
+    with pytest.raises(ValueError, match="vacuumed"):
+        w.live_files(as_of=0)
+    # (c) conflict window vacuumed mid-transaction: conservative refusal
+    txn = w.begin().remove("a0").add("a0r")     # base v2
+    w.begin().remove("a1").add("a1r").commit()  # v3 -> checkpoint at v3
+    os.makedirs(os.path.join(w.root, "a1r"))
+    w.vacuum()                                  # prunes commits <= 3
+    with pytest.raises(CommitConflict, match="vacuumed"):
+        txn.commit()
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

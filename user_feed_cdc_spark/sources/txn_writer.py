@@ -111,9 +111,15 @@ class TxnLogWriter:
         return sorted(out)
 
     def latest_version(self) -> int:
-        """Highest committed version, -1 for an empty table."""
+        """Highest committed version, -1 for an empty table. The
+        checkpoint version participates: after a vacuum with the
+        checkpoint at HEAD every commit file is pruned, and deriving
+        the version from commit files alone would RESET numbering to 0
+        — new commits would land below the checkpoint and be invisible
+        to every checkpoint-based replay (pytest-pinned)."""
         vs = self._commit_versions()
-        return vs[-1] if vs else -1
+        ckpt = self._checkpoint_version()
+        return max(vs[-1] if vs else -1, ckpt if ckpt is not None else -1)
 
     def _actions_between(self, lo: int, hi: int) -> list[dict]:
         acts: list[dict] = []
@@ -145,6 +151,16 @@ class TxnLogWriter:
             lo = ckpt + 1
         else:
             acts, lo = [], 0
+        if lo == 0 and self._checkpoint_version() is not None:
+            vs = self._commit_versions()
+            if not vs or vs[0] != 0:
+                # time travel below the checkpoint after a vacuum: the
+                # commits that would answer it are gone — refuse rather
+                # than replay a silently-partial history
+                raise ValueError(
+                    f"cannot replay to v{hi}: history below checkpoint "
+                    f"v{self._checkpoint_version()} was vacuumed"
+                )
         acts.extend(self._actions_between(lo, hi))
         return acts
 
@@ -323,6 +339,19 @@ class Transaction:
         }
         if not my_removes:
             return  # blind append: no read set, never conflicts
+        # version allocation is gapless, so a missing commit in
+        # [lo, hi] means a vacuum ran during this transaction and the
+        # conflict evidence is gone — refuse conservatively rather
+        # than certify a check that could not see every concurrent
+        # remove
+        have = set(self.writer._commit_versions())
+        if any(v not in have for v in range(lo, hi + 1)):
+            raise CommitConflict(
+                f"commits v{lo}..v{hi} were vacuumed while this "
+                f"transaction (base v{self.base_version}) was open — "
+                "cannot prove absence of conflicts; retry from a fresh "
+                "snapshot"
+            )
         concurrent_removed = {
             a["file"]
             for a in self.writer._actions_between(lo, hi)
