@@ -107,10 +107,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats", "asof_next_purchase",
-        "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
-        "events_daily_retention", "events_cohort_matrix",
-        # ---- window boundary (the driver certifies the 50 above) ----
+        "similarity_lsh_md5_buckets",
+        # ---- window boundary (the driver certifies the 50 above;
+        # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first
+        "sketch_distinct_users_bounded",
+        "events_daily_retention", "events_cohort_matrix",
         "pricing_summary",
         "filter_project", "join_inner", "join_left_outer", "join_semi",
         "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
