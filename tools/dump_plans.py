@@ -99,6 +99,8 @@ REPRESENTATIVE = [
     "text_dup_ngram_fraction",  # md5-keyed shingle counts, exchange-reusing join
     "source_txn_log_checkpoint",  # checkpoint read: scan-only data plan
     "source_txn_log_deletes",  # DV merge-on-read: broadcast anti-join
+    "source_txn_log_writer_roundtrip",  # engine-written log: scan-only read
+    "source_txn_log_optimize_cluster",  # post-OPTIMIZE stats-pruned scan
 ]
 
 
