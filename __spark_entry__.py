@@ -81,7 +81,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # new r11 entries lead (rotation policy: NEW first),
         "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
         "multimodal_video_mjpeg_420_stats", "source_txn_log_delete_rewrite",
-        "source_txn_log_optimize_cluster",
+        "source_txn_log_optimize_cluster", "source_txn_log_schema_evolution",
         # then code-changed-this-round entries (replay/walker/decoder
         # refactors — hashes expected unchanged, but external evidence
         # beats expectation),
@@ -107,10 +107,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats", "asof_next_purchase",
-        "similarity_lsh_md5_buckets",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first
+        "similarity_lsh_md5_buckets",
         "sketch_distinct_users_bounded",
         "events_daily_retention", "events_cohort_matrix",
         "pricing_summary",

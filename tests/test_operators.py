@@ -3273,6 +3273,35 @@ def test_txn_writer_vacuum_edge_cases(tmp_path):
         txn.commit()
 
 
+def test_txn_writer_schema_survives_checkpoint_and_vacuum(tmp_path):
+    """Schema-on-log durability: the newest metaData action must be
+    carried forward into checkpoints (like txn watermarks), so ADD
+    COLUMN survives vacuuming the commit that set it."""
+    import json
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=2)
+    os.makedirs(os.path.join(w.root, "g0"))
+    w.begin().set_metadata("a bigint").add("g0").commit()           # v0
+    os.makedirs(os.path.join(w.root, "g1"))
+    w.begin().set_metadata("a bigint, b string").add("g1").commit() # v1 -> ckpt
+    assert w._checkpoint_version() == 1
+    w.vacuum()  # the commits that set both schemas are gone
+    assert w._commit_versions() == []
+    metas = [
+        a for a in w._replay_actions(w.latest_version())
+        if a.get("action") == "metaData"
+    ]
+    assert metas and metas[-1]["schema"] == "a bigint, b string"
+    # and the checkpoint file itself records it
+    with open(os.path.join(w.log_dir, "00001.checkpoint.json")) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    assert {"version": 1, "action": "metaData",
+            "schema": "a bigint, b string"} in lines
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

@@ -1873,3 +1873,114 @@ def source_txn_log_optimize_cluster(
         *[os.path.join(root, name) for name in survivors]
     )
     return _fidelity_agg(scan.filter(F.col("event_id") <= hi))
+
+
+_TXN_SCHEMA_EVO_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN LENGTH(event_type) ELSE 0 END) AS BIGINT)
+               AS tag_len_sum,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_null_tag
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _txn_schema_evo_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) a table whose SCHEMA
+    lives in the transaction log (the metaData action — Delta's
+    schemaString, Iceberg's schema in table metadata): generation-0
+    files carry the 6 canonical event columns and commit v0 records
+    that schema; a later commit ADDS a `tag` string column — v1
+    records the WIDENED schema as a new metaData action and adds
+    generation-1 files (odd event_ids) written with it. Readers take
+    the NEWEST metaData schema and read every live file with it, so
+    generation-0 files null-fill `tag` — schema-on-log, not
+    schema-on-file-footer (mergeSchema), which is what lets a 4096-file
+    table evolve without touching any footer."""
+    import json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnschemaevo:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnschemaevo", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        base_schema = TABLE_SCHEMAS["events"].toDDL()  # schema AS TEXT —
+        # the log carries a string, never a live object
+        ev.filter(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "g0"))
+        writer.begin().set_metadata(base_schema).add("g0").commit()
+        # v0: original schema + even rows
+        widened = base_schema + ", tag string"
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "tag", F.col("event_type")
+        ).write.mode("overwrite").parquet(os.path.join(root, "g1"))
+        writer.begin().set_metadata(widened).add("g1").commit()
+        # v1: widened schema + odd rows carrying tag
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write(json.dumps({"ok": True}) + "\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_schema_evolution", _TXN_SCHEMA_EVO_ORACLE)
+def source_txn_log_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA-ON-LOG evolution — the metadata pillar of the table
+    format (Delta's metaData action / Iceberg's schema evolution),
+    distinct from the footer-merging source_schema_evolution entry:
+    the reader replays the log for (a) live files and (b) the NEWEST
+    metaData action's schema, then reads EVERY live file with that one
+    explicit schema — generation-0 files (written before the `tag`
+    column existed) null-fill it, generation-1 files carry real
+    values, and the fidelity aggregate (which sums tag lengths and
+    counts the nulls per event_type) hash-certifies both the
+    null-fill and the value path against a DuckDB oracle deriving
+    `tag` from the parity split. A reader that used the OLD schema
+    drops the column (hash fails on tag_len_sum); one that merged
+    footers instead of reading the log would pass here but costs a
+    footer sweep per query at 4096 files — the log read is O(1).
+
+    Scale posture: schema changes are one JSON line; no data file is
+    ever touched by an ADD COLUMN, and every later scan still prunes
+    and pushes down on the explicit schema exactly as before."""
+    import json as _json
+
+    root, log_dir = _txn_schema_evo_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string, schema string"
+    ).json(os.path.join(log_dir, "*.json"))
+    newest_schema = (
+        log.filter(F.col("action") == "metaData")
+        .orderBy(F.col("version").desc())
+        .select("schema")
+        .first()[0]
+    )  # planning step: one row
+    paths = [
+        os.path.join(root, name) for name in _replay_live_files(log)
+    ]
+    snapshot = spark.read.schema(newest_schema).parquet(*paths)
+    return snapshot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.coalesce(F.length("tag"), F.lit(0))).alias("tag_len_sum"),
+        F.sum(F.when(F.col("tag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_tag"),
+    )

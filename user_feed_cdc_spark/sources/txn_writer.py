@@ -253,6 +253,22 @@ class TxnLogWriter:
             }
             for app, t in sorted(txns.items())
         )
+        # carry the newest schema forward too — like txn watermarks,
+        # schema-on-log must survive vacuuming the commits that set it
+        meta = None
+        for a in acts:
+            if a.get("action") == "metaData" and (
+                meta is None or a["version"] >= meta["version"]
+            ):
+                meta = a
+        if meta is not None:
+            lines.append(
+                {
+                    "version": version,
+                    "action": "metaData",
+                    "schema": meta["schema"],
+                }
+            )
         ckpt = os.path.join(self.log_dir, f"{version:05d}.checkpoint.json")
         tmp = ckpt + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -294,6 +310,13 @@ class Transaction:
     def set_txn(self, app: str, batch: int) -> "Transaction":
         """Stage a streaming-app watermark (Delta's SetTransaction)."""
         self.actions.append({"action": "txn", "app": app, "batch": batch})
+        return self
+
+    def set_metadata(self, schema: str) -> "Transaction":
+        """Stage a schema change (Delta's metaData action): readers
+        take the NEWEST metaData schema and read every live file with
+        it — ADD COLUMN is one JSON line, no data file is touched."""
+        self.actions.append({"action": "metaData", "schema": schema})
         return self
 
     def commit(self) -> int:
