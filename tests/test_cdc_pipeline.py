@@ -202,6 +202,54 @@ def test_feed_sink_commits_through_txn_log(spark, tmp_path):
     assert tx2.count() == tx.count()
 
 
+def test_feed_txnlog_compaction_preserves_snapshot(spark, tmp_path):
+    """compact_feed_txnlog: the atomic batch-file fold must leave the
+    snapshot byte-identical, swap the live set to the single compacted
+    file, keep the old batch files on disk (vacuum's job, not
+    compaction's), and conflict if raced by another compaction."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+    )
+    from user_feed_cdc_spark.streaming.cdc_pipeline import (
+        compact_feed_txnlog,
+        file_json_stream,
+        read_feed_txnlog,
+        write_feed_stream,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    (src / "batch1.jsonl").write_text("\n".join(fixture_lines()) + "\n")
+    feed = str(tmp_path / "feed_tx")
+    acts = normalize_events(file_json_stream(spark, str(src)))
+    write_feed_stream(
+        acts, feed, str(tmp_path / "ck"), sink_format="txnlog"
+    ).awaitTermination()
+
+    key_cols = ["user_id", "activity_type", "event_timestamp", "target_id"]
+    before = sorted(
+        map(tuple, read_feed_txnlog(spark, feed).select(*key_cols).collect())
+    )
+    w = TxnLogWriter(feed)
+    racing = w.begin()
+    for old in w.live_files():
+        racing.remove(old)
+
+    name = compact_feed_txnlog(spark, feed)
+    assert w.live_files() == [name]
+    after = sorted(
+        map(tuple, read_feed_txnlog(spark, feed).select(*key_cols).collect())
+    )
+    assert before == after
+    assert os.path.exists(os.path.join(feed, "batch00000"))  # vacuum's job
+
+    with pytest.raises(CommitConflict):
+        racing.commit()  # a racing compaction of the same files refuses
+
+
 def test_upsert_pipeline_lifecycle(spark, tmp_path):
     """Upsert-mode materialization: a row APPEARS on create, CHANGES on
     update, VANISHES on delete — the c→u→d lifecycle the reference's

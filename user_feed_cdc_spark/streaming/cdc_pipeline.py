@@ -663,6 +663,38 @@ def read_feed_txnlog(spark: SparkSession, feed_path: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def compact_feed_txnlog(spark: SparkSession, feed_path: str) -> str:
+    """OPTIMIZE for the txn-log feed table: fold every live per-batch
+    file into ONE partitioned file set and publish the swap as a
+    single atomic remove+add transaction — readers (read_feed_txnlog)
+    see the pre- or post-compaction layout, never a mix, and the sink
+    keeps appending new batch files meanwhile (its blind appends never
+    conflict with this transaction; two concurrent compactions DO
+    conflict on their removes, which is the correct outcome). Run
+    periodically at scale so the snapshot read unions O(1) compacted
+    sets plus the recent tail instead of every batch ever written.
+    Returns the committed compacted-file name."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    writer = TxnLogWriter(feed_path)
+    txn = writer.begin()
+    live = writer.live_files()
+    merged = read_feed_txnlog(spark, feed_path)
+    name = f"compacted{txn.base_version + 1:05d}"
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("activity_date", "user_bucket")
+        .parquet(os.path.join(feed_path, name))
+    )
+    for old in live:
+        txn.remove(old)
+    txn.add(name)
+    txn.commit()
+    return name
+
+
 def compact_feed(spark: SparkSession, feed_path: str, compacted_path: str) -> None:
     """Compact the streaming feed layout into its serving form: the
     per-micro-batch `_batch_id=` partitions (the idempotent-replay unit)
