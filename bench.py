@@ -95,7 +95,10 @@ def main() -> None:
     # unchanged queries); the min over passes is the steady-state
     # latency — the quantity that matters for throughput at scale,
     # where every compile is amortized across thousands of tasks.
-    from user_feed_cdc_spark.operators.cdc import evict_fixture_cache
+    from user_feed_cdc_spark.operators.cdc import (
+        cdc_fixture_json,
+        evict_fixture_cache,
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -107,6 +110,14 @@ def main() -> None:
         # than standalone from exactly this.
         spark.catalog.clearCache()
         evict_fixture_cache(spark)
+        # ...then re-warm the shared CDC fixture UNTIMED: it is a cached
+        # INPUT shared by the whole cdc_* family, and charging its build
+        # to whichever family member happens to run first makes that
+        # query's timing a function of registry order, which rotates
+        # every round (r01 charged cdc_canonical_activities 18 s for it;
+        # the r11 rotation moved the charge onto cdc_metadata_map_stats
+        # and tripped a spurious 2.1x 'regression' on unchanged code).
+        cdc_fixture_json(spark, sf_dir).count()
         # Ask the JVM to collect before timing: accumulated
         # local-checkpoint blocks and memory-sink tables from the
         # previous pass otherwise surface as a multi-second GC pause
@@ -156,6 +167,7 @@ def main() -> None:
         for name in suspects:
             spark.catalog.clearCache()
             evict_fixture_cache(spark)
+            cdc_fixture_json(spark, sf_dir).count()  # untimed, as per pass
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             try:
