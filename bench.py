@@ -117,7 +117,12 @@ def main() -> None:
         # every round (r01 charged cdc_canonical_activities 18 s for it;
         # the r11 rotation moved the charge onto cdc_metadata_map_stats
         # and tripped a spurious 2.1x 'regression' on unchanged code).
-        cdc_fixture_json(spark, sf_dir).count()
+        # Contained like the queries themselves: a fixture-build failure
+        # must surface as per-query errors, not void the whole bench.
+        try:
+            cdc_fixture_json(spark, sf_dir).count()
+        except Exception:
+            pass  # the consuming cdc_* queries will record the error
         # Ask the JVM to collect before timing: accumulated
         # local-checkpoint blocks and memory-sink tables from the
         # previous pass otherwise surface as a multi-second GC pause
@@ -167,7 +172,10 @@ def main() -> None:
         for name in suspects:
             spark.catalog.clearCache()
             evict_fixture_cache(spark)
-            cdc_fixture_json(spark, sf_dir).count()  # untimed, as per pass
+            try:
+                cdc_fixture_json(spark, sf_dir).count()  # untimed, as per pass
+            except Exception:
+                pass
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             try:

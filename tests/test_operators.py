@@ -3302,6 +3302,73 @@ def test_txn_writer_schema_survives_checkpoint_and_vacuum(tmp_path):
             "schema": "a bigint, b string"} in lines
 
 
+def test_txn_writer_review_fixes(spark, tmp_path):
+    """Pins for the r11 review findings: (a) commits appear WITH their
+    content — no tmp residue after commits and the simulated race
+    leaves no torn file; (b) checkpoints re-emit winning add payloads
+    (stats) and newest-dv actions, so stats-pruning and DV reads
+    survive vacuum; (c) an empty micro-batch advances the txn
+    watermark without adding an unreadable zero-file parquet dir;
+    (d) constructing a writer for a READ never creates _log."""
+    import json
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        commit_batch,
+    )
+
+    # (d) read-path construction is side-effect free
+    ghost = TxnLogWriter(str(tmp_path / "ghost"))
+    assert ghost.latest_version() == -1
+    assert ghost.live_files() == []
+    assert not os.path.exists(ghost.log_dir)
+
+    # (a) + (b): stats and dv survive checkpoint + vacuum
+    w = TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=3)
+    os.makedirs(os.path.join(w.root, "r0"))
+    w.begin().add("r0", min_id=1, max_id=9, bloom="b0", m=64).commit()  # v0
+    txn = w.begin()
+    txn.actions.append({"action": "dv", "file": "r0", "dv": "dv_r0_v1"})
+    txn.commit()                                                        # v1
+    os.makedirs(os.path.join(w.root, "r1"))
+    w.begin().add("r1", min_id=10, max_id=20).commit()  # v2 -> checkpoint
+    assert w._checkpoint_version() == 2
+    assert not [n for n in os.listdir(w.log_dir) if ".tmp" in n]
+    w.vacuum()
+    assert w._commit_versions() == []
+    acts = w._replay_actions(w.latest_version())
+    adds = {a["file"]: a for a in acts if a["action"] == "add"}
+    assert adds["r0"]["min_id"] == 1 and adds["r0"]["max_id"] == 9
+    assert adds["r0"]["bloom"] == "b0" and adds["r0"]["m"] == 64
+    assert adds["r1"]["min_id"] == 10
+    dvs = [a for a in acts if a["action"] == "dv"]
+    assert dvs == [{"version": 2, "action": "dv", "file": "r0",
+                    "dv": "dv_r0_v1"}]
+
+    # (a) simulated allocation race: the losing tmp is cleaned up and
+    # the winner's file content is complete JSON lines
+    txn = w.begin().add("r2")
+    os.makedirs(os.path.join(w.root, "r2"))
+    with open(os.path.join(w.log_dir, "00003.json"), "w") as f:
+        f.write(json.dumps({"version": 3, "action": "add", "file": "x"}) + "\n")
+    assert txn.commit() == 4
+    assert not [n for n in os.listdir(w.log_dir) if ".tmp" in n]
+    with open(os.path.join(w.log_dir, "00004.json")) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    assert {"version": 4, "action": "add", "file": "r2"} in lines
+
+    # (c) empty micro-batch: watermark advances, no add action
+    w2 = TxnLogWriter(str(tmp_path / "s"))
+    empty = spark.range(1).filter("id < 0")
+    assert commit_batch(w2, empty, 0, app="sink") is None
+    assert w2.last_txn("sink") == 0
+    assert w2.live_files() == []
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    assert commit_batch(w2, df, 1, app="sink") == "batch00001"
+    assert w2.live_files() == ["batch00001"]
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

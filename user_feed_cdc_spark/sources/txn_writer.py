@@ -96,12 +96,16 @@ class TxnLogWriter:
     def __init__(self, root: str, checkpoint_interval: int | None = None):
         self.root = root
         self.log_dir = os.path.join(root, "_log")
-        os.makedirs(self.log_dir, exist_ok=True)
         self.checkpoint_interval = checkpoint_interval
 
     # -- log scanning (planning scale: file names + JSON lines) --------
 
     def _commit_versions(self) -> list[int]:
+        # tolerate a missing _log: pure READ paths construct a writer
+        # just to replay, and creating directories from a read would
+        # make a wrong path look like an (empty) txnlog table
+        if not os.path.isdir(self.log_dir):
+            return []
         out = []
         for name in os.listdir(self.log_dir):
             if name.endswith(".json") and not name.endswith(
@@ -231,12 +235,47 @@ class TxnLogWriter:
         """Materialize the live set as of `version` (plus the newest
         txn action per app) into `{version:05d}.checkpoint.json`, then
         repoint `_last_checkpoint` atomically (tmp + rename) — a crash
-        between the two files leaves the old pointer valid."""
+        between the two files leaves the old pointer valid.
+
+        Checkpointed adds re-emit the WINNING add action's FULL payload
+        (min/max stats, bloom sidecar names, whatever the writer
+        recorded) at the checkpoint version — not just the file name:
+        stats-pruning and bloom readers consume those fields from the
+        log, and a name-only checkpoint would silently strip them the
+        moment pre-checkpoint commits are vacuumed. The newest dv
+        action per live file is carried forward for the same reason —
+        dropping it would resurrect deleted rows after a vacuum."""
         acts = self._replay_actions(version)
-        lines = [
-            {"version": version, "action": "add", "file": f}
-            for f in _last_wins(acts)
-        ]
+        winning_add: dict[str, dict] = {}
+        for a in acts:
+            if a.get("action") == "add" and (
+                a["file"] not in winning_add
+                or a["version"] >= winning_add[a["file"]]["version"]
+            ):
+                winning_add[a["file"]] = a
+        lines = []
+        for f in _last_wins(acts):
+            payload = {
+                k: v
+                for k, v in winning_add[f].items()
+                if k not in ("version", "action", "file")
+            }
+            lines.append(
+                {"version": version, "action": "add", "file": f, **payload}
+            )
+        newest_dv: dict[str, dict] = {}
+        for a in acts:
+            if a.get("action") == "dv" and (
+                a["file"] not in newest_dv
+                or a["version"] >= newest_dv[a["file"]]["version"]
+            ):
+                newest_dv[a["file"]] = a
+        live_set = set(_last_wins(acts))
+        lines.extend(
+            {**a, "version": version}
+            for f, a in sorted(newest_dv.items())
+            if f in live_set
+        )
         txns: dict[str, dict] = {}
         for a in acts:
             if a.get("action") == "txn" and (
@@ -334,23 +373,37 @@ class Transaction:
                 + ", ".join(dupes[:5])
             )
         w = self.writer
+        os.makedirs(w.log_dir, exist_ok=True)  # writers create the log
         while True:
             target = w.latest_version() + 1
             if target > self.base_version + 1:
                 # commits landed since we began — logical conflict check
                 self._check_conflicts(self.base_version + 1, target - 1)
             path = os.path.join(w.log_dir, f"{target:05d}.json")
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                # lost the allocation race: loop — the next pass sees the
-                # winner's commit and conflict-checks against it too
-                continue
-            with os.fdopen(fd, "w") as f:
+            # Atomicity: the commit must appear WITH its content. An
+            # O_EXCL create followed by buffered writes leaves a window
+            # where concurrent conflict checks read an empty/torn file
+            # and a crash leaves a corrupt log — so write + fsync a
+            # private tmp first, then os.link() it to the version name:
+            # link is the put-if-absent (fails EEXIST on a lost race)
+            # and the content is already durable when the name appears.
+            import threading
+
+            tmp = path + f".tmp{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "w") as f:
                 for a in self.actions:
                     f.write(json.dumps({"version": target, **a}) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                # lost the allocation race: loop — the next pass sees the
+                # winner's commit and conflict-checks against it too.
+                # The tmp carries the LOSING version number, so rewrite.
+                os.remove(tmp)
+                continue
+            os.remove(tmp)
             interval = w.checkpoint_interval
             if interval and (target + 1) % interval == 0:
                 w.write_checkpoint(target)
@@ -414,6 +467,13 @@ def commit_batch(
     id (the same contract as Delta's txnAppId)."""
     last = writer.last_txn(app)
     if last is not None and last >= batch_id:
+        return None
+    if batch_df.isEmpty():
+        # an empty micro-batch (processing-time triggers emit them)
+        # must still advance the watermark — but adding a zero-part-file
+        # parquet dir to the log would break every later schema-less
+        # snapshot read ("Unable to infer schema")
+        writer.begin().set_txn(app, batch_id).commit()
         return None
     name = f"{prefix}{batch_id:05d}"
     out = batch_df.write.mode("overwrite")

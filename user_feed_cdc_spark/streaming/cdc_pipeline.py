@@ -675,13 +675,23 @@ def compact_feed_txnlog(spark: SparkSession, feed_path: str) -> str:
     sets plus the recent tail instead of every batch ever written.
     Returns the committed compacted-file name."""
     import os
+    from functools import reduce
 
     from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
 
     writer = TxnLogWriter(feed_path)
     txn = writer.begin()
+    # ONE live-files snapshot drives BOTH the data read and the remove
+    # set: deriving them from two separate replays would fold a batch
+    # committed in between into the compacted file while leaving it
+    # live in the log — every one of its rows would then read twice
     live = writer.live_files()
-    merged = read_feed_txnlog(spark, feed_path)
+    if not live:
+        raise ValueError(f"txn-log feed table at {feed_path} is empty")
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(os.path.join(feed_path, n)) for n in live],
+    )
     name = f"compacted{txn.base_version + 1:05d}"
     (
         merged.write.mode("overwrite")
