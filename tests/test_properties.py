@@ -6,6 +6,7 @@ oracle diff can't see — arbitrary inputs, not the fixed testdata."""
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import duckdb
@@ -432,3 +433,104 @@ def test_cusum_enc_packing_decodes_earliest_tied_row(s_scaled):
     first_d, first_v = tied[0]
     assert change_day == first_d
     assert direction == ((first_v > 0) - (first_v < 0))
+
+
+# ---------------------------------------------------------------------------
+# Txn-log committer: model-based randomized testing
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append")),
+            st.tuples(st.just("rewrite"), st.integers(0, 10**9)),
+            st.tuples(st.just("vacuum")),
+            st.tuples(st.just("as_of"), st.integers(0, 10**9)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    interval=st.sampled_from([None, 2, 3, 5]),
+)
+def test_txn_writer_matches_reference_model(ops, interval):
+    """Model-based committer check: random sequences of append /
+    rewrite(old→new) / vacuum / time-travel are executed against BOTH
+    TxnLogWriter (real files, checkpoints, vacuums) and a trivially-
+    correct in-memory model (full action history, last-action-wins
+    replayed in plain Python). After every op the live set at HEAD
+    must agree; every as_of either agrees or BOTH sides consider that
+    history vacuumed. This is the evidence the example-based tests
+    can't give — arbitrary interleavings of checkpoint creation,
+    rewrite-past-checkpoint, and vacuum all land on the same truth."""
+    import shutil
+    import tempfile
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tempfile.mkdtemp(prefix="txnmodel_")
+    try:
+        w = TxnLogWriter(root, checkpoint_interval=interval)
+        history: list[tuple[int, str, str]] = []  # (version, action, file)
+        vacuumed_below: int = -1  # highest ckpt a vacuum ran against
+        counter = 0
+
+        def model_live(hi: int) -> list[str]:
+            last: dict[str, tuple[int, int]] = {}
+            for v, action, f in history:
+                if v > hi:
+                    continue
+                stt = (v, 1 if action == "remove" else 0)
+                if f not in last or stt > last[f]:
+                    last[f] = stt
+            return sorted(f for f, (_v, r) in last.items() if r == 0)
+
+        for op in ops:
+            if op[0] == "append":
+                name = f"f{counter}"
+                counter += 1
+                os.makedirs(os.path.join(root, name), exist_ok=True)
+                v = w.begin().add(name).commit()
+                history.append((v, "add", name))
+            elif op[0] == "rewrite":
+                live = model_live(10**9)
+                if not live:
+                    continue
+                old = live[op[1] % len(live)]
+                name = f"f{counter}"
+                counter += 1
+                os.makedirs(os.path.join(root, name), exist_ok=True)
+                v = w.begin().remove(old).add(name).commit()
+                history.append((v, "remove", old))
+                history.append((v, "add", name))
+            elif op[0] == "vacuum":
+                if w._checkpoint_version() is None:
+                    continue
+                vacuumed_below = max(vacuumed_below, w._checkpoint_version())
+                w.vacuum()
+            else:  # as_of
+                head = w.latest_version()
+                if head < 0:
+                    continue
+                v = op[1] % (head + 1)
+                ckpt = w._checkpoint_version()
+                history_gone = (
+                    ckpt is not None
+                    and v < ckpt
+                    and vacuumed_below >= 0
+                )
+                if history_gone:
+                    try:
+                        got = w.live_files(as_of=v)
+                        # replay may still succeed if commits <= v
+                        # survived (vacuum only prunes <= its ckpt)
+                        assert got == model_live(v)
+                    except ValueError:
+                        pass  # refusal is the documented contract
+                else:
+                    assert w.live_files(as_of=v) == model_live(v)
+            # invariant after every op: HEAD agrees with the model
+            assert w.live_files() == model_live(10**9)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
