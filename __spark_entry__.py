@@ -82,6 +82,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
         "multimodal_video_mjpeg_420_stats", "source_txn_log_delete_rewrite",
         "source_txn_log_optimize_cluster", "source_txn_log_schema_evolution",
+        "streaming_txn_source_live",
         # then code-changed-this-round entries (replay/walker/decoder
         # refactors — hashes expected unchanged, but external evidence
         # beats expectation),
@@ -106,10 +107,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
-        "pipeline_zorder_stats", "asof_next_purchase",
+        "pipeline_zorder_stats",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first
+        "asof_next_purchase",
         "similarity_lsh_md5_buckets",
         "sketch_distinct_users_bounded",
         "events_daily_retention", "events_cohort_matrix",

@@ -3369,6 +3369,38 @@ def test_txn_writer_review_fixes(spark, tmp_path):
     assert w2.live_files() == ["batch00001"]
 
 
+def test_txn_stream_source_refuses_change_commits(spark, sf_dir, tmp_path):
+    """The txn-log streaming source's skipChangeCommits contract: a
+    commit carrying removes (compaction/rewrite) must REFUSE, never
+    silently re-emit rewritten rows. Drive the reader's commit parser
+    directly on a copy whose head commit is a rewrite."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.formats import _txn_stream_table
+
+    root, log_dir, _total = _txn_stream_table(spark, sf_dir)
+    root2 = str(tmp_path / "txnstream_copy")
+    shutil.copytree(root, root2)
+    log2 = os.path.join(root2, "_log")
+    with open(os.path.join(log2, "00005.json"), "w") as f:
+        f.write(json.dumps(
+            {"version": 5, "action": "remove", "file": "a0"}) + "\n")
+        f.write(json.dumps(
+            {"version": 5, "action": "add", "file": "a0r"}) + "\n")
+
+    # drive the REAL reader code: appends yield rows, the rewrite raises
+    from user_feed_cdc_spark.sources.formats import _txn_stream_commit_rows
+
+    rows = _txn_stream_commit_rows(root2, log2, 0)
+    assert rows and len(rows[0]) == 6  # append commit yields full tuples
+    with pytest.raises(ValueError, match="not append-only"):
+        _txn_stream_commit_rows(root2, log2, 5)
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while
