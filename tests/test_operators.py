@@ -3400,6 +3400,13 @@ def test_txn_stream_source_refuses_change_commits(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="not append-only"):
         _txn_stream_commit_rows(root2, log2, 5)
 
+    # the five-micro-batch certification must be NON-VACUOUS: every
+    # commit carries rows (r11 review: bucketing on pmod(event_id, 5)
+    # over the multiples-of-20 slice put ALL rows in commit 0)
+    per_commit = [len(_txn_stream_commit_rows(root, log_dir, v))
+                  for v in range(5)]
+    assert all(n > 0 for n in per_commit), per_commit
+
 
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)

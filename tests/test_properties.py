@@ -515,17 +515,23 @@ def test_txn_writer_matches_reference_model(ops, interval):
                     continue
                 v = op[1] % (head + 1)
                 ckpt = w._checkpoint_version()
+                vs = w._commit_versions()
+                # a sub-checkpoint replay starts from commit 0; the
+                # writer refuses EXACTLY when commit 0 was pruned —
+                # key the expectation on that precise condition, not
+                # on "some vacuum ever ran" (which would silently
+                # tolerate spurious refusals of intact history)
                 history_gone = (
                     ckpt is not None
                     and v < ckpt
-                    and vacuumed_below >= 0
+                    and (not vs or vs[0] != 0)
                 )
                 if history_gone:
                     try:
-                        got = w.live_files(as_of=v)
-                        # replay may still succeed if commits <= v
-                        # survived (vacuum only prunes <= its ckpt)
-                        assert got == model_live(v)
+                        w.live_files(as_of=v)
+                        raise AssertionError(
+                            "expected a vacuumed-history refusal"
+                        )
                     except ValueError:
                         pass  # refusal is the documented contract
                 else:

@@ -2010,34 +2010,47 @@ def _txn_stream_table(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
 
     from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
 
+    import shutil
+
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(
-        f"txnstream:{sf_dir}:{mtime}:v1".encode()
+        f"txnstream:{sf_dir}:{mtime}:v2".encode()
     ).hexdigest()[:12]
     root = _scratch_path("txnstream", sf_dir, key)
     log_dir = os.path.join(root, "_log")
     meta_path = os.path.join(root, "_META")
     if not os.path.exists(os.path.join(root, "_BUILT")):
+        # wipe any PARTIAL build first: unlike the snapshot fixtures
+        # (last-action-wins makes re-adds idempotent), the streaming
+        # reader replays commit BY commit, so resuming the committer's
+        # version numbering over leftover commits would double-count
+        # the re-added files forever (r11 review finding)
+        shutil.rmtree(root, ignore_errors=True)
         writer = TxnLogWriter(root)
-        ev = load_table(spark, sf_dir, "events").filter(
-            F.col("event_id") % 20 == 0
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 20 == 0)
+            .persist()  # one scan serves the count and all five writes
         )
         total = ev.count()
-        bucket = F.pmod(F.col("event_id"), F.lit(5))
+        # bucket on event_id/20: the slice is exactly the multiples of
+        # 20, so pmod(event_id, 5) would be constantly ZERO — all rows
+        # in commit 0 and four empty commits, a vacuous five-batch
+        # certification (r11 review finding)
+        bucket = F.pmod((F.col("event_id") / 20).cast("long"), F.lit(5))
         for b in range(5):
             ev.filter(bucket == b).write.mode("overwrite").parquet(
                 os.path.join(root, f"a{b}")
             )
             writer.begin().add(f"a{b}").commit()
+        ev.unpersist()
         with open(meta_path, "w") as f:
             f.write(json.dumps({"total": int(total)}) + "\n")
         with open(os.path.join(root, "_BUILT"), "w") as f:
             f.write("ok\n")
-    import json as _json
-
     with open(meta_path) as f:
-        total = _json.loads(f.readline())["total"]
+        total = json.loads(f.readline())["total"]
     return root, log_dir, total
 
 
