@@ -3369,6 +3369,59 @@ def test_txn_writer_review_fixes(spark, tmp_path):
     assert w2.live_files() == ["batch00001"]
 
 
+def test_txn_writer_r11_advice_fixes(tmp_path, monkeypatch, recwarn):
+    """Pins for the r11 ADVICE items on the committer: (a) a commit
+    whose interval CHECKPOINT write fails still returns the committed
+    version (success is decided when the version file links; the
+    checkpoint is a replay-cost optimization) with a RuntimeWarning,
+    and an explicit write_checkpoint call repairs coverage; (b) the
+    conflict check derives the vacuumed-gap evidence and the
+    concurrent actions from ONE pass over the expected commit files —
+    a commit file missing from the middle of the window raises
+    CommitConflict naming the vacuumed version, never a silent pass."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources import txn_writer as tw
+
+    # (a) checkpoint failure after the commit is durably linked
+    w = tw.TxnLogWriter(str(tmp_path / "t"), checkpoint_interval=2)
+    os.makedirs(os.path.join(w.root, "a0"))
+    w.begin().add("a0").commit()  # v0
+    os.makedirs(os.path.join(w.root, "a1"))
+
+    def boom(version):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(w, "write_checkpoint", boom)
+    assert w.begin().add("a1").commit() == 1  # v1 = checkpoint slot
+    assert any(
+        "checkpoint failed" in str(x.message) for x in recwarn.list
+    )
+    monkeypatch.undo()
+    assert w._checkpoint_version() is None  # slot missed, commit kept
+    w.write_checkpoint(1)  # explicit repair
+    assert w._checkpoint_version() == 1
+    assert w.live_files() == ["a0", "a1"]
+
+    # (b) single-pass conflict check: a vacuumed MIDDLE commit in the
+    # conflict window is a CommitConflict, discovered by the read
+    # itself (FileNotFoundError), not a separate pre-listing
+    w2 = tw.TxnLogWriter(str(tmp_path / "c"))
+    for name in ("f0", "f1"):
+        os.makedirs(os.path.join(w2.root, name))
+        w2.begin().add(name).commit()  # v0, v1
+    txn = w2.begin().remove("f0").add("f0r")  # base v1
+    os.makedirs(os.path.join(w2.root, "g0"))
+    w2.begin().add("g0").commit()  # v2
+    os.makedirs(os.path.join(w2.root, "g1"))
+    w2.begin().add("g1").commit()  # v3
+    os.remove(os.path.join(w2.log_dir, "00002.json"))  # simulated vacuum
+    with pytest.raises(tw.CommitConflict, match="v2.*vacuumed"):
+        txn.commit()
+
+
 def test_txn_stream_source_refuses_change_commits(spark, sf_dir, tmp_path):
     """The txn-log streaming source's skipChangeCommits contract: a
     commit carrying removes (compaction/rewrite) must REFUSE, never

@@ -4119,6 +4119,12 @@ def streaming_activity_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 _CONC_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+# Revision of the concurrent-sessions DELTA DERIVATION (the explode →
+# (ts, ±1, day) shape cached under conc_deltas). Declared beside the
+# gap constant so the cache key and the logic live in one place: bump
+# this on ANY change to the delta derivation, or the scratch cache
+# silently serves stale deltas (r11 ADVICE).
+_CONC_DELTAS_REV = 2
 
 
 @_register(
@@ -4243,9 +4249,9 @@ def events_max_concurrent_sessions(
     # (r10 ADVICE): unlike the txn-log fixtures (pure functions of the
     # data), the deltas depend on the gap constant and struct shape —
     # a code change here must invalidate the scratch, not silently
-    # reuse stale deltas until testdata regenerates. Bump _V on any
-    # change to the delta derivation above.
-    logic = f"gap={_CONC_GAP_US}:v=2"
+    # reuse stale deltas until testdata regenerates. The revision
+    # lives in _CONC_DELTAS_REV beside _CONC_GAP_US (r11 ADVICE).
+    logic = f"gap={_CONC_GAP_US}:v={_CONC_DELTAS_REV}"
     key = hashlib.md5(
         f"concdeltas:{sf_dir}:{mtime}:{logic}".encode()
     ).hexdigest()[:12]

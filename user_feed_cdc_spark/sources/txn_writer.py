@@ -362,7 +362,13 @@ class Transaction:
         """Write the commit; returns the version it landed at. Raises
         CommitConflict if a concurrent commit removed a file this
         transaction removes; ValueError if the transaction itself
-        violates one-action-per-file-per-commit."""
+        violates one-action-per-file-per-commit.
+
+        Commit success PRECEDES checkpointing: once the version file
+        is linked the commit is durable, and a failure writing the
+        interval checkpoint is warned and swallowed (the checkpoint is
+        a replay-cost optimization the next interval repairs), never
+        surfaced as a commit failure."""
         files = [
             a["file"] for a in self.actions if a["action"] in ("add", "remove")
         ]
@@ -406,7 +412,27 @@ class Transaction:
             os.remove(tmp)
             interval = w.checkpoint_interval
             if interval and (target + 1) % interval == 0:
-                w.write_checkpoint(target)
+                # The commit is already durably linked above — SUCCESS
+                # IS DECIDED. A checkpoint failure here (disk full,
+                # crash) must not surface as a commit failure: a
+                # generic retry would re-stage the same removes and
+                # hit a confusing CommitConflict against its OWN
+                # commit (r11 ADVICE). Checkpoints are an optimization
+                # (bounded replay), never correctness: swallow + warn,
+                # and the next interval — or an explicit
+                # write_checkpoint call — repairs coverage.
+                try:
+                    w.write_checkpoint(target)
+                except OSError as e:
+                    import warnings
+
+                    warnings.warn(
+                        f"commit v{target} landed but its checkpoint "
+                        f"failed ({e}); replay falls back to the "
+                        "previous checkpoint until the next interval",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             return target
 
     def _check_conflicts(self, lo: int, hi: int) -> None:
@@ -415,24 +441,32 @@ class Transaction:
         }
         if not my_removes:
             return  # blind append: no read set, never conflicts
-        # version allocation is gapless, so a missing commit in
-        # [lo, hi] means a vacuum ran during this transaction and the
-        # conflict evidence is gone — refuse conservatively rather
-        # than certify a check that could not see every concurrent
-        # remove
-        have = set(self.writer._commit_versions())
-        if any(v not in have for v in range(lo, hi + 1)):
-            raise CommitConflict(
-                f"commits v{lo}..v{hi} were vacuumed while this "
-                f"transaction (base v{self.base_version}) was open — "
-                "cannot prove absence of conflicts; retry from a fresh "
-                "snapshot"
+        # Version allocation is gapless, so every version in [lo, hi]
+        # MUST have a commit file; a missing one means a vacuum ran
+        # during this transaction and the conflict evidence is gone —
+        # refuse conservatively. The gap check and the action read are
+        # ONE operation (open each expected file, FileNotFoundError IS
+        # the gap) — a prior two-step form (list versions, then re-list
+        # to read actions) left a window where a vacuum between the
+        # listings silently hid concurrent removes (r11 ADVICE).
+        concurrent_removed: set[str] = set()
+        for v in range(lo, hi + 1):
+            path = os.path.join(self.writer.log_dir, f"{v:05d}.json")
+            try:
+                with open(path) as f:
+                    lines = [
+                        json.loads(line) for line in f if line.strip()
+                    ]
+            except FileNotFoundError:
+                raise CommitConflict(
+                    f"commit v{v} in v{lo}..v{hi} was vacuumed while "
+                    f"this transaction (base v{self.base_version}) was "
+                    "open — cannot prove absence of conflicts; retry "
+                    "from a fresh snapshot"
+                ) from None
+            concurrent_removed.update(
+                a["file"] for a in lines if a.get("action") == "remove"
             )
-        concurrent_removed = {
-            a["file"]
-            for a in self.writer._actions_between(lo, hi)
-            if a.get("action") == "remove"
-        }
         clash = sorted(my_removes & concurrent_removed)
         if clash:
             raise CommitConflict(
