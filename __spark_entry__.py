@@ -77,42 +77,22 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r11 window ----
-        # new r11 entries lead (rotation policy: NEW first),
+        # ---- r12 window ----
+        # new r12 entries lead (rotation policy: NEW first): the txn
+        # log's remaining read modes + the 2-D maintenance op
+        "source_txn_log_cdf", "source_txn_log_timestamp_travel",
+        "source_txn_log_optimize_zorder",
+        # then code-changed-this-round entries (committer protocol grew
+        # commitInfo first lines + dataChange flags and every engine-
+        # written fixture rebuilt under it — hashes expected unchanged,
+        # but external evidence beats expectation; conc-sessions cache
+        # key now keys on a named revision constant),
         "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
-        "multimodal_video_mjpeg_420_stats", "source_txn_log_delete_rewrite",
-        "source_txn_log_optimize_cluster", "source_txn_log_schema_evolution",
-        "streaming_txn_source_live",
-        # then code-changed-this-round entries (replay/walker/decoder
-        # refactors — hashes expected unchanged, but external evidence
-        # beats expectation),
-        "source_txn_log_snapshot", "source_txn_log_checkpoint",
-        "source_txn_log_deletes", "source_txn_log_time_travel",
-        "source_txn_log_bloom_index", "multimodal_video_avi_stats",
-        "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
+        "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
+        "source_txn_log_schema_evolution", "streaming_txn_source_live",
         "events_max_concurrent_sessions",
-        # then stalest-certified (r05/r06 driver rows) fill:
-        "events_trending_users",
-        "range_join_user_pairs",
-        "asof_last_purchase", "asof_last_purchase_tolerance",
-        "dedup_exact_latest_event", "dedup_minhash_md5_pairs",
-        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
-        "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
-        "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
-        "multimodal_binary_stats", "multimodal_frame_sample",
-        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
-        "split_stratified_train", "pipeline_corpus_clean",
-        "pipeline_decontaminate", "dedup_exact_docs", "dedup_ngram_jaccard",
-        "dedup_incremental_new_docs", "dedup_embedding_cosine",
-        "text_token_counts", "text_doc_stats", "text_quality_scores",
-        "text_lang_id", "text_fingerprints", "text_regex_tokens",
-        "text_tfidf_top_terms", "text_repetition_scores",
-        "pipeline_zorder_stats",
-        # ---- window boundary (the driver certifies the 50 above;
-        # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first
-        "asof_next_purchase",
-        "similarity_lsh_md5_buckets",
+        # then stalest-certified (r06/r07 driver rows) fill:
+        "asof_next_purchase", "similarity_lsh_md5_buckets",
         "sketch_distinct_users_bounded",
         "events_daily_retention", "events_cohort_matrix",
         "pricing_summary",
@@ -127,7 +107,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
         "multimodal_rollup", "pipeline_pack_sequences",
-        "pipeline_shuffle_shards", "pipeline_source_mixture",
+        "pipeline_shuffle_shards",
+        # ---- window boundary (the driver certifies the 50 above;
+        # tools/preflight_window.py replays exactly this prefix) ----
+        # certified tail, stalest driver row first
+        "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",
         "similarity_quantized_topk", "text_bigram_top_terms",
@@ -224,6 +208,29 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
+        # r11 window (driver-certified r11 — freshest rows, so last;
+        # the six txn entries re-certifying in the r12 window above
+        # are omitted here)
+        "multimodal_video_mjpeg_420_stats",
+        "source_txn_log_snapshot", "source_txn_log_checkpoint",
+        "source_txn_log_deletes", "source_txn_log_time_travel",
+        "source_txn_log_bloom_index", "multimodal_video_avi_stats",
+        "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
+        "events_trending_users", "range_join_user_pairs",
+        "asof_last_purchase", "asof_last_purchase_tolerance",
+        "dedup_exact_latest_event", "dedup_minhash_md5_pairs",
+        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
+        "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
+        "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
+        "multimodal_binary_stats", "multimodal_frame_sample",
+        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
+        "split_stratified_train", "pipeline_corpus_clean",
+        "pipeline_decontaminate", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "dedup_incremental_new_docs", "dedup_embedding_cosine",
+        "text_token_counts", "text_doc_stats", "text_quality_scores",
+        "text_lang_id", "text_fingerprints", "text_regex_tokens",
+        "text_tfidf_top_terms", "text_repetition_scores",
+        "pipeline_zorder_stats",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

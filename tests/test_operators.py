@@ -3422,6 +3422,56 @@ def test_txn_writer_r11_advice_fixes(tmp_path, monkeypatch, recwarn):
         txn.commit()
 
 
+def test_txn_writer_timestamp_travel(tmp_path):
+    """TIMESTAMP AS OF resolution rules (r11 VERDICT item 2): (a) a
+    timestamp between two commits FLOORS to the earlier one; (b) an
+    exact commit timestamp resolves to that commit; (c) a timestamp
+    past HEAD resolves to HEAD; (d) a timestamp before v0 refuses
+    ('precedes the table'); (e) commit timestamps are MONOTONIC — a
+    commit handed a timestamp at or below its predecessor's is clamped
+    to prev+1 (clock-skew guard), keeping floors well-defined; (f)
+    after a vacuum the checkpoint's carried commitInfo keeps at-or-
+    after-checkpoint resolution working while below-checkpoint
+    timestamps refuse as vacuumed history."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(str(tmp_path / "t"))
+    for b, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        os.makedirs(os.path.join(w.root, f"t{b}"))
+        w.begin().add(f"t{b}").commit(timestamp=ts)
+    assert w.version_at_timestamp(2500) == 1   # (a) floor
+    assert w.version_at_timestamp(2000) == 1   # (b) exact
+    assert w.version_at_timestamp(10**12) == 2  # (c) future -> HEAD
+    with pytest.raises(ValueError, match="precedes the table"):
+        w.version_at_timestamp(999)            # (d) before v0
+
+    # (e) monotonicity clamp: requested ts 1500 < prev commit's 3000
+    os.makedirs(os.path.join(w.root, "t3"))
+    w.begin().add("t3").commit(timestamp=1500)
+    assert w.version_at_timestamp(3001) == 3   # clamped to 3001
+    assert w.version_at_timestamp(3000) == 2   # v2 still owns 3000
+
+    # (f) vacuum: checkpoint carries the newest commitInfo forward
+    w2 = TxnLogWriter(str(tmp_path / "c"), checkpoint_interval=2)
+    os.makedirs(os.path.join(w2.root, "a0"))
+    w2.begin().add("a0").commit(timestamp=1000)               # v0
+    os.makedirs(os.path.join(w2.root, "a0r"))
+    w2.begin().remove("a0").add("a0r").commit(timestamp=2000)  # v1 -> ckpt
+    w2.vacuum()
+    assert w2._commit_versions() == []
+    os.makedirs(os.path.join(w2.root, "a1"))
+    w2.begin().add("a1").commit(timestamp=3000)  # v2
+    assert w2.version_at_timestamp(2500) == 1  # checkpoint's commitInfo
+    assert w2.version_at_timestamp(3500) == 2
+    assert w2.live_files(as_of=w2.version_at_timestamp(2500)) == ["a0r"]
+    with pytest.raises(ValueError, match="vacuumed"):
+        w2.version_at_timestamp(1500)  # below the earliest known commit
+
+
 def test_txn_stream_source_refuses_change_commits(spark, sf_dir, tmp_path):
     """The txn-log streaming source's skipChangeCommits contract: a
     commit carrying removes (compaction/rewrite) must REFUSE, never
@@ -3459,6 +3509,61 @@ def test_txn_stream_source_refuses_change_commits(spark, sf_dir, tmp_path):
     per_commit = [len(_txn_stream_commit_rows(root, log_dir, v))
                   for v in range(5)]
     assert all(n > 0 for n in per_commit), per_commit
+
+
+def test_txn_stream_cdf_mode(spark, sf_dir):
+    """The streaming source's opt-in CDF mode (r11 VERDICT item 3) —
+    the refuse-on-remove contract relaxed into change emission: over
+    the engine-written CDF fixture (append, append, COW DELETE,
+    OPTIMIZE with dataChange=false, DV delete) the per-commit reader
+    must emit v0/v1 rows as inserts, ONLY the actually-deleted rows at
+    v2 (row-level diff, not a0 wholesale), NOTHING at v3 (a
+    data-unchanged rewrite in the feed is the classic CDF bug), and
+    the DV sidecar's delta at v4 — and its totals must agree with the
+    batch table_changes the hash gate certifies."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_cdf_table,
+        _txn_stream_commit_rows,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    root, log_dir = _txn_cdf_table(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+    n_m4 = ev.filter(F.col("event_id") % 10 == 4).count()
+    n_m6 = ev.filter(F.col("event_id") % 10 == 6).count()
+
+    got = {
+        v: _txn_stream_commit_rows(root, log_dir, v, mode="cdf")
+        for v in range(5)
+    }
+    def tally(rows):
+        out = {}
+        for r in rows:
+            out[r[0]] = out.get(r[0], 0) + 1
+        return out
+
+    assert tally(got[0]) == {"insert": n_even}
+    assert tally(got[1]) == {"insert": n_odd}
+    assert tally(got[2]) == {"delete": n_m4}  # diff, not a0 wholesale
+    assert got[3] == []                       # OPTIMIZE: silent
+    assert tally(got[4]) == {"delete": n_m6}  # DV delta
+    # change rows carry (change_type, commit_version, full 6-col row)
+    assert all(len(r) == 8 for rows in got.values() for r in rows)
+    assert {r[1] for r in got[2]} == {2}
+
+    # deleted ids at v2 are exactly the %10==4 slice
+    del_ids = sorted(r[2] for r in got[2])
+    want = sorted(
+        r.event_id
+        for r in ev.filter(F.col("event_id") % 10 == 4)
+        .select("event_id")
+        .collect()
+    )
+    assert del_ids == want
 
 
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):

@@ -1278,3 +1278,37 @@ def test_txn_optimize_cluster_enables_pruning(spark, sf_dir):
     assert scanned == {"z0"}, scanned
     root, _log = _txn_optimize_table(spark, sf_dir)
     assert os.path.exists(os.path.join(root, "u0"))  # old layout retained
+
+
+def test_txn_optimize_zorder_prunes_both_dims(spark, sf_dir):
+    """source_txn_log_optimize_zorder: after the Morton re-cluster, a
+    range predicate on EITHER dimension must prune to two of the four
+    quadrant files — hour (the dimension the original user-clustered
+    layout provably could not prune) hits {z0, z1}, user hits
+    {z0, z2} — and the ZORDER commit is dataChange=false, so the
+    change data feed over it emits ZERO rows (a data-unchanged
+    rewrite in the feed is the classic CDF bug)."""
+    import os
+
+    import __spark_entry__ as em
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_zorder_table,
+        _zorder_prune,
+        table_changes,
+    )
+
+    df = em.queries()["source_txn_log_optimize_zorder"](spark, sf_dir)
+    scanned = {f.rstrip("/").split("/")[-2] for f in df.inputFiles()}
+    assert scanned == {"z0", "z1"}, scanned
+
+    root, log_dir = _txn_zorder_table(spark, sf_dir)
+    assert os.path.exists(os.path.join(root, "u0"))  # old layout retained
+    # the user dimension prunes on the SAME layout (the 2-D property)
+    import json
+
+    with open(os.path.join(root, "_META")) as f:
+        max_user = json.loads(f.readline())["max_user"]
+    lower = _zorder_prune(spark, root, log_dir, "user", 0, max_user // 2 - 1)
+    assert lower == ["z0", "z2"], lower
+    # CDF silence: the ZORDER publish (v4) changes no data
+    assert table_changes(spark, root, log_dir, 4, 4).count() == 0

@@ -175,6 +175,68 @@ class TxnLogWriter:
             return []
         return _last_wins(self._replay_actions(hi))
 
+    def _known_commit_timestamps(self) -> list[tuple[int, int]]:
+        """(version, commit timestamp ms) for every commit whose
+        timestamp is still discoverable: available commit files plus
+        the newest checkpoint's carried commitInfo (so the resolver
+        keeps a floor after vacuuming). Sorted by version. Commits
+        written before the protocol carried commitInfo are absent —
+        timestamp travel refuses over them rather than guessing."""
+        out: dict[int, int] = {}
+        ckpt = self._checkpoint_version()
+        if ckpt is not None:
+            path = os.path.join(self.log_dir, f"{ckpt:05d}.checkpoint.json")
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if a.get("action") == "commitInfo":
+                        out[a["version"]] = a["timestamp"]
+        for v in self._commit_versions():
+            with open(os.path.join(self.log_dir, f"{v:05d}.json")) as f:
+                first = f.readline()
+            if first.strip():
+                a = json.loads(first)
+                if a.get("action") == "commitInfo":
+                    out[v] = a["timestamp"]
+        return sorted(out.items())
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution, log-only (Delta's
+        DeltaHistoryManager in miniature): the snapshot a reader at
+        wall-clock `ts_ms` would have seen is the LAST commit whose
+        timestamp is <= ts_ms — floor semantics, so a timestamp
+        between two commits resolves to the earlier one, and a
+        timestamp at or past the newest commit resolves to HEAD.
+        Refuses a timestamp earlier than the first KNOWN commit:
+        'before the table existed' when that commit is v0, 'history
+        vacuumed' otherwise — never a silent empty snapshot. Commit
+        timestamps are written monotonic (commit() maxes with
+        prev + 1, Delta's in-commit-timestamp fix for clock skew), so
+        the floor is well-defined. The returned version feeds the
+        same bounded replay VERSION AS OF uses — resolution itself
+        reads only first-line commitInfo JSON, catalog scale."""
+        known = self._known_commit_timestamps()
+        if not known:
+            raise ValueError(
+                "no commit timestamps in the log (pre-commitInfo "
+                "table) — use VERSION AS OF"
+            )
+        first_v, first_ts = known[0]
+        if ts_ms < first_ts:
+            if first_v == 0:
+                raise ValueError(
+                    f"timestamp {ts_ms} precedes the table's first "
+                    f"commit ({first_ts})"
+                )
+            raise ValueError(
+                f"timestamp {ts_ms} precedes the earliest available "
+                f"commit v{first_v} ({first_ts}) — older history was "
+                "vacuumed"
+            )
+        return max(v for v, t in known if t <= ts_ms)
+
     def last_txn(self, app: str) -> int | None:
         """Newest txn watermark for a streaming app (None if never
         committed) — the idempotence check Delta's txnVersion serves."""
@@ -276,6 +338,24 @@ class TxnLogWriter:
             for f, a in sorted(newest_dv.items())
             if f in live_set
         )
+        # carry the newest commitInfo forward (ORIGINAL version + ts,
+        # not re-stamped): after vacuum it is the resolver's floor —
+        # timestamp travel to at-or-after the checkpoint keeps working,
+        # below it refuses exactly like VERSION AS OF
+        ci = None
+        for a in acts:
+            if a.get("action") == "commitInfo" and (
+                ci is None or a["version"] >= ci["version"]
+            ):
+                ci = a
+        if ci is not None:
+            lines.append(
+                {
+                    "version": ci["version"],
+                    "action": "commitInfo",
+                    "timestamp": ci["timestamp"],
+                }
+            )
         txns: dict[str, dict] = {}
         for a in acts:
             if a.get("action") == "txn" and (
@@ -335,15 +415,36 @@ class Transaction:
         self.base_version = base_version
         self.actions: list[dict] = []
 
-    def add(self, file: str, **stats) -> "Transaction":
+    def add(
+        self, file: str, data_change: bool = True, **stats
+    ) -> "Transaction":
         """Stage an add action; extra keyword stats (min/max, bloom
         sidecar name, m) are recorded on the action line, which is how
-        the data-skipping and bloom-index readers get their metadata."""
-        self.actions.append({"action": "add", "file": file, **stats})
+        the data-skipping and bloom-index readers get their metadata.
+        `data_change=False` marks a data-UNCHANGED rewrite (OPTIMIZE /
+        compaction — Delta's dataChange flag): the change-data-feed
+        reader emits NO rows for it, and snapshot replay ignores the
+        flag entirely."""
+        self.actions.append(
+            {"action": "add", "file": file, "dataChange": data_change,
+             **stats}
+        )
         return self
 
-    def remove(self, file: str) -> "Transaction":
-        self.actions.append({"action": "remove", "file": file})
+    def remove(self, file: str, data_change: bool = True) -> "Transaction":
+        self.actions.append(
+            {"action": "remove", "file": file, "dataChange": data_change}
+        )
+        return self
+
+    def set_dv(self, file: str, dv: str) -> "Transaction":
+        """Stage a deletion-vector attach: `dv` is the sidecar (parquet
+        of deleted event_ids) that fully SUPERSEDES any older DV on
+        `file` — cumulative snapshots, Delta's DV semantics, matching
+        what the certified reader (formats.source_txn_log_deletes)
+        consumes. Merge-on-read's write half: a row-level delete costs
+        one sidecar + one JSON line, never a data-file rewrite."""
+        self.actions.append({"action": "dv", "file": file, "dv": dv})
         return self
 
     def set_txn(self, app: str, batch: int) -> "Transaction":
@@ -358,17 +459,27 @@ class Transaction:
         self.actions.append({"action": "metaData", "schema": schema})
         return self
 
-    def commit(self) -> int:
+    def commit(self, timestamp: int | None = None) -> int:
         """Write the commit; returns the version it landed at. Raises
         CommitConflict if a concurrent commit removed a file this
         transaction removes; ValueError if the transaction itself
         violates one-action-per-file-per-commit.
+
+        Every commit's FIRST line is a commitInfo action carrying the
+        commit timestamp (ms): `timestamp` when given (fixtures pass
+        explicit values for determinism), wall clock otherwise —
+        clamped to strictly exceed the newest known commit timestamp,
+        Delta's in-commit-timestamp monotonicity fix for clock skew,
+        so TIMESTAMP AS OF floors are well-defined even when a racing
+        writer's clock runs behind. First-line placement keeps
+        resolution a one-readline-per-commit scan.
 
         Commit success PRECEDES checkpointing: once the version file
         is linked the commit is durable, and a failure writing the
         interval checkpoint is warned and swallowed (the checkpoint is
         a replay-cost optimization the next interval repairs), never
         surfaced as a commit failure."""
+        import time
         files = [
             a["file"] for a in self.actions if a["action"] in ("add", "remove")
         ]
@@ -395,8 +506,27 @@ class Transaction:
             # and the content is already durable when the name appears.
             import threading
 
+            # monotonic commit timestamp, re-derived each retry pass so
+            # a lost race also observes the winner's timestamp
+            req = (
+                timestamp
+                if timestamp is not None
+                else int(time.time() * 1000)
+            )
+            known = w._known_commit_timestamps()
+            ts = max(req, known[-1][1] + 1) if known else req
             tmp = path + f".tmp{os.getpid()}.{threading.get_ident()}"
             with open(tmp, "w") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "version": target,
+                            "action": "commitInfo",
+                            "timestamp": ts,
+                        }
+                    )
+                    + "\n"
+                )
                 for a in self.actions:
                     f.write(json.dumps({"version": target, **a}) + "\n")
                 f.flush()
