@@ -3356,7 +3356,8 @@ def test_txn_writer_review_fixes(spark, tmp_path):
     assert not [n for n in os.listdir(w.log_dir) if ".tmp" in n]
     with open(os.path.join(w.log_dir, "00004.json")) as f:
         lines = [json.loads(x) for x in f if x.strip()]
-    assert {"version": 4, "action": "add", "file": "r2"} in lines
+    assert {"version": 4, "action": "add", "file": "r2",
+            "dataChange": True} in lines
 
     # (c) empty micro-batch: watermark advances, no add action
     w2 = TxnLogWriter(str(tmp_path / "s"))
@@ -3535,10 +3536,11 @@ def test_txn_stream_cdf_mode(spark, sf_dir):
     n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
     n_m4 = ev.filter(F.col("event_id") % 10 == 4).count()
     n_m6 = ev.filter(F.col("event_id") % 10 == 6).count()
+    n_m9 = ev.filter(F.col("event_id") % 10 == 9).count()
 
     got = {
         v: _txn_stream_commit_rows(root, log_dir, v, mode="cdf")
-        for v in range(5)
+        for v in range(6)
     }
     def tally(rows):
         out = {}
@@ -3551,6 +3553,17 @@ def test_txn_stream_cdf_mode(spark, sf_dir):
     assert tally(got[2]) == {"delete": n_m4}  # diff, not a0 wholesale
     assert got[3] == []                       # OPTIMIZE: silent
     assert tally(got[4]) == {"delete": n_m6}  # DV delta
+    # v5 MERGE-style update: paired pre/post images, never delete+insert
+    assert tally(got[5]) == {
+        "update_preimage": n_m9,
+        "update_postimage": n_m9,
+    }
+    pre = {r[2]: r for r in got[5] if r[0] == "update_preimage"}
+    post = {r[2]: r for r in got[5] if r[0] == "update_postimage"}
+    assert pre.keys() == post.keys()
+    for eid, old in pre.items():
+        assert post[eid][6] == old[6] + 1.0  # value bumped, rest equal
+        assert post[eid][3:6] == old[3:6] and post[eid][7] == old[7]
     # change rows carry (change_type, commit_version, full 6-col row)
     assert all(len(r) == 8 for rows in got.values() for r in rows)
     assert {r[1] for r in got[2]} == {2}

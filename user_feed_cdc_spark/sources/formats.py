@@ -2089,8 +2089,10 @@ def _txn_stream_commit_rows(
       emit (change_type, commit_version, <row>) — the streaming form
       of table_changes. dataChange=false commits (OPTIMIZE) emit
       NOTHING; dataChange adds/removes diff ROW-level by event_id
-      (a copy-on-write DELETE emits only the deleted rows); a dv
-      action emits its sidecar's delta over the file's previous
+      (a copy-on-write DELETE emits only the deleted rows; rows on
+      both sides with CHANGED content emit an update_preimage/
+      update_postimage pair, content-equal carried rows stay silent);
+      a dv action emits its sidecar's delta over the file's previous
       winning dv (found by a log-only walk of earlier commits —
       stateless, so failure replay via readBetweenOffsets stays
       exact).
@@ -2130,14 +2132,19 @@ def _txn_stream_commit_rows(
     added = [r for f in adds for r in _txn_stream_file_rows(root, f)]
     removed = [r for f in removes for r in _txn_stream_file_rows(root, f)]
     added_ids = {r[0] for r in added}
-    removed_ids = {r[0] for r in removed}
+    removed_by_id = {r[0]: r for r in removed}
     out: list[tuple] = []
     out.extend(
-        ("insert", version, *r) for r in added if r[0] not in removed_ids
+        ("insert", version, *r) for r in added if r[0] not in removed_by_id
     )
     out.extend(
         ("delete", version, *r) for r in removed if r[0] not in added_ids
     )
+    for r in added:
+        old = removed_by_id.get(r[0])
+        if old is not None and old != r:  # changed content = update pair
+            out.append(("update_preimage", version, *old))
+            out.append(("update_postimage", version, *r))
     for a in actions:
         if a["action"] != "dv":
             continue
@@ -2485,6 +2492,20 @@ _TXN_CDF_ORACLE = """
                     AS BIGINT),
                CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
         FROM events WHERE event_id % 10 = 6 GROUP BY event_type
+        UNION ALL
+        SELECT 'update_preimage', CAST(5 AS BIGINT), event_type,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT),
+               CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
+        FROM events WHERE event_id % 10 = 9 GROUP BY event_type
+        UNION ALL
+        SELECT 'update_postimage', CAST(5 AS BIGINT), event_type,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(FLOOR((value + 1.0) * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT),
+               CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
+        FROM events WHERE event_id % 10 = 9 GROUP BY event_type
     )
 """
 
@@ -2497,15 +2518,20 @@ def _txn_cdf_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     dataChange=true), v3 runs an OPTIMIZE (remove a1, add c1 with the
     SAME rows — dataChange=FALSE, the flag that keeps data-unchanged
     rewrites out of the feed), v4 attaches a DELETION VECTOR to a0d
-    marking event_id%10==6 deleted (merge-on-read row delete). The
-    %10 slices are both even, so they live in a0/a0d and are disjoint
-    from each other — every change row is independently derivable
-    from the source table for the oracle."""
+    marking event_id%10==6 deleted (merge-on-read row delete), and v5
+    runs a MERGE-style UPDATE: c1 rewritten as c1m with
+    event_id%10==9 rows' value bumped by 1.0 (remove c1, add c1m,
+    dataChange=true) — same row identities, changed content, so the
+    feed must pair them as update_preimage/update_postimage, never
+    delete+insert, while c1m's unchanged rows stay silent. The
+    %10∈{4,6} slices are even (live in a0/a0d), %10==9 is odd (lives
+    in c1); all three are disjoint — every change row is
+    independently derivable from the source table for the oracle."""
     from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
 
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
-    key = hashlib.md5(f"txncdf:{sf_dir}:{mtime}:v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"txncdf:{sf_dir}:{mtime}:v2".encode()).hexdigest()[:12]
     root = _scratch_path("txncdf", sf_dir, key)
     log_dir = os.path.join(root, "_log")
     if not os.path.exists(os.path.join(root, "_BUILT")):
@@ -2532,6 +2558,14 @@ def _txn_cdf_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "overwrite"
         ).parquet(os.path.join(root, "dv_a0d"))
         writer.begin().set_dv("a0d", "dv_a0d").commit(timestamp=5000)
+        # v5: MERGE-style UPDATE — value += 1.0 WHERE event_id % 10 = 9
+        odd.withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 10 == 9, F.col("value") + F.lit(1.0)
+            ).otherwise(F.col("value")),
+        ).write.mode("overwrite").parquet(os.path.join(root, "c1m"))
+        writer.begin().remove("c1").add("c1m").commit(timestamp=6000)
         with open(os.path.join(root, "_BUILT"), "w") as f:
             f.write("ok\n")
     return root, log_dir
@@ -2549,11 +2583,14 @@ def table_changes(
     ROW-level by identity (event_id): inserts = added∖removed rows,
     deletes = removed∖added, so a copy-on-write DELETE (remove a0,
     add a0d) emits exactly the deleted rows, a blind append exactly
-    its rows; a dv action emits the rows its sidecar ADDS over the
-    file's previous dv (cumulative snapshots — the delta between
-    snapshots is the change). Everything row-scale runs as Spark
-    anti-joins per version, unioned into one frame tagged
-    (change_type, commit_version).
+    its rows; rows present on BOTH sides split by content — unchanged
+    rows stay silent (the survivors a rewrite carries along), changed
+    rows emit an update_preimage/update_postimage PAIR (Delta's MERGE
+    change types), never a phantom delete+insert; a dv action emits
+    the rows its sidecar ADDS over the file's previous dv (cumulative
+    snapshots — the delta between snapshots is the change).
+    Everything row-scale runs as Spark anti-/inner-joins per version,
+    unioned into one frame tagged (change_type, commit_version).
 
     Scale posture: per changed version the work is a hash anti-join
     keyed on row identity over just that commit's touched files —
@@ -2614,6 +2651,38 @@ def table_changes(
                     else removed
                 )
                 pieces.append(dele.withColumn("change_type", F.lit("delete")))
+            if added is not None and removed is not None:
+                import functools
+
+                cols = [
+                    fld.name
+                    for fld in ev_schema.fields
+                    if fld.name != "event_id"
+                ]
+                both = added.alias("a").join(
+                    removed.alias("r"), "event_id", "inner"
+                )
+                changed = both.filter(
+                    ~functools.reduce(
+                        lambda x, y: x & y,
+                        [
+                            F.col(f"a.{c}").eqNullSafe(F.col(f"r.{c}"))
+                            for c in cols
+                        ],
+                    )
+                )
+                pieces.append(
+                    changed.select(
+                        "event_id",
+                        *[F.col(f"r.{c}").alias(c) for c in cols],
+                    ).withColumn("change_type", F.lit("update_preimage"))
+                )
+                pieces.append(
+                    changed.select(
+                        "event_id",
+                        *[F.col(f"a.{c}").alias(c) for c in cols],
+                    ).withColumn("change_type", F.lit("update_postimage"))
+                )
             for a in dvs:
                 new_dv = spark.read.schema("event_id long").parquet(
                     os.path.join(root, a["dv"])
@@ -2650,18 +2719,22 @@ def table_changes(
 @_register("source_txn_log_cdf", _TXN_CDF_ORACLE)
 def source_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED — the last protocol read mode (r11 VERDICT
-    item 3): table_changes(1, 4) over an engine-written log holding a
+    item 3): table_changes(1, 5) over an engine-written log holding a
     blind append (v1), a copy-on-write DELETE (v2), an OPTIMIZE (v3,
-    dataChange=false), and a deletion-vector delete (v4). The feed
-    must contain EXACTLY: v1's rows as inserts, the %10==4 rows as v2
-    deletes (row-level diff of remove a0 vs add a0d — NOT a0's full
-    contents), NOTHING for v3 (a rewrite that changes no data is the
-    classic CDF bug this fixture exists to catch), and the %10==6
-    rows as v4 deletes (the DV's delta over the file's previous —
-    absent — vector). The hash gate certifies all four behaviors in
-    one result: a reader that replays the OPTIMIZE emits phantom
-    change rows and fails on row count; one that emits a0 wholesale
-    at v2 fails on the delete aggregates.
+    dataChange=false), a deletion-vector delete (v4), and a
+    MERGE-style UPDATE (v5). The feed must contain EXACTLY: v1's rows
+    as inserts, the %10==4 rows as v2 deletes (row-level diff of
+    remove a0 vs add a0d — NOT a0's full contents), NOTHING for v3 (a
+    rewrite that changes no data is the classic CDF bug this fixture
+    exists to catch), the %10==6 rows as v4 deletes (the DV's delta
+    over the file's previous — absent — vector), and the %10==9 rows
+    TWICE at v5 — update_preimage with the original value,
+    update_postimage with value+1.0 — while c1m's untouched rows stay
+    silent (content-equal rows carried by a rewrite are not changes).
+    The hash gate certifies all five behaviors in one result: a
+    reader that replays the OPTIMIZE emits phantom change rows and
+    fails on row count; one that emits a0 wholesale at v2 or turns
+    the update into delete+insert fails on the per-type aggregates.
 
     Scale posture: see table_changes — anti-joins ∝ changed rows,
     dataChange=false commits cost zero data I/O, untouched files
@@ -2669,7 +2742,7 @@ def source_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (materialized-view maintenance, cdc_incremental_agg_maintenance)
     read instead of re-scanning snapshots."""
     root, log_dir = _txn_cdf_table(spark, sf_dir)
-    changes = table_changes(spark, root, log_dir, 1, 4)
+    changes = table_changes(spark, root, log_dir, 1, 5)
     return changes.groupBy(
         "change_type", "commit_version", "event_type"
     ).agg(
