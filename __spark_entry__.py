@@ -80,8 +80,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # ---- r12 window ----
         # new r12 entries lead (rotation policy: NEW first): the txn
         # log's remaining read modes + the 2-D maintenance op
-        "source_txn_log_cdf", "source_txn_log_timestamp_travel",
-        "source_txn_log_optimize_zorder",
+        "source_txn_log_cdf", "streaming_txn_cdf_live",
+        "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         # then code-changed-this-round entries (committer protocol grew
         # commitInfo first lines + dataChange flags and every engine-
         # written fixture rebuilt under it — hashes expected unchanged,
@@ -107,11 +107,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
         "multimodal_rollup", "pipeline_pack_sequences",
-        "pipeline_shuffle_shards",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first
-        "pipeline_source_mixture",
+        "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",
         "similarity_quantized_topk", "text_bigram_top_terms",

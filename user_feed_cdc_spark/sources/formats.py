@@ -2838,3 +2838,120 @@ def source_txn_log_timestamp_travel(
     paths = [os.path.join(root, name) for name in _replay_live_files(log)]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Live streaming change data feed: readStream of table_changes
+# ---------------------------------------------------------------------------
+
+
+@_register("streaming_txn_cdf_live", _TXN_CDF_ORACLE)
+def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIVE streaming read of the CHANGE DATA FEED — 'readStream
+    with readChangeFeed + startingVersion' in miniature, composing the
+    two r12 protocol pieces: the txn-log streaming source (offsets ARE
+    log versions) running in mode='cdf', starting AT version 1
+    (initialOffset {v: 0} — Delta's startingVersion contract: the
+    stream begins after the named base snapshot). Each micro-batch is
+    one commit's CHANGE rows: v1's inserts, v2's copy-on-write-DELETE
+    deletes (row diff, not the rewritten file wholesale), NOTHING for
+    v3's dataChange=false OPTIMIZE (an empty feed batch, not a
+    refusal), v4's deletion-vector delta, and v5's paired
+    update_preimage/update_postimage rows. Five commits drain live
+    into the memory sink and the per-(change_type, version, type)
+    aggregate is certified against the SAME DuckDB oracle as the
+    batch table_changes entry — so batch and streaming CDF are
+    provably the one semantics. A source that refuses the OPTIMIZE
+    (the append-only contract this mode relaxes), replays it as
+    changes, or splits the update into delete+insert moves the hash.
+
+    Scale posture: identical to streaming_txn_source_live — the
+    driver plans each batch from one commit JSON; change-row derivation
+    is bounded by that commit's touched files (the executor-side form
+    maps the same per-commit diff onto partitioned anti-joins, exactly
+    what the batch table_changes already does in Spark)."""
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    root, log_dir = _txn_cdf_table(spark, sf_dir)
+    latest = max(
+        int(n.split(".")[0])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+    n_m4 = ev.filter(F.col("event_id") % 10 == 4).count()
+    n_m6 = ev.filter(F.col("event_id") % 10 == 6).count()
+    n_m9 = ev.filter(F.col("event_id") % 10 == 9).count()
+    total = n_odd + n_m4 + n_m6 + 2 * n_m9  # v3 contributes ZERO rows
+
+    def _commit_changes(version: int) -> list[tuple]:
+        return _txn_stream_commit_rows(root, log_dir, version, mode="cdf")
+
+    class TxnCdfStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": 0}  # startingVersion=1: stream AFTER v0's base
+
+        def read(self, start):
+            v = start["v"]
+            if v >= latest:
+                return (iter([]), {"v": v})
+            return (iter(_commit_changes(v + 1)), {"v": v + 1})
+
+        def readBetweenOffsets(self, start, end):
+            rows: list[tuple] = []
+            for v in range(start["v"] + 1, end["v"] + 1):
+                rows.extend(_commit_changes(v))
+            return iter(rows)
+
+    class TxnCdfStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "txn_cdf_stream"
+
+        def schema(self):
+            return (
+                "change_type string, commit_version long, event_id long, "
+                "ts_us long, user_id long, event_type string, "
+                "value double, props string"
+            )
+
+        def simpleStreamReader(self, schema):
+            return TxnCdfStreamReader()
+
+    spark.dataSource.register(TxnCdfStream)
+    sink = "streaming_txn_cdf_sink"
+    q = (
+        spark.readStream.format("txn_cdf_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            n = spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n
+            if n >= total:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.table(sink)
+        .groupBy("change_type", "commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("cents_sum"),
+            F.sum(F.col("ts_us") % 1000000000).alias("ts_us_sum"),
+        )
+    )
