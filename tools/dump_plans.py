@@ -101,6 +101,9 @@ REPRESENTATIVE = [
     "source_txn_log_deletes",  # DV merge-on-read: broadcast anti-join
     "source_txn_log_writer_roundtrip",  # engine-written log: scan-only read
     "source_txn_log_optimize_cluster",  # post-OPTIMIZE stats-pruned scan
+    "source_txn_log_optimize_zorder",  # 2-D Morton layout: hour-dim pruning
+    "source_txn_log_cdf",  # change feed: per-version row-identity joins
+    "source_txn_log_timestamp_travel",  # ts->version resolve + bounded replay
 ]
 
 
