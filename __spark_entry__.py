@@ -82,6 +82,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # log's remaining read modes + the 2-D maintenance op
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
+        "streaming_txn_source_exec_live",
         # then code-changed-this-round entries (committer protocol grew
         # commitInfo first lines + dataChange flags and every engine-
         # written fixture rebuilt under it — hashes expected unchanged,
@@ -106,10 +107,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
-        "multimodal_rollup", "pipeline_pack_sequences",
+        "multimodal_rollup",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first
+        "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",

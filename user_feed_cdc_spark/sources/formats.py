@@ -2955,3 +2955,157 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ts_us") % 1000000000).alias("ts_us_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Executor-side streaming txn source: the production read split
+# ---------------------------------------------------------------------------
+
+
+@_register("streaming_txn_source_exec_live", _TXN_STREAM_ORACLE)
+def streaming_txn_source_exec_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The txn-log streaming source with the PRODUCTION driver/executor
+    split — closing the one residual nit on streaming_txn_source_live
+    (whose Simple-protocol reader pulls data through the driver by
+    design): this is a full DataSourceStreamReader, so the DRIVER
+    plans each micro-batch from commit JSON alone (parse `{v:05d}.json`,
+    refuse non-append commits per skipChangeCommits, one InputPartition
+    per added data file — catalog scale, exactly Delta's planning
+    phase) while EXECUTORS open the parquet files (pyarrow inside
+    read(partition), which Spark runs on workers) and emit the rows.
+    latestOffset advances one commit per trigger, so the five
+    engine-written commits drain as five genuine micro-batches; the
+    drained union is hash-certified against the same oracle as the
+    Simple twin — one semantics, two protocol tiers, both certified.
+
+    Scale posture: this IS the scale shape (the Simple twin documents
+    it; this entry executes it): data bytes never transit the driver,
+    each batch parallelizes over its commit's files, and a failed
+    batch replans from the same offsets because planning is a pure
+    function of the log."""
+    import json as _json
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root, log_dir, total = _txn_stream_table(spark, sf_dir)
+    latest = max(
+        int(n.split(".")[0])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class TxnLogExecStreamReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": -1}
+
+        def latestOffset(self):
+            # advance ONE commit per trigger (rate limiting — the
+            # maxFilesPerTrigger analogue), bounded at the log head
+            v = getattr(self, "_v", -1)
+            self._v = min(v + 1, latest)
+            return {"v": self._v}
+
+        def partitions(self, start, end):
+            # DRIVER planning: commit JSON only, one partition per
+            # added file; a remove action refuses (skipChangeCommits)
+            parts = []
+            for v in range(start["v"] + 1, end["v"] + 1):
+                with open(os.path.join(log_dir, f"{v:05d}.json")) as f:
+                    actions = [
+                        _json.loads(line) for line in f if line.strip()
+                    ]
+                if any(a["action"] == "remove" for a in actions):
+                    raise ValueError(
+                        f"commit v{v} is not append-only; streaming "
+                        "past a change commit would replay rewritten "
+                        "rows"
+                    )
+                parts.extend(
+                    _FilePartition(os.path.join(root, a["file"]))
+                    for a in actions
+                    if a["action"] == "add"
+                )
+            # an empty batch (no new commit) still needs >=1 partition
+            return parts or [_FilePartition("")]
+
+        def read(self, partition):
+            # EXECUTOR-side: open the parquet data file where the
+            # task runs — bytes never transit the driver
+            if not partition.path:
+                return iter([])
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            unit = tbl.schema.field("ts").type.unit
+            div = 1000 if unit == "ns" else 1
+            cols = [
+                tbl.column("event_id").to_pylist(),
+                [
+                    x // div
+                    for x in tbl.column("ts").cast(pa.int64()).to_pylist()
+                ],
+                tbl.column("user_id").to_pylist(),
+                tbl.column("event_type").to_pylist(),
+                tbl.column("value").to_pylist(),
+                tbl.column("props").to_pylist(),
+            ]
+            return iter(list(zip(*cols)))
+
+        def commit(self, end):
+            pass
+
+    class TxnLogExecStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "txn_log_exec_stream"
+
+        def schema(self):
+            return (
+                "event_id long, ts_us long, user_id long, "
+                "event_type string, value double, props string"
+            )
+
+        def streamReader(self, schema):
+            return TxnLogExecStreamReader()
+
+    spark.dataSource.register(TxnLogExecStream)
+    sink = "streaming_txn_source_exec_sink"
+    q = (
+        spark.readStream.format("txn_log_exec_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            n = spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n
+            if n >= total:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    back = spark.table(sink).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return _fidelity_agg(back)
