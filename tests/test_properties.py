@@ -540,3 +540,206 @@ def test_txn_writer_matches_reference_model(ops, interval):
             assert w.live_files() == model_live(10**9)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Change data feed: apply-changes invariant (model-based)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 5)),
+            st.tuples(st.just("cow_delete"), st.integers(0, 10**9)),
+            st.tuples(st.just("optimize"), st.integers(0, 10**9)),
+            st.tuples(st.just("update"), st.integers(0, 10**9)),
+            st.tuples(st.just("dv"), st.integers(0, 10**9)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_cdf_apply_changes_reproduces_snapshots(ops):
+    """THE change-data-feed invariant, over random engine-written logs:
+    for any version range, applying the emitted feed (inserts /
+    deletes / update image pairs; dataChange=false rewrites silent) to
+    the older snapshot must reproduce the newer snapshot EXACTLY.
+    Random sequences of append / copy-on-write delete / OPTIMIZE /
+    MERGE-style update / DV-attach run through the REAL committer
+    (txn_writer) onto real parquet, the REAL reader derivation
+    (formats._txn_stream_commit_rows mode='cdf') emits the changes,
+    and a trivially-correct in-memory model supplies the ground-truth
+    snapshots. Files carrying a DV are never chosen for rewrite ops
+    (matching the entry fixtures: engines apply-and-drop DVs when
+    rewriting, a semantics the mini protocol does not model)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from user_feed_cdc_spark.sources.formats import _txn_stream_commit_rows
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tempfile.mkdtemp(prefix="cdfprop_")
+    try:
+        w = TxnLogWriter(root)
+
+        def make_row(i: int, bump: float = 0.0) -> tuple:
+            return (
+                i,
+                1_700_000_000_000_000 + i * 1_000_000,
+                i % 7,
+                f"t{i % 3}",
+                i * 0.5 + bump,
+                f"p{i}",
+            )
+
+        def write_file(name: str, rows: list[tuple]) -> None:
+            cols = list(zip(*rows))
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(cols[0], pa.int64()),
+                        "ts": pa.array(cols[1], pa.timestamp("us")),
+                        "user_id": pa.array(cols[2], pa.int64()),
+                        "event_type": pa.array(cols[3], pa.string()),
+                        "value": pa.array(cols[4], pa.float64()),
+                        "props": pa.array(cols[5], pa.string()),
+                    }
+                ),
+                os.path.join(root, name),
+            )
+
+        files: dict[str, list[tuple]] = {}  # live file -> rows (model)
+        dv_ids: dict[str, set] = {}         # live file -> deleted ids
+        next_id, next_file = 0, 0
+        snapshots: list[dict] = []          # version -> {id: row}
+
+        def snap() -> dict:
+            return {
+                r[0]: r
+                for f, rows in files.items()
+                for r in rows
+                if r[0] not in dv_ids.get(f, set())
+            }
+
+        for kind, seed in ops:
+            if kind == "append":
+                rows = [make_row(next_id + j) for j in range(seed)]
+                next_id += seed
+                name = f"f{next_file}"
+                next_file += 1
+                write_file(name, rows)
+                w.begin().add(name).commit()
+                files[name] = rows
+            elif kind in ("cow_delete", "update"):
+                cands = [
+                    f
+                    for f, rows in sorted(files.items())
+                    if rows and f not in dv_ids
+                ]
+                if not cands:
+                    continue
+                f = cands[seed % len(cands)]
+                rows = files[f]
+                picked = [r for i, r in enumerate(rows) if i % 2 == seed % 2]
+                if kind == "cow_delete":
+                    kept = [r for r in rows if r not in picked]
+                    name = f"f{next_file}"
+                    next_file += 1
+                    if kept:
+                        write_file(name, kept)
+                        txn = w.begin().remove(f).add(name)
+                    else:
+                        txn = w.begin().remove(f)
+                    txn.commit()
+                    del files[f]
+                    if kept:
+                        files[name] = kept
+                else:
+                    new_rows = [
+                        make_row(r[0], bump=1.0) if r in picked else r
+                        for r in rows
+                    ]
+                    name = f"f{next_file}"
+                    next_file += 1
+                    write_file(name, new_rows)
+                    w.begin().remove(f).add(name).commit()
+                    del files[f]
+                    files[name] = new_rows
+            elif kind == "optimize":
+                cands = [
+                    f for f in sorted(files) if f not in dv_ids
+                ]
+                if len(cands) < 2:
+                    continue
+                a = cands[seed % len(cands)]
+                b = cands[(seed + 1) % len(cands)]
+                merged = files[a] + files[b]
+                name = f"f{next_file}"
+                next_file += 1
+                txn = w.begin().remove(a, data_change=False).remove(
+                    b, data_change=False
+                )
+                if merged:
+                    write_file(name, merged)
+                    txn.add(name, data_change=False)
+                txn.commit()
+                del files[a], files[b]
+                if merged:
+                    files[name] = merged
+            else:  # dv: cumulative per-file deletion vector
+                cands = [
+                    f
+                    for f, rows in sorted(files.items())
+                    if any(
+                        r[0] not in dv_ids.get(f, set()) for r in rows
+                    )
+                ]
+                if not cands:
+                    continue
+                f = cands[seed % len(cands)]
+                visible = [
+                    r[0]
+                    for r in files[f]
+                    if r[0] not in dv_ids.get(f, set())
+                ]
+                newly = visible[:: (seed % 2) + 1][:3]
+                ids = sorted(dv_ids.get(f, set()) | set(newly))
+                dv_name = f"dv{next_file}"
+                next_file += 1
+                pq.write_table(
+                    pa.table({"event_id": pa.array(ids, pa.int64())}),
+                    os.path.join(root, dv_name),
+                )
+                w.begin().set_dv(f, dv_name).commit()
+                dv_ids[f] = set(ids)
+            snapshots.append(snap())
+
+        head = w.latest_version()
+        assert head == len(snapshots) - 1
+        if head < 0:
+            return  # every op was skipped: nothing committed to check
+        for lo in {0, head // 2, head}:
+            state = dict(snapshots[lo])
+            for v in range(lo + 1, head + 1):
+                for ch in _txn_stream_commit_rows(
+                    root, w.log_dir, v, mode="cdf"
+                ):
+                    ctype, row = ch[0], ch[2:]
+                    if ctype == "insert":
+                        assert row[0] not in state
+                        state[row[0]] = row
+                    elif ctype == "delete":
+                        assert state.pop(row[0], None) == row
+                    elif ctype == "update_preimage":
+                        assert state[row[0]] == row
+                    else:
+                        assert ctype == "update_postimage"
+                        state[row[0]] = row
+            assert state == snapshots[head], f"lo={lo}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
