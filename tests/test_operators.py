@@ -3579,6 +3579,45 @@ def test_txn_stream_cdf_mode(spark, sf_dir):
     assert del_ids == want
 
 
+def test_txn_cdf_between_timestamps(spark, sf_dir):
+    """Timestamp-bounded change feed (startingTimestamp/endingTimestamp
+    semantics): over the CDF fixture (commit timestamps 1000..6000),
+    (a) a window (1500, 5500) covers exactly versions 1..4 — v1's
+    inserts, v2's and v4's deletes, NO v5 update rows; (b) the start
+    bound is the earliest commit AT-OR-AFTER t1, never the floor (a
+    window starting at exactly 2000 includes v1; at 2001 it does not);
+    (c) windows entirely before the first commit or starting past
+    HEAD yield an EMPTY feed, not an error."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_cdf_table,
+        table_changes_between_timestamps,
+    )
+    from user_feed_cdc_spark.sources.tables import load_table
+
+    root, log_dir = _txn_cdf_table(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+    n_m4 = ev.filter(F.col("event_id") % 10 == 4).count()
+    n_m6 = ev.filter(F.col("event_id") % 10 == 6).count()
+
+    def tally(t1, t2):
+        rows = (
+            table_changes_between_timestamps(spark, root, log_dir, t1, t2)
+            .groupBy("change_type")
+            .count()
+            .collect()
+        )
+        return {r.change_type: r["count"] for r in rows}
+
+    assert tally(1500, 5500) == {"insert": n_odd, "delete": n_m4 + n_m6}
+    assert tally(2000, 2000) == {"insert": n_odd}   # at-or-after start
+    assert tally(2001, 5000) == {"delete": n_m4 + n_m6}  # floor end
+    assert tally(10, 999) == {}                     # before first commit
+    assert tally(99999, 10**9) == {}                # starting past HEAD
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

@@ -2716,6 +2716,34 @@ def table_changes(
     return out
 
 
+def table_changes_between_timestamps(
+    spark: SparkSession, root: str, log_dir: str, t1: int, t2: int
+) -> DataFrame:
+    """Timestamp-bounded change feed — Delta's startingTimestamp /
+    endingTimestamp contract composed from the two r12 pieces: the
+    starting version is the EARLIEST commit at-or-after t1 (not the
+    floor — a feed must not replay a commit older than the requested
+    start), the ending version is the floor of t2 (the last commit a
+    reader at t2 would have seen), and the versions feed the ordinary
+    table_changes. A window before the first commit starts at v0; a
+    window ending before the first commit (or starting past HEAD) is
+    an EMPTY feed, not an error — pytest-pinned."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(root)
+    known = w._known_commit_timestamps()
+    starts = [v for v, t in known if t >= t1]
+    if not starts or t2 < known[0][1]:
+        ddl = (
+            TABLE_SCHEMAS["events"].toDDL()
+            + ", change_type string, commit_version long"
+        )
+        return spark.createDataFrame([], ddl)
+    return table_changes(
+        spark, root, log_dir, min(starts), w.version_at_timestamp(t2)
+    )
+
+
 @_register("source_txn_log_cdf", _TXN_CDF_ORACLE)
 def source_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED — the last protocol read mode (r11 VERDICT
