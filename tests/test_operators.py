@@ -3618,6 +3618,41 @@ def test_txn_cdf_between_timestamps(spark, sf_dir):
     assert tally(99999, 10**9) == {}                # starting past HEAD
 
 
+def test_txn_cdf_refuses_vacuumed_range(spark, sf_dir, tmp_path):
+    """table_changes over a range whose commit evidence was vacuumed
+    must refuse loudly (the change history is simply gone), while a
+    range entirely above the missing commit still works — and the
+    streaming cdf derivation refuses when the prior-dv walk hits the
+    gap."""
+    import os
+    import shutil
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_cdf_table,
+        _txn_stream_commit_rows,
+        table_changes,
+    )
+
+    src_root, _src_log = _txn_cdf_table(spark, sf_dir)
+    root = str(tmp_path / "cdf_copy")
+    shutil.copytree(src_root, root)
+    log_dir = os.path.join(root, "_log")
+    os.remove(os.path.join(log_dir, "00002.json"))  # simulated vacuum
+
+    with pytest.raises(ValueError, match="v2.*vacuumed"):
+        table_changes(spark, root, log_dir, 1, 5).count()
+    # ranges above the gap still work: v5 update pairs intact
+    out = table_changes(spark, root, log_dir, 5, 5)
+    kinds = {r.change_type for r in out.select("change_type").collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
+    # the streaming dv-delta walk (v4 needs prior-dv evidence from
+    # v0..v3) refuses on the same gap
+    with pytest.raises(ValueError, match="vacuumed"):
+        _txn_stream_commit_rows(root, log_dir, 4, mode="cdf")
+
+
 def test_txn_commit_batch_is_idempotent(spark, tmp_path):
     """The foreachBatch sink body: a replayed batch (same batch_id)
     must be a no-op — no new commit, no duplicated data file — while

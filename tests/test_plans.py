@@ -1312,3 +1312,23 @@ def test_txn_optimize_zorder_prunes_both_dims(spark, sf_dir):
     assert lower == ["z0", "z2"], lower
     # CDF silence: the ZORDER publish (v4) changes no data
     assert table_changes(spark, root, log_dir, 4, 4).count() == 0
+
+
+def test_txn_cdf_touches_only_changed_files(spark, sf_dir):
+    """table_changes I/O posture: a single-version feed read opens
+    ONLY that commit's touched files — v2's copy-on-write DELETE scans
+    {a0, a0d}; the untouched append a1 and the OPTIMIZE generation
+    never enter the plan — and the dataChange=false version opens
+    NOTHING (zero input files, not just zero rows)."""
+    from user_feed_cdc_spark.sources.formats import (
+        _txn_cdf_table,
+        table_changes,
+    )
+
+    root, log_dir = _txn_cdf_table(spark, sf_dir)
+    v2 = table_changes(spark, root, log_dir, 2, 2)
+    scanned = {f.rstrip("/").split("/")[-2] for f in v2.inputFiles()}
+    assert scanned == {"a0", "a0d"}, scanned
+    v3 = table_changes(spark, root, log_dir, 3, 3)
+    assert v3.inputFiles() == []
+    assert v3.count() == 0
