@@ -78,8 +78,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # certification before their driver row).
     priority = [
         # ---- r12 window ----
-        # new r12 entries lead (rotation policy: NEW first): the txn
-        # log's remaining read modes + the 2-D maintenance op
+        # new r12 entries lead (rotation policy: NEW first): progressive
+        # JPEG decode, then the txn log's remaining read modes + the 2-D
+        # maintenance op
+        "multimodal_image_progressive_stats",
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         "streaming_txn_source_exec_live",
@@ -92,6 +94,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
         "source_txn_log_schema_evolution", "streaming_txn_source_live",
         "events_max_concurrent_sessions",
+        # (JPEG marker walker + scan finalize refactored for progressive
+        # support this session — the baseline-decode entries re-certify)
+        "multimodal_video_mjpeg_stats", "multimodal_video_mjpeg_420_stats",
+        "multimodal_codec_fallback",
         # then stalest-certified (r06/r07 driver rows) fill:
         "asof_next_purchase", "similarity_lsh_md5_buckets",
         "sketch_distinct_users_bounded",
@@ -106,11 +112,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
-        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
-        "multimodal_rollup",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first
+        # certified tail, stalest driver row first (the four entries the
+        # progressive-JPEG insertions displaced from the window lead)
+        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
+        "multimodal_rollup",
         "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
@@ -210,13 +217,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
         # r11 window (driver-certified r11 — freshest rows, so last;
-        # the six txn entries re-certifying in the r12 window above
-        # are omitted here)
-        "multimodal_video_mjpeg_420_stats",
+        # the six txn entries and three JPEG-path entries re-certifying
+        # in the r12 window above are omitted here)
         "source_txn_log_snapshot", "source_txn_log_checkpoint",
         "source_txn_log_deletes", "source_txn_log_time_travel",
         "source_txn_log_bloom_index", "multimodal_video_avi_stats",
-        "multimodal_video_mjpeg_stats", "multimodal_codec_fallback",
         "events_trending_users", "range_join_user_pairs",
         "asof_last_purchase", "asof_last_purchase_tolerance",
         "dedup_exact_latest_event", "dedup_minhash_md5_pairs",

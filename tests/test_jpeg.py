@@ -84,10 +84,11 @@ def test_quantization_degrades_gracefully():
 
 
 def test_decoder_refusals_are_loud():
-    """Anything outside baseline 8-bit 1x1-sampling raises ValueError
-    (normalized to DecodeError at the AVI boundary) — progressive,
-    truncation, missing SOI, corrupt Huffman counts. Never a silent
-    wrong image."""
+    """Anything outside supported Huffman 8-bit forms raises ValueError
+    (normalized to DecodeError at the AVI boundary) — truncation,
+    missing SOI, corrupt Huffman counts, and a baseline stream
+    relabeled SOF2 (whose baseline SOS tail Se=63 is malformed for a
+    progressive DC scan). Never a silent wrong image."""
     good = encode_jpeg(8, 8, bytes(64), gray=True)
 
     with pytest.raises(ValueError):
@@ -322,5 +323,111 @@ def test_decoder_survives_arbitrary_bytes(data):
     try:
         w, h, nc, out = decode_jpeg(blob)
         assert len(out) == w * h * (3 if nc == 3 else 1)
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+from user_feed_cdc_spark.operators.jpeg import encode_jpeg_progressive
+
+
+def test_progressive_flat_blocks_round_trip_exactly():
+    """The flat-block exactness contract extends to progressive: every
+    scan path (DC successive approximation, AC spectral bands, AC
+    refinement, EOB runs) reassembles the exact DC-only coefficients,
+    and the IDCT of a DC-only block is bit-exact."""
+    for v in (0, 1, 127, 128, 200, 255):
+        p = encode_jpeg_progressive(8, 8, bytes([v]) * 64)
+        assert decode_jpeg(p) == (8, 8, 1, bytes([v]) * 64)
+    for v in (0, 77, 255):
+        p = encode_jpeg_progressive(
+            16, 16, bytes([v, v, v]) * 256, gray=False, subsampling="420"
+        )
+        assert decode_jpeg(p) == (16, 16, 3, bytes([v, v, v]) * 256)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_progressive_decodes_identically_to_baseline(data):
+    """Progressive entropy coding is LOSSLESS on quantized coefficients:
+    once all six scans land, the coefficient store equals what one
+    baseline scan carries, so the decodes are bit-identical — for any
+    image, any quant, any band split, gray or color, 4:4:4 or 4:2:0,
+    MCU-unaligned dims included. This is the cross-form certification
+    the sf-scale oracle query leans on."""
+    w = data.draw(st.integers(1, 24))
+    h = data.draw(st.integers(1, 24))
+    quant = data.draw(st.sampled_from([1, 2, 3, 8, 16]))
+    split = data.draw(st.sampled_from([1, 5, 20, 62]))
+    gray = data.draw(st.booleans())
+    sub = "444" if gray else data.draw(st.sampled_from(["444", "420"]))
+    n = w * h * (1 if gray else 3)
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n)))
+    base = decode_jpeg(encode_jpeg(
+        w, h, px, gray=gray, quant=quant, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        w, h, px, gray=gray, quant=quant, subsampling=sub, split=split))
+    assert prog == base
+
+
+def test_progressive_long_eob_runs():
+    """A large solid image makes every AC band block all-zero, forcing
+    accumulated EOBn runs (here 256 blocks -> EOB runs with extra
+    bits) through both encoder chunking and decoder run consumption."""
+    px = bytes([55]) * (128 * 128)
+    assert decode_jpeg(encode_jpeg_progressive(128, 128, px))[3] == px
+
+
+def test_progressive_refusals_are_loud():
+    """Malformed progressive streams refuse with ValueError: truncated
+    scans, huge declared dims (the allocation guard), arithmetic
+    progressive (SOF10), bad successive-approximation headers."""
+    good = encode_jpeg_progressive(8, 8, bytes(range(64)))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-10])
+
+    # dims forged to 65535x65535 after encoding: the coefficient-store
+    # allocation guard must refuse before allocating ~8e9 block slots
+    forged = bytearray(good)
+    sof = forged.index(b"\xff\xc2")
+    struct.pack_into(">HH", forged, sof + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="blocks"):
+        decode_jpeg(bytes(forged))
+
+    # arithmetic-coded progressive (SOF10 = 0xCA) refuses at the frame
+    arith = bytearray(good)
+    arith[sof + 1] = 0xCA
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(arith))
+
+    # Ah must be 0 (first) or Al+1 (refinement): corrupt the first SOS
+    bad = bytearray(good)
+    sos = bad.index(b"\xff\xda")
+    ns = bad[sos + 4]
+    bad[sos + 7 + 2 * ns] = 0x75  # Ah=7 with Al=5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_progressive_survives_arbitrary_corruption(data):
+    """The untrusted-bytes contract holds for multi-scan streams too:
+    corrupted or truncated progressive payloads decode or raise
+    ValueError — never another exception class."""
+    good = bytearray(encode_jpeg_progressive(16, 16, bytes(range(256))))
+    if data.draw(st.booleans()):
+        for _ in range(data.draw(st.integers(1, 5))):
+            i = data.draw(st.integers(0, len(good) - 1))
+            good[i] = data.draw(st.integers(0, 255))
+    else:
+        good = good[: data.draw(st.integers(0, len(good) - 1))]
+    try:
+        out = decode_jpeg(bytes(good))
+        assert len(out[3]) == out[0] * out[1] * out[2]
     except ValueError:
         pass
