@@ -82,6 +82,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # JPEG decode, then the txn log's remaining read modes + the 2-D
         # maintenance op
         "multimodal_image_progressive_stats",
+        "multimodal_video_rle8_delta_stats",
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         "streaming_txn_source_exec_live",
@@ -111,11 +112,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "sort_limit_topk", "window_rank_family", "window_running_analytics",
         "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
+        "date_funcs", "date_arithmetic", "json_extract",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first (the four entries the
-        # progressive-JPEG insertions displaced from the window lead)
+        # certified tail, stalest driver row first (the five entries the
+        # codec insertions displaced from the window lead)
+        "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
         "multimodal_rollup",
         "pipeline_pack_sequences",

@@ -3830,3 +3830,61 @@ def test_txn_log_checkpoint_at_head_has_empty_tail(spark, sf_dir, tmp_path):
         f.write(json.dumps({"version": 4}) + "\n")
     snap = read_txn_log_checkpointed(spark, root2, log2)
     assert snap.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_rle8_avi_inter_frame_decode():
+    """Microsoft-RLE8 (BI_RLE8) is a true INTER-frame codec: delta
+    escapes, early EOL, and early end-of-bitmap all inherit the
+    previous frame's reconstructed pixels. Pin the keyframe, a
+    P-frame's run + word-padded absolute mode under the bottom-up
+    flip, inheritance across THREE frames, and the refusal set."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        DecodeError, decode_avi_rle8, encode_avi_rle8,
+    )
+
+    W = H = 16
+    v0, v1, v2 = 100, 7, 250
+    key = b"".join(bytes([W, v0, 0, 0]) for _ in range(H - 1)) + bytes(
+        [W, v0, 0, 1]
+    )
+    # P1: up 3 rows / right 4 cols, 4-run + 3-literal absolute (padded)
+    p1 = (
+        bytes([0, 2, 4, 3]) + bytes([4, v1])
+        + bytes([0, 3, v1, v1, v1, 0]) + bytes([0, 1])
+    )
+    # P2: EOL once (skip bottom row), 2-run of v2 at start of row 1
+    p2 = bytes([0, 0]) + bytes([2, v2]) + bytes([0, 1])
+    w, h, fps, frames = decode_avi_rle8(
+        encode_avi_rle8(W, H, [key, p1, p2], fps=12)
+    )
+    assert (w, h, fps, len(frames)) == (16, 16, 12, 3)
+    assert frames[0] == bytes([v0, v0, v0]) * 256
+
+    def px(fr, ty, tx):
+        return fr[(ty * W + tx) * 3 : (ty * W + tx) * 3 + 3]
+
+    # P1: bottom-up row 3 = top-down row 12, cols 4..10 rewritten
+    for ty in range(H):
+        for tx in range(W):
+            want = v1 if (ty == 12 and 4 <= tx < 11) else v0
+            assert px(frames[1], ty, tx) == bytes([want] * 3), (ty, tx)
+    # P2 inherits P1's state (NOT the keyframe): v1 span still there,
+    # plus the new v2 pair at bottom-up row 1 (top-down row 14)
+    assert px(frames[2], 12, 4) == bytes([v1] * 3)
+    assert px(frames[2], 14, 0) == bytes([v2] * 3)
+    assert px(frames[2], 14, 2) == bytes([v0] * 3)
+
+    # refusals: run overflowing a row, missing EOB, delta past bitmap
+    for bad in (
+        bytes([W, v0]) * H,                    # no end-of-bitmap
+        bytes([255, v0, 0, 1]),                # run longer than the row
+        bytes([0, 2, 255, 255, 0, 1]),         # delta past bitmap
+        bytes([0, 3, 1]),                      # truncated absolute run
+    ):
+        with pytest.raises(DecodeError):
+            decode_avi_rle8(encode_avi_rle8(W, H, [bad]))
+    # wrong codec: an uncompressed AVI refuses at the dispatch check
+    from user_feed_cdc_spark.operators.multimodal import encode_avi
+
+    with pytest.raises(DecodeError):
+        decode_avi_rle8(encode_avi(2, 2, [bytes(12)]))
