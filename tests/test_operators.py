@@ -3888,3 +3888,144 @@ def test_rle8_avi_inter_frame_decode():
 
     with pytest.raises(DecodeError):
         decode_avi_rle8(encode_avi(2, 2, [bytes(12)]))
+
+
+def test_txn_writer_restore(tmp_path):
+    """RESTORE TO VERSION AS OF: one new commit (history preserved)
+    that reinstates the target live set WITH original add payloads and
+    DV state; refusals — vacuumed data file, DV gained since the
+    target — are loud, never partial."""
+    import json
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    for n in ("a", "b"):
+        (root / n).mkdir(parents=True)
+        w.begin().add(n, min_id=1, max_id=9).commit()  # v0, v1
+    (root / "c").mkdir()
+    w.begin().remove("a").remove("b").add("c").commit()  # v2: OPTIMIZE
+    w.begin().set_dv("c", "dvc").commit()  # v3: delete rows in c
+
+    v = w.restore(1)
+    assert v == 4  # a NEW commit, not a rewind
+    assert w.live_files() == ["a", "b"]
+    # the re-added files carry their ORIGINAL stats payload
+    adds = w._winning_adds(4)
+    assert adds["a"]["min_id"] == 1 and adds["b"]["max_id"] == 9
+    # restoring forward again reinstates c AND its deletion vector
+    assert w.restore(3) == 5
+    assert w.live_files() == ["c"]
+    assert w._newest_dv(5) == {"c": "dvc"}
+
+    # refusal: restore across a vacuumed data file
+    w2 = TxnLogWriter(str(tmp_path / "t2"))
+    (tmp_path / "t2" / "x").mkdir(parents=True)
+    w2.begin().add("x").commit()
+    (tmp_path / "t2" / "y").mkdir()
+    w2.begin().remove("x").add("y").commit()
+    os.rmdir(tmp_path / "t2" / "x")  # simulate vacuum
+    with pytest.raises(ValueError, match="vacuumed"):
+        w2.restore(0)
+    assert w2.live_files() == ["y"]  # refusal staged nothing
+
+    # refusal: a kept-live file GAINED its first DV after the target —
+    # this protocol cannot clear a DV, so the restore must refuse
+    w3 = TxnLogWriter(str(tmp_path / "t3"))
+    (tmp_path / "t3" / "f").mkdir(parents=True)
+    w3.begin().add("f").commit()  # v0
+    w3.begin().set_dv("f", "dvf").commit()  # v1
+    with pytest.raises(ValueError, match="deletion vector"):
+        w3.restore(0)
+    # sanity: the log carries exactly one restore-capable state
+    assert json.loads(
+        open(os.path.join(w3.log_dir, "00001.json")).readlines()[1]
+    )["dv"] == "dvf"
+
+
+def test_txn_writer_shallow_clone(tmp_path):
+    """clone_to: absolute-path adds (zero data copied), payload + DV +
+    schema + constraints carried, txn watermarks deliberately dropped
+    (new streaming lineage); clone writes never touch the source."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_root = tmp_path / "src"
+    w = TxnLogWriter(str(src_root))
+    for n in ("a", "b"):
+        (src_root / n).mkdir(parents=True)
+        w.begin().add(n, min_id=3, max_id=7).commit()
+    w.begin().set_dv("a", "dva").set_txn("app1", 9).commit()
+    w.begin().set_metadata("x long").set_constraints(["x >= 0"]).commit()
+
+    clone_root = tmp_path / "clone"
+    assert w.clone_to(str(clone_root)) == 0
+    c = TxnLogWriter(str(clone_root))
+    live = c.live_files()
+    assert live == sorted(
+        [str(src_root / "a"), str(src_root / "b")]
+    )  # absolute source paths, identity under os.path.join
+    assert all(os.path.isabs(n) for n in live)
+    adds = c._winning_adds(0)
+    assert all(a["min_id"] == 3 and a["max_id"] == 7 for a in adds.values())
+    assert c._newest_dv(0) == {str(src_root / "a"): str(src_root / "dva")}
+    assert c._newest_schema() == "x long"
+    assert c.constraints() == ["x >= 0"]
+    assert c.last_txn("app1") is None  # new lineage
+
+    # divergence: the clone drops its REFERENCE to a; source untouched
+    (clone_root / "a2").mkdir()
+    c.begin().remove(str(src_root / "a")).add("a2").commit()
+    assert c.live_files() == sorted(["a2", str(src_root / "b")])
+    assert w.live_files() == ["a", "b"]
+    assert w.latest_version() == 3
+    assert os.path.isdir(src_root / "a")  # the data file itself remains
+
+
+def test_txn_writer_check_constraints(spark, tmp_path):
+    """append_with_checks refuses a violating batch atomically (no
+    version consumed, no file visible, NULL counts as a violation);
+    add_constraint validates existing data first; the declaration
+    survives checkpointing."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        ConstraintViolation,
+        TxnLogWriter,
+        add_constraint,
+        append_with_checks,
+    )
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root), checkpoint_interval=2)
+    w.begin().set_constraints(["v >= 0"]).commit()  # v0
+    ok = spark.createDataFrame([(1, 5), (2, 0)], "k long, v long")
+    assert append_with_checks(w, ok, "d0") == 1
+    bad = spark.createDataFrame([(3, 5), (4, -1)], "k long, v long")
+    with pytest.raises(ConstraintViolation, match=r"1 row\(s\).*v >= 0"):
+        append_with_checks(w, bad, "d1")
+    nul = spark.createDataFrame([(5, None)], "k long, v long")
+    with pytest.raises(ConstraintViolation):  # NULL is a violation
+        append_with_checks(w, nul, "d2")
+    assert w.latest_version() == 1 and w.live_files() == ["d0"]
+
+    # add_constraint validates the existing snapshot first
+    with pytest.raises(ConstraintViolation, match="existing"):
+        add_constraint(w, spark, "v > 0")  # d0 holds v=0
+    assert w.constraints() == ["v >= 0"]
+    assert add_constraint(w, spark, "k >= 1") == 2
+    assert w.constraints() == ["v >= 0", "k >= 1"]
+
+    # the declaration survives checkpoint-based replay: v3 writes the
+    # interval checkpoint (interval=2 -> at v1, v3); prune old commits
+    import os
+
+    assert append_with_checks(w, ok, "d3") == 3
+    for v in range(3):
+        os.remove(os.path.join(w.log_dir, f"{v:05d}.json"))
+    assert w.constraints() == ["v >= 0", "k >= 1"]

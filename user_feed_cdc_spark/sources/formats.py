@@ -3137,3 +3137,325 @@ def streaming_txn_source_exec_live(
         "props",
     )
     return _fidelity_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance DDL: RESTORE, shallow CLONE, CHECK constraints
+# (the r12 protocol completions over txn_writer)
+# ---------------------------------------------------------------------------
+
+
+def _txn_restore_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) a table whose history is
+    append x4 (v0..v3, pmod-4 buckets), OPTIMIZE b0+b1->c01 at v4
+    (dataChange=False), a copy-on-write DELETE of b2's pmod-5 rows at
+    v5 (b2 -> b2d), then `RESTORE TO VERSION AS OF 3` at v6 — one new
+    commit that removes {c01, b2d} and re-adds {b0, b1, b2}. The
+    builder asserts the restore landed at v6 with live set
+    {b0,b1,b2,b3}; the query certifies the restored CONTENT equals the
+    pre-mutation table."""
+    import json as _json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnrestore:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnrestore", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(4))
+        for b in range(4):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"b{b}")
+            )
+            writer.begin().add(f"b{b}").commit()  # v0..v3
+        merged = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+            os.path.join(root, "b0"), os.path.join(root, "b1")
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(root, "c01"))
+        (
+            writer.begin()
+            .remove("b0", data_change=False)
+            .remove("b1", data_change=False)
+            .add("c01", data_change=False)
+            .commit()  # v4: OPTIMIZE
+        )
+        kept = (
+            spark.read.schema(TABLE_SCHEMAS["events"])
+            .parquet(os.path.join(root, "b2"))
+            .filter(F.pmod(F.col("event_id"), F.lit(5)) != 0)
+        )
+        kept.write.mode("overwrite").parquet(os.path.join(root, "b2d"))
+        writer.begin().remove("b2").add("b2d").commit()  # v5: COW DELETE
+        v = writer.restore(3)  # v6: RESTORE
+        if v != 6 or writer.live_files() != ["b0", "b1", "b2", "b3"]:
+            raise RuntimeError(
+                f"restore fixture wrong: v{v}, live={writer.live_files()}"
+            )
+        with open(os.path.join(root, "_META"), "w") as f:
+            f.write(_json.dumps({"restored_to": 3, "at": v}) + "\n")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_restore", _ROUNDTRIP_ORACLE)
+def source_txn_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF — the table-format's undo
+    button, implemented exactly like Delta's: ONE NEW conflict-checked
+    commit (history preserved, nothing rewound in place) that removes
+    every file live now but absent at the target version and re-adds
+    the target's missing files WITH their original add payloads
+    (txn_writer.TxnLogWriter.restore). The fixture's history contains
+    both a data-unchanged OPTIMIZE and a copy-on-write DELETE after
+    the restore point, so the restore must simultaneously undo a
+    rewrite (drop c01, resurrect b0+b1) and un-delete rows (drop b2d,
+    resurrect b2) — and the ordinary snapshot replay of the final log
+    must hash-equal the ORIGINAL events table. A restore that misses
+    a file, re-adds a vacuumed name, or double-counts the optimized
+    buckets moves the fidelity hash. Refusal paths (restore across a
+    vacuumed data file; restore that would need to CLEAR a deletion
+    vector) are pytest-pinned — loud, never partial.
+
+    Scale: restore is pure control plane — it replays two file LISTS
+    (catalog scale) and writes one JSON commit; zero data moves, which
+    is why lakehouse restores are instant at 100 TB."""
+    root, log_dir = _txn_restore_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string"
+    ).json(os.path.join(log_dir, "*.json"))
+    paths = [os.path.join(root, n) for n in _replay_live_files(log)]
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)
+
+
+def _txn_clone_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build (once per (sf, source-mtime, rev)) a SOURCE table of four
+    range-clustered files r0..r3 (event_id quarters, min/max stats on
+    the adds), shallow-CLONE it (clone_to: one commit of absolute-path
+    adds, zero data copied), then DIVERGE the clone with a stats-pruned
+    copy-on-write DELETE (event_id <= max/8: only r0's range can match;
+    rewrite lands in the CLONE's root as r0d, the absolute source r0
+    reference is removed). The builder asserts the source table is
+    UNTOUCHED (live set and log length unchanged) and that the clone's
+    live set mixes roots — three source-absolute names + one local."""
+    import json as _json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnclone:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    src_root = _scratch_path("txnclonesrc", sf_dir, key)
+    clone_root = _scratch_path("txnclonedst", sf_dir, key)
+    if not os.path.exists(os.path.join(clone_root, "_BUILT")):
+        src = TxnLogWriter(src_root)
+        ev = load_table(spark, sf_dir, "events")
+        max_id = int(ev.agg(F.max("event_id")).first()[0])
+        bounds = [0] + [max_id * (k + 1) // 4 for k in range(3)] + [max_id]
+        for k in range(4):
+            lo, hi = bounds[k], bounds[k + 1]
+            part = ev.filter(
+                (F.col("event_id") > lo) if k else (F.col("event_id") >= 0)
+            ).filter(F.col("event_id") <= hi)
+            part.write.mode("overwrite").parquet(
+                os.path.join(src_root, f"r{k}")
+            )
+            st = part.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            src.begin().add(
+                f"r{k}", min_id=int(st.mn), max_id=int(st.mx)
+            ).commit()
+        clone = TxnLogWriter(clone_root)
+        src.clone_to(clone_root)
+        src_live_before = src.live_files()
+        src_log_before = src.latest_version()
+        # diverge the clone: stats-pruned COW DELETE (only r0 matches)
+        cut = max_id // 8
+        adds = clone._winning_adds(clone.latest_version())
+        txn = clone.begin()
+        rewrote = []
+        for name, a in sorted(adds.items()):
+            if a["min_id"] > cut:
+                continue  # stats prove no match — never rewritten
+            kept = (
+                spark.read.schema(TABLE_SCHEMAS["events"])
+                .parquet(name)  # absolute source path
+                .filter(F.col("event_id") > cut)
+            )
+            local = "r0d"
+            kept.write.mode("overwrite").parquet(
+                os.path.join(clone_root, local)
+            )
+            st = kept.agg(
+                F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+            ).first()
+            txn.remove(name)
+            txn.add(local, min_id=int(st.mn), max_id=int(st.mx))
+            rewrote.append(name)
+        txn.commit()
+        if len(rewrote) != 1 or not rewrote[0].endswith("r0"):
+            raise RuntimeError(f"clone delete pruned wrong: {rewrote}")
+        if (
+            src.live_files() != src_live_before
+            or src.latest_version() != src_log_before
+        ):
+            raise RuntimeError("clone divergence mutated the source table")
+        live = clone.live_files()
+        locals_ = [n for n in live if not os.path.isabs(n)]
+        if locals_ != ["r0d"] or len(live) != 4:
+            raise RuntimeError(f"clone live set wrong: {live}")
+        with open(os.path.join(clone_root, "_META"), "w") as f:
+            f.write(_json.dumps({"cut": cut}) + "\n")
+        with open(os.path.join(clone_root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return src_root, clone_root, os.path.join(clone_root, "_log")
+
+
+@_register("source_txn_log_shallow_clone", _TXN_DELETE_ORACLE)
+def source_txn_log_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE + independent divergence — Delta's zero-copy
+    table fork: the clone's first commit re-adds the source's live
+    files BY ABSOLUTE PATH (txn_writer.clone_to — one JSON commit,
+    zero bytes of data copied; the reader's os.path.join(root, name)
+    is the identity on absolute names, so NO reader changes), then a
+    copy-on-write DELETE runs in the CLONE ONLY: the stats carried
+    through the clone prune the candidate set to r0, its rewrite
+    lands under the clone's root, and the commit removes only the
+    clone's REFERENCE to the source file. The final snapshot is a
+    mixed-root scan — three source-absolute files + one clone-local —
+    and must hash-equal the delete oracle, while the builder asserts
+    the source table's live set and log are byte-untouched (a clone
+    that copies state by reference but leaks writes back would fail
+    there; one that re-snapshots data would miss the stats payload
+    and prune wrong).
+
+    Scale: cloning a 100 TB table costs one catalog-scale commit;
+    divergent writes pay only for what they change — the entire point
+    of zero-copy clones for experimentation on production tables."""
+    _src_root, clone_root, log_dir = _txn_clone_tables(spark, sf_dir)
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    clone = TxnLogWriter(clone_root)
+    paths = [
+        os.path.join(clone_root, n) for n in clone.live_files()
+    ]  # identity on the absolute source names
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)
+
+
+def _txn_constraints_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) a CHECK-constrained
+    table: v0 declares [event_id >= 0, user_id IS NOT NULL], three
+    pmod-3 bucket appends flow through append_with_checks (v1..v3) —
+    with a POISONED variant of bucket 1 (event_id negated on its
+    pmod-4 rows) refused in between: the builder asserts the
+    ConstraintViolation names the failing CHECK, that no log version
+    was consumed, and that the poisoned parquet never became visible.
+    Then ALTER TABLE ADD CONSTRAINT validates the existing snapshot
+    (event_type IS NOT NULL — passes, v4) and a constraint the data
+    already violates (event_id > min) is refused with the table's
+    constraint set unchanged."""
+    import json as _json
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        ConstraintViolation,
+        TxnLogWriter,
+        add_constraint,
+        append_with_checks,
+    )
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnconstraints:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnconstraints", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        writer.begin().set_constraints(
+            ["event_id >= 0", "user_id IS NOT NULL"]
+        ).commit()  # v0
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(3))
+        append_with_checks(writer, ev.filter(bucket == 0), "p0")  # v1
+        poisoned = ev.filter(bucket == 1).withColumn(
+            "event_id",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(4)) == 1,
+                -F.col("event_id"),
+            ).otherwise(F.col("event_id")),
+        )
+        before = writer.latest_version()
+        try:
+            append_with_checks(writer, poisoned, "poison")
+            raise RuntimeError("poisoned batch was NOT refused")
+        except ConstraintViolation as e:
+            if "event_id >= 0" not in str(e):
+                raise RuntimeError(f"wrong violation message: {e}")
+        if writer.latest_version() != before or writer.live_files() != [
+            "p0"
+        ]:
+            raise RuntimeError("refused batch left log state behind")
+        append_with_checks(writer, ev.filter(bucket == 1), "p1")  # v2
+        append_with_checks(writer, ev.filter(bucket == 2), "p2")  # v3
+        add_constraint(writer, spark, "event_type IS NOT NULL")  # v4
+        min_id = int(ev.agg(F.min("event_id")).first()[0])
+        try:
+            add_constraint(writer, spark, f"event_id > {min_id}")
+            raise RuntimeError("already-violated constraint accepted")
+        except ConstraintViolation:
+            pass
+        if writer.constraints() != [
+            "event_id >= 0", "user_id IS NOT NULL", "event_type IS NOT NULL",
+        ]:
+            raise RuntimeError(f"constraint set wrong: {writer.constraints()}")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_check_constraints", _ROUNDTRIP_ORACLE)
+def source_txn_log_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-TIME CHECK constraints — Delta's ADD CONSTRAINT /
+    invariants contract on this table format: the constraint set is a
+    durable log action (newest wins, carried through checkpoints like
+    schema), every append runs ONE Spark aggregate counting violating
+    rows per CHECK (NULL evaluates as a violation, the SQL WITH CHECK
+    rule) and refuses the whole batch BEFORE any log action is staged,
+    and ALTER TABLE ADD CONSTRAINT validates the existing snapshot
+    first — so read-side checking is unnecessary by construction. The
+    fixture threads a poisoned batch (negated event_ids) through the
+    enforcement and asserts the refusal consumed no version and leaked
+    no file; the hash gate then certifies the surviving table is
+    EXACTLY the three clean appends — a leaky refusal (partial batch,
+    orphan add) or an enforcement that silently dropped rows moves the
+    fidelity hash.
+
+    Scale: enforcement costs one map-side-combinable aggregate over
+    the batch being written (executors), |constraints| counters to the
+    driver, zero extra shuffles; the declaration is one JSON line."""
+    root, log_dir = _txn_constraints_table(spark, sf_dir)
+    log = spark.read.schema(
+        "version long, action string, file string"
+    ).json(os.path.join(log_dir, "*.json"))
+    paths = [os.path.join(root, n) for n in _replay_live_files(log)]
+    snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return _fidelity_agg(snapshot)

@@ -66,6 +66,13 @@ class CommitConflict(Exception):
     staged actions reference state that no longer exists."""
 
 
+class ConstraintViolation(Exception):
+    """A write was refused because rows violate the table's CHECK
+    constraints (Delta's ALTER TABLE ADD CONSTRAINT contract: writes
+    that would break an invariant fail loudly BEFORE any log action is
+    staged — the table never holds a violating row)."""
+
+
 def _last_wins(actions: list[dict]) -> list[str]:
     """Driver-side twin of formats._replay_live_files over already-
     loaded action dicts: last-action-wins per file, remove outranking
@@ -249,10 +256,155 @@ class TxnLogWriter:
                 best = a["batch"] if best is None else max(best, a["batch"])
         return best
 
+    def _winning_adds(self, as_of: int) -> dict[str, dict]:
+        """Full payload of the WINNING add action per live file as of a
+        version — what checkpointing, RESTORE, and CLONE all re-emit so
+        stats/bloom/dv metadata survives the state copy."""
+        acts = self._replay_actions(as_of)
+        out: dict[str, dict] = {}
+        for a in acts:
+            if a.get("action") == "add" and (
+                a["file"] not in out
+                or a["version"] >= out[a["file"]]["version"]
+            ):
+                out[a["file"]] = a
+        live = set(_last_wins(acts))
+        return {f: a for f, a in out.items() if f in live}
+
+    def _newest_dv(self, as_of: int) -> dict[str, str]:
+        """file -> newest deletion-vector sidecar as of a version,
+        restricted to files live at that version."""
+        acts = self._replay_actions(as_of)
+        live = set(_last_wins(acts))
+        newest: dict[str, tuple[int, str]] = {}
+        for a in acts:
+            if a.get("action") == "dv" and a["file"] in live:
+                v = a["version"]
+                if a["file"] not in newest or v >= newest[a["file"]][0]:
+                    newest[a["file"]] = (v, a["dv"])
+        return {f: dv for f, (_v, dv) in newest.items()}
+
+    def constraints(self) -> list[str]:
+        """The table's CHECK constraints: the NEWEST constraints
+        action's expression list (empty for an unconstrained table).
+        Carried through checkpoints like schema/txn state."""
+        hi = self.latest_version()
+        if hi < 0:
+            return []
+        newest = None
+        for a in self._replay_actions(hi):
+            if a.get("action") == "constraints" and (
+                newest is None or a["version"] >= newest["version"]
+            ):
+                newest = a
+        return list(newest["exprs"]) if newest else []
+
     # -- transactions ---------------------------------------------------
 
     def begin(self) -> "Transaction":
         return Transaction(self, self.latest_version())
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF `version` — as ONE NEW
+        commit (Delta's RESTORE semantics: history is preserved and the
+        restore itself is an ordinary, conflict-checked transaction):
+        remove every file live now but not at `version`, re-ADD every
+        file live at `version` but not now (with its ORIGINAL add
+        payload, so stats/bloom metadata rides along), and re-assert
+        the old deletion-vector state for files live in both snapshots
+        whose DV advanced since.
+
+        Refusals are loud, never partial: a required data file that
+        VACUUM already deleted fails the whole restore (Delta's
+        documented RESTORE failure mode), and a kept-live file that
+        GAINED its first DV after `version` refuses too — this
+        protocol's dv actions only supersede, so clearing one back to
+        'no deletes' needs a copy-on-write rewrite, not a restore."""
+        target_live = _last_wins(self._replay_actions(version))
+        current_live = set(self.live_files())
+        target_adds = self._winning_adds(version)
+        dv_then = self._newest_dv(version)
+        dv_now = self._newest_dv(self.latest_version())
+        txn = self.begin()
+        for f in sorted(current_live - set(target_live)):
+            txn.remove(f)
+        for f in target_live:
+            if f in current_live:
+                continue
+            if not os.path.isdir(os.path.join(self.root, f)):
+                raise ValueError(
+                    f"cannot restore to v{version}: data file {f} was "
+                    "vacuumed"
+                )
+            payload = {
+                k: v
+                for k, v in target_adds[f].items()
+                if k not in ("version", "action", "file", "dataChange")
+            }
+            txn.add(f, **payload)
+            if f in dv_then:
+                txn.set_dv(f, dv_then[f])
+        for f in sorted(set(target_live) & current_live):
+            then, now = dv_then.get(f), dv_now.get(f)
+            if then == now:
+                continue
+            if then is None:
+                raise ValueError(
+                    f"cannot restore to v{version}: {f} gained deletion "
+                    "vectors since and this protocol cannot clear a DV — "
+                    "rewrite the file copy-on-write instead"
+                )
+            txn.set_dv(f, then)
+        return txn.commit()
+
+    def clone_to(self, dest_root: str, version: int | None = None) -> int:
+        """SHALLOW CLONE: create an independent table at `dest_root`
+        whose first commit re-ADDS this table's live files (as of
+        `version`, default HEAD) BY ABSOLUTE PATH — zero data copied,
+        exactly Delta's shallow clone. The reader needs no changes:
+        its os.path.join(root, name) is the identity on absolute
+        names. Winning-add payloads (stats, bloom), the newest DV per
+        file, schema, and constraints all carry over; txn watermarks
+        deliberately do NOT (a clone is a new streaming lineage —
+        Delta drops SetTransaction on clone for the same reason).
+        Later writes land under the clone's own root and never touch
+        the source; removing a cloned add only drops the REFERENCE.
+        Returns the clone's commit version (0)."""
+        as_of = self.latest_version() if version is None else version
+        adds = self._winning_adds(as_of)
+        dvs = self._newest_dv(as_of)
+        dest = TxnLogWriter(dest_root, self.checkpoint_interval)
+        os.makedirs(dest_root, exist_ok=True)
+        txn = dest.begin()
+        for f in _last_wins(self._replay_actions(as_of)):
+            payload = {
+                k: v
+                for k, v in adds[f].items()
+                if k not in ("version", "action", "file", "dataChange")
+            }
+            src = os.path.join(self.root, f)
+            txn.add(src, data_change=False, **payload)
+            if f in dvs:
+                txn.set_dv(src, os.path.join(self.root, dvs[f]))
+        schema = self._newest_schema()
+        if schema is not None:
+            txn.set_metadata(schema)
+        exprs = self.constraints()
+        if exprs:
+            txn.set_constraints(exprs)
+        return txn.commit()
+
+    def _newest_schema(self) -> str | None:
+        hi = self.latest_version()
+        if hi < 0:
+            return None
+        newest = None
+        for a in self._replay_actions(hi):
+            if a.get("action") == "metaData" and (
+                newest is None or a["version"] >= newest["version"]
+            ):
+                newest = a
+        return newest["schema"] if newest else None
 
     def vacuum(self) -> list[str]:
         """Physically delete data files that are (a) not live at HEAD
@@ -356,6 +508,22 @@ class TxnLogWriter:
                     "timestamp": ci["timestamp"],
                 }
             )
+        # carry the newest constraints declaration forward — enforcement
+        # must survive vacuuming the commit that declared it
+        con = None
+        for a in acts:
+            if a.get("action") == "constraints" and (
+                con is None or a["version"] >= con["version"]
+            ):
+                con = a
+        if con is not None:
+            lines.append(
+                {
+                    "version": version,
+                    "action": "constraints",
+                    "exprs": con["exprs"],
+                }
+            )
         txns: dict[str, dict] = {}
         for a in acts:
             if a.get("action") == "txn" and (
@@ -457,6 +625,16 @@ class Transaction:
         take the NEWEST metaData schema and read every live file with
         it — ADD COLUMN is one JSON line, no data file is touched."""
         self.actions.append({"action": "metaData", "schema": schema})
+        return self
+
+    def set_constraints(self, exprs: list[str]) -> "Transaction":
+        """Stage the table's CHECK constraint set (newest wins, like
+        schema): each expr is a Spark SQL boolean every row must
+        satisfy. Enforcement happens in append_with_checks /
+        add_constraint — the log line is the durable declaration."""
+        self.actions.append(
+            {"action": "constraints", "exprs": list(exprs)}
+        )
         return self
 
     def commit(self, timestamp: int | None = None) -> int:
@@ -648,3 +826,69 @@ def commit_batch(
     txn.add(name).set_txn(app, batch_id)
     txn.commit()
     return name
+
+
+def _violation_counts(df, exprs: list[str]) -> list[tuple[str, int]]:
+    """(expr, violating_row_count) per constraint, computed in ONE
+    Spark aggregate over the batch — NULL results count as violations
+    (a CHECK must evaluate TRUE, the SQL-standard WITH CHECK
+    semantics Delta also applies to its invariants)."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(e), F.lit(False)), 0).otherwise(1)
+        ).alias(f"c{i}")
+        for i, e in enumerate(exprs)
+    ]
+    row = df.agg(*aggs).first()
+    return [(e, int(row[i] or 0)) for i, e in enumerate(exprs)]
+
+
+def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
+    """Constraint-enforced append: evaluate every declared CHECK
+    constraint over the batch (one Spark aggregate — executors scan,
+    the driver sees |constraints| counters), refuse the ENTIRE batch
+    with ConstraintViolation if any row fails (no log action is
+    staged, no data file becomes visible), else write the parquet
+    file and commit its add. Returns the committed version.
+
+    This is the write-side contract that makes read-side constraint
+    checking unnecessary: a table whose every append passed through
+    here provably contains no violating row, however many writers
+    appended."""
+    exprs = writer.constraints()
+    if exprs:
+        bad = [(e, n) for e, n in _violation_counts(df, exprs) if n > 0]
+        if bad:
+            raise ConstraintViolation(
+                "batch refused: "
+                + "; ".join(f"{n} row(s) violate CHECK ({e})" for e, n in bad)
+            )
+    df.write.mode("overwrite").parquet(os.path.join(writer.root, name))
+    return writer.begin().add(name, **stats).commit()
+
+
+def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate the EXISTING table first
+    (Delta scans the table before accepting a new CHECK — a constraint
+    the current data already violates is refused), then commit the
+    extended constraint set as one constraints action. `spark` reads
+    the current snapshot schema-lessly from the live files; an empty
+    table validates trivially."""
+    live = writer.live_files()
+    if live:
+        snap = spark.read.parquet(
+            *[os.path.join(writer.root, f) for f in live]
+        )
+        ((_, n),) = _violation_counts(snap, [expr])
+        if n > 0:
+            raise ConstraintViolation(
+                f"{n} existing row(s) violate CHECK ({expr}) — "
+                "constraint not added"
+            )
+    return (
+        writer.begin()
+        .set_constraints(writer.constraints() + [expr])
+        .commit()
+    )
