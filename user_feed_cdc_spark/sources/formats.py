@@ -3459,3 +3459,261 @@ def source_txn_log_check_constraints(
     paths = [os.path.join(root, n) for n in _replay_live_files(log)]
     snapshot = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
     return _fidelity_agg(snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (rename without rewrite) + partitionValues pruning
+# ---------------------------------------------------------------------------
+
+
+_TXN_COLMAP_ORACLE = """
+    SELECT event_type AS etype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS amount_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _txn_colmap_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, source-mtime, rev)) a two-file engine table,
+    then RENAME two columns purely in the log: one metaData commit
+    carrying a columnMapping {logical -> physical} — value->amount,
+    event_type->etype. The builder records the data files' mtimes and
+    asserts the rename touched NEITHER (the whole point: a rename is
+    one JSON line, never a rewrite), then composes a second rename
+    (amount -> amount2 -> back) to pin that newest-mapping-wins."""
+    import json as _json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txncolmap:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txncolmap", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(2))
+        for b in range(2):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"h{b}")
+            )
+            writer.begin().add(f"h{b}").commit()  # v0, v1
+        mtimes = {
+            b: os.path.getmtime(os.path.join(root, f"h{b}"))
+            for b in range(2)
+        }
+        # v2: RENAME value->amount, event_type->etype (one JSON line)
+        writer.begin().set_metadata(
+            _json.dumps(
+                {
+                    "columns": [
+                        "event_id", "ts", "user_id", "etype", "amount",
+                        "props",
+                    ],
+                    "columnMapping": {"etype": "event_type",
+                                      "amount": "value"},
+                }
+            )
+        ).commit()
+        # v3+v4: a second rename and its revert — newest mapping wins
+        writer.begin().set_metadata(
+            _json.dumps(
+                {
+                    "columns": [
+                        "event_id", "ts", "user_id", "etype", "amount2",
+                        "props",
+                    ],
+                    "columnMapping": {"etype": "event_type",
+                                      "amount2": "value"},
+                }
+            )
+        ).commit()
+        writer.begin().set_metadata(
+            _json.dumps(
+                {
+                    "columns": [
+                        "event_id", "ts", "user_id", "etype", "amount",
+                        "props",
+                    ],
+                    "columnMapping": {"etype": "event_type",
+                                      "amount": "value"},
+                }
+            )
+        ).commit()
+        for b in range(2):
+            if os.path.getmtime(os.path.join(root, f"h{b}")) != mtimes[b]:
+                raise RuntimeError("rename rewrote a data file")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+def read_txn_log_mapped(
+    spark: SparkSession, root: str, log_dir: str
+) -> DataFrame:
+    """Column-mapping read protocol (Delta's column mapping, name
+    mode, in miniature): replay for the live files AND the newest
+    metaData, read each file by its PHYSICAL parquet column names,
+    then project to the LOGICAL names through the mapping — so a
+    rename is visible to every reader the instant its one-line commit
+    lands, with zero data movement. Logical columns absent from the
+    mapping map to themselves (never renamed)."""
+    import json as _json
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    w = TxnLogWriter(root)
+    meta = _json.loads(w._newest_schema())
+    mapping = meta.get("columnMapping", {})
+    paths = [os.path.join(root, n) for n in w.live_files()]
+    snap = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(*paths)
+    return snap.select(
+        *[
+            F.col(mapping.get(logical, logical)).alias(logical)
+            for logical in meta["columns"]
+        ]
+    )
+
+
+@_register("source_txn_log_column_mapping", _TXN_COLMAP_ORACLE)
+def source_txn_log_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RENAME COLUMN without rewriting data — the table format's
+    column-mapping mode (Delta's name-mode mapping in miniature): the
+    newest metaData action carries the logical column list plus a
+    {logical -> physical} mapping; readers scan live files by their
+    PHYSICAL parquet names and project to logical names, so a rename
+    is one JSON commit and zero data movement (the builder asserts
+    both files' mtimes are untouched, and that a rename + revert pair
+    leaves newest-mapping-wins correct). The query groups by the
+    RENAMED event_type (etype) and sums the RENAMED value (amount) —
+    a reader that ignored the mapping would fail to resolve the
+    logical names at all, and one that mapped to the wrong physical
+    column moves the hash.
+
+    Scale: renames on a 100 TB table are instant — catalog-scale
+    metadata, no rewrite; the projection is a zero-cost alias inside
+    whole-stage codegen."""
+    root, log_dir = _txn_colmap_table(spark, sf_dir)
+    snap = read_txn_log_mapped(spark, root, log_dir)
+    return snap.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("amount") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("amount_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.unix_micros("ts") % 1000000000).alias("ts_us_sum"),
+    )
+
+
+_TXN_PARTVALS_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum
+    FROM events
+    WHERE event_type = (SELECT MIN(event_type) FROM events)
+    GROUP BY event_type
+"""
+
+
+def _txn_partvals_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, list[str]]:
+    """Build (once per (sf, source-mtime, rev)) a LOG-PARTITIONED
+    table: one data file per event_type, the partition column DROPPED
+    from the parquet (hive/Delta convention — partition values live in
+    metadata, not data), each add action carrying
+    partition_values={"event_type": t}. Returns (root, log_dir,
+    sorted types)."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnpartvals:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnpartvals", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    ev = load_table(spark, sf_dir, "events")
+    types = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        writer = TxnLogWriter(root)
+        for i, t in enumerate(types):
+            part = ev.filter(F.col("event_type") == t).drop("event_type")
+            part.write.mode("overwrite").parquet(
+                os.path.join(root, f"pt{i}")
+            )
+            writer.begin().add(
+                f"pt{i}", partition_values={"event_type": t}
+            ).commit()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir, types
+
+
+@_register("source_txn_log_partition_values", _TXN_PARTVALS_ORACLE)
+def source_txn_log_partition_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOG-LEVEL partition pruning — partitionValues on add actions
+    (Delta's partition pruning, which needs NO directory layout and NO
+    file listing): each live file's add carries its partition tuple,
+    the reader resolves an equality predicate against the LOG ALONE
+    (catalog scale — zero data I/O to plan), scans only the matching
+    file(s), and re-attaches the partition column as a literal (the
+    parquet files do not contain it, per the hive/Delta convention —
+    the builder drops it). Pruning is pinned in-query: the scan is
+    REQUIRED to read exactly the one matching file (inputFiles
+    checked), so a reader that fell back to scan-everything fails
+    loudly rather than silently paying full I/O.
+
+    At 100 TB this is the difference between planning from kilobytes
+    of JSON and listing millions of objects: partition pruning before
+    the first byte of data moves."""
+    root, log_dir, types = _txn_partvals_table(spark, sf_dir)
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    target = types[0]  # deterministic probe: MIN(event_type)
+    w = TxnLogWriter(root)
+    adds = w._winning_adds(w.latest_version())
+    survivors = sorted(
+        f
+        for f, a in adds.items()
+        if a["partition_values"]["event_type"] == target
+    )
+    if len(survivors) != 1:
+        raise RuntimeError(f"partition pruning wrong: {survivors}")
+    no_part_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in TABLE_SCHEMAS["events"].fields
+        if f.name != "event_type"
+    )
+    scan = spark.read.schema(no_part_schema).parquet(
+        *[os.path.join(root, f) for f in survivors]
+    )
+    got = {os.path.basename(os.path.dirname(p)) for p in scan.inputFiles()}
+    if got != set(survivors):
+        raise RuntimeError(f"scan read beyond the pruned set: {got}")
+    snap = scan.withColumn("event_type", F.lit(target))
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.unix_micros("ts") % 1000000000).alias("ts_us_sum"),
+    )
