@@ -1569,3 +1569,154 @@ def dedup_source_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_num")
     )
+
+
+_SUBSTR_REWRITE_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ), dims AS (
+        SELECT doc_id, w,
+               CAST(floor(len(w) / 8) AS BIGINT) AS nfull,
+               CAST(len(w) AS BIGINT) AS nw
+        FROM base
+    ), chunks AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+               array_to_string(
+                   list_slice(w, 8 * u.i + 1, 8 * u.i + 8), ' ') AS chunk
+        FROM dims, UNNEST(range(0, nfull)) AS u(i)
+    ), keyed AS (
+        SELECT doc_id, idx, chunk,
+               doc_id * 1000000 + idx AS k,
+               MIN(doc_id * 1000000 + idx)
+                   OVER (PARTITION BY chunk) AS first_k
+        FROM chunks
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY idx) AS body,
+               COUNT(*) AS n_kept
+        FROM keyed WHERE k = first_k GROUP BY doc_id
+    ), tails AS (
+        SELECT doc_id, nfull,
+               -- list_slice past the end yields NULL in DuckDB (not []):
+               -- an exactly-tiled doc has an EMPTY tail, never a NULL one
+               COALESCE(array_to_string(
+                   list_slice(w, 8 * nfull + 1, nw), ' '), '') AS tailp
+        FROM dims
+    ), clean AS (
+        SELECT t.doc_id, t.nfull,
+               t.nfull - COALESCE(r.n_kept, 0) AS n_dropped,
+               CASE
+                 WHEN r.body IS NOT NULL AND t.tailp <> ''
+                     THEN r.body || ' ' || t.tailp
+                 WHEN r.body IS NOT NULL THEN r.body
+                 ELSE t.tailp
+               END AS clean_text
+        FROM tails t LEFT JOIN rebuilt r USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(nfull AS BIGINT) AS n_full_chunks,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(length(clean_text) AS BIGINT) AS clean_len,
+           md5(clean_text) AS clean_md5
+    FROM clean
+"""
+
+
+@_register("dedup_substring_rewrite", _SUBSTR_REWRITE_ORACLE)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup as a REWRITE — the production half
+    dedup_substring_windows' docstring defers ('ExactSubstr removes
+    the span, not the doc', Lee et al. 2022): the corpus is re-tiled
+    into non-overlapping 8-token chunks, every chunk's GLOBAL first
+    occurrence (min (doc_id, position), within-doc repeats included)
+    is kept, later verbatim copies are DROPPED, and each document is
+    REBUILT from its surviving chunks plus its sub-chunk tail — the
+    C4/RefinedWeb-style duplicate-passage scrub that preserves the
+    novel remainder of a partially-copied document instead of deleting
+    or keeping it whole. The certification is as strong as it gets:
+    the md5 of every rebuilt document must match DuckDB rebuilding the
+    same corpus, so one chunk kept/dropped/reordered anywhere moves a
+    hash. Contract: rebuilt text is the space-normalized token
+    sequence (both engines tokenize identically).
+
+    At 100 TB: chunks shuffle as (md5, doc_id*1e6+idx) pairs — the
+    16-byte-key posture of the whole dedup family, text itself riding
+    only into the kept-chunk rollup (one hash exchange + one per-doc
+    rollup, no self-join anywhere); tiling is 1/8th the explode volume
+    of the sliding-window detector. First-occurrence-wins gives the
+    deterministic output a training pipeline needs for reproducible
+    corpus builds."""
+    k = _SUBSTR_WIN
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        toks.alias("w"),
+        F.floor(F.size(toks) / k).cast("long").alias("nfull"),
+        F.size(toks).cast("long").alias("nw"),
+    )
+    base = base.withColumn(
+        "tailp",
+        F.array_join(
+            F.slice(
+                F.col("w"),
+                (F.col("nfull") * k + 1).cast("int"),
+                (F.col("nw") - F.col("nfull") * k).cast("int"),
+            ),
+            " ",
+        ),
+    ).localCheckpoint(eager=False)
+    chunks = base.filter(F.col("nfull") >= 1).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("nfull") - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("w"), i * k + 1, k), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    keyed = chunks.withColumn(
+        "k", F.col("doc_id") * 1000000 + F.col("idx")
+    ).withColumn(
+        "first_k",
+        F.min("k").over(W.partitionBy(F.md5("chunk"))),
+    )
+    rebuilt = (
+        keyed.filter(F.col("k") == F.col("first_k"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "chunk"))
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("body"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    out = base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("nfull").alias("n_full_chunks"),
+        (F.col("nfull") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        F.when(
+            F.col("body").isNotNull() & (F.col("tailp") != ""),
+            F.concat_ws(" ", "body", "tailp"),
+        )
+        .when(F.col("body").isNotNull(), F.col("body"))
+        .otherwise(F.col("tailp"))
+        .alias("clean_text"),
+    )
+    return out.select(
+        "doc_id",
+        "n_full_chunks",
+        "n_dropped",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
