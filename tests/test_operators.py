@@ -4029,3 +4029,61 @@ def test_txn_writer_check_constraints(spark, tmp_path):
     for v in range(3):
         os.remove(os.path.join(w.log_dir, f"{v:05d}.json"))
     assert w.constraints() == ["v >= 0", "k >= 1"]
+
+
+def test_ima_adpcm_codec():
+    """IMA ADPCM (WAV 0x11): hand-pinned recurrence + nibble order,
+    constant-block bit-exactness from stream start, step-index carry
+    across blocks (steady-state SNR >= 40 dB on sines, measured ~44),
+    fact-chunk trim, and the refusal set."""
+    import math
+    import struct
+
+    import pytest
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        _ADPCM_SPB, DecodeError, decode_wav, decode_wav_adpcm,
+        encode_wav, encode_wav_adpcm,
+    )
+
+    # hand-pinned: pred=0 idx=0, codes 1,4,8,0 -> [0, 1, 8, 7, 8]
+    # (low nibble of each data byte decodes FIRST, per IMA/DVI)
+    hdr = struct.pack("<hBB", 0, 0, 0)
+    data = hdr + bytes([0x41, 0x08]) + bytes(28)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 34 // 61,
+                      34, 4, 2, 61)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + 4 + 8
+                    + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + struct.pack("<I", 5)
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    assert decode_wav_adpcm(wav) == (8000, [0, 1, 8, 7, 8])
+
+    # constant blocks from stream start round-trip bit-exactly
+    for v in (-32768, -1000, 0, 1, 12345, 32767):
+        assert decode_wav_adpcm(
+            encode_wav_adpcm([v] * _ADPCM_SPB)
+        )[1] == [v] * _ADPCM_SPB
+    two = [100] * _ADPCM_SPB + [-7000] * _ADPCM_SPB
+    assert decode_wav_adpcm(encode_wav_adpcm(two))[1] == two
+
+    # steady-state quality (after the idx-0 startup transient)
+    n = _ADPCM_SPB * 4
+    for amp in (800, 8000, 30000):
+        sig = [int(amp * math.sin(i / 9)) for i in range(n)]
+        _, dec = decode_wav_adpcm(encode_wav_adpcm(sig))
+        tail = list(zip(sig, dec))[_ADPCM_SPB:]
+        rms = (sum((a - b) ** 2 for a, b in tail) / len(tail)) ** 0.5
+        assert 20 * math.log10(amp / rms) >= 40, (amp, rms)
+
+    # dispatch refusals: each decoder rejects the other's format tag
+    with pytest.raises(DecodeError):
+        decode_wav_adpcm(encode_wav([1, 2, 3]))
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav_adpcm([0] * _ADPCM_SPB))
+    with pytest.raises(DecodeError):  # non-tiling data chunk
+        decode_wav_adpcm(encode_wav_adpcm([0] * _ADPCM_SPB)[:-3])
+    with pytest.raises(ValueError):
+        encode_wav_adpcm([0] * 10)  # must tile blocks

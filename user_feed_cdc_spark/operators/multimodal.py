@@ -305,6 +305,170 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     return rate, samples
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV wFormatTag 0x11) — the compressed-audio tier
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_ADPCM_BLOCK_ALIGN = 34  # 4-byte header + 30 nibble bytes = 61 samples
+_ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _ima_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step (the IMA/DVI reference recurrence):
+    reconstruct diff from the 4-bit code with the step>>3 bias, apply
+    sign, clamp the predictor to int16, adapt the step index."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+    return pred, idx
+
+
+def encode_wav_adpcm(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Mono IMA ADPCM WAV (wFormatTag 0x11): 4 bits per sample in
+    34-byte blocks — 4-byte block header (int16 initial predictor =
+    the block's FIRST sample verbatim, uint8 step index, reserved) +
+    30 nibble bytes (low nibble first), 61 samples per block. The
+    encoder is the standard IMA quantizer (successive step>>k
+    subtraction) tracking the decoder's reconstruction so drift never
+    accumulates. Sample count must tile blocks exactly (fixtures
+    control their own lengths; a `fact` chunk records the count).
+
+    Exactness contract (the audio twin of the flat-JPEG-block rule): a
+    CONSTANT block round-trips bit-exactly — the header carries the
+    value verbatim, every delta quantizes to code 0, and at step
+    index 0 the code-0 reconstruction adds step>>3 = 7>>3 = 0, with
+    the index pinned at the 0 clamp. Pinned per value by pytest."""
+    if len(samples) % _ADPCM_SPB:
+        raise ValueError(
+            f"sample count must tile {_ADPCM_SPB}-sample blocks"
+        )
+    blocks = bytearray()
+    idx = 0  # step index carries ACROSS blocks (each header re-seeds
+    # the decoder with it) — resetting per block forgets the adapted
+    # step and costs ~2x RMS error on real signals, measured
+    for b in range(0, len(samples), _ADPCM_SPB):
+        block = samples[b : b + _ADPCM_SPB]
+        pred = block[0]
+        if not (-32768 <= pred <= 32767):
+            raise ValueError("samples must be int16")
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = _IMA_STEPS[idx]
+            delta = s - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            pred, idx = _ima_step(pred, idx, code)  # track the decoder
+            nibbles.append(code)
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))
+    n_blocks = len(samples) // _ADPCM_SPB
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate,
+        rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SPB,  # byte rate
+        _ADPCM_BLOCK_ALIGN, 4,  # block align, bits per sample
+        2, _ADPCM_SPB,  # cbSize, wSamplesPerBlock
+    )
+    fact = struct.pack("<I", len(samples))
+    return (
+        struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(blocks),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"fact", len(fact))
+        + fact
+        + struct.pack("<4sI", b"data", len(blocks))
+        + bytes(blocks)
+    )
+
+
+@_decode_boundary
+def decode_wav_adpcm(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a mono IMA ADPCM WAV (wFormatTag 0x11) — real compressed
+    audio through the real algorithm (the r12 compressed-audio tier
+    beside the video codecs): per 34-byte block, seed the predictor
+    and step index from the block header, then run the IMA recurrence
+    over 60 nibbles (low nibble of each byte first, per the IMA/DVI
+    spec and every WAV implementation). The `fact` chunk's sample
+    count trims block padding. PCM (format 1) stays with decode_wav;
+    any other format tag, channel count, or a malformed block refuses
+    with the usual untrusted-bytes ValueError contract. Returns
+    (rate, samples)."""
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data, fact_n, block_align = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, block_align, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
+            )
+            if audio_fmt != 0x11 or channels != 1 or bits != 4:
+                raise ValueError(
+                    f"not mono IMA ADPCM (fmt={audio_fmt} ch={channels} "
+                    f"bits={bits})"
+                )
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if rate is None or data is None or block_align is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if block_align < 5 or len(data) % block_align:
+        raise ValueError("ADPCM data does not tile its block align")
+    samples: list[int] = []
+    for b in range(0, len(data), block_align):
+        pred, idx, _rsv = struct.unpack_from("<hBB", data, b)
+        if idx > 88:
+            raise ValueError("ADPCM step index out of range")
+        samples.append(pred)
+        for byte in data[b + 4 : b + block_align]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_step(pred, idx, code)
+                samples.append(pred)
+    if fact_n is not None:
+        if fact_n > len(samples):
+            raise ValueError("fact count exceeds decoded samples")
+        samples = samples[:fact_n]
+    return rate, samples
+
+
 def encode_rvid(
     width: int, height: int, frames: list[bytes], fps: int = VID_FPS
 ) -> bytes:
@@ -2290,6 +2454,116 @@ def multimodal_codec_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id long, decoded boolean, n_frames long, frame_sum long, "
         "tail_sum long",
+    )
+
+
+_AUDIO_ADPCM_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               CAST((ascii(substr(text, 1, 1)) - 128) * 256 AS BIGINT) AS s0,
+               CAST((ascii(substr(text,
+                     CAST((1 % length(text)) + 1 AS INT), 1)) - 128) * 256
+                    AS BIGINT) AS s1
+        FROM documents
+        WHERE doc_id % 3 = 1 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(122 AS BIGINT) AS n_samples,
+           s0 AS s_first,
+           s1 AS s_last,
+           CAST(61 * (s0 + s1) AS BIGINT) AS sample_sum,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_audio_adpcm_stats", _AUDIO_ADPCM_ORACLE)
+def multimodal_audio_adpcm_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED audio decode under the hash gate — IMA ADPCM (WAV
+    wFormatTag 0x11, the classic 4-bit compressed WAV every telephony
+    and game pipeline shipped): each audio doc's payload is a
+    two-block ADPCM stream, and the read path runs the real IMA
+    recurrence — per-block header seeding (int16 predictor + step
+    index), low-nibble-first code order, step>>3-biased diff
+    reconstruction, int16 clamping, index adaptation, fact-chunk trim
+    (decode_wav_adpcm). PCM stays with decode_wav; the two refuse each
+    other's format tags, same dispatch discipline as the video codecs.
+
+    The symbolic oracle leans on the flat-block exactness contract (the
+    audio twin of the flat-JPEG-block rule, pinned per value by
+    pytest): a CONSTANT block from stream start round-trips bit-exactly
+    because the header carries the value verbatim, every delta
+    quantizes to code 0, and at step index 0 the code-0 reconstruction
+    adds step>>3 = 0 with the index clamped at 0 — so block 1 decodes
+    to 61 copies of s0 and block 2 to 61 copies of s1, every byte
+    predicted by DuckDB from the doc text. Real-signal fidelity (44 dB
+    steady-state SNR) is pytest-measured, the honest contract of a
+    lossy codec. Scale: same narrow-over-scan Arrow shape as every
+    media entry — bounded per-row decode, no shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int], bytes] = {}
+
+        def wav_of(s0: int, s1: int) -> bytes:
+            if (s0, s1) not in cache:
+                cache[(s0, s1)] = encode_wav_adpcm(
+                    [s0] * _ADPCM_SPB + [s1] * _ADPCM_SPB, rate=8000
+                )
+            return cache[(s0, s1)]
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                payloads.append(
+                    wav_of(
+                        (raw[0] - 128) * 256,
+                        (raw[1 % len(raw)] - 128) * 256,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "rate": [], "n_samples": [],
+                "s_first": [], "s_last": [], "sample_sum": [],
+                "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    rate, samples = decode_wav_adpcm(bytes(payload))
+                    out["rate"].append(rate)
+                    out["n_samples"].append(len(samples))
+                    out["s_first"].append(samples[0])
+                    out["s_last"].append(samples[-1])
+                    out["sample_sum"].append(sum(samples))
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    for k in (
+                        "rate", "n_samples", "s_first", "s_last",
+                        "sample_sum",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, rate long, n_samples long, s_first long, "
+        "s_last long, sample_sum long, decoded boolean",
     )
 
 
