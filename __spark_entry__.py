@@ -86,7 +86,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_restore", "source_txn_log_shallow_clone",
         "source_txn_log_check_constraints", "source_txn_log_column_mapping",
         "source_txn_log_partition_values", "dedup_substring_rewrite",
-        "multimodal_audio_adpcm_stats",
+        "multimodal_audio_adpcm_stats", "source_txn_log_cdf_ivm",
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         "streaming_txn_source_exec_live",
@@ -114,13 +114,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "rollup_flag_status", "cube_status_priority", "grouping_sets_revenue",
         "case_when_pivot", "unpivot_flag_measures", "set_ops",
         "sort_limit_topk", "window_rank_family", "window_running_analytics",
-        "window_range_frame",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first (the twelve entries the
-        # r12 codec + table-DDL + dedup insertions displaced from the
+        # certified tail, stalest driver row first (the thirteen entries
+        # the r12 codec + table-DDL + dedup insertions displaced from the
         # window lead)
-        "window_topk_per_customer",
+        "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract",
         "null_safe_funcs",

@@ -3717,3 +3717,78 @@ def source_txn_log_partition_values(
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.unix_micros("ts") % 1000000000).alias("ts_us_sum"),
     )
+
+
+_TXN_CDF_IVM_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(
+               (value + CASE WHEN event_id % 10 = 9 THEN 1.0 ELSE 0 END)
+               * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events
+    WHERE event_id % 10 NOT IN (4, 6)
+    GROUP BY event_type
+"""
+
+
+@_register("source_txn_log_cdf_ivm", _TXN_CDF_IVM_ORACLE)
+def source_txn_log_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED-DRIVEN incremental view maintenance — the canonical
+    CDF consumer pattern, closed end to end on the engine's OWN table
+    format: a per-type (count, cents) aggregate is materialized ONCE
+    from the snapshot at v1, then brought to HEAD purely from
+    table_changes(2, 5) — inserts and update_postimages add, deletes
+    and update_preimages subtract — across a history containing a
+    copy-on-write DELETE, a dataChange=false OPTIMIZE, a
+    deletion-vector delete, and a MERGE-style UPDATE. The Spark plan
+    NEVER scans the final snapshot; the oracle computes it directly
+    from the source table, so the hash gate certifies the incremental
+    algebra itself: a feed that replayed the OPTIMIZE (the classic CDF
+    bug) doubles every odd row's contribution, a missed update pair
+    skews cents by exactly the bumped rows, a DV delta emitted twice
+    goes negative — every defect lands in the integers.
+
+    This is cdc_incremental_agg_maintenance's O(|delta|) refresh
+    contract upgraded from fixture changelogs to the real table
+    format's change feed. Scale: refresh cost ∝ changed rows (per
+    version, anti-joins over just the touched files), the whole point
+    of maintaining a 100 TB table's views from its feed instead of
+    rescanning it."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root, log_dir = _txn_cdf_table(spark, sf_dir)
+    w = TxnLogWriter(root)
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    base = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        *[os.path.join(root, f) for f in w.live_files(as_of=1)]
+    )
+    mv1 = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("c0")
+    )
+    ch = table_changes(spark, root, log_dir, 2, 5)
+    sign = (
+        F.when(
+            F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col("change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+        .otherwise(F.lit(0))
+    )
+    delta = ch.groupBy("event_type").agg(
+        F.sum(sign).alias("dn"), F.sum(sign * cents).alias("dc")
+    )
+    mv = (
+        mv1.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n"
+            ),
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+                "cents_sum"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return mv
