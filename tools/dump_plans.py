@@ -104,6 +104,10 @@ REPRESENTATIVE = [
     "source_txn_log_optimize_zorder",  # 2-D Morton layout: hour-dim pruning
     "source_txn_log_cdf",  # change feed: per-version row-identity joins
     "source_txn_log_timestamp_travel",  # ts->version resolve + bounded replay
+    "dedup_substring_rewrite",  # chunk tile: one hash window + per-doc rollup
+    "source_txn_log_shallow_clone",  # mixed-root scan over absolute-path adds
+    "source_txn_log_partition_values",  # log-level pruning: one-file scan
+    "source_txn_log_cdf_ivm",  # MV base ⊕ signed feed delta, no HEAD rescan
 ]
 
 
