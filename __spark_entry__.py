@@ -87,7 +87,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_check_constraints", "source_txn_log_column_mapping",
         "source_txn_log_partition_values", "dedup_substring_rewrite",
         "multimodal_audio_adpcm_stats", "source_txn_log_cdf_ivm",
-        "streaming_txn_cdf_ivm_live",
+        "streaming_txn_cdf_ivm_live", "source_state_store_read",
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         "streaming_txn_source_exec_live",
@@ -114,13 +114,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "agg_distinct", "agg_percentiles", "agg_salted_hot_keys",
         "rollup_flag_status", "cube_status_priority", "grouping_sets_revenue",
         "case_when_pivot", "unpivot_flag_measures", "set_ops",
-        "sort_limit_topk", "window_rank_family",
+        "sort_limit_topk",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first (the fourteen entries
-        # the r12 codec + table-DDL + dedup + streaming-IVM insertions
-        # displaced from the window lead)
-        "window_running_analytics",
+        # certified tail, stalest driver row first (the fifteen entries
+        # the r12 codec + table-DDL + dedup + streaming-IVM + state-store
+        # insertions displaced from the window lead)
+        "window_rank_family", "window_running_analytics",
         "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract",

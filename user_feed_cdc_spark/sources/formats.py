@@ -3947,3 +3947,76 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(mv_schema).parquet(
         *[os.path.join(mv_root, f) for f in mv.live_files()]
     )
+
+
+_STATE_STORE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("source_state_store_read", _STATE_STORE_ORACLE)
+def source_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ A STREAMING QUERY'S STATE STORE as a table — Spark 4's
+    state data source (`format("statestore")`), the operational
+    introspection surface a production stream team lives on (is state
+    growing? what does key X hold?): a live streaming aggregation
+    (per-type count + cents sum) drains under availableNow into a
+    FRESH checkpoint, then the checkpoint's state store — the HDFS-
+    backed operator state itself, not the sink output — is read back
+    as (key struct, aggregation buffer struct, partition_id) rows,
+    flattened, and hash-certified against the batch aggregate over the
+    source. The state-metadata source is asserted in-query to report
+    exactly one stateful operator (stateStoreSave) at the expected
+    partition count, so the read provably targets the operator it
+    claims to. A state layout change, a lost partition, or a buffer
+    miscoding all move the hash.
+
+    Scale: reading state costs one scan over the store's snapshot
+    files (|keys| rows, partition-parallel) — the same shape RocksDB
+    state inspection has in production; nothing rescans the source.
+    Fresh checkpoint per invocation (uuid) — the stream must actually
+    run to pass."""
+    import uuid
+
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+    )
+
+    ckpt = _scratch_path("statestore", sf_dir, uuid.uuid4().hex[:12])
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_store_read_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = (
+        spark.read.format("state-metadata").option("path", ckpt).load()
+    ).collect()
+    if (
+        len(meta) != 1
+        or meta[0].operatorName != "stateStoreSave"
+        or meta[0].operatorId != 0
+    ):
+        raise RuntimeError(f"unexpected stateful operators: {meta}")
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").alias("cents_sum"),
+    )
