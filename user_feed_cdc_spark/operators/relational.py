@@ -1903,3 +1903,74 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+_SQL_SCRIPTING_ORACLE = """
+    WITH b AS (SELECT MIN(o_totalprice) AS base FROM orders),
+    counts AS (
+        SELECT t.k,
+               (SELECT COUNT(*) FROM orders, b
+                WHERE o_totalprice > base * power(2.0, CAST(t.k AS DOUBLE))
+               ) AS n,
+               (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                         AS BIGINT)), 0)
+                FROM orders, b
+                WHERE o_totalprice > base * power(2.0, CAST(t.k AS DOUBLE))
+               ) AS cents
+        FROM range(0, 64) AS t(k)
+    )
+    SELECT CAST(k AS BIGINT) AS doublings,
+           CAST(n AS BIGINT) AS survivors,
+           CAST(cents AS BIGINT) AS survivor_cents
+    FROM counts WHERE n < 100 ORDER BY k LIMIT 1
+"""
+
+
+@_register("sql_scripting_control_flow", _SQL_SCRIPTING_ORACLE)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's BEGIN...END procedural blocks) with
+    SESSION VARIABLES and a DATA-DEPENDENT loop, hash-certified: the
+    script DECLAREs variables, seeds one from a scalar subquery over
+    the table (MIN order price), then runs a WHILE loop that DOUBLES
+    the cutoff until fewer than 100 orders survive — re-querying the
+    table each iteration through the variable — and returns the final
+    (doublings, survivors, survivor cents). Control flow is certified
+    against a DuckDB closed form (first k in 0..64 whose survivor
+    count drops under the threshold): a loop that runs one iteration
+    long or short, or a variable binding that goes stale, moves every
+    column. Cross-engine float safety: multiplying a double by 2^k is
+    EXACT in IEEE 754 (exponent arithmetic, no rounding), so both
+    engines evaluate the identical cutoff bit-for-bit — the one
+    scaling family where an iterated float comparison is safe across
+    engines.
+
+    Scale: each iteration is one aggregate over the table (pushed
+    filter, map-side combine); the loop state is a session variable on
+    the driver — SQL scripting is control plane, the data work stays
+    declarative per statement."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_script_v"
+    )
+    return spark.sql("""
+    BEGIN
+      DECLARE base DOUBLE;
+      DECLARE k INT DEFAULT 0;
+      DECLARE n BIGINT;
+      DECLARE cents BIGINT;
+      SET base = (SELECT MIN(o_totalprice) FROM orders_script_v);
+      SET n = (SELECT COUNT(*) FROM orders_script_v
+               WHERE o_totalprice > base);
+      WHILE n >= 100 DO
+        SET k = k + 1;
+        SET n = (SELECT COUNT(*) FROM orders_script_v
+                 WHERE o_totalprice > base * POWER(2.0D, k));
+      END WHILE;
+      SET cents = (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0D
+                                                  + 0.5D) AS BIGINT)), 0L)
+                   FROM orders_script_v
+                   WHERE o_totalprice > base * POWER(2.0D, k));
+      SELECT CAST(k AS BIGINT) AS doublings,
+             n AS survivors,
+             cents AS survivor_cents;
+    END
+    """)
