@@ -4020,3 +4020,133 @@ def source_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n"),
         F.col("value.sum").alias("cents_sum"),
     )
+
+
+@_register("source_python_stream_writer", _ROUNDTRIP_ORACLE)
+def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST quadrant of the Spark 4 Python DataSource matrix — the
+    STREAMING WRITER (pyspark.sql.datasource.DataSourceStreamWriter),
+    joining the certified batch reader, two-phase-commit batch writer,
+    and offset-protocol streaming reader: events replay as FOUR
+    micro-batches (maxFilesPerTrigger=1), each partition's write()
+    stages its rows as a uuid-named JSON-lines file and returns the
+    name in its WriterCommitMessage; the DRIVER's commit(messages,
+    batchId) then publishes exactly those files in a per-batch
+    manifest line — the same stage-then-publish split the batch
+    writer's _SUCCESS manifest certifies, now per micro-batch, with
+    abort() leaving staged files unpublished (a reader trusts ONLY
+    the manifest, so a partial batch is invisible — exactly-once
+    publication from at-least-once task attempts). The read-back
+    loads manifest-listed files only, with the explicit schema, and
+    the fidelity aggregate hashes against the original events —
+    a writer that publishes unstaged files, drops a partition's
+    message, or double-publishes a replayed batch moves the hash.
+
+    Scale: write() is executor-side and embarrassingly parallel;
+    commit() touches |partitions| messages per batch (driver, catalog
+    scale) — the universal cloud-sink recipe (stage to object store,
+    publish a manifest). Fresh sink root per invocation (uuid): the
+    stream must actually run to pass."""
+    import json as _json
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    stream_dir = _events_multifile_stream_dir(spark, sf_dir)
+    root = _scratch_path("pystreamwriter", sf_dir, uuid.uuid4().hex[:12])
+    os.makedirs(os.path.join(root, "stage"), exist_ok=True)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, name: str, n: int):
+            self.name = name
+            self.n = n
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def write(self, iterator):
+            import json
+            import uuid as _uuid
+
+            name = f"stage/part-{_uuid.uuid4().hex}.jsonl"
+            n = 0
+            path = os.path.join(self.root, name)
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Msg(name, n)
+
+        def commit(self, messages, batchId):
+            import json
+
+            entry = {
+                "batch": batchId,
+                "files": sorted(m.name for m in messages if m.n > 0),
+            }
+            with open(os.path.join(self.root, "_manifest"), "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.root, m.name))
+                except OSError:
+                    pass
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options)
+
+    spark.dataSource.register(JsonlStreamSink)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    q = (
+        stream.writeStream.format("jsonl_stream_sink")
+        .option("path", root)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(root, "_manifest")) as f:
+        manifests = [_json.loads(line) for line in f if line.strip()]
+    if sorted(m["batch"] for m in manifests) != [0, 1, 2, 3]:
+        raise RuntimeError(f"expected 4 committed batches: {manifests}")
+    published = [
+        os.path.join(root, name) for m in manifests for name in m["files"]
+    ]
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    ).json(published)
+    return _fidelity_agg(
+        back.select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
