@@ -2013,3 +2013,79 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+_UDTF_POLY_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           w[1] AS tok0, w[2] AS tok1, w[3] AS tok2, w[4] AS tok3,
+           CAST(len(w) AS BIGINT) AS n_tokens
+    FROM t
+"""
+
+
+@_register("text_udtf_polymorphic", _UDTF_POLY_ORACLE)
+def text_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the analyze() half of the UDTF API
+    (text_udtf_sentences certified the static-schema half): the
+    output schema is computed AT PLAN TIME by the UDTF's static
+    analyze(...) from its arguments — head_tokens(text, k) emits k
+    tok columns plus a count, so `k=4` produces (tok0..tok3,
+    n_tokens) without any hardcoded schema — then eval() runs
+    per-row under a correlated LATERAL join against documents.
+    Row-exactness is hash-certified against DuckDB list slicing
+    (missing positions NULL-fill on both sides). analyze() asserts
+    its width argument is a CONSTANT expression — the planning-time
+    contract that makes argument-dependent schemas sound.
+
+    Scale: same posture as every row-wise Python tier — Arrow batches
+    over the scan, no shuffle; analyze() runs ONCE on the driver at
+    plan time, so polymorphism costs nothing per row. The right tool
+    when a table function's shape genuinely depends on its call site
+    (unpivot-N, configurable feature heads); for fixed shapes the
+    static-schema UDTF avoids the extra plan-time hop."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class HeadTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not k.isConstantExpression:
+                raise ValueError("k must be a constant expression")
+            n = int(k.value)
+            fields = [
+                StructField(f"tok{i}", StringType()) for i in range(n)
+            ]
+            return AnalyzeResult(
+                StructType(fields + [StructField("n_tokens", LongType())])
+            )
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in text.split(" ") if t]
+            head = [toks[i] if i < len(toks) else None for i in range(k)]
+            yield (*head, len(toks))
+
+    spark.udtf.register("head_tokens", HeadTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_udtf_poly_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM docs_udtf_poly_v AS d,
+             LATERAL head_tokens(d.text, 4) AS t
+        """
+    )
