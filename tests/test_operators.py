@@ -4087,3 +4087,68 @@ def test_ima_adpcm_codec():
         decode_wav_adpcm(encode_wav_adpcm([0] * _ADPCM_SPB)[:-3])
     with pytest.raises(ValueError):
         encode_wav_adpcm([0] * 10)  # must tile blocks
+
+
+def test_gif_animation_composition():
+    """GIF89a animation composition model: sub-rect draws, transparent
+    pixels inherit the canvas, disposal 3 (restore-to-previous) undoes
+    a frame, disposal 2 restores the rect to background, extension
+    blocks (Netscape loop) are skipped, refusals are loud."""
+    import pytest
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        DecodeError, decode_gif_animation, encode_gif_animation,
+    )
+
+    W = H = 16
+    v0, v1, v2 = 100, 7, 250
+    idx2 = bytearray([v1]) * 16
+    idx2[0] = 33  # transparent
+    gif = encode_gif_animation(W, H, [
+        {"left": 0, "top": 0, "w": W, "h": H, "indices": bytes([v0]) * 256,
+         "disposal": 1, "transparent": None},
+        {"left": 4, "top": 3, "w": 8, "h": 2, "indices": bytes(idx2),
+         "disposal": 3, "transparent": 33},
+        {"left": 0, "top": 0, "w": 2, "h": 2, "indices": bytes([v2]) * 4,
+         "disposal": 0, "transparent": None},
+    ])
+    w, h, frames = decode_gif_animation(gif)
+    assert (w, h, len(frames)) == (16, 16, 3)
+    c1, c2, c3 = frames
+
+    def px(fr, ty, tx):
+        return fr[(ty * W + tx) * 3 : (ty * W + tx) * 3 + 3]
+
+    assert c1 == bytes([v0] * 3) * 256
+    for ty in range(H):
+        for tx in range(W):
+            in_rect = 3 <= ty < 5 and 4 <= tx < 12
+            want = v1 if (in_rect and not (ty == 3 and tx == 4)) else v0
+            assert px(c2, ty, tx) == bytes([want] * 3), (ty, tx)
+            want3 = v2 if (ty < 2 and tx < 2) else v0  # disposal-3 undo
+            assert px(c3, ty, tx) == bytes([want3] * 3), (ty, tx)
+
+    # disposal 2: previous rect restored to the BACKGROUND color
+    g2 = encode_gif_animation(4, 4, [
+        {"left": 0, "top": 0, "w": 4, "h": 4, "indices": bytes([9]) * 16,
+         "disposal": 0, "transparent": None},
+        {"left": 1, "top": 1, "w": 2, "h": 2, "indices": bytes([5]) * 4,
+         "disposal": 2, "transparent": None},
+        {"left": 0, "top": 0, "w": 1, "h": 1, "indices": bytes([3]),
+         "disposal": 0, "transparent": None},
+    ])
+    _, _, fr2 = decode_gif_animation(g2)
+    last = fr2[2]
+    assert last[0] == 3 and last[(1 * 4 + 1) * 3] == 0
+    assert last[3] == 9  # outside both rects: base frame survives
+
+    # refusals: GIF87a (no GCE semantics), rect overflow, truncation
+    with pytest.raises(DecodeError):
+        decode_gif_animation(b"GIF87a" + gif[6:])
+    with pytest.raises(ValueError):
+        encode_gif_animation(4, 4, [
+            {"left": 3, "top": 3, "w": 2, "h": 2, "indices": bytes(4),
+             "disposal": 0, "transparent": None},
+        ])
+    with pytest.raises(DecodeError):
+        decode_gif_animation(gif[:-20])

@@ -1042,6 +1042,177 @@ def encode_gif(width: int, height: int, gray: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(
+    width: int, height: int, frames: list[dict]
+) -> bytes:
+    """GIF89a ANIMATION, 256-entry grayscale global table: a Netscape
+    loop application extension, then per frame a Graphic Control
+    Extension (disposal method bits 2-4, transparency flag bit 0,
+    transparent index) followed by a SUB-RECTANGLE image descriptor
+    and real LZW data. Each frame dict: left, top, w, h,
+    indices (w*h bytes), disposal (0-3), transparent (index or None).
+    The fixture builder for the animation composition decoder."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    # Netscape looping extension (exercises application-block skipping)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        left, top, w, h = fr["left"], fr["top"], fr["w"], fr["h"]
+        if len(fr["indices"]) != w * h:
+            raise ValueError("frame indices do not match its rect")
+        if left + w > width or top + h > height:
+            raise ValueError("frame rect outside logical screen")
+        trans = fr.get("transparent")
+        packed = (fr.get("disposal", 0) & 0x07) << 2
+        if trans is not None:
+            packed |= 0x01
+        out += b"\x21\xf9\x04" + bytes([packed]) + struct.pack("<H", 2)
+        out += bytes([trans if trans is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(8)
+        lzw = _lzw_encode(fr["indices"], 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+@_decode_boundary
+def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a GIF89a ANIMATION with the full composition model — the
+    second real INTER-frame form beside Microsoft-RLE8: each image is
+    a SUB-RECTANGLE drawn onto the logical canvas, transparent-index
+    pixels INHERIT whatever the canvas already holds, and the PREVIOUS
+    frame's disposal method is applied before drawing — 0/1 keep the
+    canvas, 2 restores the previous rect to the background color, 3
+    restores the canvas to its state before the previous frame drew
+    (the undo disposal). Returns (width, height, frames) with one
+    full-canvas RGB rendering per image, row-0-first — so a GIF
+    animation's frames come out exactly like every other video
+    decoder's. Extension blocks (Netscape loop, comments) are walked
+    and skipped; interlacing refuses as in decode_gif; malformed
+    rects/indices raise the usual untrusted-bytes ValueError."""
+    if payload[:6] != b"GIF89a":
+        raise ValueError("not a GIF89a payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if palette is None or len(palette) < 3 * (bg + 1):
+        raise ValueError("animation requires a global color table")
+    canvas = bytearray([bg]) * (width * height)
+    frames: list[bytes] = []
+    pend_disposal = 0
+    pend_transparent: int | None = None
+    prev_disposal = 0
+    prev_rect: tuple[int, int, int, int] | None = None
+    snapshot: bytearray | None = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                blen = payload[pos]
+                if blen != 4:
+                    raise ValueError("malformed GCE block")
+                gpacked = payload[pos + 1]
+                pend_disposal = (gpacked >> 2) & 0x07
+                pend_transparent = (
+                    payload[pos + 4] if gpacked & 0x01 else None
+                )
+                pos += 1 + blen
+                if payload[pos] != 0:
+                    raise ValueError("unterminated GCE")
+                pos += 1
+            else:  # application/comment/plain-text: skip sub-blocks
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError(
+                    "local color tables unsupported in animations"
+                )
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if left + iw > width or top + ih > height:
+                raise ValueError("frame rect outside logical screen")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                data += payload[pos : pos + blen]
+                pos += blen
+            idx = _lzw_decode(bytes(data), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF frame data shorter than its rect")
+            # apply the PREVIOUS frame's disposal before drawing
+            if prev_rect is not None:
+                if prev_disposal == 2:
+                    pl, pt, pw, ph = prev_rect
+                    for y in range(pt, pt + ph):
+                        base = y * width
+                        for x in range(pl, pl + pw):
+                            canvas[base + x] = bg
+                elif prev_disposal == 3 and snapshot is not None:
+                    canvas = bytearray(snapshot)
+            snapshot = bytearray(canvas)  # pre-draw state (disposal 3)
+            i = 0
+            for y in range(top, top + ih):
+                base = y * width
+                for x in range(left, left + iw):
+                    v = idx[i]
+                    i += 1
+                    if v == pend_transparent:
+                        continue  # inherit the canvas (inter-frame)
+                    canvas[base + x] = v
+            rgb = bytearray(width * height * 3)
+            for j, v in enumerate(canvas):
+                if 3 * v + 2 >= len(palette):
+                    raise ValueError("pixel index outside color table")
+                rgb[3 * j] = palette[3 * v]
+                rgb[3 * j + 1] = palette[3 * v + 1]
+                rgb[3 * j + 2] = palette[3 * v + 2]
+            frames.append(bytes(rgb))
+            prev_disposal = pend_disposal
+            prev_rect = (left, top, iw, ih)
+            pend_disposal = 0
+            pend_transparent = None
+        elif b0 == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b0:02x}")
+    else:
+        saw_trailer = False
+    if not saw_trailer:
+        # block-boundary truncation would otherwise return a silently
+        # partial animation — the trailer is the integrity witness
+        raise ValueError("GIF animation missing its trailer")
+    if not frames:
+        raise ValueError("GIF animation holds no image")
+    return width, height, frames
+
+
 @_decode_boundary
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a non-interlaced GIF87a/89a: walk the block structure
@@ -2454,6 +2625,143 @@ def multimodal_codec_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id long, decoded boolean, n_frames long, frame_sum long, "
         "tail_sum long",
+    )
+
+
+_GIF_ANIMATION_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               ascii(substr(text, 1, 1)) AS v0,
+               ascii(substr(text,
+                     CAST((1 % length(text)) + 1 AS INT), 1)) AS v1,
+               ascii(substr(text,
+                     CAST((2 % length(text)) + 1 AS INT), 1)) AS v2
+        FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(2247 * v0 + 45 * v1 + 12 * v2 AS BIGINT) AS total_sum,
+           CAST(CASE WHEN v0 = v1 THEN 0 ELSE 15 END AS BIGINT)
+               AS f2_changed,
+           CAST(v0 AS BIGINT) AS f2_inherited,
+           CAST(v2 AS BIGINT) AS v_last,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_gif_animation_stats", _GIF_ANIMATION_ORACLE)
+def multimodal_gif_animation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GIF89a ANIMATION decode under the hash gate — the web's other
+    ubiquitous inter-frame form beside Microsoft-RLE8: each video
+    doc's payload is a three-frame animation exercising the FULL
+    composition model — a full-canvas base frame, a SUB-RECTANGLE
+    frame whose transparent-index pixel INHERITS the canvas
+    (inter-frame), a restore-to-previous disposal that UNDOES that
+    frame before the third draws, plus a Netscape loop extension the
+    walker must skip and real LZW data throughout
+    (decode_gif_animation). GIF is lossless, so the symbolic oracle
+    predicts every composed byte: total_sum spans all three canvases
+    (2247·v0 + 45·v1 + 12·v2), f2_changed counts pixels differing
+    between canvases 1 and 2 by COMPARING the decoded frames (a
+    transparency leak or rect misplacement moves it), f2_inherited
+    reads the transparent pixel, v_last proves the disposal-3 undo
+    (any residue of frame 2 would leave v1 where v0 belongs and shift
+    total_sum). Scale: same narrow Arrow shape as every media entry —
+    bounded per-row decode, no shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+
+        def gif_of(v0: int, v1: int, v2: int) -> bytes:
+            key = (v0, v1, v2)
+            if key not in cache:
+                trans = (v1 + 1) % 256  # any index the rect never draws
+                idx2 = bytearray([v1]) * 16
+                idx2[0] = trans
+                cache[key] = encode_gif_animation(
+                    16,
+                    16,
+                    [
+                        {
+                            "left": 0, "top": 0, "w": 16, "h": 16,
+                            "indices": bytes([v0]) * 256,
+                            "disposal": 1, "transparent": None,
+                        },
+                        {
+                            "left": 4, "top": 3, "w": 8, "h": 2,
+                            "indices": bytes(idx2),
+                            "disposal": 3, "transparent": trans,
+                        },
+                        {
+                            "left": 0, "top": 0, "w": 2, "h": 2,
+                            "indices": bytes([v2]) * 4,
+                            "disposal": 0, "transparent": None,
+                        },
+                    ],
+                )
+            return cache[key]
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                payloads.append(
+                    gif_of(raw[0], raw[1 % len(raw)], raw[2 % len(raw)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "n_frames": [], "total_sum": [], "f2_changed": [],
+                "f2_inherited": [], "v_last": [], "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    w, h, frames = decode_gif_animation(bytes(payload))
+                    c1, c2, c3 = frames
+                    diff = sum(
+                        1
+                        for i in range(0, len(c1), 3)
+                        if c1[i : i + 3] != c2[i : i + 3]
+                    )
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(len(frames))
+                    out["total_sum"].append(sum(c1) + sum(c2) + sum(c3))
+                    out["f2_changed"].append(diff)
+                    out["f2_inherited"].append(c2[(3 * 16 + 4) * 3])
+                    out["v_last"].append(c3[0])
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    for k in (
+                        "width", "height", "n_frames", "total_sum",
+                        "f2_changed", "f2_inherited", "v_last",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, width long, height long, n_frames long, "
+        "total_sum long, f2_changed long, f2_inherited long, "
+        "v_last long, decoded boolean",
     )
 
 
