@@ -4293,3 +4293,173 @@ def events_max_concurrent_sessions(
             .alias("n_sessions_started"),
         )
     )
+
+
+_HOLT_WINTERS_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) - 1
+                    AS BIGINT) AS i
+        FROM events GROUP BY 1
+    ),
+    init0 AS (
+        SELECT CAST(SUM(cents) AS DOUBLE) / 7.0 AS l0
+        FROM daily WHERE i < 7
+    ),
+    init AS (
+        SELECT l0,
+               (SELECT list(CAST(d.cents AS DOUBLE) - l0 ORDER BY d.i)
+                FROM daily d WHERE d.i < 7) AS s0
+        FROM init0
+    ),
+    rec AS (
+        SELECT CAST(6 AS BIGINT) AS i, l0 AS level,
+               CAST(0 AS DOUBLE) AS trend, s0 AS s,
+               CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS cents,
+               CAST(NULL AS DOUBLE) AS seasonal,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM init
+        UNION ALL
+        SELECT x.i,
+               0.5 * (CAST(x.cents AS DOUBLE)
+                      - r.s[CAST(x.i % 7 AS INT) + 1])
+                   + 0.5 * (r.level + r.trend),
+               0.5 * ((0.5 * (CAST(x.cents AS DOUBLE)
+                              - r.s[CAST(x.i % 7 AS INT) + 1])
+                       + 0.5 * (r.level + r.trend)) - r.level)
+                   + 0.5 * r.trend,
+               list_transform(range(0, 7), j -> CASE WHEN j = x.i % 7 THEN
+                   0.5 * (CAST(x.cents AS DOUBLE)
+                          - (0.5 * (CAST(x.cents AS DOUBLE)
+                                    - r.s[CAST(x.i % 7 AS INT) + 1])
+                             + 0.5 * (r.level + r.trend)))
+                       + 0.5 * r.s[CAST(x.i % 7 AS INT) + 1]
+                   ELSE r.s[CAST(j AS INT) + 1] END),
+               x.day, x.cents,
+               0.5 * (CAST(x.cents AS DOUBLE)
+                      - (0.5 * (CAST(x.cents AS DOUBLE)
+                                - r.s[CAST(x.i % 7 AS INT) + 1])
+                         + 0.5 * (r.level + r.trend)))
+                   + 0.5 * r.s[CAST(x.i % 7 AS INT) + 1],
+               r.level + r.trend + r.s[CAST(x.i % 7 AS INT) + 1]
+        FROM rec r JOIN daily x ON x.i = r.i + 1
+    )
+    SELECT day, cents,
+           FLOOR(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+           FLOOR(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           FLOOR(seasonal * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+           FLOOR(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+    FROM rec WHERE day IS NOT NULL
+"""
+
+
+@_register("events_holt_winters_seasonal", _HOLT_WINTERS_ORACLE)
+def events_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (level + trend +
+    period-7 seasonal state, alpha=beta=gamma=1/2) over the daily
+    revenue series — the triple-exponential extension of
+    events_holt_linear_trend, carrying a SEVEN-SLOT seasonal vector
+    through the same JVM-side fold: warm-up on the first 7 days
+    (level = their integer-exact mean, seasonal_j = y_j - level,
+    trend = 0), then per day the recurrence updates level, trend, and
+    the day's seasonal slot while the other six ride along unchanged
+    — the array update is exact, so only the ~5 float ops per step
+    need the expression-tree contract. fitted = l + b + s_k is the
+    one-step seasonal forecast.
+
+    Cross-engine exactness: the Spark `aggregate()` lambda and the
+    DuckDB recursive CTE spell the IDENTICAL IEEE expression trees
+    (new level textually inlined inside trend and seasonal, the
+    seasonal slot rotated by index mod 7 on both sides, the warm-up
+    mean computed as an INTEGER sum divided once), micro-frozen after
+    the recursion — the r10 sequential-fp64 pattern extended to a
+    vector-valued state. Series shorter than 8 days yield the empty
+    frame on both engines.
+
+    At 100 TB the scan+rollup parallelizes fully; the fold touches
+    |days| structs in one task — the correct trade for a recurrence
+    that is sequential by definition."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    one = (
+        daily.agg(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a")
+        )
+        .withColumn(
+            "l0",
+            F.expr(
+                "CAST(aggregate(slice(a, 1, 7), 0L, (s, x) -> s + x.cents)"
+                " AS DOUBLE) / 7.0D"
+            ),
+        )
+        .withColumn(
+            "s0",
+            F.expr("transform(slice(a, 1, 7),"
+                   " x -> CAST(x.cents AS DOUBLE) - l0)"),
+        )
+    )
+    new_l = (
+        "0.5D * (CAST(x.cents AS DOUBLE)"
+        " - element_at(acc.s, pmod(acc.i, 7) + 1))"
+        " + 0.5D * (acc.level + acc.trend)"
+    )
+    new_b = (
+        f"0.5D * (({new_l}) - acc.level) + 0.5D * acc.trend"
+    )
+    new_sk = (
+        f"0.5D * (CAST(x.cents AS DOUBLE) - ({new_l}))"
+        " + 0.5D * element_at(acc.s, pmod(acc.i, 7) + 1)"
+    )
+    rows = one.select(
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                  slice(a, 8, greatest(size(a) - 7, 0)),
+                  named_struct(
+                    'i', 7,
+                    'level', l0,
+                    'trend', 0.0D,
+                    's', s0,
+                    'rows', CAST(array() AS array<struct<
+                        day: date, cents: bigint, level: double,
+                        trend: double, seasonal: double,
+                        fitted: double>>)
+                  ),
+                  (acc, x) -> named_struct(
+                    'i', acc.i + 1,
+                    'level', {new_l},
+                    'trend', {new_b},
+                    's', transform(acc.s, (v, j) ->
+                        IF(j = pmod(acc.i, 7), {new_sk}, v)),
+                    'rows', array_append(acc.rows, named_struct(
+                        'day', x.day, 'cents', x.cents,
+                        'level', {new_l},
+                        'trend', {new_b},
+                        'seasonal', {new_sk},
+                        'fitted', acc.level + acc.trend
+                                  + element_at(acc.s, pmod(acc.i, 7) + 1)))
+                  ),
+                  acc -> acc.rows
+                )
+                """
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("cents"),
+        r2(F.col("r.level"), 6).alias("level"),
+        r2(F.col("r.trend"), 6).alias("trend"),
+        r2(F.col("r.seasonal"), 6).alias("seasonal"),
+        r2(F.col("r.fitted"), 6).alias("fitted"),
+    )
