@@ -4152,3 +4152,74 @@ def test_gif_animation_composition():
         ])
     with pytest.raises(DecodeError):
         decode_gif_animation(gif[:-20])
+
+
+def test_txn_protocol_reader_version_gate(spark, sf_dir, tmp_path):
+    """The protocol action (Delta's minReaderVersion in miniature):
+    reads at or below the engine's supported version work and the
+    demand survives checkpointing; a table whose newest protocol
+    demands MORE refuses on every read path (writer-side replay,
+    restore, clone, the Spark checkpoint reader) while the upgrade
+    COMMIT itself still succeeds (its interval checkpoint is skipped
+    with a warning — checkpoint failure never surfaces as commit
+    failure); time travel to below the upgrade still works."""
+    import json
+    import os
+    import warnings
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.formats import (
+        read_txn_log_checkpointed,
+    )
+    from user_feed_cdc_spark.sources.txn_writer import (
+        SUPPORTED_READER_VERSION,
+        TxnLogWriter,
+    )
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root), checkpoint_interval=3)
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").commit()  # v0
+    w.begin().set_protocol(SUPPORTED_READER_VERSION).commit()  # v1: fine
+    (root / "b").mkdir()
+    w.begin().add("b").commit()  # v2 -> interval checkpoint at v2
+    assert w.live_files() == ["a", "b"]
+    ckpt = os.path.join(w.log_dir, "00002.checkpoint.json")
+    lines = [json.loads(x) for x in open(ckpt) if x.strip()]
+    assert any(  # the demand survives checkpointing
+        a.get("action") == "protocol"
+        and a["minReader"] == SUPPORTED_READER_VERSION
+        for a in lines
+    )
+
+    # upgrade BEYOND this engine: the commit lands (one blind JSON
+    # line), but every subsequent read refuses
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        assert w.begin().set_protocol(
+            SUPPORTED_READER_VERSION + 1
+        ).commit() == 3
+    with pytest.raises(ValueError, match="reader version"):
+        w.live_files()
+    with pytest.raises(ValueError, match="reader version"):
+        w.restore(0)
+    with pytest.raises(ValueError, match="reader version"):
+        w.clone_to(str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="reader version"):
+        read_txn_log_checkpointed(spark, str(root), w.log_dir)
+    # time travel BELOW the upgrade replays only the supported history
+    assert w.live_files(as_of=2) == ["a", "b"]
+
+    # an upgrade commit landing ON the checkpoint interval must still
+    # succeed — the unreadable checkpoint is skipped with a warning
+    w2 = TxnLogWriter(str(tmp_path / "t2"), checkpoint_interval=1)
+    (tmp_path / "t2" / "x").mkdir(parents=True)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        w2.begin().add("x").set_protocol(
+            SUPPORTED_READER_VERSION + 5
+        ).commit()
+    assert any("checkpoint" in str(x.message) for x in rec)
+    with pytest.raises(ValueError, match="reader version"):
+        w2.live_files()

@@ -973,7 +973,7 @@ def read_txn_log_checkpointed(
         and not name.endswith(".checkpoint.json")
         and int(name.split(".")[0]) > ckpt_version
     ]
-    log_schema = "version long, action string, file string"
+    log_schema = "version long, action string, file string, minReader long"
     base = spark.read.schema(log_schema).json(
         os.path.join(log_dir, f"{ckpt_version:05d}.checkpoint.json")
     )
@@ -982,6 +982,23 @@ def read_txn_log_checkpointed(
         if tail  # a checkpoint at HEAD has no tail to replay
         else base
     )
+    # protocol gate (Delta's minReaderVersion): refuse a table whose
+    # newest protocol action demands a reader newer than this engine —
+    # mirrored from the writer-side replay (txn_writer._replay_actions)
+    from user_feed_cdc_spark.sources.txn_writer import (
+        SUPPORTED_READER_VERSION,
+    )
+
+    need = (
+        log.filter(F.col("action") == "protocol")
+        .agg(F.max("minReader"))
+        .first()[0]
+    )
+    if need is not None and need > SUPPORTED_READER_VERSION:
+        raise ValueError(
+            f"table requires reader version {need}; this engine "
+            f"supports {SUPPORTED_READER_VERSION}"
+        )
     paths = [
         os.path.join(root, name) for name in _replay_live_files(log)
     ]

@@ -95,6 +95,15 @@ def _last_wins(actions: list[dict]) -> list[str]:
     return sorted(f for f, (_v, r) in last.items() if r == 0)
 
 
+# The highest table-format reader version this engine implements.
+# Version 1: base snapshot replay; 2: checkpoints/DV/stats/schema/txn/
+# constraints/CDF — everything certified in sources/formats.py. A table
+# whose newest protocol action demands more REFUSES to read (Delta's
+# minReaderVersion contract): silently ignoring an unknown feature is
+# how readers corrupt tables they don't understand.
+SUPPORTED_READER_VERSION = 2
+
+
 class TxnLogWriter:
     """Control-plane committer for one transaction-log table rooted at
     `root` (data file dirs as siblings of the `_log` dir — the layout
@@ -150,7 +159,9 @@ class TxnLogWriter:
         with open(p) as f:
             return json.loads(f.readline())["version"]
 
-    def _replay_actions(self, hi: int) -> list[dict]:
+    def _replay_actions(
+        self, hi: int, enforce_protocol: bool = True
+    ) -> list[dict]:
         """Checkpoint base (when one exists at or below hi) + tail —
         the same bounded replay the reader runs, so the writer stays
         correct after pre-checkpoint commits are vacuumed."""
@@ -173,6 +184,21 @@ class TxnLogWriter:
                     f"v{self._checkpoint_version()} was vacuumed"
                 )
         acts.extend(self._actions_between(lo, hi))
+        # protocol gate (Delta's minReaderVersion): the newest protocol
+        # action VISIBLE TO THIS REPLAY must not demand a reader newer
+        # than this engine — refusing beats silently ignoring a feature
+        # the snapshot depends on. Checked on the replayed actions, so
+        # time travel to below a protocol upgrade still works.
+        need = 1
+        for a in acts:
+            if a.get("action") == "protocol":
+                need = max(need, a["minReader"])
+        if enforce_protocol and need > SUPPORTED_READER_VERSION:
+            raise ValueError(
+                f"table requires reader version {need}; this engine "
+                f"supports {SUPPORTED_READER_VERSION} — refusing rather "
+                "than mis-reading an unknown feature"
+            )
         return acts
 
     def live_files(self, as_of: int | None = None) -> list[str]:
@@ -508,6 +534,22 @@ class TxnLogWriter:
                     "timestamp": ci["timestamp"],
                 }
             )
+        # carry the newest protocol demand forward — the gate must
+        # survive vacuuming the commit that raised it
+        proto = None
+        for a in acts:
+            if a.get("action") == "protocol" and (
+                proto is None or a["version"] >= proto["version"]
+            ):
+                proto = a
+        if proto is not None:
+            lines.append(
+                {
+                    "version": version,
+                    "action": "protocol",
+                    "minReader": proto["minReader"],
+                }
+            )
         # carry the newest constraints declaration forward — enforcement
         # must survive vacuuming the commit that declared it
         con = None
@@ -627,6 +669,16 @@ class Transaction:
         self.actions.append({"action": "metaData", "schema": schema})
         return self
 
+    def set_protocol(self, min_reader: int) -> "Transaction":
+        """Stage a protocol upgrade (Delta's protocol action): readers
+        older than `min_reader` must REFUSE the table from this commit
+        onward. Upgrades are one JSON line and, like schema and
+        constraints, survive checkpointing."""
+        if min_reader < 1:
+            raise ValueError("reader version must be >= 1")
+        self.actions.append({"action": "protocol", "minReader": min_reader})
+        return self
+
     def set_constraints(self, exprs: list[str]) -> "Transaction":
         """Stage the table's CHECK constraint set (newest wins, like
         schema): each expr is a Spark SQL boolean every row must
@@ -731,7 +783,7 @@ class Transaction:
                 # write_checkpoint call — repairs coverage.
                 try:
                     w.write_checkpoint(target)
-                except OSError as e:
+                except (OSError, ValueError) as e:
                     import warnings
 
                     warnings.warn(
