@@ -4223,3 +4223,26 @@ def test_txn_protocol_reader_version_gate(spark, sf_dir, tmp_path):
     assert any("checkpoint" in str(x.message) for x in rec)
     with pytest.raises(ValueError, match="reader version"):
         w2.live_files()
+
+
+def test_mjpeg_avi_carries_progressive_frames():
+    """Progressive JPEG composes with the MJPEG demux for free: an MJPG
+    AVI whose frames are SOF2 progressive streams decodes through the
+    same decode_avi_mjpeg path, bit-identical to baseline frames of
+    the same pixels (the lossless-coefficients contract end to end
+    inside the container)."""
+    from user_feed_cdc_spark.operators.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from user_feed_cdc_spark.operators.multimodal import (
+        decode_avi_mjpeg, encode_avi,
+    )
+
+    px = bytes((7 * i) % 256 for i in range(64))
+    base_avi = encode_avi(
+        8, 8, [encode_jpeg(8, 8, px)] * 2, compression=b"MJPG"
+    )
+    prog_avi = encode_avi(
+        8, 8, [encode_jpeg_progressive(8, 8, px)] * 2, compression=b"MJPG"
+    )
+    assert decode_avi_mjpeg(prog_avi) == decode_avi_mjpeg(base_avi)
