@@ -2463,3 +2463,128 @@ def pipeline_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE nc * w DIV nd END * 1000000 DIV tokens AS BIGINT)"
         ).alias("epochs_ppm"),
     )
+
+
+_MM_FUNNEL_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               ascii(substr(text, 1, 1)) AS v0,
+               ascii(substr(text,
+                     CAST((1 % length(text)) + 1 AS INT), 1)) AS v1
+        FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) >= 1
+    ),
+    moving AS (  -- quality gate: static clips (v0 = v1) are dropped
+        SELECT * FROM m WHERE v0 <> v1
+    ),
+    reps AS (
+        SELECT v0, v1,
+               MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM moving GROUP BY v0, v1
+    )
+    SELECT doc_id,
+           CAST(v0 AS BIGINT) AS v_first,
+           CAST(v1 AS BIGINT) AS v_changed,
+           n_dups
+    FROM reps
+"""
+
+
+@_register("pipeline_multimodal_funnel", _MM_FUNNEL_ORACLE)
+def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL curation funnel — decode → quality-gate → near-dup
+    collapse → representative selection as ONE certified plan, tying
+    the media codec tier into the corpus-pipeline story (the video
+    sibling of pipeline_training_funnel): every video doc's RLE8 AVI
+    is DECODED (real inter-frame reconstruction, decode_avi_rle8), a
+    quality gate drops STATIC clips (no pixel changed between frames —
+    the video analogue of boilerplate filtering), duplicates collapse
+    on a content fingerprint EXTRACTED FROM THE DECODED FRAMES (the
+    (first-pixel, changed-pixel) pair — if the decoder misread either
+    frame, docs land in wrong groups and both the grouping and the
+    counts hash-diverge), and each group keeps its min-doc_id
+    representative with the collapse count — the deterministic
+    output a reproducible corpus build needs.
+
+    The oracle derives the same funnel from the doc text (the fixture
+    generator's source of truth), so the certified claim is END TO
+    END: encode → container → inter-frame decode → pixel extraction →
+    filter → dedup agree with the symbolic prediction for every doc.
+    Scale: decode is the narrow Arrow stage every media entry uses;
+    the funnel then shuffles only (fingerprint, doc_id) pairs — the
+    dedup family's 16-byte-key posture — and one groupBy produces the
+    survivors; each stage shrinks what the next pays for."""
+    import pandas as pd
+
+    from collections.abc import Iterator as _It
+
+    from user_feed_cdc_spark.operators.multimodal import (
+        DECODE_FALLBACK_ERRORS,
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") >= 1)
+    )
+
+    def build(it: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        cache: dict[tuple[int, int], bytes] = {}
+
+        def avi_of(v0: int, v1: int) -> bytes:
+            if (v0, v1) not in cache:
+                key = (
+                    b"".join(bytes([16, v0, 0, 0]) for _ in range(15))
+                    + bytes([16, v0, 0, 1])
+                )
+                delta = (
+                    bytes([0, 2, 4, 3]) + bytes([4, v1])
+                    + bytes([0, 3, v1, v1, v1, 0]) + bytes([0, 1])
+                )
+                cache[(v0, v1)] = encode_avi_rle8(16, 16, [key, delta])
+            return cache[(v0, v1)]
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                payloads.append(avi_of(raw[0], raw[1 % len(raw)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def decode(it: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "v_first": [], "v_changed": [],
+                "moving": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    _w, _h, _fps, frames = decode_avi_rle8(bytes(payload))
+                    f0, f1 = frames[0], frames[1]
+                    out["v_first"].append(f1[0])
+                    out["v_changed"].append(f1[(12 * 16 + 4) * 3])
+                    out["moving"].append(f0 != f1)
+                except DECODE_FALLBACK_ERRORS:
+                    out["v_first"].append(-1)
+                    out["v_changed"].append(-1)
+                    out["moving"].append(False)
+            yield pd.DataFrame(out)
+
+    decoded = fan_out(mm, min_parallelism=8).mapInPandas(
+        decode, "doc_id long, v_first long, v_changed long, moving boolean"
+    )
+    return (
+        decoded.filter(F.col("moving"))
+        .groupBy("v_first", "v_changed")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "v_first", "v_changed", "n_dups")
+    )
