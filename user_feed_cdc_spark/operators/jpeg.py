@@ -1147,6 +1147,18 @@ def _alloc_prog_coefs(
             f"declared dims {width}x{height} need {n_blocks} blocks but "
             f"only {len(payload) - pos} entropy bytes remain"
         )
+    # The cross-scan store costs ~64 boxed ints PER BLOCK (~2.4 KB) —
+    # a ~20x worse bytes-to-allocation amplification than the baseline
+    # path's sample planes — so the proportional guard above is not
+    # enough on its own: cap the store absolutely (4M blocks = a
+    # 16k x 16k 4:2:0 frame, far beyond any thumbnail/frame workload
+    # this tier decodes; bigger media belongs to the external-decoder
+    # plug point).
+    if n_blocks > (1 << 22):
+        raise ValueError(
+            f"declared dims {width}x{height} ({n_blocks} blocks) exceed "
+            "the progressive decoder's allocation cap"
+        )
     coefs = [
         [[0] * 64 for _ in range(mcus_w * hh * mcus_h * vv)]
         for hh, vv in factors
