@@ -2089,3 +2089,87 @@ def text_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL head_tokens(d.text, 4) AS t
         """
     )
+
+
+_PMI_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT u.x AS wd, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks, UNNEST(w) AS u(x) GROUP BY 1
+    ),
+    big AS (
+        SELECT w[CAST(u.i AS INT)] AS w1,
+               w[CAST(u.i AS INT) + 1] AS w2
+        FROM toks, UNNEST(range(1, len(w))) AS u(i)
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM big GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big)
+    SELECT w1, w2, n_xy,
+           CAST((n_xy * nb * 1000000) // (u1.n * u2.n) AS BIGINT)
+               AS pmi_scaled
+    FROM bc, tot
+    JOIN uni u1 ON u1.wd = bc.w1
+    JOIN uni u2 ON u2.wd = bc.w2
+    WHERE n_xy >= 5
+    ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20
+"""
+
+
+@_register("text_pmi_collocations", _PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction by pointwise mutual information — the
+    classic phrase-mining signal (which word pairs co-occur far more
+    than their frequencies predict), ranked WITHOUT a single float:
+    PMI = log(p(xy)/(p(x)p(y))) is monotone in the integer rational
+    n_xy·N / (n_x·n_y), so the sort key is that ratio scaled to ppm by
+    exact BIGINT arithmetic — the house integer-ranking rule (no
+    cross-engine ln ULP can reorder the top-k), with (w1, w2) breaking
+    exact score ties deterministically. Bigrams are adjacent
+    within-doc token pairs built by an index transform over the token
+    array (no self-join); a min-support gate (n_xy >= 5) keeps the
+    rare-pair noise PMI is notorious for out of the ranking.
+
+    Scale: explode volume is |tokens| for unigrams + |tokens| for
+    bigrams; both aggregates partial-combine map-side; the unigram
+    table joins back twice by word (broadcast at vocab scale) and one
+    TakeOrdered produces the top-k — no shuffle carries text bodies,
+    only words and counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = docs.select(toks.alias("w"))
+    uni = base.select(F.explode("w").alias("wd")).groupBy("wd").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = base.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> named_struct("
+                "'w1', element_at(w, i), 'w2', element_at(w, i + 1)))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    nb = pairs.count()  # one scalar to the driver: the bigram total
+    scored = (
+        bc.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("wd", "w1")
+                          .withColumnRenamed("n", "n1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("wd", "w2")
+                          .withColumnRenamed("n", "n2")), "w2")
+        .select(
+            "w1", "w2", "n_xy",
+            F.expr(
+                f"CAST((n_xy * {nb}L * 1000000L) DIV (n1 * n2) AS BIGINT)"
+            ).alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), "w1", "w2"
+    ).limit(20)
