@@ -4246,3 +4246,88 @@ def test_mjpeg_avi_carries_progressive_frames():
         8, 8, [encode_jpeg_progressive(8, 8, px)] * 2, compression=b"MJPG"
     )
     assert decode_avi_mjpeg(prog_avi) == decode_avi_mjpeg(base_avi)
+
+
+def test_txn_restore_refuses_stale_dv_on_readd(tmp_path):
+    """Review regression (r12): restoring to a point BEFORE a file
+    gained its deletion vector must refuse even when the file is being
+    RE-ADDED — the newer dv action stays in history, and the moment
+    the restore made the file live again a reader would resolve it,
+    silently dropping rows the target snapshot had."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    (root / "f").mkdir(parents=True)
+    w.begin().add("f").commit()            # v0: f live, no DV
+    w.begin().set_dv("f", "dv1").commit()  # v1: f gains a DV
+    (root / "f2").mkdir()
+    w.begin().remove("f").add("f2").commit()  # v2: COW rewrite
+    with pytest.raises(ValueError, match="deletion vector"):
+        w.restore(0)  # re-adding f would resurrect dv1
+    assert w.live_files() == ["f2"]  # refusal staged nothing
+    # restoring to v1 (where the DV was part of the snapshot) is fine
+    assert w.restore(1) == 3
+    assert w.live_files() == ["f"]
+    assert w._newest_dv(3) == {"f": "dv1"}
+
+
+def test_txn_clone_carries_protocol(tmp_path):
+    """Review regression (r12): a shallow clone must carry the
+    source's protocol demand — cloning the DV/constraint features
+    without the reader bar that guards them would let an older reader
+    corrupt the clone."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        SUPPORTED_READER_VERSION,
+        TxnLogWriter,
+    )
+
+    root = tmp_path / "src"
+    w = TxnLogWriter(str(root))
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").set_protocol(SUPPORTED_READER_VERSION).commit()
+    w.clone_to(str(tmp_path / "c"))
+    import json
+    import os
+
+    c = TxnLogWriter(str(tmp_path / "c"))
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(c.log_dir, "00000.json"))
+        if x.strip()
+    ]
+    assert any(
+        a.get("action") == "protocol"
+        and a["minReader"] == SUPPORTED_READER_VERSION
+        for a in lines
+    )
+
+
+def test_txn_protocol_gate_is_newest_wins(tmp_path):
+    """Review regression (r12): the gate follows the NEWEST protocol
+    action (Delta semantics, what checkpoints carry) — a downgrade
+    commit reopens the table, and refusal never depends on whether
+    older history happens to be vacuumed."""
+    import warnings
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        SUPPORTED_READER_VERSION,
+        TxnLogWriter,
+    )
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").commit()  # v0
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        w.begin().set_protocol(SUPPORTED_READER_VERSION + 3).commit()  # v1
+    with pytest.raises(ValueError, match="reader version"):
+        w.live_files()
+    # a newer engine downgrades the demand: THIS engine reads again
+    w.begin().set_protocol(1).commit()  # v2 (blind append, no read)
+    assert w.live_files() == ["a"]

@@ -812,6 +812,33 @@ def encode_avi_rle8(
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+# Shared two-frame RLE8 demo fixture (multimodal_video_rle8_delta_stats
+# AND pipeline_multimodal_funnel certify against it): 16x16 keyframe of
+# v0, then a P-frame that skips up 3 rows / right 4 cols and rewrites 7
+# pixels of v1 (a 4-run + a word-padded 3-literal absolute run) before
+# an early end-of-bitmap. Both oracles' closed-form constants and the
+# probe offset derive from THIS geometry — one definition keeps the two
+# entries and their oracles in lockstep.
+RLE8_DEMO_SIDE = 16
+RLE8_DEMO_CHANGED = 7
+RLE8_DEMO_PROBE = (12 * RLE8_DEMO_SIDE + 4) * 3  # first rewritten pixel
+
+
+def rle8_demo_avi(v0: int, v1: int) -> bytes:
+    side = RLE8_DEMO_SIDE
+    key = (
+        b"".join(bytes([side, v0, 0, 0]) for _ in range(side - 1))
+        + bytes([side, v0, 0, 1])
+    )
+    delta = (
+        bytes([0, 2, 4, 3])              # delta: right 4, up 3
+        + bytes([4, v1])                 # run of 4
+        + bytes([0, 3, v1, v1, v1, 0])   # absolute 3 + pad
+        + bytes([0, 1])                  # early end-of-bitmap
+    )
+    return encode_avi_rle8(side, side, [key, delta])
+
+
 def _rle8_apply(
     data: bytes, width: int, height: int, prev: bytes | None
 ) -> bytearray:
@@ -2437,17 +2464,7 @@ def multimodal_video_rle8_delta_stats(
 
         def avi_of(v0: int, v1: int) -> bytes:
             if (v0, v1) not in cache:
-                key = (
-                    b"".join(bytes([16, v0, 0, 0]) for _ in range(15))
-                    + bytes([16, v0, 0, 1])
-                )
-                delta = (
-                    bytes([0, 2, 4, 3])          # delta: right 4, up 3
-                    + bytes([4, v1])             # run of 4
-                    + bytes([0, 3, v1, v1, v1, 0])  # absolute 3 + pad
-                    + bytes([0, 1])              # early end-of-bitmap
-                )
-                cache[(v0, v1)] = encode_avi_rle8(16, 16, [key, delta])
+                cache[(v0, v1)] = rle8_demo_avi(v0, v1)
             return cache[(v0, v1)]
 
         for pdf in it:
@@ -2484,7 +2501,7 @@ def multimodal_video_rle8_delta_stats(
                     out["n_frames"].append(len(frames))
                     out["frame_sum"].append(sum(f0) + sum(f1))
                     out["delta_pixels"].append(diff)
-                    out["v_changed"].append(f1[(12 * 16 + 4) * 3])
+                    out["v_changed"].append(f1[RLE8_DEMO_PROBE])
                     out["v_inherited"].append(f1[0])
                     out["decoded"].append(True)
                 except DECODE_FALLBACK_ERRORS:

@@ -2521,8 +2521,9 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from user_feed_cdc_spark.operators.multimodal import (
         DECODE_FALLBACK_ERRORS,
+        RLE8_DEMO_PROBE,
         decode_avi_rle8,
-        encode_avi_rle8,
+        rle8_demo_avi,
     )
     from user_feed_cdc_spark.sources.tables import fan_out
 
@@ -2535,15 +2536,7 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def avi_of(v0: int, v1: int) -> bytes:
             if (v0, v1) not in cache:
-                key = (
-                    b"".join(bytes([16, v0, 0, 0]) for _ in range(15))
-                    + bytes([16, v0, 0, 1])
-                )
-                delta = (
-                    bytes([0, 2, 4, 3]) + bytes([4, v1])
-                    + bytes([0, 3, v1, v1, v1, 0]) + bytes([0, 1])
-                )
-                cache[(v0, v1)] = encode_avi_rle8(16, 16, [key, delta])
+                cache[(v0, v1)] = rle8_demo_avi(v0, v1)
             return cache[(v0, v1)]
 
         for pdf in it:
@@ -2568,7 +2561,7 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _w, _h, _fps, frames = decode_avi_rle8(bytes(payload))
                     f0, f1 = frames[0], frames[1]
                     out["v_first"].append(f1[0])
-                    out["v_changed"].append(f1[(12 * 16 + 4) * 3])
+                    out["v_changed"].append(f1[RLE8_DEMO_PROBE])
                     out["moving"].append(f0 != f1)
                 except DECODE_FALLBACK_ERRORS:
                     out["v_first"].append(-1)

@@ -2140,7 +2140,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams; both aggregates partial-combine map-side; the unigram
     table joins back twice by word (broadcast at vocab scale) and one
     TakeOrdered produces the top-k — no shuffle carries text bodies,
-    only words and counts."""
+    only words and counts. The BIGINT ranking is exactness-bounded
+    (max_n_xy·N ≤ 2^63/1e6, checked and refused LOUDLY — Spark's
+    non-ANSI mode would otherwise wrap silently where DuckDB errors);
+    corpora past that bound rank in 128-bit (DECIMAL(38,0)/HUGEINT)
+    or at a smaller ppm factor."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     base = docs.select(toks.alias("w"))
@@ -2156,7 +2160,20 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
-    nb = pairs.count()  # one scalar to the driver: the bigram total
+    row = bc.agg(
+        F.sum("n_xy").alias("nb"), F.max("n_xy").alias("mx")
+    ).first()
+    nb, max_nxy = int(row.nb or 0), int(row.mx or 0)
+    # BIGINT-exactness bound, enforced LOUDLY: Spark's non-ANSI mode
+    # would silently WRAP n_xy*nb*1e6 past 2^63 (DuckDB errors), so the
+    # integer ranking must refuse rather than mis-rank. Past this bound
+    # the scale path is 128-bit arithmetic (DECIMAL(38,0) / HUGEINT) or
+    # a smaller ppm factor — not silent wraparound.
+    if max_nxy * nb > (1 << 63) // 1_000_000 - 1:
+        raise ValueError(
+            f"pmi ranking would overflow BIGINT (max n_xy={max_nxy}, "
+            f"N={nb}); rescale the ppm factor or rank in 128-bit"
+        )
     scored = (
         bc.filter(F.col("n_xy") >= 5)
         .join(F.broadcast(uni.withColumnRenamed("wd", "w1")

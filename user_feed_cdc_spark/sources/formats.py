@@ -989,11 +989,13 @@ def read_txn_log_checkpointed(
         SUPPORTED_READER_VERSION,
     )
 
-    need = (
+    newest_proto = (
         log.filter(F.col("action") == "protocol")
-        .agg(F.max("minReader"))
-        .first()[0]
-    )
+        .orderBy(F.col("version").desc())
+        .select("minReader")
+        .first()
+    )  # NEWEST-wins, matching the writer-side gate and checkpoint carry
+    need = newest_proto[0] if newest_proto else None
     if need is not None and need > SUPPORTED_READER_VERSION:
         raise ValueError(
             f"table requires reader version {need}; this engine "

@@ -95,6 +95,38 @@ def _last_wins(actions: list[dict]) -> list[str]:
     return sorted(f for f, (_v, r) in last.items() if r == 0)
 
 
+def _winning_adds_of(
+    acts: list[dict], live: set[str]
+) -> dict[str, dict]:
+    """Winning (newest) add action per file in `live`, over an
+    already-replayed action list — the shared derivation restore/
+    clone/checkpoint all consume so one replay serves them all."""
+    out: dict[str, dict] = {}
+    for a in acts:
+        if a.get("action") == "add" and (
+            a["file"] not in out
+            or a["version"] >= out[a["file"]]["version"]
+        ):
+            out[a["file"]] = a
+    return {f: a for f, a in out.items() if f in live}
+
+
+def _newest_dv_of(
+    acts: list[dict], live: set[str] | None
+) -> dict[str, str]:
+    """file -> newest deletion-vector sidecar over an action list;
+    `live=None` keeps EVERY file's newest dv — what a reader would
+    resolve for a file the moment a later commit makes it live again
+    (the stale-DV hazard restore must reason about)."""
+    newest: dict[str, tuple[int, str]] = {}
+    for a in acts:
+        if a.get("action") == "dv" and (live is None or a["file"] in live):
+            v = a["version"]
+            if a["file"] not in newest or v >= newest[a["file"]][0]:
+                newest[a["file"]] = (v, a["dv"])
+    return {f: dv for f, (_v, dv) in newest.items()}
+
+
 # The highest table-format reader version this engine implements.
 # Version 1: base snapshot replay; 2: checkpoints/DV/stats/schema/txn/
 # constraints/CDF — everything certified in sources/formats.py. A table
@@ -159,9 +191,7 @@ class TxnLogWriter:
         with open(p) as f:
             return json.loads(f.readline())["version"]
 
-    def _replay_actions(
-        self, hi: int, enforce_protocol: bool = True
-    ) -> list[dict]:
+    def _replay_actions(self, hi: int) -> list[dict]:
         """Checkpoint base (when one exists at or below hi) + tail —
         the same bounded replay the reader runs, so the writer stays
         correct after pre-checkpoint commits are vacuumed."""
@@ -184,16 +214,21 @@ class TxnLogWriter:
                     f"v{self._checkpoint_version()} was vacuumed"
                 )
         acts.extend(self._actions_between(lo, hi))
-        # protocol gate (Delta's minReaderVersion): the newest protocol
-        # action VISIBLE TO THIS REPLAY must not demand a reader newer
-        # than this engine — refusing beats silently ignoring a feature
-        # the snapshot depends on. Checked on the replayed actions, so
-        # time travel to below a protocol upgrade still works.
-        need = 1
+        # protocol gate (Delta's minReaderVersion): the NEWEST protocol
+        # action visible to this replay rules — newest-wins, matching
+        # what write_checkpoint carries forward, so a downgrade commit
+        # reopens the table identically whether or not older history
+        # was vacuumed. Refusing beats silently ignoring a feature the
+        # snapshot depends on; time travel to below an upgrade still
+        # works because only the replayed actions are consulted.
+        newest = None
         for a in acts:
-            if a.get("action") == "protocol":
-                need = max(need, a["minReader"])
-        if enforce_protocol and need > SUPPORTED_READER_VERSION:
+            if a.get("action") == "protocol" and (
+                newest is None or a["version"] >= newest["version"]
+            ):
+                newest = a
+        need = newest["minReader"] if newest else 1
+        if need > SUPPORTED_READER_VERSION:
             raise ValueError(
                 f"table requires reader version {need}; this engine "
                 f"supports {SUPPORTED_READER_VERSION} — refusing rather "
@@ -287,28 +322,13 @@ class TxnLogWriter:
         version — what checkpointing, RESTORE, and CLONE all re-emit so
         stats/bloom/dv metadata survives the state copy."""
         acts = self._replay_actions(as_of)
-        out: dict[str, dict] = {}
-        for a in acts:
-            if a.get("action") == "add" and (
-                a["file"] not in out
-                or a["version"] >= out[a["file"]]["version"]
-            ):
-                out[a["file"]] = a
-        live = set(_last_wins(acts))
-        return {f: a for f, a in out.items() if f in live}
+        return _winning_adds_of(acts, set(_last_wins(acts)))
 
     def _newest_dv(self, as_of: int) -> dict[str, str]:
         """file -> newest deletion-vector sidecar as of a version,
         restricted to files live at that version."""
         acts = self._replay_actions(as_of)
-        live = set(_last_wins(acts))
-        newest: dict[str, tuple[int, str]] = {}
-        for a in acts:
-            if a.get("action") == "dv" and a["file"] in live:
-                v = a["version"]
-                if a["file"] not in newest or v >= newest[a["file"]][0]:
-                    newest[a["file"]] = (v, a["dv"])
-        return {f: dv for f, (_v, dv) in newest.items()}
+        return _newest_dv_of(acts, set(_last_wins(acts)))
 
     def constraints(self) -> list[str]:
         """The table's CHECK constraints: the NEWEST constraints
@@ -342,45 +362,47 @@ class TxnLogWriter:
 
         Refusals are loud, never partial: a required data file that
         VACUUM already deleted fails the whole restore (Delta's
-        documented RESTORE failure mode), and a kept-live file that
-        GAINED its first DV after `version` refuses too — this
-        protocol's dv actions only supersede, so clearing one back to
-        'no deletes' needs a copy-on-write rewrite, not a restore."""
-        target_live = _last_wins(self._replay_actions(version))
-        current_live = set(self.live_files())
-        target_adds = self._winning_adds(version)
-        dv_then = self._newest_dv(version)
-        dv_now = self._newest_dv(self.latest_version())
+        documented RESTORE failure mode), and ANY file — kept-live or
+        re-added — whose post-target history holds a DV the target
+        snapshot lacked refuses too: this protocol's dv actions only
+        supersede, so clearing one back to 'no deletes' needs a
+        copy-on-write rewrite, not a restore (a re-added file would
+        otherwise silently resurrect the newer DV the moment it went
+        live again, dropping rows the target snapshot had)."""
+        acts_then = self._replay_actions(version)
+        acts_now = self._replay_actions(self.latest_version())
+        target_live = _last_wins(acts_then)
+        current_live = set(_last_wins(acts_now))
+        target_adds = _winning_adds_of(acts_then, set(target_live))
+        dv_then = _newest_dv_of(acts_then, set(target_live))
+        # live=None: what a reader resolves for a file once it is live
+        # again — the stale-DV hazard for re-added files
+        dv_now_any = _newest_dv_of(acts_now, None)
         txn = self.begin()
         for f in sorted(current_live - set(target_live)):
             txn.remove(f)
         for f in target_live:
-            if f in current_live:
-                continue
-            if not os.path.isdir(os.path.join(self.root, f)):
-                raise ValueError(
-                    f"cannot restore to v{version}: data file {f} was "
-                    "vacuumed"
-                )
-            payload = {
-                k: v
-                for k, v in target_adds[f].items()
-                if k not in ("version", "action", "file", "dataChange")
-            }
-            txn.add(f, **payload)
-            if f in dv_then:
-                txn.set_dv(f, dv_then[f])
-        for f in sorted(set(target_live) & current_live):
-            then, now = dv_then.get(f), dv_now.get(f)
-            if then == now:
-                continue
-            if then is None:
+            then, now = dv_then.get(f), dv_now_any.get(f)
+            if then is None and now is not None:
                 raise ValueError(
                     f"cannot restore to v{version}: {f} gained deletion "
                     "vectors since and this protocol cannot clear a DV — "
                     "rewrite the file copy-on-write instead"
                 )
-            txn.set_dv(f, then)
+            if f not in current_live:
+                if not os.path.isdir(os.path.join(self.root, f)):
+                    raise ValueError(
+                        f"cannot restore to v{version}: data file {f} "
+                        "was vacuumed"
+                    )
+                payload = {
+                    k: v
+                    for k, v in target_adds[f].items()
+                    if k not in ("version", "action", "file", "dataChange")
+                }
+                txn.add(f, **payload)
+            if then is not None and then != now:
+                txn.set_dv(f, then)  # newest-wins: supersedes the newer DV
         return txn.commit()
 
     def clone_to(self, dest_root: str, version: int | None = None) -> int:
@@ -395,14 +417,19 @@ class TxnLogWriter:
         Delta drops SetTransaction on clone for the same reason).
         Later writes land under the clone's own root and never touch
         the source; removing a cloned add only drops the REFERENCE.
+        The source's PROTOCOL demand carries over too (Delta carries
+        protocol on clone): a clone must not downgrade the reader bar
+        that guards the DV/constraint features it just copied.
         Returns the clone's commit version (0)."""
         as_of = self.latest_version() if version is None else version
-        adds = self._winning_adds(as_of)
-        dvs = self._newest_dv(as_of)
+        acts = self._replay_actions(as_of)
+        live = _last_wins(acts)
+        adds = _winning_adds_of(acts, set(live))
+        dvs = _newest_dv_of(acts, set(live))
         dest = TxnLogWriter(dest_root, self.checkpoint_interval)
         os.makedirs(dest_root, exist_ok=True)
         txn = dest.begin()
-        for f in _last_wins(self._replay_actions(as_of)):
+        for f in live:
             payload = {
                 k: v
                 for k, v in adds[f].items()
@@ -412,12 +439,20 @@ class TxnLogWriter:
             txn.add(src, data_change=False, **payload)
             if f in dvs:
                 txn.set_dv(src, os.path.join(self.root, dvs[f]))
-        schema = self._newest_schema()
-        if schema is not None:
-            txn.set_metadata(schema)
-        exprs = self.constraints()
-        if exprs:
-            txn.set_constraints(exprs)
+        newest: dict[str, dict] = {}
+        for a in acts:
+            kind = a.get("action")
+            if kind in ("metaData", "constraints", "protocol") and (
+                kind not in newest
+                or a["version"] >= newest[kind]["version"]
+            ):
+                newest[kind] = a
+        if "metaData" in newest:
+            txn.set_metadata(newest["metaData"]["schema"])
+        if "constraints" in newest:
+            txn.set_constraints(newest["constraints"]["exprs"])
+        if "protocol" in newest:
+            txn.set_protocol(newest["protocol"]["minReader"])
         return txn.commit()
 
     def _newest_schema(self) -> str | None:
