@@ -108,6 +108,8 @@ REPRESENTATIVE = [
     "source_txn_log_shallow_clone",  # mixed-root scan over absolute-path adds
     "source_txn_log_partition_values",  # log-level pruning: one-file scan
     "source_txn_log_cdf_ivm",  # MV base ⊕ signed feed delta, no HEAD rescan
+    "text_pmi_collocations",  # integer-ranked PMI: two explodes + broadcasts
+    "events_holt_winters_seasonal",  # vector-state fold, one rollup exchange
 ]
 
 
