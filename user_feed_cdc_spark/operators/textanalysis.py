@@ -2190,3 +2190,130 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_scaled").desc(), "w1", "w2"
     ).limit(20)
+
+
+_RAKE_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               w[CAST(u.i AS INT)] AS word
+        FROM base, UNNEST(range(1, len(w) + 1)) AS u(i)
+    ),
+    members AS (
+        SELECT doc_id, pos, word,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks
+        WHERE word NOT IN ({{stops}})
+    ),
+    sized AS (
+        SELECT doc_id, grp, pos, word,
+               COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM members
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               string_agg(word, ' ' ORDER BY pos) AS phrase
+        FROM sized GROUP BY doc_id, grp
+    ),
+    wstats AS (
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM sized GROUP BY word
+    ),
+    wscore AS (
+        SELECT word, (degree * 1000000) // freq AS score FROM wstats
+    ),
+    pscore AS (
+        SELECT s.doc_id, s.grp,
+               CAST(SUM(ws.score) AS BIGINT) AS score
+        FROM sized s JOIN wscore ws ON ws.word = s.word
+        GROUP BY s.doc_id, s.grp
+    )
+    SELECT p.phrase,
+           CAST(MIN(ps.score) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pscore ps JOIN phrases p
+      ON p.doc_id = ps.doc_id AND p.grp = ps.grp
+    GROUP BY p.phrase
+    ORDER BY score DESC, phrase LIMIT 20
+""".replace("{stops}", _sql_list(EN_STOPWORDS))
+
+
+@_register("text_rake_keywords", _RAKE_ORACLE)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the classic
+    unsupervised keyphrase miner: candidate phrases are maximal runs
+    of non-stopword tokens (the gaps-and-islands split at stopwords,
+    pos minus run-rank), each word scores degree/frequency (degree =
+    the summed lengths of the phrases it appears in — words that
+    travel in long phrases outrank loners), and a phrase scores the
+    sum of its members. Ranked WITHOUT floats: word scores are
+    (degree·1e6) DIV freq in exact BIGINT — sums of already-floored
+    integers are order-free, so no cross-engine division or sum-order
+    contract is needed anywhere — with (score, phrase) deterministic
+    tie-breaks and the same loud overflow refusal as the PMI entry
+    (degree is corpus-bounded; past 2^63/1e6 rank in 128-bit).
+
+    Identical phrase segmentation on both engines: same tokenizer,
+    same stopword list interpolated into the SQL, same island
+    grouping. Scale: one explode, two window passes over (doc, pos)
+    partitions, vocab-scale word stats broadcast back, one TakeOrdered
+    — text bodies never shuffle, phrases do (bounded by token
+    volume)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    exploded = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word")
+    )
+    members = exploded.filter(~F.col("word").isin(*EN_STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    sized = members.withColumn(
+        "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp"))
+    )
+    phrases = sized.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    wstats = sized.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    mx = wstats.agg(F.max("degree")).first()[0] or 0
+    if int(mx) > (1 << 63) // 1_000_000 - 1:
+        raise ValueError(
+            f"rake scoring would overflow BIGINT (max degree={mx}); "
+            "rescale the ppm factor or rank in 128-bit"
+        )
+    wscore = wstats.select(
+        "word",
+        F.expr("(degree * 1000000L) DIV freq").alias("score"),
+    )
+    pscore = (
+        sized.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score").alias("score"))
+    )
+    return (
+        pscore.join(phrases, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.min("score").alias("score"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )
