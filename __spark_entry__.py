@@ -92,6 +92,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_udtf_polymorphic", "multimodal_gif_animation_stats",
         "events_holt_winters_seasonal", "pipeline_multimodal_funnel",
         "text_pmi_collocations", "text_rake_keywords",
+        "events_benford_first_digit",
         "source_txn_log_cdf", "streaming_txn_cdf_live",
         "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
         "streaming_txn_source_exec_live",
@@ -115,14 +116,15 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pricing_summary",
         "filter_project", "join_inner", "join_left_outer", "join_semi",
         "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct", "agg_percentiles",
+        "agg_distinct",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first (the twenty-three
+        # certified tail, stalest driver row first (the twenty-four
         # entries the r12 codec + table-DDL + dedup + streaming-IVM +
         # state-store + SQL-scripting + stream-writer + UDTF +
-        # Holt-Winters + funnel + PMI + RAKE insertions displaced from
-        # the window lead)
+        # Holt-Winters + funnel + PMI + RAKE + Benford insertions
+        # displaced from the window lead)
+        "agg_percentiles",
         "agg_salted_hot_keys",
         "rollup_flag_status",
         "cube_status_priority",

@@ -4463,3 +4463,86 @@ def events_holt_winters_seasonal(
         r2(F.col("r.seasonal"), 6).alias("seasonal"),
         r2(F.col("r.fitted"), 6).alias("fitted"),
     )
+
+
+# Benford expected first-digit frequencies, frozen to ppm ONCE as
+# literals (floor(log10(1+1/d)*1e6)) — the same nine integers appear in
+# the oracle, so no cross-engine log is ever evaluated.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_ORACLE = """
+    WITH cents AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+    SELECT d, n,
+           CAST((n * 1000000) // total AS BIGINT) AS observed_ppm,
+           CAST(CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                ELSE 45757 END AS BIGINT) AS expected_ppm,
+           CAST(ABS((n * 1000000) // total
+                    - CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                      WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                      ELSE 45757 END) AS BIGINT) AS deviation_ppm
+    FROM digits, tot
+"""
+
+
+@_register("events_benford_first_digit", _BENFORD_ORACLE)
+def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit over transaction amounts — the
+    classic fraud/data-quality screen (fabricated or systematically
+    generated values betray themselves by a flat first-digit
+    distribution where organic magnitudes follow log10(1+1/d)): cents
+    amounts keep their leading digit by STRING head (identical integer
+    formatting on both engines — no float log anywhere), counts roll
+    up per digit, and observed frequencies are integer-ppm against the
+    nine Benford constants frozen once as literals shared by the plan
+    and the oracle. deviation_ppm is the per-digit distance a
+    monitoring rule would threshold; here the synthetic uniform-ish
+    values SHOULD deviate — the audit's honest output is the measured
+    distance, not a verdict.
+
+    Scale: one scan projecting a single string head, a 9-group
+    aggregate with map-side combine, a 1-row total broadcast — the
+    cheapest possible standing data-quality probe."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    digits = (
+        ev.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n")).first()[0]
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return digits.select(
+        "d",
+        "n",
+        F.expr(f"(n * 1000000L) DIV {total}L").alias("observed_ppm"),
+        expected[F.col("d")].cast("long").alias("expected_ppm"),
+        F.abs(
+            F.expr(f"(n * 1000000L) DIV {total}L")
+            - expected[F.col("d")].cast("long")
+        ).alias("deviation_ppm"),
+    )
