@@ -431,3 +431,77 @@ def test_progressive_survives_arbitrary_corruption(data):
         assert len(out[3]) == out[0] * out[1] * out[2]
     except ValueError:
         pass
+
+
+def test_progressive_restart_markers():
+    """The progressive scan loops handle DRI restart intervals: DC
+    prediction resets at every RSTn in a DC first scan, and the AC
+    end-of-band run resets in a non-interleaved AC scan. The stream is
+    hand-framed (two 8x8 blocks, interval 1, RST0 between blocks in
+    BOTH scans) so the decoder's marker alignment — not the encoder —
+    is what's under test; a decoder that failed to reset the DC
+    predictor would double the second block's level and shift its
+    pixels."""
+    import struct as _struct
+
+    from user_feed_cdc_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _PROG_AC_BITS,
+        _PROG_AC_VALS,
+    )
+
+    v = 200  # solid level; DC = 8*(v-128) = 576 exactly at quant=1
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def dc_unit(bw, diff):
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + _struct.pack(">H", 11)  # SOF2: 8 high, 16 wide
+    out += _struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    dht = bytearray()
+    dht += bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xdd" + _struct.pack(">HH", 4, 1)  # DRI: interval 1
+
+    # scan 1: DC first (Ss=Se=0, Ah=Al=0), RST0 between the two blocks;
+    # the predictor resets, so BOTH blocks code the full diff 576
+    out += b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0])
+    bw = _BitWriter()
+    dc_unit(bw, 576)
+    out += bw.flush() + b"\xff\xd0"
+    bw = _BitWriter()
+    dc_unit(bw, 576)
+    out += bw.flush()
+
+    # scan 2: AC first (Ss=1..63), all-zero band -> EOB0 per block with
+    # a restart between (the eobrun must reset across it)
+    out += b"\xff\xda" + _struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 1, 63, 0]
+    )
+    ec, el = ac_codes[0x00]
+    bw = _BitWriter()
+    bw.write(ec, el)
+    out += bw.flush() + b"\xff\xd1"
+    bw = _BitWriter()
+    bw.write(ec, el)
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    assert decode_jpeg(bytes(out)) == (16, 8, 1, bytes([v]) * 128)
+
+    # a wrong/missing restart marker refuses
+    broken = bytes(out).replace(b"\xff\xd0", b"\xff\xc8", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(broken)
