@@ -404,6 +404,20 @@ def test_progressive_refusals_are_loud():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(arith))
 
+    # the ABSOLUTE cap (r12 ADVICE): dims whose block count clears the
+    # proportional n_blocks/8-entropy-bytes guard but exceeds
+    # PROG_BLOCK_CAP must still refuse — a ~512 KB forged payload must
+    # not buy multi-GB of boxed-int coefficient store
+    from user_feed_cdc_spark.operators.jpeg import (
+        PROG_BLOCK_CAP,
+        _alloc_prog_coefs,
+    )
+
+    frame = (4160, 4160, [(1, 0, 1, 1)])  # 270,400 blocks > 1<<18
+    assert 520 * 520 > PROG_BLOCK_CAP
+    with pytest.raises(ValueError, match="allocation cap"):
+        _alloc_prog_coefs(bytes(300_000), 0, frame)
+
     # Ah must be 0 (first) or Al+1 (refinement): corrupt the first SOS
     bad = bytearray(good)
     sos = bad.index(b"\xff\xda")

@@ -3947,6 +3947,62 @@ def test_txn_writer_restore(tmp_path):
     )["dv"] == "dvf"
 
 
+def test_txn_writer_restore_rewinds_definition(tmp_path):
+    """RESTORE returns the FULL table state (r12 ADVICE): schema and
+    constraints rewind to the target version's newest actions, an
+    unconstrained target clears HEAD's constraints (empty exprs list),
+    and restoring below the table's FIRST metaData refuses loudly
+    (newest-wins replay cannot clear a schema action)."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").set_metadata("x long").commit()  # v0
+    w.begin().set_metadata("x long, y long").commit()  # v1: ADD COLUMN
+    w.begin().set_constraints(["x >= 0"]).commit()  # v2: ADD CONSTRAINT
+
+    assert w.restore(0) == 3
+    assert w._newest_schema() == "x long"  # schema rewound
+    assert w.constraints() == []  # constraints cleared (empty is real)
+
+    # rolling forward again reinstates both
+    assert w.restore(2) == 4
+    assert w._newest_schema() == "x long, y long"
+    assert w.constraints() == ["x >= 0"]
+
+    # refusal: target predates the table's first metaData action
+    w2 = TxnLogWriter(str(tmp_path / "t2"))
+    (tmp_path / "t2" / "f").mkdir(parents=True)
+    w2.begin().add("f").commit()  # v0: no schema yet
+    w2.begin().set_metadata("z long").commit()  # v1
+    with pytest.raises(ValueError, match="first metaData"):
+        w2.restore(0)
+
+
+def test_txn_writer_clone_from_relative_root(tmp_path, monkeypatch):
+    """clone_to from a writer rooted at a RELATIVE path still emits
+    absolute adds (r12 ADVICE): the clone's reader must resolve the
+    source's files regardless of either table's cwd-relative naming."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    monkeypatch.chdir(tmp_path)
+    w = TxnLogWriter("src")  # deliberately relative
+    os.makedirs("src/a")
+    w.begin().add("a").set_dv("a", "dva").commit()
+    w.clone_to(str(tmp_path / "clone"))
+    c = TxnLogWriter(str(tmp_path / "clone"))
+    assert c.live_files() == [str(tmp_path / "src" / "a")]
+    assert all(os.path.isabs(f) for f in c.live_files())
+    assert c._newest_dv(0) == {
+        str(tmp_path / "src" / "a"): str(tmp_path / "src" / "dva")
+    }
+
+
 def test_txn_writer_shallow_clone(tmp_path):
     """clone_to: absolute-path adds (zero data copied), payload + DV +
     schema + constraints carried, txn watermarks deliberately dropped

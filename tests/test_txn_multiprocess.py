@@ -141,3 +141,104 @@ def test_txn_writer_multiprocess_contention(tmp_path):
         files = [a["file"] for a in acts if a["action"] in ("add", "remove")]
         assert len(files) == len(set(files)), f"duplicate action in v{v}"
         assert all(a["version"] == v for a in acts), f"mis-numbered v{v}"
+
+
+def _definition_race_worker(root: str, wid: int, barrier, out_q) -> None:
+    """One side of the append-vs-ADD-CONSTRAINT race (r12 VERDICT
+    directive 1): worker 0 stages a blind append, worker 1 stages the
+    constraints action — exactly what append_with_checks and
+    add_constraint commit after their (snapshot-based) validation.
+    Both release at the barrier so they race the same version slot;
+    the committer must let exactly ONE land and surface CommitConflict
+    on the other, in WHICHEVER direction the race resolves."""
+    from user_feed_cdc_spark.sources import txn_writer as tw
+
+    w = tw.TxnLogWriter(root)
+    if wid == 0:
+        name = "race_append"
+        os.makedirs(os.path.join(root, name), exist_ok=True)
+        txn = w.begin().add(name)
+    else:
+        txn = w.begin().set_constraints(["value >= 0"])
+    barrier.wait()
+    try:
+        out_q.put((wid, txn.commit(), None))
+    except tw.CommitConflict as e:
+        out_q.put((wid, None, str(e)))
+
+
+def test_txn_append_vs_constraint_multiprocess(tmp_path):
+    """A blind append and a definition change racing from the same
+    base snapshot in two OS processes: one commits, the other gets a
+    CommitConflict — never both (the pre-r13 committer let the append
+    slide through unchecked: 'no read set, never conflicts')."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = str(tmp_path / "t")
+    seed = TxnLogWriter(root)
+    os.makedirs(os.path.join(root, "base"), exist_ok=True)
+    assert seed.begin().add("base").commit() == 0
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_definition_race_worker, args=(root, i, barrier, out_q)
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = {wid: (v, err) for wid, v, err in (out_q.get(timeout=60) for _ in range(2))}
+    for p in procs:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+    outcomes = sorted(
+        ("committed" if v is not None else "conflict")
+        for v, _err in results.values()
+    )
+    assert outcomes == ["committed", "conflict"], results
+    # the loser's error names the superseding action family
+    (err,) = [e for _v, e in results.values() if e is not None]
+    assert "constraints" in err or "data-changing add" in err
+    # the log holds exactly the seed + the single winner
+    assert TxnLogWriter(root).latest_version() == 1
+
+
+def test_append_under_superseded_definition_conflicts(tmp_path, spark):
+    """The real high-level surfaces race in-process: a transaction
+    staged under the pre-constraint snapshot must refuse to land after
+    add_constraint commits (its rows were never validated against the
+    new CHECK), and symmetrically a definition change staged before a
+    concurrent append_with_checks must refuse (its table scan missed
+    the appended rows)."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+        add_constraint,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    df = spark.range(5).withColumnRenamed("id", "value")
+    append_with_checks(w, df, "f0")
+
+    # blind append staged at base v0; ADD CONSTRAINT lands first
+    stale = w.begin()
+    df.write.mode("overwrite").parquet(os.path.join(root, "f1"))
+    stale.add("f1")
+    add_constraint(w, spark, "value >= 0")
+    with pytest.raises(CommitConflict, match="table definition"):
+        stale.commit()
+
+    # definition change staged at the current base; an append lands
+    # first — the constraint's validation scan is now stale
+    stale2 = w.begin().set_constraints(["value < 100"])
+    append_with_checks(w, df, "f2")
+    with pytest.raises(CommitConflict, match="data-changing add"):
+        stale2.commit()

@@ -4532,7 +4532,15 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = digits.agg(F.sum("n")).first()[0]
+    # sum over an empty/all-nonpositive frame is NULL — coerce and
+    # refuse loudly instead of interpolating 'DIV NoneL' into the
+    # expression (r12 ADVICE; the text_pmi_collocations guard shape)
+    total = int(digits.agg(F.sum("n")).first()[0] or 0)
+    if total == 0:
+        raise ValueError(
+            "events_benford_first_digit: no positive transaction "
+            "amounts to audit"
+        )
     expected = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )

@@ -1125,6 +1125,12 @@ def _decode_block(
 # Progressive decoder (T.81 Annex G)
 # ---------------------------------------------------------------------------
 
+# Absolute allocation ceiling for the progressive cross-scan
+# coefficient store, in 8x8 blocks. Tunable: raise it only for a
+# deployment that genuinely decodes larger-than-4kx4k progressive
+# frames at this Python tier AND trusts its payload provenance.
+PROG_BLOCK_CAP = 1 << 18
+
 
 def _alloc_prog_coefs(
     payload: bytes, pos: int, frame: tuple
@@ -1150,11 +1156,14 @@ def _alloc_prog_coefs(
     # The cross-scan store costs ~64 boxed ints PER BLOCK (~2.4 KB) —
     # a ~20x worse bytes-to-allocation amplification than the baseline
     # path's sample planes — so the proportional guard above is not
-    # enough on its own: cap the store absolutely (4M blocks = a
-    # 16k x 16k 4:2:0 frame, far beyond any thumbnail/frame workload
-    # this tier decodes; bigger media belongs to the external-decoder
-    # plug point).
-    if n_blocks > (1 << 22):
+    # enough on its own: cap the store absolutely. The cap is a module
+    # tunable sized for the thumbnail/frame workloads this tier decodes
+    # (256K blocks = a 4k x 4k 4:2:0 frame): the proportional guard
+    # only demands n_blocks/8 entropy bytes, so at the old 1<<22 cap a
+    # ~512 KB forged SOF2 payload could still force ~2-3 GB of boxed-
+    # int allocation (r12 ADVICE). Bigger media belongs to the
+    # external-decoder plug point.
+    if n_blocks > PROG_BLOCK_CAP:
         raise ValueError(
             f"declared dims {width}x{height} ({n_blocks} blocks) exceed "
             "the progressive decoder's allocation cap"

@@ -68,6 +68,25 @@ DECODE_FALLBACK_ERRORS = (
     DecodeError,
 )
 
+def ascii_seed(text: str) -> bytes:
+    """Fixture-seed bytes for the media entries that key codec
+    parameters off the document text's FIRST BYTES while their DuckDB
+    oracles address the first CODE POINTS via ascii(substr(text,k,1)).
+    Bytes and code points agree only for ASCII, so the equivalence is
+    asserted here as a loud contract (r12 ADVICE) instead of a silent
+    engine/oracle divergence on a non-ASCII corpus — and a code point
+    above 255 would also break the bytes([v]) fixture encoders. Only
+    the first three characters are ever indexed (seed indexes 0..2)."""
+    head = text[:3]
+    if not head or not head.isascii():
+        raise ValueError(
+            "media fixture seeds require an ASCII document head; got "
+            f"{head!r} — make the oracle byte-based before admitting "
+            "non-ASCII corpora to these entries"
+        )
+    return text.encode("utf-8")
+
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
@@ -2124,7 +2143,7 @@ def multimodal_video_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 frames = [jpeg_of(raw[s % len(raw)]) for s in range(2)]
                 payloads.append(
                     encode_avi(8, 8, frames, compression=b"MJPG")
@@ -2238,7 +2257,7 @@ def multimodal_video_mjpeg_420_stats(
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 frames = [jpeg_of(raw[s % len(raw)]) for s in range(2)]
                 payloads.append(
                     encode_avi(16, 16, frames, compression=b"MJPG")
@@ -2363,7 +2382,7 @@ def multimodal_image_progressive_stats(
         for pdf in it:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                v = text.encode("utf-8")[0]
+                v = ascii_seed(text)[0]
                 payloads.append(prog_of(v, int(doc_id) % 2 == 0))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -2470,7 +2489,7 @@ def multimodal_video_rle8_delta_stats(
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 payloads.append(avi_of(raw[0], raw[1 % len(raw)]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -2731,7 +2750,7 @@ def multimodal_gif_animation_stats(
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 payloads.append(
                     gif_of(raw[0], raw[1 % len(raw)], raw[2 % len(raw)])
                 )
@@ -2847,7 +2866,7 @@ def multimodal_audio_adpcm_stats(
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 payloads.append(
                     wav_of(
                         (raw[0] - 128) * 256,

@@ -2522,6 +2522,7 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from user_feed_cdc_spark.operators.multimodal import (
         DECODE_FALLBACK_ERRORS,
         RLE8_DEMO_PROBE,
+        ascii_seed,
         decode_avi_rle8,
         rle8_demo_avi,
     )
@@ -2542,7 +2543,7 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                raw = ascii_seed(text)
                 payloads.append(avi_of(raw[0], raw[1 % len(raw)]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

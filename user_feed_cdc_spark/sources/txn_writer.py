@@ -127,6 +127,19 @@ def _newest_dv_of(
     return {f: dv for f, (_v, dv) in newest.items()}
 
 
+def _newest_action(acts: list[dict], kind: str) -> dict | None:
+    """The NEWEST action of `kind` over an already-replayed list —
+    the newest-wins rule shared by schema, constraints, and protocol
+    resolution (and by restore's table-definition rewind)."""
+    newest = None
+    for a in acts:
+        if a.get("action") == kind and (
+            newest is None or a["version"] >= newest["version"]
+        ):
+            newest = a
+    return newest
+
+
 # The highest table-format reader version this engine implements.
 # Version 1: base snapshot replay; 2: checkpoints/DV/stats/schema/txn/
 # constraints/CDF — everything certified in sources/formats.py. A table
@@ -368,7 +381,17 @@ class TxnLogWriter:
         supersede, so clearing one back to 'no deletes' needs a
         copy-on-write rewrite, not a restore (a re-added file would
         otherwise silently resurrect the newer DV the moment it went
-        live again, dropping rows the target snapshot had)."""
+        live again, dropping rows the target snapshot had).
+
+        Table DEFINITION rewinds with the data (r12 ADVICE — Delta's
+        RESTORE returns the FULL state, schema included): the target
+        version's newest metaData and constraints are re-asserted in
+        the restore commit whenever they differ from HEAD's, so a
+        restore across a schema change or ADD CONSTRAINT never yields
+        a hybrid table. A schema action cannot be CLEARED by this
+        protocol (newest-wins, like DVs), so restoring to a version
+        that predates the table's first metaData while one exists at
+        HEAD refuses loudly; constraints CAN rewind to the empty set."""
         acts_then = self._replay_actions(version)
         acts_now = self._replay_actions(self.latest_version())
         target_live = _last_wins(acts_then)
@@ -403,6 +426,27 @@ class TxnLogWriter:
                 txn.add(f, **payload)
             if then is not None and then != now:
                 txn.set_dv(f, then)  # newest-wins: supersedes the newer DV
+        meta_then = _newest_action(acts_then, "metaData")
+        meta_now = _newest_action(acts_now, "metaData")
+        if (meta_now["schema"] if meta_now else None) != (
+            meta_then["schema"] if meta_then else None
+        ):
+            if meta_then is None:
+                raise ValueError(
+                    f"cannot restore to v{version}: the table gained its "
+                    "first metaData (schema) action since and newest-wins "
+                    "replay cannot clear one — restore to a version at or "
+                    "after the schema action instead"
+                )
+            txn.set_metadata(meta_then["schema"])
+        cons_then = _newest_action(acts_then, "constraints")
+        cons_now = _newest_action(acts_now, "constraints")
+        exprs_then = list(cons_then["exprs"]) if cons_then else []
+        exprs_now = list(cons_now["exprs"]) if cons_now else []
+        if exprs_then != exprs_now:
+            # the empty list is a real, clearable state: a newest-wins
+            # constraints action with no exprs reads as unconstrained
+            txn.set_constraints(exprs_then)
         return txn.commit()
 
     def clone_to(self, dest_root: str, version: int | None = None) -> int:
@@ -435,10 +479,17 @@ class TxnLogWriter:
                 for k, v in adds[f].items()
                 if k not in ("version", "action", "file", "dataChange")
             }
-            src = os.path.join(self.root, f)
+            # abspath, not a bare join: a writer rooted at a RELATIVE
+            # path would otherwise emit relative adds that the clone's
+            # reader resolves under the CLONE root — wrong files or
+            # missing-file errors (r12 ADVICE). abspath makes the
+            # documented absolute-name contract true by construction.
+            src = os.path.abspath(os.path.join(self.root, f))
             txn.add(src, data_change=False, **payload)
             if f in dvs:
-                txn.set_dv(src, os.path.join(self.root, dvs[f]))
+                txn.set_dv(
+                    src, os.path.abspath(os.path.join(self.root, dvs[f]))
+                )
         newest: dict[str, dict] = {}
         for a in acts:
             kind = a.get("action")
@@ -727,8 +778,11 @@ class Transaction:
     def commit(self, timestamp: int | None = None) -> int:
         """Write the commit; returns the version it landed at. Raises
         CommitConflict if a concurrent commit removed a file this
-        transaction removes; ValueError if the transaction itself
-        violates one-action-per-file-per-commit.
+        transaction removes, changed the table definition (metaData /
+        constraints / protocol — conflicts with EVERY transaction,
+        blind appends included), or landed data-changing adds under a
+        definition this transaction is changing; ValueError if the
+        transaction itself violates one-action-per-file-per-commit.
 
         Every commit's FIRST line is a commitInfo action carrying the
         commit timestamp (ms): `timestamp` when given (fixtures pass
@@ -830,12 +884,25 @@ class Transaction:
                     )
             return target
 
+    # Table-DEFINITION action kinds: a concurrent commit carrying any
+    # of these invalidates EVERY open transaction (Delta's metadata-
+    # change rule — MetadataChanged / ProtocolChanged semantics).
+    _DEFINITION_ACTIONS = ("metaData", "constraints", "protocol")
+
     def _check_conflicts(self, lo: int, hi: int) -> None:
         my_removes = {
             a["file"] for a in self.actions if a["action"] == "remove"
         }
-        if not my_removes:
-            return  # blind append: no read set, never conflicts
+        # The window is read UNCONDITIONALLY — a blind append has no
+        # remove read-set, but it is NOT definition-independent: its
+        # rows were validated (append_with_checks) against the BASE
+        # snapshot's constraints/schema/protocol, so a concurrent
+        # constraints/metaData/protocol commit in [lo, hi] supersedes
+        # the table definition the append was staged under and must
+        # conflict (r12 VERDICT — Delta fails every transaction on a
+        # concurrent metadata change). The early blind-append return
+        # that used to live here was exactly that hole.
+        #
         # Version allocation is gapless, so every version in [lo, hi]
         # MUST have a commit file; a missing one means a vacuum ran
         # during this transaction and the conflict evidence is gone —
@@ -845,6 +912,8 @@ class Transaction:
         # to read actions) left a window where a vacuum between the
         # listings silently hid concurrent removes (r11 ADVICE).
         concurrent_removed: set[str] = set()
+        definition_changes: list[tuple[int, str]] = []
+        concurrent_data_adds = 0
         for v in range(lo, hi + 1):
             path = os.path.join(self.writer.log_dir, f"{v:05d}.json")
             try:
@@ -859,8 +928,36 @@ class Transaction:
                     "open — cannot prove absence of conflicts; retry "
                     "from a fresh snapshot"
                 ) from None
-            concurrent_removed.update(
-                a["file"] for a in lines if a.get("action") == "remove"
+            for a in lines:
+                kind = a.get("action")
+                if kind == "remove":
+                    concurrent_removed.add(a["file"])
+                elif kind in self._DEFINITION_ACTIONS:
+                    definition_changes.append((v, kind))
+                elif kind == "add" and a.get("dataChange", True):
+                    concurrent_data_adds += 1
+        if definition_changes:
+            v, kind = definition_changes[0]
+            raise CommitConflict(
+                f"concurrent commit v{v} changed the table definition "
+                f"({kind}) after this transaction's base v"
+                f"{self.base_version} — anything staged (including a "
+                "blind append) was validated under a superseded "
+                "definition; re-validate from a fresh snapshot"
+            )
+        # The symmetric direction: a transaction that CHANGES the
+        # definition (add_constraint validated the table's existing
+        # rows at its base snapshot) conflicts with concurrent data-
+        # changing adds — those rows were checked against the OLD
+        # constraint set and this transaction never scanned them.
+        if concurrent_data_adds and any(
+            a["action"] in self._DEFINITION_ACTIONS for a in self.actions
+        ):
+            raise CommitConflict(
+                f"{concurrent_data_adds} concurrent data-changing add(s) "
+                f"landed in v{lo}..v{hi} after this definition-changing "
+                f"transaction's base v{self.base_version} — its table "
+                "validation is stale; re-validate from a fresh snapshot"
             )
         clash = sorted(my_removes & concurrent_removed)
         if clash:
