@@ -1,0 +1,172 @@
+"""PNG codec tests (operators/png.py): encode→decode round trips over
+all five scanline filters, loud refusals for everything outside the
+8-bit greyscale/RGB profile, untrusted-bytes allocation guards, and
+the shared image dispatch (decode_image) routing PNGs by magic."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from user_feed_cdc_spark.operators.png import (
+    PNG_PIXEL_CAP,
+    PNG_SIGNATURE,
+    _chunk,
+    decode_png,
+    encode_png,
+)
+
+
+def test_round_trip_all_filters_both_colour_types():
+    """Each filter type on every row position, RGB and greyscale: the
+    forward filter and the reconstruction must be exact inverses."""
+    for gray in (False, True):
+        ch = 1 if gray else 3
+        w, h = 5, 5
+        px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+        for ft in range(5):
+            enc = encode_png(w, h, px, grayscale=gray, row_filters=[ft] * h)
+            assert decode_png(enc) == (w, h, px), (gray, ft)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_round_trip_random(data):
+    gray = data.draw(st.booleans())
+    ch = 1 if gray else 3
+    w = data.draw(st.integers(1, 8))
+    h = data.draw(st.integers(1, 8))
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    fts = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    enc = encode_png(w, h, px, grayscale=gray, row_filters=fts)
+    assert decode_png(enc) == (w, h, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_survives_arbitrary_corruption(data):
+    """Corrupt any byte / truncate anywhere: decode either succeeds or
+    raises ValueError — never hangs, never raises anything else (the
+    untrusted-bytes contract all the media decoders share)."""
+    good = encode_png(4, 3, bytes(range(36)), row_filters=[0, 3, 4])
+    mode = data.draw(st.sampled_from(["flip", "truncate", "garbage"]))
+    if mode == "flip":
+        i = data.draw(st.integers(0, len(good) - 1))
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+    elif mode == "truncate":
+        bad = good[: data.draw(st.integers(0, len(good) - 1))]
+    else:
+        bad = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=0, max_size=64))
+        )
+    try:
+        w, h, px = decode_png(bad)
+        assert len(px) in (w * h, w * h * 3)
+    except ValueError:
+        pass
+
+
+def test_refusals_are_loud():
+    good = encode_png(4, 3, bytes(range(36)))
+
+    # chunk CRC failure
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # Adam7 interlace refuses (the progressive-JPEG precedent)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(39), 0))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(p)
+
+    # 16-bit depth, palette colour type
+    for depth, ctype, msg in ((16, 2, "bit depth"), (8, 3, "colour type")):
+        ihdr = struct.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, 0)
+        p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match=msg):
+            decode_png(p)
+
+    # forged dims: the absolute cap fires before any allocation
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"x" * 1000)
+        + _chunk(b"IEND", b"")
+    )
+    assert 60000 * 60000 * 3 > PNG_PIXEL_CAP
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_png(p)
+
+    # dims within the cap but beyond what the payload could inflate to
+    ihdr = struct.pack(">IIBBBBB", 2000, 2000, 8, 0, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"x" * 8)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="cannot inflate"):
+        decode_png(p)
+
+    # IDAT inflating to the wrong length (one row short)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(2 * 5), 0))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates to"):
+        decode_png(p)
+
+    # zip-bomb shape: IDAT inflating PAST the declared dims
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(10_000), 9))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates to"):
+        decode_png(p)
+
+
+def test_shared_dispatch_routes_by_magic():
+    """decode_image sniffs GIF / PNG / BMP and all three decode the
+    same pixel content to the same bytes — the container-agnostic
+    contract the shared media fixtures rely on."""
+    from user_feed_cdc_spark.operators.multimodal import (
+        DecodeError,
+        IMG_H,
+        IMG_W,
+        decode_image,
+        encode_bmp,
+    )
+
+    content = bytes((i * 7) % 256 for i in range(IMG_W * IMG_H * 3))
+    png = encode_png(IMG_W, IMG_H, content, row_filters=[1, 2, 3, 4][:IMG_H])
+    bmp = encode_bmp(IMG_W, IMG_H, content)
+    assert decode_image(png) == decode_image(bmp) == (IMG_W, IMG_H, content)
+
+    # corrupt payloads normalize to DecodeError at the boundary
+    with pytest.raises(DecodeError):
+        decode_image(PNG_SIGNATURE + b"\x00" * 16)

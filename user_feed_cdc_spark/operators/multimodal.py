@@ -26,6 +26,11 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from user_feed_cdc_spark.operators.png import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png,
+)
 from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
 class DecodeError(ValueError):
@@ -1325,17 +1330,29 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     raise ValueError("GIF carries no image descriptor")
 
 
+@_decode_boundary
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """THE image-container dispatch: sniff the magic bytes and route to
+    the matching decoder — GIF87a/89a (LZW), PNG (zlib + scanline
+    filters, operators/png.py), else 24bpp BMP. Every image consumer
+    (decode_media, resize_media, the dHash pass) shares this one
+    sniffer, so extending the codec matrix extends them all at once
+    (r12 VERDICT: PNG coverage 'for free' through the dispatch)."""
+    if payload[:3] == b"GIF":
+        return decode_gif(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    return decode_bmp(payload)
+
+
 def decode_media(payload: bytes, modality: str) -> list[int]:
-    """Decode real container bytes into content units: BMP → pixel
-    channel bytes (0..255), WAV → PCM16 samples, RVID video →
+    """Decode real container bytes into content units: GIF/PNG/BMP →
+    pixel channel bytes (0..255), WAV → PCM16 samples, RVID video →
     concatenated frame pixel bytes. Unknown modalities raise (the
     caller's digest fallback handles them, flagged decoded=false)."""
     if modality == "image":
         # container sniffing by magic — image corpora mix formats
-        if payload[:3] == b"GIF":
-            _w, _h, pixels = decode_gif(payload)
-        else:
-            _w, _h, pixels = decode_bmp(payload)
+        _w, _h, pixels = decode_image(payload)
         return list(pixels)
     if modality == "audio":
         _rate, samples = decode_wav(payload)
@@ -1370,12 +1387,26 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")
                 content = (raw * (content_len // max(len(raw), 1) + 1))[:content_len]
                 if doc_id % 3 == 0:
-                    # image corpora mix formats: alternate the
-                    # LZW-compressed GIF and the uncompressed BMP
+                    # image corpora mix formats: LZW-compressed GIF,
+                    # zlib-filtered PNG, and uncompressed BMP rotate
+                    # through the image slice — all three decode to
+                    # the SAME pixel bytes (`content`), so every
+                    # downstream consumer (and its oracle) is
+                    # container-agnostic by construction
                     if doc_id % 6 == 0:
                         payloads.append(
                             encode_gif(
                                 IMG_W, IMG_H, bytes(content[: IMG_W * IMG_H])
+                            )
+                        )
+                    elif doc_id % 12 == 3:
+                        # forward-filtered rows: the decoder's Sub/Up/
+                        # Average/Paeth reconstruction runs inside the
+                        # certified shared path, not just unit tests
+                        payloads.append(
+                            encode_png(
+                                IMG_W, IMG_H, bytes(content),
+                                row_filters=[1, 2, 3, 4][:IMG_H],
                             )
                         )
                     else:
@@ -1573,10 +1604,7 @@ def resize_media(
                 raw = bytes(payload)
                 try:
                     if modality == "image":
-                        if raw[:3] == b"GIF":
-                            w, h, px = decode_gif(raw)
-                        else:
-                            w, h, px = decode_bmp(raw)
+                        w, h, px = decode_image(raw)
                         resized = resize_nearest(w, h, px, out_w, out_h)
                         units = list(resized)
                         in_n = w * h * 3
@@ -1868,10 +1896,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for payload in pdf["payload"]:
                 raw = bytes(payload)
                 try:
-                    if raw[:3] == b"GIF":
-                        w, h, px = decode_gif(raw)
-                    else:
-                        w, h, px = decode_bmp(raw)
+                    w, h, px = decode_image(raw)
                     hashes.append(dhash64(w, h, px))
                     flags.append(True)
                 except DECODE_FALLBACK_ERRORS:
@@ -2798,6 +2823,144 @@ def multimodal_gif_animation_stats(
         "doc_id long, width long, height long, n_frames long, "
         "total_sum long, f2_changed long, f2_inherited long, "
         "v_last long, decoded boolean",
+    )
+
+
+_IMAGE_PNG_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v0,
+               CAST(ascii(substr(text,
+                    CAST((1 % length(text)) + 1 AS INT), 1)) AS BIGINT)
+                   AS v1
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rgb' ELSE 'gray' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 5 END AS BIGINT)
+               AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+               AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
+               AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 12 * v0 + 24 * v1 + 66
+                     ELSE 10 * v0 + 10 * v1 + 25 END AS BIGINT)
+               AS pixel_sum,
+           v0 AS probe_first,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN v1 ELSE v1 + 1 END
+                AS BIGINT) AS probe_last,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_image_png_stats", _IMAGE_PNG_ORACLE)
+def multimodal_image_png_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG decode under the hash gate — the web's most common image
+    format joins the codec matrix (r12 VERDICT gap 1). Each image
+    doc's payload is a REAL PNG (operators/png.py: zlib-deflated
+    IDAT, CRC-checked chunks) alternating truecolour RGB and 8-bit
+    greyscale, with row filters chosen so all FIVE scanline
+    reconstructions run in the certified path: the RGB fixture rows
+    carry filters None/Sub/Up, the greyscale rows None/Paeth/Average/
+    Up. PNG is lossless, so the symbolic oracle predicts every
+    decoded byte from the doc's text head: the RGB image is a 12-byte
+    v0-ramp row plus two constant-v1 rows (sum 12·v0+24·v1+66); the
+    greyscale image is a v0-ramp row, its Paeth-filtered duplicate,
+    a constant-v1 row, and a constant-(v1+1) row (sum
+    10·v0+10·v1+25). A filter-reconstruction bug anywhere moves
+    pixel_sum or a probe byte and hash-diverges.
+
+    Scale: the standard narrow media shape — Arrow-batched
+    mapInPandas, bounded per-row decode, payloads never shuffle; the
+    fixture cache makes the per-batch cost one encode per distinct
+    (v0, v1)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int, bool], bytes] = {}
+
+        def png_of(v0: int, v1: int, rgb: bool) -> bytes:
+            key = (v0, v1, rgb)
+            if key not in cache:
+                if rgb:
+                    px = (
+                        bytes(v0 + i for i in range(12))
+                        + bytes([v1]) * 12
+                        + bytes([v1]) * 12
+                    )
+                    cache[key] = encode_png(
+                        4, 3, px, row_filters=[0, 1, 2]
+                    )
+                else:
+                    ramp = bytes(v0 + i for i in range(5))
+                    px = (
+                        ramp + ramp
+                        + bytes([v1]) * 5
+                        + bytes([v1 + 1]) * 5
+                    )
+                    cache[key] = encode_png(
+                        5, 4, px, grayscale=True,
+                        row_filters=[0, 4, 3, 2],
+                    )
+            return cache[key]
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = ascii_seed(text)
+                payloads.append(
+                    png_of(raw[0], raw[1 % len(raw)], int(doc_id) % 2 == 0)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "fmt": [], "width": [],
+                "height": [], "channels": [], "pixel_sum": [],
+                "probe_first": [], "probe_last": [], "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    # through the shared sniffer: the boundary wrapper
+                    # normalizes corrupt-payload errors to DecodeError
+                    w, h, px = decode_image(bytes(payload))
+                    ch = len(px) // (w * h)
+                    out["fmt"].append("rgb" if ch == 3 else "gray")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["pixel_sum"].append(sum(px))
+                    out["probe_first"].append(px[0])
+                    out["probe_last"].append(px[-1])
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    out["fmt"].append("")
+                    for k in (
+                        "width", "height", "channels", "pixel_sum",
+                        "probe_first", "probe_last",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, fmt string, width long, height long, "
+        "channels long, pixel_sum long, probe_first long, "
+        "probe_last long, decoded boolean",
     )
 
 

@@ -1,0 +1,250 @@
+"""Pure-stdlib PNG codec (RFC 2083 / ISO 15948) for the multimodal
+Python tier: 8-bit greyscale (colour type 0) and truecolour RGB
+(colour type 2), all five scanline filters (None/Sub/Up/Average/
+Paeth), CRC-validated chunk walk, zlib inflate with a zip-bomb bound.
+
+PNG is the single most common image format in a web-scraped corpus
+(r12 VERDICT gap 1); this closes the codec matrix the same way the
+progressive-JPEG arc did: a real decoder for the common profile,
+loud refusals for the rest (Adam7 interlace, 16-bit depth, palette),
+and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
+(``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
+oracle can derive every decoded byte symbolically — the
+`multimodal_phash_dedup` / `multimodal_audio_stats` oracle pattern.
+
+Reference parity note: the reference system (user-feed CDC relay,
+services/* — no media path at all) has no counterpart; this module
+exists for the north-star multimodal corpus operators (SURVEY.md
+§2.3 E5).
+
+Scale posture: decode happens ONLY inside Arrow-batched mapInPandas
+stages over payloads that never shuffle raw; untrusted dimensions are
+validated against both a proportional payload bound and an absolute
+allocation cap BEFORE any buffer is sized (the jpeg.py contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# Absolute ceiling on decoded pixel bytes (width * height * channels).
+# 1<<24 = a 2048x2048 RGBA-class frame — far beyond the thumbnail/
+# frame workloads this Python tier decodes; bigger media belongs to
+# the external-decoder plug point (the jpeg.PROG_BLOCK_CAP rationale).
+PNG_PIXEL_CAP = 1 << 24
+
+_CHANNELS = {0: 1, 2: 3}  # colour type -> samples per pixel
+
+
+def _chunk(kind: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + kind
+        + body
+        + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    grayscale: bool = False,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Build a real PNG. ``pixels`` is the UNFILTERED top-down pixel
+    stream (width*height*channels bytes). ``row_filters`` assigns a
+    filter type per row; each row is then FORWARD-filtered per the
+    spec so the decoder's unfilter path is genuinely exercised.
+    The IDAT is deflated at level 0 — stored-mode blocks, verbatim
+    scanline bytes — which is what lets symbolic oracles predict the
+    compressed payload's decoded content without running inflate."""
+    ch = 1 if grayscale else 3
+    if len(pixels) != width * height * ch:
+        raise ValueError(
+            f"pixel stream is {len(pixels)} bytes, expected "
+            f"{width * height * ch}"
+        )
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters must name one filter per row")
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, ft in enumerate(filters):
+        row = pixels[r * stride : (r + 1) * stride]
+        raw.append(ft)
+        raw += _filter_row(row, prev, ft, ch)
+        prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0 if grayscale else 2, 0, 0, 0
+    )
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_row(row: bytes, prev: bytes, ft: int, bpp: int) -> bytes:
+    """Forward application of filter `ft` (encoder side)."""
+    out = bytearray(len(row))
+    for x, b in enumerate(row):
+        a = row[x - bpp] if x >= bpp else 0  # left (Recon — row is raw)
+        u = prev[x]  # up
+        c = prev[x - bpp] if x >= bpp else 0  # upper-left
+        if ft == 0:
+            p = 0
+        elif ft == 1:
+            p = a
+        elif ft == 2:
+            p = u
+        elif ft == 3:
+            p = (a + u) >> 1
+        elif ft == 4:
+            p = _paeth(a, u, c)
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[x] = (b - p) & 0xFF
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (spec §6.6) — exact tie order matters."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit greyscale/RGB PNG: signature, CRC-checked chunk
+    walk, bounded inflate of the concatenated IDATs, and the five-
+    filter scanline reconstruction. Returns (width, height, pixel
+    bytes, top-down). Refuses loudly — never partially — on: bad
+    signature/CRC, interlaced (Adam7) images, unsupported depth or
+    colour type, declared dims exceeding the allocation cap or the
+    proportional payload bound, and IDAT that inflates to anything
+    but exactly height*(1+stride) bytes."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    ch = 0
+    idat = bytearray()
+    seen_end = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        kind = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {kind!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(kind + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {kind!r} fails CRC")
+        pos += 12 + length
+        if kind == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ctype not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG colour type {ctype} (only 8-bit "
+                    "greyscale and truecolour RGB decode at this tier)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                # the progressive-JPEG precedent: refuse loudly until a
+                # real Adam7 pass exists — never silently de-interlace
+                raise ValueError(
+                    "Adam7-interlaced PNG is not supported at this tier"
+                )
+            ch = _CHANNELS[ctype]
+            if width <= 0 or height <= 0:
+                raise ValueError("PNG declares empty dimensions")
+            if width * height * ch > PNG_PIXEL_CAP:
+                raise ValueError(
+                    f"declared dims {width}x{height}x{ch} exceed the "
+                    "PNG decoder's allocation cap"
+                )
+            # proportional untrusted-bytes guard: stored-mode deflate
+            # costs >= 1 byte per 1032 output bytes even at max
+            # compression ratio's theoretical bound is huge, but a
+            # scanline stream of n bytes can never inflate from fewer
+            # than n/1032 compressed bytes (deflate's 258:1 * window
+            # re-reference bound) — refuse dims the remaining payload
+            # cannot possibly satisfy before allocating
+            need = height * (1 + width * ch)
+            if (len(payload) - pos) * 1032 < need:
+                raise ValueError(
+                    f"declared dims {width}x{height} need {need} scanline "
+                    "bytes but the remaining payload cannot inflate that far"
+                )
+        elif kind == b"IDAT":
+            if width is None:
+                raise ValueError("PNG IDAT before IHDR")
+            idat += body
+        elif kind == b"IEND":
+            seen_end = True
+            break
+        elif kind in (b"PLTE", b"tRNS"):
+            raise ValueError(f"unsupported PNG ancillary-critical {kind!r}")
+        # other ancillary chunks (tEXt, pHYs, ...) are skipped
+    if width is None or not seen_end or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    stride = width * ch
+    expect = height * (1 + stride)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expect + 1)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != expect or d.decompress(b"", 1) or not d.eof:
+        raise ValueError(
+            f"PNG IDAT inflates to {len(raw)}+ bytes, expected exactly "
+            f"{expect}"
+        )
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for r in range(height):
+        ft = raw[r * (1 + stride)]
+        line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
+        row = _unfilter_row(line, prev, ft, ch)
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return width, height, bytes(out)
+
+
+def _unfilter_row(line: bytes, prev: bytes, ft: int, bpp: int) -> bytes:
+    """Inverse filter (decoder side, spec §6 Recon definitions)."""
+    out = bytearray(len(line))
+    for x, b in enumerate(line):
+        a = out[x - bpp] if x >= bpp else 0
+        u = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            p = 0
+        elif ft == 1:
+            p = a
+        elif ft == 2:
+            p = u
+        elif ft == 3:
+            p = (a + u) >> 1
+        elif ft == 4:
+            p = _paeth(a, u, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[x] = (b + p) & 0xFF
+    return bytes(out)
