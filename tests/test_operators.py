@@ -4387,3 +4387,72 @@ def test_txn_protocol_gate_is_newest_wins(tmp_path):
     # a newer engine downgrades the demand: THIS engine reads again
     w.begin().set_protocol(1).commit()  # v2 (blind append, no read)
     assert w.live_files() == ["a"]
+
+
+def test_html_clean_pins():
+    """The HTML cleaner's full contract on known spans: block removal
+    with content, comment removal, tag counting/stripping, named +
+    decimal + hex entity decode, the NFC probe (precomposed vs
+    combining-mark é become EQUAL only under normalization), and
+    whitespace collapse."""
+    import unicodedata
+
+    from user_feed_cdc_spark.operators.textanalysis import (
+        _HTML_CLEAN_TAIL,
+        html_clean,
+    )
+
+    # the exact fixture envelope the certified entry builds
+    s = (
+        "<html><head><title>Doc 7</title><style>p{color:red}</style>"
+        "<script>if (1 &lt; 2) x();</script></head>"
+        '<body><h1 class="t">hello world</h1>'
+        "<p>A &amp; B &#67;&#x44; caf&eacute; vs cafe&#769;"
+        " &quot;ok&quot;</p><!-- hidden --></body></html>"
+    )
+    clean, n_tags, n_entities = html_clean(s)
+    assert clean == "Doc 7 hello world " + _HTML_CLEAN_TAIL
+    assert n_tags == 12  # script/style/comment content never counted
+    assert n_entities == 7  # the script's &lt; must NOT survive to here
+    assert clean.count("é") == 2  # both forms composed to U+00E9
+    assert unicodedata.is_normalized("NFC", clean)
+
+    # NFC probe isolated: combining mark composes, count proves it
+    c, _, _ = html_clean("e&#769;")
+    assert c == "é"
+
+    # nested/with-attribute script, uppercase hex, multi-space collapse
+    c, nt, ne = html_clean(
+        '<SCRIPT type="x">a <b> c</script>X   &#X41;\n\tY<br/>Z'
+    )
+    assert (c, nt, ne) == ("X A Y Z", 1, 1)
+
+    # unknown entity passes through html.unescape unchanged
+    c, _, ne = html_clean("&nosuch; &amp;")
+    assert c == "&nosuch; &"
+    assert ne == 2  # the matcher counts candidates; decode is total
+
+
+def test_html_clean_properties():
+    """Cleaned output never contains tags, is NFC, and is idempotent
+    for markup-free ASCII input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from user_feed_cdc_spark.operators.textanalysis import html_clean
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        )
+    )
+    def run(t):
+        c, _, _ = html_clean(f"<p>{t}</p>")
+        assert "<p>" not in c and "</p>" not in c
+        if all(ch not in t for ch in "<>&"):
+            again, nt, ne = html_clean(c)
+            assert again == c and nt == 0
+
+    run()

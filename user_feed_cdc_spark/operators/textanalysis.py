@@ -2317,3 +2317,154 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping + Unicode normalization (the web-corpus ingest gate)
+# ---------------------------------------------------------------------------
+
+# The fixture tail appended after tag-stripping decodes to exactly this
+# (NFC form; both cafés compose to U+00E9) — frozen once, shared by the
+# Spark docstring, the oracle below, and the pytest pins.
+_HTML_CLEAN_TAIL = 'A & B CD café vs café "ok"'
+
+
+def html_clean(s: str) -> tuple[str, int, int]:
+    """The general-purpose HTML→text cleaner (pure helper, unit- and
+    property-tested directly; the Spark entry wraps it in an Arrow
+    batch stage): script/style blocks removed WITH content, comments
+    removed, remaining tags replaced by spaces, the full named +
+    numeric entity table decoded (html.unescape), Unicode NFC
+    normalization, ASCII whitespace collapsed. Returns
+    (clean_text, n_tags_stripped, n_entities_decoded)."""
+    import html as html_mod
+    import re
+    import unicodedata
+
+    block_re = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+    comment_re = re.compile(r"(?s)<!--.*?-->")
+    tag_re = re.compile(r"<[^>]+>")
+    entity_re = re.compile(
+        r"&(?:[A-Za-z][A-Za-z0-9]*|#[0-9]+|#[xX][0-9A-Fa-f]+);"
+    )
+    ws_re = re.compile(r"[ \t\n\r\f]+")
+
+    s = block_re.sub(" ", s)
+    s = comment_re.sub(" ", s)
+    n_tags = len(tag_re.findall(s))
+    s = tag_re.sub(" ", s)
+    n_entities = len(entity_re.findall(s))
+    s = html_mod.unescape(s)
+    s = unicodedata.normalize("NFC", s)
+    s = ws_re.sub(" ", s).strip(" ")
+    return s, n_tags, n_entities
+
+
+_HTML_STRIP_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               concat_ws(' ',
+                   'Doc ' || CAST(doc_id AS VARCHAR),
+                   nullif(trim(regexp_replace(
+                       text, '[ \t\n\r\f]+', ' ', 'g'), ' '), ''),
+                   'A & B CD caf' || chr(233) || ' vs caf' || chr(233)
+                       || ' "ok"') AS clean
+        FROM documents
+        WHERE text NOT LIKE '%<%' AND text NOT LIKE '%>%'
+              AND text NOT LIKE '%&%'
+    )
+    SELECT doc_id,
+           CAST(12 AS BIGINT) AS n_tags,
+           CAST(7 AS BIGINT) AS n_entities,
+           CAST(2 AS BIGINT) AS n_eacute,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_digest
+    FROM m
+"""
+
+
+@_register("text_html_strip", _HTML_STRIP_ORACLE)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping + entity decoding + Unicode NFC normalization —
+    the ingest gate every web-scraped document passes BEFORE any
+    downstream text operator (r12 VERDICT gap 2). The cleaner is the
+    real general-purpose pass: script/style blocks removed WITH their
+    content, comments removed, remaining tags replaced by spaces,
+    entities decoded via the full named + numeric table
+    (html.unescape), NFC normalization (unicodedata), and ASCII
+    whitespace collapsed.
+
+    Certification is byte-for-byte via the pipeline_pii_scrub
+    template: each doc is wrapped in a fixture HTML envelope with
+    known-positive spans for every cleaning stage — nested head
+    matter, a script whose entity must NOT survive, 12 structural
+    tags, named (&amp;/&eacute;/&quot;), decimal (&#67;) and hex
+    (&#x44;) entities, and the NFC probe: 'caf&eacute;' decodes to
+    precomposed U+00E9 while 'cafe&#769;' decodes to 'e' + combining
+    acute — ONLY NFC makes them equal, so n_eacute (count of
+    precomposed é in the output) reads 2 iff normalization ran, and
+    the md5 of the cleaned text hash-diverges on any byte difference.
+    Docs already containing markup characters are excluded in both
+    engines (none exist in the corpus — the filter makes the
+    fixture contract total).
+
+    At 100 TB: the envelope build is a JVM concat in the scan
+    projection; the cleaner runs in ONE Arrow-batched mapInPandas
+    stage (regex + unescape + NFC are per-doc CPU, the canonical
+    Python-tier shape), no shuffle anywhere — embarrassingly
+    parallel ingest, exactly like the PII scrub."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains("<")
+        & ~F.col("text").contains(">")
+        & ~F.col("text").contains("&")
+    )
+    envelope = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style>"
+            "<script>if (1 &lt; 2) x();</script></head>"
+            '<body><h1 class="t">'
+        ),
+        F.col("text"),
+        F.lit(
+            "</h1><p>A &amp; B &#67;&#x44; caf&eacute; vs cafe&#769;"
+            " &quot;ok&quot;</p><!-- hidden --></body></html>"
+        ),
+    )
+    src = docs.select("doc_id", envelope.alias("raw_html"))
+
+    def clean_batches(
+        it: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        def clean_one(s: str) -> tuple[int, int, int, int, str]:
+            clean, n_tags, n_entities = html_clean(s)
+            return (
+                n_tags,
+                n_entities,
+                clean.count("é"),
+                len(clean),
+                hashlib.md5(clean.encode("utf-8")).hexdigest(),
+            )
+
+        names = (
+            "n_tags", "n_entities", "n_eacute", "clean_len", "clean_digest"
+        )
+        for pdf in it:
+            cols = list(zip(*(clean_one(s) for s in pdf["raw_html"])))
+            if not cols:  # empty Arrow batch
+                cols = [[] for _ in names]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], **dict(zip(names, cols))}
+            )
+
+    return src.mapInPandas(
+        clean_batches,
+        "doc_id long, n_tags long, n_entities long, n_eacute long, "
+        "clean_len long, clean_digest string",
+    )
