@@ -65,81 +65,58 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # entries). Rotation policy (documented since r08): NEW +
     # DRIVER-FAILED entries first, then never-certified, then
     # CODE-CHANGED-since-last-driver-row, then stalest-certification-
-    # first. Round-11 window (backlog is ZERO since r10 — the union of
-    # CORRECTNESS_r01..r10 covers all entries): the new r11 entries,
-    # then every entry whose CODE changed this round (txn-log replay
-    # refactored through _replay_live_files + batched bloom sidecar
-    # read; AVI walker stream-scoping; JPEG decoder allocation guard;
-    # concurrent-sessions cache key), then the stalest-certified cohort
-    # (r05/r06 driver rows) to fill.
+    # first. Backlog has been ZERO since r10 — the union of
+    # CORRECTNESS_r01..r12 covers all pre-r13 entries.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r12 window ----
-        # new r12 entries lead (rotation policy: NEW first): progressive
-        # JPEG decode, then the txn log's remaining read modes + the 2-D
-        # maintenance op
-        "multimodal_image_progressive_stats",
-        "multimodal_video_rle8_delta_stats",
-        "source_txn_log_restore", "source_txn_log_shallow_clone",
-        "source_txn_log_check_constraints", "source_txn_log_column_mapping",
-        "source_txn_log_partition_values", "dedup_substring_rewrite",
-        "multimodal_audio_adpcm_stats", "source_txn_log_cdf_ivm",
-        "streaming_txn_cdf_ivm_live", "source_state_store_read",
-        "sql_scripting_control_flow", "source_python_stream_writer",
-        "text_udtf_polymorphic", "multimodal_gif_animation_stats",
-        "events_holt_winters_seasonal", "pipeline_multimodal_funnel",
-        "text_pmi_collocations", "text_rake_keywords",
-        "events_benford_first_digit",
-        "source_txn_log_cdf", "streaming_txn_cdf_live",
-        "source_txn_log_timestamp_travel", "source_txn_log_optimize_zorder",
-        "streaming_txn_source_exec_live",
-        # then code-changed-this-round entries (committer protocol grew
-        # commitInfo first lines + dataChange flags and every engine-
-        # written fixture rebuilt under it — hashes expected unchanged,
-        # but external evidence beats expectation; conc-sessions cache
-        # key now keys on a named revision constant),
-        "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
-        "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
-        "source_txn_log_schema_evolution", "streaming_txn_source_live",
-        "events_max_concurrent_sessions",
-        # (JPEG marker walker + scan finalize refactored for progressive
-        # support this session — the baseline-decode entries re-certify)
+        # ---- r13 window ----
+        # new r13 entries lead (rotation policy: NEW first): the PNG
+        # codec, the HTML/NFC ingest gate, and the closed-form
+        # multivariate OLS
+        "multimodal_image_png_stats", "text_html_strip",
+        "events_ols_value_hour_dow",
+        # then code-changed-this-round entries: every media fixture
+        # seed moved to the asserted-ASCII ascii_seed contract and the
+        # image entries now decode through the shared GIF/PNG/BMP
+        # dispatch (hashes expected unchanged — external evidence
+        # beats expectation),
         "multimodal_video_mjpeg_stats", "multimodal_video_mjpeg_420_stats",
+        "multimodal_image_progressive_stats",
+        "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
+        "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
+        "multimodal_resize_certified", "multimodal_phash_dedup",
         "multimodal_codec_fallback",
-        # then stalest-certified (r06/r07 driver rows) fill:
-        "asof_next_purchase", "similarity_lsh_md5_buckets",
-        "sketch_distinct_users_bounded",
-        "events_daily_retention", "events_cohort_matrix",
-        "pricing_summary",
-        "filter_project", "join_inner", "join_left_outer", "join_semi",
-        "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct",
-        # ---- window boundary (the driver certifies the 50 above;
-        # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first (the twenty-four
-        # entries the r12 codec + table-DDL + dedup + streaming-IVM +
-        # state-store + SQL-scripting + stream-writer + UDTF +
-        # Holt-Winters + funnel + PMI + RAKE + Benford insertions
-        # displaced from the window lead)
-        "agg_percentiles",
-        "agg_salted_hot_keys",
-        "rollup_flag_status",
-        "cube_status_priority",
-        "grouping_sets_revenue",
-        "case_when_pivot",
+        # the committer grew the definition-change conflict rule,
+        # RESTORE now rewinds schema/constraints, and clone_to emits
+        # abspath adds — the txn-log read modes re-certify,
+        "source_txn_log_restore", "source_txn_log_shallow_clone",
+        "source_txn_log_check_constraints", "source_txn_log_writer_roundtrip",
+        "streaming_txn_sink_live", "source_txn_log_cdf",
+        "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
+        "source_txn_log_timestamp_travel",
+        # and the Benford audit gained its empty-total guard
+        "events_benford_first_digit",
+        # then the stalest-certified cohort fills the window: the
+        # r06-driver-row relational/window/function block the r12
+        # VERDICT named as next in rotation
+        "agg_percentiles", "agg_salted_hot_keys", "rollup_flag_status",
+        "cube_status_priority", "grouping_sets_revenue", "case_when_pivot",
         "unpivot_flag_measures", "set_ops", "sort_limit_topk",
         "window_rank_family", "window_running_analytics",
         "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract",
-        "null_safe_funcs",
+        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
-        "multimodal_rollup",
-        "pipeline_pack_sequences",
+        "multimodal_rollup", "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
+        # ---- window boundary (the driver certifies the 50 above;
+        # tools/preflight_window.py replays exactly this prefix) ----
+        # certified tail, stalest driver row first; the r12-window
+        # entries not re-certifying above sit at the very end
+        # (freshest rows)
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",
         "similarity_quantized_topk", "text_bigram_top_terms",
@@ -166,30 +143,29 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "json_variant_stats", "streaming_hourly_rollup_live",
         "streaming_session_stats_live", "streaming_dedup_live",
         "streaming_hourly_users_live", "feed_topk_per_user",
-        "multimodal_resize_certified", "cdc_merge_into_state",
-        "text_tfidf_cosine_pairs", "events_moment_profile",
-        "events_corr_value_hour", "events_iqr_outliers",
-        "streaming_sliding_counts_live", "union_by_name_evolution",
-        "string_collation_groups", "events_daily_locf",
-        "feed_page_parameterized", "source_python_datasource_write",
-        "pipeline_linear_quality_score", "source_python_stream_datasource",
-        "window_distribution_ranks", "pipeline_contamination_score",
-        "events_ab_test_ztest", "tpch_q3_shipping_priority",
-        "events_day_over_day_growth", "events_ewma_values",
-        "similarity_pandas_udf_normalize", "text_hashed_features",
-        "dedup_substring_windows", "dedup_semantic", "pipeline_dsir_weights",
-        "text_zipf_slope", "streaming_enrich_join_live",
-        "asof_nearest_purchase", "sql_pipe_pricing", "text_inverted_index",
-        "text_bm25_topk", "events_groupmap_ranks",
-        "pipeline_curriculum_order", "events_conversion_wilson_ci",
-        "events_type_cooccurrence", "events_lag_features",
-        "events_multitouch_attribution", "source_orc_roundtrip",
-        "source_csv_roundtrip", "source_json_roundtrip",
-        "source_partitioned_pruned", "source_schema_evolution",
-        "source_json_permissive", "source_python_datasource",
-        "events_grouped_agg_mad", "feed_single_user_page",
-        "feed_single_user_page_offset", "join_full_outer",
-        "events_hourly_rollup", "events_dow_seasonality",
+        "cdc_merge_into_state", "text_tfidf_cosine_pairs",
+        "events_moment_profile", "events_corr_value_hour",
+        "events_iqr_outliers", "streaming_sliding_counts_live",
+        "union_by_name_evolution", "string_collation_groups",
+        "events_daily_locf", "feed_page_parameterized",
+        "source_python_datasource_write", "pipeline_linear_quality_score",
+        "source_python_stream_datasource", "window_distribution_ranks",
+        "pipeline_contamination_score", "events_ab_test_ztest",
+        "tpch_q3_shipping_priority", "events_day_over_day_growth",
+        "events_ewma_values", "similarity_pandas_udf_normalize",
+        "text_hashed_features", "dedup_substring_windows", "dedup_semantic",
+        "pipeline_dsir_weights", "text_zipf_slope",
+        "streaming_enrich_join_live", "asof_nearest_purchase",
+        "sql_pipe_pricing", "text_inverted_index", "text_bm25_topk",
+        "events_groupmap_ranks", "pipeline_curriculum_order",
+        "events_conversion_wilson_ci", "events_type_cooccurrence",
+        "events_lag_features", "events_multitouch_attribution",
+        "source_orc_roundtrip", "source_csv_roundtrip",
+        "source_json_roundtrip", "source_partitioned_pruned",
+        "source_schema_evolution", "source_json_permissive",
+        "source_python_datasource", "events_grouped_agg_mad",
+        "feed_single_user_page", "feed_single_user_page_offset",
+        "join_full_outer", "events_hourly_rollup", "events_dow_seasonality",
         "cdc_lifecycle_violations", "similarity_pq_topk",
         "multimodal_audio_stats", "text_vocab_oov_rate",
         "text_js_divergence_sources", "pipeline_data_card",
@@ -214,31 +190,25 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "tpch_q12_latency_priority", "tpch_q16_supplier_diversity",
         "similarity_lsh_recall", "events_cusum_changepoint",
         "similarity_mmr_topk", "streaming_activity_bitmap_live",
-        "graph_personalized_pagerank",
-        # r10 window (driver-certified r10 — freshest rows, so last)
-        "source_txn_log_data_skipping", "streaming_left_outer_join_live",
-        "events_holt_linear_trend", "text_bpe_apply_merges",
-        "pipeline_score_calibration", "pipeline_k_anonymity",
-        "dedup_minhash_quality", "similarity_hard_negatives",
-        "pipeline_blocklist_filter", "dedup_simhash_quality",
-        "events_activity_bitmap", "pipeline_token_budget_epochs",
-        "events_psi_drift", "events_median_halfsample_ci",
-        "events_incident_overlap_join", "events_theil_sen_trend",
-        "events_mahalanobis_outliers", "events_sequence_pattern",
-        "events_autocorrelation", "source_xml_roundtrip",
-        "multimodal_audio_spectrum", "dedup_containment_pairs",
-        "dedup_source_signatures", "multimodal_phash_dedup",
+        "graph_personalized_pagerank", "source_txn_log_data_skipping",
+        "streaming_left_outer_join_live", "events_holt_linear_trend",
+        "text_bpe_apply_merges", "pipeline_score_calibration",
+        "pipeline_k_anonymity", "dedup_minhash_quality",
+        "similarity_hard_negatives", "pipeline_blocklist_filter",
+        "dedup_simhash_quality", "events_activity_bitmap",
+        "pipeline_token_budget_epochs", "events_psi_drift",
+        "events_median_halfsample_ci", "events_incident_overlap_join",
+        "events_theil_sen_trend", "events_mahalanobis_outliers",
+        "events_sequence_pattern", "events_autocorrelation",
+        "source_xml_roundtrip", "multimodal_audio_spectrum",
+        "dedup_containment_pairs", "dedup_source_signatures",
         "text_dup_ngram_fraction", "similarity_range_search",
-        "cdc_snapshot_diff", "graph_link_prediction",
-        "similarity_ann_lsh", "multimodal_feature_extract",
-        "sketch_distinct_users", "sketch_value_quantiles",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-        "multimodal_resize", "graph_triangle_count",
+        "cdc_snapshot_diff", "graph_link_prediction", "similarity_ann_lsh",
+        "multimodal_feature_extract", "sketch_distinct_users",
+        "sketch_value_quantiles", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
-        # r11 window (driver-certified r11 — freshest rows, so last;
-        # the six txn entries and three JPEG-path entries re-certifying
-        # in the r12 window above are omitted here)
         "source_txn_log_snapshot", "source_txn_log_checkpoint",
         "source_txn_log_deletes", "source_txn_log_time_travel",
         "source_txn_log_bloom_index", "multimodal_video_avi_stats",
@@ -256,7 +226,21 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
-        "pipeline_zorder_stats",
+        "pipeline_zorder_stats", "source_txn_log_column_mapping",
+        "source_txn_log_partition_values", "dedup_substring_rewrite",
+        "streaming_txn_cdf_ivm_live", "source_state_store_read",
+        "sql_scripting_control_flow", "source_python_stream_writer",
+        "text_udtf_polymorphic", "events_holt_winters_seasonal",
+        "text_pmi_collocations", "text_rake_keywords",
+        "streaming_txn_cdf_live", "streaming_txn_source_exec_live",
+        "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
+        "source_txn_log_schema_evolution", "streaming_txn_source_live",
+        "events_max_concurrent_sessions", "asof_next_purchase",
+        "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
+        "events_daily_retention", "events_cohort_matrix", "pricing_summary",
+        "filter_project", "join_inner", "join_left_outer", "join_semi",
+        "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
+        "agg_distinct",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -36,6 +36,11 @@ def test_round_trip_all_filters_both_colour_types():
 @settings(max_examples=60, deadline=None)
 @given(data=st.data())
 def test_round_trip_random(data):
+    """Sequential and Adam7 layouts, random filters per scanline:
+    decode must reproduce the exact pixel stream either way (interlace
+    is lossless layout)."""
+    from user_feed_cdc_spark.operators.png import _adam7_passes
+
     gray = data.draw(st.booleans())
     ch = 1 if gray else 3
     w = data.draw(st.integers(1, 8))
@@ -49,9 +54,23 @@ def test_round_trip_random(data):
             )
         )
     )
-    fts = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
-    enc = encode_png(w, h, px, grayscale=gray, row_filters=fts)
+    interlace = data.draw(st.booleans())
+    nlines = (
+        sum(ph for *_, ph in _adam7_passes(w, h)) if interlace else h
+    )
+    fts = data.draw(
+        st.lists(st.integers(0, 4), min_size=nlines, max_size=nlines)
+    )
+    enc = encode_png(
+        w, h, px, grayscale=gray, row_filters=fts, interlace=interlace
+    )
     assert decode_png(enc) == (w, h, px)
+    if interlace:
+        # layout equivalence: the interlaced and sequential encodings
+        # of the same pixels decode identically
+        assert decode_png(enc) == decode_png(
+            encode_png(w, h, px, grayscale=gray)
+        )
 
 
 @settings(max_examples=40, deadline=None)
@@ -87,15 +106,15 @@ def test_refusals_are_loud():
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
 
-    # Adam7 interlace refuses (the progressive-JPEG precedent)
-    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
+    # unknown interlace method (2) refuses; Adam7 (1) is SUPPORTED
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 2)
     p = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(39), 0))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace method"):
         decode_png(p)
 
     # 16-bit depth, palette colour type

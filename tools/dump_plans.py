@@ -110,6 +110,9 @@ REPRESENTATIVE = [
     "source_txn_log_cdf_ivm",  # MV base ⊕ signed feed delta, no HEAD rescan
     "text_pmi_collocations",  # integer-ranked PMI: two explodes + broadcasts
     "events_holt_winters_seasonal",  # vector-state fold, one rollup exchange
+    "multimodal_image_png_stats",  # PNG decode: narrow Arrow stage, no shuffle
+    "text_html_strip",  # envelope in scan projection + one Arrow clean pass
+    "events_ols_value_hour_dow",  # exact co-moment agg + closed-form SELECT
 ]
 
 

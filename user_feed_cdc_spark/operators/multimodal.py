@@ -2862,11 +2862,12 @@ def multimodal_image_png_stats(
     """PNG decode under the hash gate — the web's most common image
     format joins the codec matrix (r12 VERDICT gap 1). Each image
     doc's payload is a REAL PNG (operators/png.py: zlib-deflated
-    IDAT, CRC-checked chunks) alternating truecolour RGB and 8-bit
-    greyscale, with row filters chosen so all FIVE scanline
-    reconstructions run in the certified path: the RGB fixture rows
-    carry filters None/Sub/Up, the greyscale rows None/Paeth/Average/
-    Up. PNG is lossless, so the symbolic oracle predicts every
+    IDAT, CRC-checked chunks) alternating truecolour RGB (sequential,
+    filters None/Sub/Up) and 8-bit greyscale laid out
+    ADAM7-INTERLACED — six non-empty passes whose 8 scanlines cycle
+    through every filter type, so the five-filter reconstruction AND
+    the interlace pass/scatter path both run in the certified plan.
+    PNG is lossless, so the symbolic oracle predicts every
     decoded byte from the doc's text head: the RGB image is a 12-byte
     v0-ramp row plus two constant-v1 rows (sum 12·v0+24·v1+66); the
     greyscale image is a v0-ramp row, its Paeth-filtered duplicate,
@@ -2900,6 +2901,12 @@ def multimodal_image_png_stats(
                         4, 3, px, row_filters=[0, 1, 2]
                     )
                 else:
+                    # ADAM7-interlaced: the 5x4 canvas splits into six
+                    # non-empty passes (8 scanlines), each independently
+                    # forward-filtered — interlacing is lossless layout,
+                    # so the symbolic oracle is unchanged while the
+                    # decoder's pass/scatter reconstruction joins the
+                    # certified path
                     ramp = bytes(v0 + i for i in range(5))
                     px = (
                         ramp + ramp
@@ -2908,7 +2915,8 @@ def multimodal_image_png_stats(
                     )
                     cache[key] = encode_png(
                         5, 4, px, grayscale=True,
-                        row_filters=[0, 4, 3, 2],
+                        row_filters=[0, 1, 2, 3, 4, 0, 2, 1],
+                        interlace=True,
                     )
             return cache[key]
 

@@ -1,13 +1,14 @@
 """Pure-stdlib PNG codec (RFC 2083 / ISO 15948) for the multimodal
 Python tier: 8-bit greyscale (colour type 0) and truecolour RGB
 (colour type 2), all five scanline filters (None/Sub/Up/Average/
-Paeth), CRC-validated chunk walk, zlib inflate with a zip-bomb bound.
+Paeth), Adam7 interlaced AND sequential layouts, CRC-validated chunk
+walk, zlib inflate with a zip-bomb bound.
 
 PNG is the single most common image format in a web-scraped corpus
 (r12 VERDICT gap 1); this closes the codec matrix the same way the
 progressive-JPEG arc did: a real decoder for the common profile,
-loud refusals for the rest (Adam7 interlace, 16-bit depth, palette),
-and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
+loud refusals for the rest (16-bit depth, palette), and a fixture
+ENCODER whose IDAT uses zlib stored-mode blocks
 (``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
 oracle can derive every decoded byte symbolically — the
 `multimodal_phash_dedup` / `multimodal_audio_stats` oracle pattern.
@@ -38,6 +39,28 @@ PNG_PIXEL_CAP = 1 << 24
 
 _CHANNELS = {0: 1, 2: 3}  # colour type -> samples per pixel
 
+# Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step).
+# Each pass is an independently-filtered sub-image; empty passes
+# (zero width or height) contribute no bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY pass."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
 
 def _chunk(kind: bytes, body: bytes) -> bytes:
     return (
@@ -54,33 +77,63 @@ def encode_png(
     pixels: bytes,
     grayscale: bool = False,
     row_filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Build a real PNG. ``pixels`` is the UNFILTERED top-down pixel
     stream (width*height*channels bytes). ``row_filters`` assigns a
-    filter type per row; each row is then FORWARD-filtered per the
-    spec so the decoder's unfilter path is genuinely exercised.
-    The IDAT is deflated at level 0 — stored-mode blocks, verbatim
-    scanline bytes — which is what lets symbolic oracles predict the
-    compressed payload's decoded content without running inflate."""
+    filter type per scanline — image rows for a sequential PNG, the
+    concatenated per-pass rows for an Adam7 one; each line is then
+    FORWARD-filtered per the spec so the decoder's unfilter path is
+    genuinely exercised. The IDAT is deflated at level 0 —
+    stored-mode blocks, verbatim scanline bytes — which is what lets
+    symbolic oracles predict the compressed payload's decoded content
+    without running inflate. ``interlace=True`` lays the stream out
+    as the seven Adam7 passes, each an independently-filtered
+    sub-image of the SAME pixels (interlacing is lossless layout, so
+    a fixture's oracle is unchanged by it)."""
     ch = 1 if grayscale else 3
     if len(pixels) != width * height * ch:
         raise ValueError(
             f"pixel stream is {len(pixels)} bytes, expected "
             f"{width * height * ch}"
         )
-    filters = row_filters or [0] * height
-    if len(filters) != height:
-        raise ValueError("row_filters must name one filter per row")
     stride = width * ch
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            for j in range(ph):
+                y = y0 + j * dy
+                row = b"".join(
+                    pixels[
+                        (y * width + x0 + i * dx) * ch :
+                        (y * width + x0 + i * dx) * ch + ch
+                    ]
+                    for i in range(pw)
+                )
+                lines.append((row, j == 0))
+    else:
+        lines = [
+            (pixels[r * stride : (r + 1) * stride], r == 0)
+            for r in range(height)
+        ]
+    filters = row_filters or [0] * len(lines)
+    if len(filters) != len(lines):
+        raise ValueError(
+            f"row_filters must name one filter per scanline "
+            f"({len(lines)} lines, got {len(filters)})"
+        )
     raw = bytearray()
-    prev = bytes(stride)
-    for r, ft in enumerate(filters):
-        row = pixels[r * stride : (r + 1) * stride]
+    prev = b""
+    for (row, first), ft in zip(lines, filters):
+        if first:  # each pass (or the image) starts with a zero prior row
+            prev = bytes(len(row))
         raw.append(ft)
         raw += _filter_row(row, prev, ft, ch)
         prev = row
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 0 if grayscale else 2, 0, 0, 0
+        ">IIBBBBB",
+        width, height, 8, 0 if grayscale else 2, 0, 0,
+        1 if interlace else 0,
     )
     return (
         PNG_SIGNATURE
@@ -125,19 +178,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit greyscale/RGB PNG: signature, CRC-checked chunk
-    walk, bounded inflate of the concatenated IDATs, and the five-
-    filter scanline reconstruction. Returns (width, height, pixel
-    bytes, top-down). Refuses loudly — never partially — on: bad
-    signature/CRC, interlaced (Adam7) images, unsupported depth or
-    colour type, declared dims exceeding the allocation cap or the
+    """Decode an 8-bit greyscale/RGB PNG — sequential OR Adam7
+    interlaced: signature, CRC-checked chunk walk, bounded inflate of
+    the concatenated IDATs, and the five-filter scanline
+    reconstruction (per pass, for interlaced streams, each pass an
+    independent sub-image scattered back onto the canvas). Returns
+    (width, height, pixel bytes, top-down). Refuses loudly — never
+    partially — on: bad signature/CRC, unsupported depth or colour
+    type, declared dims exceeding the allocation cap or the
     proportional payload bound, and IDAT that inflates to anything
-    but exactly height*(1+stride) bytes."""
+    but exactly the layout's scanline-stream length."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = None
     ch = 0
+    interlaced = False
     idat = bytearray()
     seen_end = False
     while pos < len(payload):
@@ -165,12 +221,9 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
-            if interlace != 0:
-                # the progressive-JPEG precedent: refuse loudly until a
-                # real Adam7 pass exists — never silently de-interlace
-                raise ValueError(
-                    "Adam7-interlaced PNG is not supported at this tier"
-                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            interlaced = interlace == 1
             ch = _CHANNELS[ctype]
             if width <= 0 or height <= 0:
                 raise ValueError("PNG declares empty dimensions")
@@ -186,6 +239,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             # than n/1032 compressed bytes (deflate's 258:1 * window
             # re-reference bound) — refuse dims the remaining payload
             # cannot possibly satisfy before allocating
+            # (Adam7 adds <= 6 extra filter bytes per row-octave, so
+            # the sequential form is a valid lower bound either way)
             need = height * (1 + width * ch)
             if (len(payload) - pos) * 1032 < need:
                 raise ValueError(
@@ -205,7 +260,13 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     stride = width * ch
-    expect = height * (1 + stride)
+    if interlaced:
+        expect = sum(
+            ph * (1 + pw * ch)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
+        )
+    else:
+        expect = height * (1 + stride)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expect + 1)
@@ -217,13 +278,31 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             f"{expect}"
         )
     out = bytearray(height * stride)
-    prev = bytes(stride)
-    for r in range(height):
-        ft = raw[r * (1 + stride)]
-        line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
-        row = _unfilter_row(line, prev, ft, ch)
-        out[r * stride : (r + 1) * stride] = row
-        prev = row
+    if interlaced:
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            pstride = pw * ch
+            prev = bytes(pstride)
+            for j in range(ph):
+                ft = raw[off]
+                line = raw[off + 1 : off + 1 + pstride]
+                off += 1 + pstride
+                row = _unfilter_row(line, prev, ft, ch)
+                prev = row
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    out[(y * width + x) * ch : (y * width + x) * ch + ch] = (
+                        row[i * ch : (i + 1) * ch]
+                    )
+    else:
+        prev = bytes(stride)
+        for r in range(height):
+            ft = raw[r * (1 + stride)]
+            line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
+            row = _unfilter_row(line, prev, ft, ch)
+            out[r * stride : (r + 1) * stride] = row
+            prev = row
     return width, height, bytes(out)
 
 
