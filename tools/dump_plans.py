@@ -113,6 +113,7 @@ REPRESENTATIVE = [
     "multimodal_image_png_stats",  # PNG decode: narrow Arrow stage, no shuffle
     "text_html_strip",  # envelope in scan projection + one Arrow clean pass
     "events_ols_value_hour_dow",  # exact co-moment agg + closed-form SELECT
+    "events_logistic_purchase_hour",  # 24-row exact stats + Newton fold
 ]
 
 
