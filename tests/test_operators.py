@@ -4456,3 +4456,44 @@ def test_html_clean_properties():
             assert again == c and nt == 0
 
     run()
+
+
+def test_ascii_seed_contract():
+    """Media fixture seeds assert their ASCII-head contract loudly
+    instead of silently diverging from the byte-addressed oracles
+    (r12 ADVICE): ASCII heads pass through as utf-8 bytes; a
+    non-ASCII or empty head refuses."""
+    import pytest
+
+    from user_feed_cdc_spark.operators.multimodal import ascii_seed
+
+    assert ascii_seed("abc xyz") == b"abc xyz"
+    assert ascii_seed("a") == b"a"
+    # non-ASCII beyond the indexed head is fine — only text[:3] is used
+    assert ascii_seed("abcé")[:3] == b"abc"
+    for bad in ("", "ébc", "aéc"):
+        with pytest.raises(ValueError, match="ASCII"):
+            ascii_seed(bad)
+
+
+def test_benford_refuses_empty_total(spark, tmp_path):
+    """events_benford_first_digit on a corpus with no positive amounts
+    raises a typed error instead of interpolating NULL into SQL
+    (r12 ADVICE)."""
+    import pytest
+
+    from user_feed_cdc_spark.operators.event_windows import (
+        events_benford_first_digit,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", -5.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+        str(sf / "events.parquet")
+    )
+    with pytest.raises(ValueError, match="no positive"):
+        events_benford_first_digit(spark, str(sf))
