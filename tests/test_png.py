@@ -21,16 +21,30 @@ from user_feed_cdc_spark.operators.png import (
 )
 
 
-def test_round_trip_all_filters_both_colour_types():
-    """Each filter type on every row position, RGB and greyscale: the
-    forward filter and the reconstruction must be exact inverses."""
-    for gray in (False, True):
-        ch = 1 if gray else 3
+def test_round_trip_all_filters_all_colour_types():
+    """Each filter type on every row position, across the full 8-bit
+    colour-type matrix (grey, RGB, grey+alpha, RGBA): forward filter
+    and reconstruction must be exact inverses at every bpp."""
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
         w, h = 5, 5
         px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
         for ft in range(5):
-            enc = encode_png(w, h, px, grayscale=gray, row_filters=[ft] * h)
-            assert decode_png(enc) == (w, h, px), (gray, ft)
+            enc = encode_png(w, h, px, color_type=ct, row_filters=[ft] * h)
+            assert decode_png(enc) == (w, h, px), (ct, ft)
+
+
+def test_palette_round_trip_expands_plte():
+    """Colour type 3: index bytes ride the scanline filters, decode
+    expands through the PLTE to RGB — the decode_gif contract."""
+    pal = bytes((i * 11 + 3) % 256 for i in range(3 * 7))
+    idx = bytes([0, 6, 3, 2, 5, 1, 4, 0, 6, 3, 2, 5])
+    for interlace in (False, True):
+        enc = encode_png(
+            4, 3, idx, color_type=3, palette=pal, interlace=interlace
+        )
+        w, h, px = decode_png(enc)
+        assert (w, h) == (4, 3)
+        assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
 
 
 @settings(max_examples=60, deadline=None)
@@ -117,12 +131,36 @@ def test_refusals_are_loud():
     with pytest.raises(ValueError, match="interlace method"):
         decode_png(p)
 
-    # 16-bit depth, palette colour type
-    for depth, ctype, msg in ((16, 2, "bit depth"), (8, 3, "colour type")):
+    # 16-bit depth, invalid colour type, tRNS transparency
+    for depth, ctype, msg in ((16, 2, "bit depth"), (8, 5, "colour type")):
         ihdr = struct.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, 0)
         p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(ValueError, match=msg):
             decode_png(p)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", bytes(6))
+        + _chunk(b"tRNS", b"\x00")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(p)
+
+    # palette index past the PLTE refuses at expansion, not mis-reads
+    good_pal = encode_png(
+        2, 2, bytes([0, 1, 1, 0]), color_type=3, palette=bytes(9)
+    )
+    # shrink the palette to one entry and re-checksum the chunk
+    i = good_pal.index(b"PLTE") - 4
+    shrunk = (
+        good_pal[: i]
+        + _chunk(b"PLTE", bytes(3))
+        + good_pal[i + 12 + 9 :]
+    )
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(shrunk)
 
     # forged dims: the absolute cap fires before any allocation
     ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)

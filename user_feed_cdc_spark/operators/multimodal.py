@@ -2828,7 +2828,7 @@ def multimodal_gif_animation_stats(
 
 _IMAGE_PNG_ORACLE = """
     WITH m AS (
-        SELECT doc_id,
+        SELECT doc_id, doc_id % 4 AS cls,
                CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v0,
                CAST(ascii(substr(text,
                     CAST((1 % length(text)) + 1 AS INT), 1)) AS BIGINT)
@@ -2837,19 +2837,22 @@ _IMAGE_PNG_ORACLE = """
         WHERE doc_id % 3 = 0 AND length(text) >= 1
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'rgb' ELSE 'gray' END AS fmt,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 5 END AS BIGINT)
-               AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
-               AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT)
-               AS channels,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 12 * v0 + 24 * v1 + 66
-                     ELSE 10 * v0 + 10 * v1 + 25 END AS BIGINT)
+           CASE cls WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray'
+                    WHEN 2 THEN 'rgba' ELSE 'rgb' END AS fmt,
+           CAST(CASE cls WHEN 0 THEN 4 WHEN 1 THEN 5
+                         WHEN 2 THEN 3 ELSE 4 END AS BIGINT) AS width,
+           CAST(CASE cls WHEN 0 THEN 3 WHEN 1 THEN 4
+                         WHEN 2 THEN 2 ELSE 2 END AS BIGINT) AS height,
+           CAST(CASE cls WHEN 0 THEN 3 WHEN 1 THEN 1
+                         WHEN 2 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+           CAST(CASE cls WHEN 0 THEN 12 * v0 + 24 * v1 + 66
+                         WHEN 1 THEN 10 * v0 + 10 * v1 + 25
+                         WHEN 2 THEN 12 * v0 + 12 * v1 + 66
+                         ELSE 9 * v0 + 15 * v1 + 6 END AS BIGINT)
                AS pixel_sum,
            v0 AS probe_first,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN v1 ELSE v1 + 1 END
-                AS BIGINT) AS probe_last,
+           CAST(CASE cls WHEN 1 THEN v1 + 1 ELSE v1 END AS BIGINT)
+               AS probe_last,
            TRUE AS decoded
     FROM m
 """
@@ -2862,17 +2865,21 @@ def multimodal_image_png_stats(
     """PNG decode under the hash gate — the web's most common image
     format joins the codec matrix (r12 VERDICT gap 1). Each image
     doc's payload is a REAL PNG (operators/png.py: zlib-deflated
-    IDAT, CRC-checked chunks) alternating truecolour RGB (sequential,
-    filters None/Sub/Up) and 8-bit greyscale laid out
-    ADAM7-INTERLACED — six non-empty passes whose 8 scanlines cycle
-    through every filter type, so the five-filter reconstruction AND
-    the interlace pass/scatter path both run in the certified plan.
-    PNG is lossless, so the symbolic oracle predicts every
-    decoded byte from the doc's text head: the RGB image is a 12-byte
-    v0-ramp row plus two constant-v1 rows (sum 12·v0+24·v1+66); the
-    greyscale image is a v0-ramp row, its Paeth-filtered duplicate,
-    a constant-v1 row, and a constant-(v1+1) row (sum
-    10·v0+10·v1+25). A filter-reconstruction bug anywhere moves
+    IDAT, CRC-checked chunks) rotating through the FULL 8-bit
+    colour-type matrix by doc_id%4: truecolour RGB (sequential,
+    filters None/Sub/Up), greyscale laid out ADAM7-INTERLACED (six
+    non-empty passes, 8 scanlines cycling every filter type), RGBA
+    (alpha bytes riding the same filters at bpp 4), and a PALETTE
+    image (Adam7, index bytes filtered at bpp 1, expanded through
+    the PLTE at decode) — so the five-filter reconstruction, the
+    interlace pass/scatter, the alpha-channel stride, and the PLTE
+    expansion ALL run in the certified plan. PNG is lossless, so the
+    symbolic oracle predicts every decoded byte from the doc's text
+    head: RGB = v0-ramp row + two constant-v1 rows (12·v0+24·v1+66);
+    greyscale = v0-ramp, its Paeth duplicate, constant v1, constant
+    v1+1 (10·v0+10·v1+25); RGBA = v0-ramp + constant-v1
+    (12·v0+12·v1+66); palette = 8 indices over the (v0, v1, v1+1)
+    palette (9·v0+15·v1+6). A reconstruction bug anywhere moves
     pixel_sum or a probe byte and hash-diverges.
 
     Scale: the standard narrow media shape — Arrow-batched
@@ -2886,12 +2893,12 @@ def multimodal_image_png_stats(
     )
 
     def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cache: dict[tuple[int, int, bool], bytes] = {}
+        cache: dict[tuple[int, int, int], bytes] = {}
 
-        def png_of(v0: int, v1: int, rgb: bool) -> bytes:
-            key = (v0, v1, rgb)
+        def png_of(v0: int, v1: int, cls: int) -> bytes:
+            key = (v0, v1, cls)
             if key not in cache:
-                if rgb:
+                if cls == 0:  # truecolour RGB, sequential
                     px = (
                         bytes(v0 + i for i in range(12))
                         + bytes([v1]) * 12
@@ -2899,6 +2906,22 @@ def multimodal_image_png_stats(
                     )
                     cache[key] = encode_png(
                         4, 3, px, row_filters=[0, 1, 2]
+                    )
+                elif cls == 2:  # RGBA: alpha rides the same filters
+                    px = bytes(v0 + i for i in range(12)) + bytes([v1]) * 12
+                    cache[key] = encode_png(
+                        3, 2, px, color_type=6, row_filters=[0, 1]
+                    )
+                elif cls == 3:  # palette, Adam7: indices filter, PLTE expands
+                    pal = (
+                        bytes([v0]) * 3
+                        + bytes([v1]) * 3
+                        + bytes([v1 + 1]) * 3
+                    )
+                    idx = bytes([0, 1, 2, 1, 2, 0, 0, 1])
+                    cache[key] = encode_png(
+                        4, 2, idx, color_type=3, palette=pal,
+                        row_filters=[0, 1, 2, 4], interlace=True,
                     )
                 else:
                     # ADAM7-interlaced: the 5x4 canvas splits into six
@@ -2925,7 +2948,7 @@ def multimodal_image_png_stats(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = ascii_seed(text)
                 payloads.append(
-                    png_of(raw[0], raw[1 % len(raw)], int(doc_id) % 2 == 0)
+                    png_of(raw[0], raw[1 % len(raw)], int(doc_id) % 4)
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -2946,7 +2969,9 @@ def multimodal_image_png_stats(
                     # normalizes corrupt-payload errors to DecodeError
                     w, h, px = decode_image(bytes(payload))
                     ch = len(px) // (w * h)
-                    out["fmt"].append("rgb" if ch == 3 else "gray")
+                    out["fmt"].append(
+                        {1: "gray", 2: "ga", 3: "rgb", 4: "rgba"}[ch]
+                    )
                     out["width"].append(w)
                     out["height"].append(h)
                     out["channels"].append(ch)

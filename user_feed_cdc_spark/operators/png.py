@@ -1,14 +1,16 @@
 """Pure-stdlib PNG codec (RFC 2083 / ISO 15948) for the multimodal
-Python tier: 8-bit greyscale (colour type 0) and truecolour RGB
-(colour type 2), all five scanline filters (None/Sub/Up/Average/
-Paeth), Adam7 interlaced AND sequential layouts, CRC-validated chunk
-walk, zlib inflate with a zip-bomb bound.
+Python tier: the full 8-bit colour-type matrix — greyscale (0),
+truecolour RGB (2), palette (3, expanded through PLTE like the GIF
+decoder), grey+alpha (4), RGBA (6) — all five scanline filters
+(None/Sub/Up/Average/Paeth), Adam7 interlaced AND sequential
+layouts, CRC-validated chunk walk, zlib inflate with a zip-bomb
+bound.
 
 PNG is the single most common image format in a web-scraped corpus
 (r12 VERDICT gap 1); this closes the codec matrix the same way the
 progressive-JPEG arc did: a real decoder for the common profile,
-loud refusals for the rest (16-bit depth, palette), and a fixture
-ENCODER whose IDAT uses zlib stored-mode blocks
+loud refusals for the rest (16-bit depth, tRNS transparency tables),
+and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
 (``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
 oracle can derive every decoded byte symbolically — the
 `multimodal_phash_dedup` / `multimodal_audio_stats` oracle pattern.
@@ -37,7 +39,10 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # the external-decoder plug point (the jpeg.PROG_BLOCK_CAP rationale).
 PNG_PIXEL_CAP = 1 << 24
 
-_CHANNELS = {0: 1, 2: 3}  # colour type -> samples per pixel
+# colour type -> samples per pixel: 0 greyscale, 2 truecolour RGB,
+# 3 palette indices (expanded through PLTE at decode), 4 grey+alpha,
+# 6 RGBA — the full 8-bit colour-type matrix a web corpus carries.
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step).
 # Each pass is an independently-filtered sub-image; empty passes
@@ -78,6 +83,8 @@ def encode_png(
     grayscale: bool = False,
     row_filters: list[int] | None = None,
     interlace: bool = False,
+    color_type: int | None = None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Build a real PNG. ``pixels`` is the UNFILTERED top-down pixel
     stream (width*height*channels bytes). ``row_filters`` assigns a
@@ -90,8 +97,22 @@ def encode_png(
     without running inflate. ``interlace=True`` lays the stream out
     as the seven Adam7 passes, each an independently-filtered
     sub-image of the SAME pixels (interlacing is lossless layout, so
-    a fixture's oracle is unchanged by it)."""
-    ch = 1 if grayscale else 3
+    a fixture's oracle is unchanged by it). ``color_type`` overrides
+    the grayscale flag for the full matrix (0/2/3/4/6); palette
+    images (3) take ``pixels`` as index bytes plus a ``palette`` of
+    RGB triples emitted as the PLTE chunk."""
+    if color_type is None:
+        color_type = 0 if grayscale else 2
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported colour type {color_type}")
+    ch = _CHANNELS[color_type]
+    if color_type == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("palette images need 1-256 RGB triples")
+        if pixels and max(pixels) * 3 >= len(palette):
+            raise ValueError("palette index out of range")
+    elif palette is not None:
+        raise ValueError("palette is only valid for colour type 3")
     if len(pixels) != width * height * ch:
         raise ValueError(
             f"pixel stream is {len(pixels)} bytes, expected "
@@ -132,12 +153,14 @@ def encode_png(
         prev = row
     ihdr = struct.pack(
         ">IIBBBBB",
-        width, height, 8, 0 if grayscale else 2, 0, 0,
+        width, height, 8, color_type, 0, 0,
         1 if interlace else 0,
     )
+    plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 0))
         + _chunk(b"IEND", b"")
     )
@@ -178,22 +201,26 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit greyscale/RGB PNG — sequential OR Adam7
+    """Decode an 8-bit PNG of any colour type — sequential OR Adam7
     interlaced: signature, CRC-checked chunk walk, bounded inflate of
     the concatenated IDATs, and the five-filter scanline
     reconstruction (per pass, for interlaced streams, each pass an
     independent sub-image scattered back onto the canvas). Returns
-    (width, height, pixel bytes, top-down). Refuses loudly — never
-    partially — on: bad signature/CRC, unsupported depth or colour
-    type, declared dims exceeding the allocation cap or the
-    proportional payload bound, and IDAT that inflates to anything
-    but exactly the layout's scanline-stream length."""
+    (width, height, pixel bytes, top-down) — palette images expand
+    through PLTE to RGB; alpha types keep their alpha bytes
+    interleaved. Refuses loudly — never partially — on: bad
+    signature/CRC, unsupported depth, tRNS, declared dims exceeding
+    the allocation cap or the proportional payload bound, palette
+    indices past the PLTE, and IDAT that inflates to anything but
+    exactly the layout's scanline-stream length."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = None
     ch = 0
+    ctype = -1
     interlaced = False
+    palette: bytes | None = None
     idat = bytearray()
     seen_end = False
     while pos < len(payload):
@@ -216,8 +243,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ctype not in _CHANNELS:
                 raise ValueError(
-                    f"unsupported PNG colour type {ctype} (only 8-bit "
-                    "greyscale and truecolour RGB decode at this tier)"
+                    f"unsupported PNG colour type {ctype} (8-bit "
+                    "grey/RGB/palette/grey-alpha/RGBA decode here)"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
@@ -254,8 +281,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         elif kind == b"IEND":
             seen_end = True
             break
-        elif kind in (b"PLTE", b"tRNS"):
-            raise ValueError(f"unsupported PNG ancillary-critical {kind!r}")
+        elif kind == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError("PNG PLTE must hold 1-256 RGB triples")
+            palette = bytes(body)
+        elif kind == b"tRNS":
+            # per-entry / per-value transparency tables change pixel
+            # SEMANTICS — refuse loudly rather than drop alpha silently
+            raise ValueError("PNG tRNS transparency is not supported")
         # other ancillary chunks (tEXt, pHYs, ...) are skipped
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
@@ -303,6 +336,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             row = _unfilter_row(line, prev, ft, ch)
             out[r * stride : (r + 1) * stride] = row
             prev = row
+    if ctype == 3:
+        # indices expand through PLTE to RGB (the decode_gif contract)
+        if palette is None:
+            raise ValueError("palette PNG without a PLTE chunk")
+        if out and max(out) * 3 >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        rgb = bytearray()
+        for i in out:
+            rgb += palette[3 * i : 3 * i + 3]
+        return width, height, bytes(rgb)
     return width, height, bytes(out)
 
 
