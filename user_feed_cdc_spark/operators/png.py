@@ -236,6 +236,10 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"PNG chunk {kind!r} fails CRC")
         pos += 12 + length
         if kind == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(
+                    f"PNG IHDR is {len(body)} bytes, expected 13"
+                )
             width, height, depth, ctype, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
