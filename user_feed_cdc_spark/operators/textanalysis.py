@@ -2413,12 +2413,21 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (regex + unescape + NFC are per-doc CPU, the canonical
     Python-tier shape), no shuffle anywhere — embarrassingly
     parallel ingest, exactly like the PII scrub."""
+    return _html_strip_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _html_strip_frame(docs: DataFrame) -> DataFrame:
+    """The whole envelope→clean pass as one stateless projection chain
+    over a `documents` frame — batch and streaming share it verbatim
+    (every operation is a per-row map, so stream micro-batches produce
+    exactly the batch rows; streaming_html_strip_live certifies that
+    under the same oracle)."""
     import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = docs.filter(
         ~F.col("text").contains("<")
         & ~F.col("text").contains(">")
         & ~F.col("text").contains("&")
@@ -2467,4 +2476,43 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean_batches,
         "doc_id long, n_tags long, n_entities long, n_eacute long, "
         "clean_len long, clean_digest string",
+    )
+
+
+@_register("streaming_html_strip_live", _HTML_STRIP_ORACLE)
+def streaming_html_strip_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HTML/NFC ingest gate LIVE under the oracle hash gate — the
+    17th live streaming certification and the first to put the
+    Arrow-batched PYTHON tier (mapInPandas) inside a Structured
+    Streaming run: the documents parquet replays as a file stream,
+    the SAME _html_strip_frame used by the batch entry cleans each
+    micro-batch (stateless projections only — no watermark, no state
+    store), availableNow drains it through the memory sink in append
+    mode, and the materialized rows hash against the identical batch
+    oracle. This is the shape of a real streaming ingest gate: new
+    crawl shards land as files, each micro-batch passes the full
+    strip/unescape/NFC pass, and batch-stream equivalence is a
+    CERTIFIED property, not an assumption.
+
+    At 100 TB: identical economics to the batch form (narrow, no
+    shuffle, per-doc CPU) plus streaming's exactly-once sink batches;
+    the stateless pipeline means replays are idempotent per file."""
+    from user_feed_cdc_spark.schemas import TABLE_SCHEMAS
+    from user_feed_cdc_spark.streaming.windows import (
+        run_to_memory,
+        table_stream_dir,
+    )
+
+    docs = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_stream_dir(sf_dir, "documents"))
+    )
+    return run_to_memory(
+        spark,
+        _html_strip_frame(docs),
+        "streaming_html_strip_live_sink",
+        "append",
     )

@@ -22,22 +22,29 @@ DEFAULT_WATERMARK = "10 minutes"
 
 def events_stream_dir(sf_dir: str) -> str:
     """A directory exposing ONLY the events parquet of an sf dir, for
+    file-stream replay (see table_stream_dir)."""
+    return table_stream_dir(sf_dir, "events")
+
+
+def table_stream_dir(sf_dir: str, table: str) -> str:
+    """A directory exposing ONLY one table's parquet of an sf dir, for
     file-stream replay: FileStreamSource requires a directory (it
     reuses the path as basePath), and pointing it at the whole sf dir
-    would sweep non-event tables into the footer sniff. Built once per
-    sf dir as a symlink under the system temp dir; concurrent creators
-    tolerate each other."""
+    would sweep other tables into the footer sniff. Built once per
+    (sf dir, table) as a symlink under the system temp dir; concurrent
+    creators tolerate each other."""
     import hashlib
     import os
     import tempfile
 
     link_dir = os.path.join(
         tempfile.gettempdir(),
-        "ufc_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "ufc_stream_"
+        + hashlib.md5(f"{sf_dir}|{table}".encode()).hexdigest()[:10],
     )
     os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    target = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(link_dir, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
     try:
         os.symlink(target, link)
     except FileExistsError:
