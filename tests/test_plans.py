@@ -1332,3 +1332,65 @@ def test_txn_cdf_touches_only_changed_files(spark, sf_dir):
     v3 = table_changes(spark, root, log_dir, 3, 3)
     assert v3.inputFiles() == []
     assert v3.count() == 0
+
+
+def test_html_strip_plan_is_narrow(spark, sf_dir):
+    """text_html_strip: the ingest gate must be shuffle-FREE — the
+    envelope is a scan-stage JVM concat and the cleaner one Arrow
+    stage; any Exchange would mean the embarrassingly-parallel pass
+    acquired a data movement it doesn't need."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(em.queries()["text_html_strip"](spark, sf_dir))
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head
+    assert "MapInPandas" in head
+
+
+def test_ols_single_partial_agged_shuffle(spark, sf_dir):
+    """events_ols_value_hour_dow: all nine exact co-moments must ride
+    ONE partial-agged exchange on event_type, and the normal-equation
+    solve must be a projection (no second shuffle, no join) — the
+    property that makes per-segment model fitting aggregate-cost."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["events_ols_value_hour_dow"](spark, sf_dir)
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") == 1
+    assert "partial" in head.lower()
+    assert "Join" not in head
+
+
+def test_logistic_newton_plan_shape(spark, sf_dir):
+    """events_logistic_purchase_hour: the hour collapse is one
+    partial-agged exchange; the 24-row table then folds to ONE row
+    (single-partition exchange is fine at 24 rows) and every Newton
+    step must be a projection — no joins, no Python, nothing
+    corpus-sized after the first aggregate."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["events_logistic_purchase_hour"](spark, sf_dir)
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert head.count("Exchange hashpartitioning") == 1
+    assert "Join" not in head
+    assert "InPandas" not in head and "BatchEvalPython" not in head
+
+
+def test_png_stats_payloads_never_shuffle(spark, sf_dir):
+    """multimodal_image_png_stats: decode rides Arrow map stages with
+    NO exchange anywhere — payload bytes must never cross a shuffle
+    (the media-entry contract; fan_out repartitions the tiny doc_id+
+    text projection BEFORE payloads exist, which is the one allowed
+    RoundRobin)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["multimodal_image_png_stats"](spark, sf_dir)
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in head
+    assert head.count("MapInPandas") == 2  # build + decode stages
