@@ -47,6 +47,27 @@ def test_palette_round_trip_expands_plte():
         assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
 
 
+def test_palette_trns_expands_to_rgba():
+    """Palette + tRNS alpha table decodes to RGBA; entries past the
+    table's end default to opaque 255 (spec §11.3.2)."""
+    pal = bytes(range(3 * 4))
+    idx = bytes([0, 1, 2, 3, 3, 0])
+    enc = encode_png(
+        3, 2, idx, color_type=3, palette=pal, transparency=bytes([9, 200])
+    )
+    w, h, px = decode_png(enc)
+    alpha = {0: 9, 1: 200, 2: 255, 3: 255}
+    assert (w, h) == (3, 2)
+    assert px == b"".join(
+        pal[3 * i : 3 * i + 3] + bytes([alpha[i]]) for i in idx
+    )
+    # an oversized table refuses at encode AND decode
+    with pytest.raises(ValueError, match="alpha byte per palette"):
+        encode_png(
+            3, 2, idx, color_type=3, palette=pal, transparency=bytes(5)
+        )
+
+
 @settings(max_examples=60, deadline=None)
 @given(data=st.data())
 def test_round_trip_random(data):
@@ -137,15 +158,16 @@ def test_refusals_are_loud():
         p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(ValueError, match=msg):
             decode_png(p)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    # tRNS COLOUR-KEY transparency (grey/RGB) still refuses — only the
+    # palette alpha-table form decodes
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
     p = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"PLTE", bytes(6))
-        + _chunk(b"tRNS", b"\x00")
+        + _chunk(b"tRNS", bytes(6))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="tRNS"):
+    with pytest.raises(ValueError, match="colour-key"):
         decode_png(p)
 
     # palette index past the PLTE refuses at expansion, not mis-reads

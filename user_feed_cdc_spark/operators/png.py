@@ -9,7 +9,8 @@ bound.
 PNG is the single most common image format in a web-scraped corpus
 (r12 VERDICT gap 1); this closes the codec matrix the same way the
 progressive-JPEG arc did: a real decoder for the common profile,
-loud refusals for the rest (16-bit depth, tRNS transparency tables),
+loud refusals for the rest (16-bit depth, colour-key tRNS on
+grey/RGB; palette tRNS alpha tables DO decode, to RGBA),
 and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
 (``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
 oracle can derive every decoded byte symbolically — the
@@ -85,6 +86,7 @@ def encode_png(
     interlace: bool = False,
     color_type: int | None = None,
     palette: bytes | None = None,
+    transparency: bytes | None = None,
 ) -> bytes:
     """Build a real PNG. ``pixels`` is the UNFILTERED top-down pixel
     stream (width*height*channels bytes). ``row_filters`` assigns a
@@ -113,6 +115,13 @@ def encode_png(
             raise ValueError("palette index out of range")
     elif palette is not None:
         raise ValueError("palette is only valid for colour type 3")
+    if transparency is not None and (
+        color_type != 3 or len(transparency) > len(palette or b"") // 3
+    ):
+        raise ValueError(
+            "transparency (tRNS) takes at most one alpha byte per "
+            "palette entry of a colour-type-3 image"
+        )
     if len(pixels) != width * height * ch:
         raise ValueError(
             f"pixel stream is {len(pixels)} bytes, expected "
@@ -157,10 +166,14 @@ def encode_png(
         1 if interlace else 0,
     )
     plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
+    trns = (
+        _chunk(b"tRNS", transparency) if transparency is not None else b""
+    )
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + plte
+        + trns
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 0))
         + _chunk(b"IEND", b"")
     )
@@ -209,7 +222,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     (width, height, pixel bytes, top-down) — palette images expand
     through PLTE to RGB; alpha types keep their alpha bytes
     interleaved. Refuses loudly — never partially — on: bad
-    signature/CRC, unsupported depth, tRNS, declared dims exceeding
+    signature/CRC, unsupported depth, colour-key tRNS, declared dims exceeding
     the allocation cap or the proportional payload bound, palette
     indices past the PLTE, and IDAT that inflates to anything but
     exactly the layout's scanline-stream length."""
@@ -221,6 +234,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     ctype = -1
     interlaced = False
     palette: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     seen_end = False
     while pos < len(payload):
@@ -290,9 +304,24 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("PNG PLTE must hold 1-256 RGB triples")
             palette = bytes(body)
         elif kind == b"tRNS":
-            # per-entry / per-value transparency tables change pixel
-            # SEMANTICS — refuse loudly rather than drop alpha silently
-            raise ValueError("PNG tRNS transparency is not supported")
+            # palette transparency: per-entry alpha table, at most one
+            # byte per PLTE entry — decoded palette images then expand
+            # to RGBA (missing tail entries default opaque, spec
+            # §11.3.2). For grey/RGB colour types tRNS is a COLOUR-KEY
+            # (one transparent sample value) — that rewrites pixel
+            # semantics, so it still refuses loudly rather than
+            # dropping alpha silently.
+            if ctype != 3:
+                raise ValueError(
+                    "PNG tRNS colour-key transparency is only supported "
+                    "for palette images"
+                )
+            if palette is None or len(body) > len(palette) // 3:
+                raise ValueError(
+                    "PNG tRNS must follow PLTE with at most one alpha "
+                    "byte per palette entry"
+                )
+            trns = bytes(body)
         # other ancillary chunks (tEXt, pHYs, ...) are skipped
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
@@ -341,15 +370,19 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             out[r * stride : (r + 1) * stride] = row
             prev = row
     if ctype == 3:
-        # indices expand through PLTE to RGB (the decode_gif contract)
+        # indices expand through PLTE to RGB (the decode_gif
+        # contract), or to RGBA when a tRNS alpha table is present
+        # (missing tail entries default to opaque 255)
         if palette is None:
             raise ValueError("palette PNG without a PLTE chunk")
         if out and max(out) * 3 >= len(palette):
             raise ValueError("PNG palette index out of range")
-        rgb = bytearray()
+        px = bytearray()
         for i in out:
-            rgb += palette[3 * i : 3 * i + 3]
-        return width, height, bytes(rgb)
+            px += palette[3 * i : 3 * i + 3]
+            if trns is not None:
+                px.append(trns[i] if i < len(trns) else 255)
+        return width, height, bytes(px)
     return width, height, bytes(out)
 
 
