@@ -142,16 +142,20 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 timings.pop(name, None)
 
-    # Targeted re-measure: any query whose min-of-two still exceeds 2x
-    # its committed baseline gets ONE more isolated timing (fresh cache,
-    # post-GC, end of suite) and keeps the min. In-suite interference —
-    # a GC pause or storage-pool churn landing on whichever query runs
-    # at the wrong moment — is indistinguishable from a real regression
-    # in a single suite ordering, but a genuine plan regression stays
-    # slow when re-timed in isolation, so the hold still catches it.
-    # (Observed: dedup_minhash_md5_pairs 4.1 s in-suite min-of-two vs a
-    # stable 1.5 s standalone on the same boot.) Bounded to 10 retries
-    # so a globally slower host can't double the suite runtime.
+    # Targeted re-measure: any query whose min-of-three still exceeds
+    # 1.6x its committed baseline gets ONE more isolated timing (fresh
+    # cache, post-GC, end of suite) and keeps the min. In-suite
+    # interference — a GC pause or storage-pool churn landing on
+    # whichever query runs at the wrong moment — is indistinguishable
+    # from a real regression in a single suite ordering, but a genuine
+    # plan regression stays slow when re-timed in isolation, so the
+    # hold still catches it. (Observed: dedup_minhash_md5_pairs 4.1 s
+    # in-suite min vs a stable 1.5 s standalone on the same boot; r13:
+    # the registry rotation moved streaming_txn_cdf_ivm_live to the
+    # suite tail and its in-suite 13.19 s — vs 6.4 s standalone —
+    # missed the old 2.0x retry bar by 21 ms, which is why the bar now
+    # sits at 1.6x.) Bounded to 10 retries so a globally slower host
+    # can't double the suite runtime.
     here = os.path.dirname(os.path.abspath(__file__))
     base_path = os.path.join(here, "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -163,7 +167,7 @@ def main() -> None:
                 name
                 for name, sec in timings.items()
                 if name in baseline
-                and sec > 2.0 * baseline[name]
+                and sec > 1.6 * baseline[name]
                 and sec - baseline[name] > 0.5
             ),
             key=lambda n: timings[n] - baseline[n],
