@@ -242,3 +242,108 @@ def test_append_under_superseded_definition_conflicts(tmp_path, spark):
     append_with_checks(w, df, "f2")
     with pytest.raises(CommitConflict, match="data-changing add"):
         stale2.commit()
+
+
+def test_conflict_matrix_matches_model():
+    """Model-based check of the FULL conflict matrix (r13): a
+    transaction staged against a stale base must conflict iff
+      * the window holds a definition change (metaData / constraints /
+        protocol) — Delta's metadata-change rule, blind appends
+        included, OR
+      * the transaction ITSELF changes the definition and the window
+        holds a data-changing add (its validation scan is stale), OR
+      * its removes intersect the window's removes,
+    and must land cleanly in every other interleaving. Randomized
+    over staged-action combinations on both sides so no pairwise case
+    is missed (the example-based tests cover single cells)."""
+    import itertools
+    import shutil
+    import tempfile
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+    )
+
+    DEFS = ("metaData", "constraints", "protocol")
+
+    def stage(txn, action, name):
+        if action == "add":
+            txn.add(name)
+        elif action == "add_nodata":
+            txn.add(name, data_change=False)
+        elif action == "remove":
+            txn.remove(name)
+        elif action == "metaData":
+            txn.set_metadata("x long")
+        elif action == "constraints":
+            txn.set_constraints(["x >= 0"])
+        elif action == "protocol":
+            txn.set_protocol(2)
+        elif action == "txn":
+            txn.set_txn("app", 1)
+        return txn
+
+    kinds = (
+        "add", "add_nodata", "remove", "metaData",
+        "constraints", "protocol", "txn",
+    )
+    counter = itertools.count()
+    # every (mine, concurrent) pair of single actions, plus a few
+    # multi-action combos — exhaustive over the pairwise matrix
+    combos = [([m], [c]) for m in kinds for c in kinds]
+    combos += [
+        (["add", "constraints"], ["add"]),
+        (["remove", "add"], ["remove"]),
+        (["add"], ["add", "metaData"]),
+        (["txn"], ["protocol", "add"]),
+    ]
+    for mine, conc in combos:
+        root = tempfile.mkdtemp(prefix="txnmatrix_")
+        try:
+            w = TxnLogWriter(root)
+            base_files = []
+            for _ in range(2):  # seed files both sides can remove
+                n = f"seed{next(counter)}"
+                os.makedirs(os.path.join(root, n), exist_ok=True)
+                w.begin().add(n).commit()
+                base_files.append(n)
+            stale = w.begin()
+            my_remove_targets = []
+            for a in mine:
+                name = base_files[0] if a == "remove" else f"m{next(counter)}"
+                if a == "remove":
+                    my_remove_targets.append(name)
+                elif a in ("add", "add_nodata"):
+                    os.makedirs(os.path.join(root, name), exist_ok=True)
+                stage(stale, a, name)
+            conc_removes, conc_data_add, conc_defs = set(), False, False
+            for a in conc:
+                # the concurrent remove targets the SAME file mine does
+                # (the clash case) — the matrix's remove-remove cell
+                name = base_files[0] if a == "remove" else f"c{next(counter)}"
+                if a == "remove":
+                    conc_removes.add(name)
+                elif a == "add":
+                    conc_data_add = True
+                    os.makedirs(os.path.join(root, name), exist_ok=True)
+                elif a == "add_nodata":
+                    os.makedirs(os.path.join(root, name), exist_ok=True)
+                elif a in DEFS:
+                    conc_defs = True
+                stage(w.begin(), a, name).commit()
+            expect_conflict = (
+                conc_defs
+                or (any(a in DEFS for a in mine) and conc_data_add)
+                or bool(set(my_remove_targets) & conc_removes)
+            )
+            head_before = w.latest_version()
+            try:
+                v = stale.commit()
+                assert not expect_conflict, (mine, conc, "landed unexpectedly")
+                assert v == head_before + 1
+            except CommitConflict:
+                assert expect_conflict, (mine, conc, "spurious conflict")
+                assert w.latest_version() == head_before  # staged nothing
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
