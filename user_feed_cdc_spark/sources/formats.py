@@ -4169,3 +4169,182 @@ def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Row tracking: stable row ids through appends and rewrites
+# ---------------------------------------------------------------------------
+
+_ROW_TRACKING_ORACLE = """
+    WITH na AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 3 = 0),
+    nb AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 3 = 1),
+    a AS (
+        SELECT event_id,
+               ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS row_id,
+               TRUE AS materialized
+        FROM events WHERE event_id % 3 = 0
+    ),
+    b AS (
+        SELECT event_id,
+               (SELECT n FROM na)
+                   + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS row_id,
+               TRUE AS materialized
+        FROM events WHERE event_id % 3 = 1
+    ),
+    d AS (
+        SELECT event_id,
+               (SELECT n FROM na) + (SELECT n FROM nb)
+                   + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS row_id,
+               FALSE AS materialized
+        FROM events WHERE event_id % 3 = 2
+    )
+    SELECT event_id, CAST(row_id AS BIGINT) AS row_id, materialized FROM a
+    UNION ALL
+    SELECT event_id, CAST(row_id AS BIGINT), materialized FROM b
+    UNION ALL
+    SELECT event_id, CAST(row_id AS BIGINT), materialized FROM d
+"""
+
+
+def _row_id_high_water(writer) -> int:
+    """The next unallocated row id: max(base_row_id + num_records) over
+    EVERY add ever logged — including removed files, so a compaction
+    can never recycle ids (Delta's rowIdHighWaterMark; a checkpointing
+    production form would carry this in table metadata exactly because
+    checkpoints drop non-live adds)."""
+    hi = 0
+    for a in writer._actions_between(0, writer.latest_version()):
+        if a.get("action") == "add" and "base_row_id" in a:
+            hi = max(hi, int(a["base_row_id"]) + int(a["num_records"]))
+    return hi
+
+
+@_register("source_txn_log_row_tracking", _ROW_TRACKING_ORACLE)
+def source_txn_log_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW TRACKING — stable row identities through appends AND
+    rewrites, the modern Delta feature that makes CDF diffs, MERGE
+    audit trails, and incremental ML feature refreshes row-addressable.
+    The design is Delta's: a FRESH append consumes ids from the
+    table-wide high-water mark (base_row_id on the add action; the
+    id of row k in the file is base_row_id + k, recovered at read
+    time from the parquet reader's `_metadata.row_index` — no id
+    column is stored), and a REWRITE (OPTIMIZE compaction,
+    dataChange=false) MATERIALIZES the ids it inherited into an
+    explicit row_id column, because a merged file's ids are no longer
+    one contiguous block. Readers resolve per file: materialized
+    column if the add says so, else base + row_index.
+
+    Fixture: append A (events ids ≡0 mod 3, ids 0..nA-1), append B
+    (≡1, ids nA..), compact A+B→C carrying materialized ids, then
+    append D (≡2) — whose base MUST be the high-water mark nA+nB even
+    though A and B are no longer live (id recycling would corrupt
+    every downstream row reference; the helper scans all adds ever).
+    The oracle rebuilds every (event_id, row_id) pair from rank
+    arithmetic, so id stability across the rewrite and the
+    non-recycling allocation are both value-certified.
+
+    At 100 TB: ids cost ONE integer per add action and zero bytes per
+    row until a rewrite materializes them; reads stay parquet-native
+    (row_index is metadata, not data) — this is why row tracking
+    scales where a stored id column would bloat every file."""
+    import uuid
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"rowtrack:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("rowtrack", sf_dir, key)
+    w = TxnLogWriter(root)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events").select("event_id")
+        sizes = {}
+        for name, m in (("ra", 0), ("rb", 1)):
+            part = (
+                ev.filter(F.col("event_id") % 3 == m)
+                .repartition(1)
+                .sortWithinPartitions("event_id")
+            )
+            part.write.mode("overwrite").parquet(os.path.join(root, name))
+            sizes[name] = part.count()
+            w.begin().add(
+                name,
+                base_row_id=_row_id_high_water(w),
+                num_records=sizes[name],
+            ).commit()
+        # OPTIMIZE compaction: inherit ids, MATERIALIZE them into C
+        adds = w._winning_adds(w.latest_version())
+        parts = []
+        for name in ("ra", "rb"):
+            base = int(adds[name]["base_row_id"])
+            parts.append(
+                spark.read.parquet(os.path.join(root, name)).select(
+                    (F.lit(base) + F.col("_metadata.row_index"))
+                    .cast("long")
+                    .alias("row_id"),
+                    "event_id",
+                )
+            )
+        merged = (
+            parts[0].unionAll(parts[1])
+            .repartition(1)
+            .sortWithinPartitions("row_id")
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(root, "rc"))
+        (
+            w.begin()
+            .remove("ra", data_change=False)
+            .remove("rb", data_change=False)
+            .add(
+                "rc",
+                data_change=False,
+                materialized_row_ids=True,
+                base_row_id=0,
+                num_records=sizes["ra"] + sizes["rb"],
+            )
+            .commit()
+        )
+        # fresh append AFTER the compaction: ids continue from the
+        # high-water mark, never recycling the removed files' ranges
+        d = (
+            ev.filter(F.col("event_id") % 3 == 2)
+            .repartition(1)
+            .sortWithinPartitions("event_id")
+        )
+        d.write.mode("overwrite").parquet(os.path.join(root, "rd"))
+        w.begin().add(
+            "rd", base_row_id=_row_id_high_water(w), num_records=d.count()
+        ).commit()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write(uuid.uuid4().hex + "\n")
+    adds = w._winning_adds(w.latest_version())
+    frames = []
+    for name in w.live_files():
+        a = adds[name]
+        if a.get("materialized_row_ids"):
+            frames.append(
+                spark.read.parquet(os.path.join(root, name)).select(
+                    "event_id",
+                    F.col("row_id").cast("long").alias("row_id"),
+                    F.lit(True).alias("materialized"),
+                )
+            )
+        else:
+            frames.append(
+                spark.read.parquet(os.path.join(root, name)).select(
+                    "event_id",
+                    (
+                        F.lit(int(a["base_row_id"]))
+                        + F.col("_metadata.row_index")
+                    ).cast("long").alias("row_id"),
+                    F.lit(False).alias("materialized"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
