@@ -79,6 +79,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_image_png_stats", "text_html_strip",
         "events_ols_value_hour_dow", "events_logistic_purchase_hour",
         "streaming_html_strip_live", "source_txn_log_row_tracking",
+        "source_txn_log_generated_columns",
         # then code-changed-this-round entries: every media fixture
         # seed moved to the asserted-ASCII ascii_seed contract and the
         # image entries now decode through the shared GIF/PNG/BMP
@@ -111,13 +112,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
-        "multimodal_rollup",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first; the r12-window
         # entries not re-certifying above sit at the very end
         # (freshest rows)
-        "pipeline_pack_sequences",
+        "multimodal_rollup", "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",

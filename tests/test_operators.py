@@ -4497,3 +4497,57 @@ def test_benford_refuses_empty_total(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no positive"):
         events_benford_first_digit(spark, str(sf))
+
+
+def test_generated_columns_write_semantics(spark, tmp_path):
+    """GENERATED ALWAYS AS (r13): a missing generated column is
+    computed, a provided one validated (null-safe), a disagreeing
+    batch refuses WHOLE with nothing staged, and the expressions
+    survive checkpoint, clone, and restore like the schema they
+    annotate."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        ConstraintViolation,
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root, checkpoint_interval=2)
+    gen = {"doubled": "BIGINT(value * 2)"}
+    w.begin().set_metadata("value long, doubled long", generated=gen).commit()
+    df = spark.range(4).withColumnRenamed("id", "value")
+
+    # computed when missing
+    append_with_checks(w, df, "a")
+    back = spark.read.parquet(os.path.join(root, "a"))
+    assert {tuple(r) for r in back.collect()} == {
+        (v, 2 * v) for v in range(4)
+    }
+
+    # validated when provided; a wrong batch refuses whole
+    head = w.latest_version()
+    with pytest.raises(ConstraintViolation, match="GENERATED ALWAYS AS"):
+        append_with_checks(
+            w, df.withColumn("doubled", F.lit(7)), "bad"
+        )
+    assert w.latest_version() == head  # nothing staged
+
+    ok = df.withColumn("doubled", (F.col("value") * 2).cast("long"))
+    append_with_checks(w, ok, "b")
+
+    # the interval checkpoint carried the expressions (vacuum-safe)
+    assert w._checkpoint_version() is not None
+    assert TxnLogWriter(root).generated_columns() == gen
+
+    # clone carries them; restore rewinds a generated-map change
+    w.clone_to(str(tmp_path / "c"))
+    assert TxnLogWriter(str(tmp_path / "c")).generated_columns() == gen
+    v_before = w.latest_version()
+    w.begin().set_metadata("value long, doubled long", generated={}).commit()
+    assert w.generated_columns() == {}
+    w.restore(v_before)
+    assert w.generated_columns() == gen

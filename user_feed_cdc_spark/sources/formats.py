@@ -4348,3 +4348,94 @@ def source_txn_log_row_tracking(
     for fr in frames[1:]:
         out = out.unionAll(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generated columns: GENERATED ALWAYS AS, computed and enforced at write
+# ---------------------------------------------------------------------------
+
+_GENERATED_COLS_ORACLE = """
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY 1
+"""
+
+
+@_register("source_txn_log_generated_columns", _GENERATED_COLS_ORACLE)
+def source_txn_log_generated_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS columns — the write-side DDL completion
+    beside CHECK constraints and column mapping: the table declares
+    cents = BIGINT(FLOOR(value*100+0.5)) and hr = BIGINT(HOUR(ts)) in
+    its metaData action (one JSON line, Delta's design of storing
+    generation expressions with the schema), and every append through
+    append_with_checks either COMPUTES a missing generated column or
+    VALIDATES a provided one against the expression — a disagreeing
+    batch refuses whole. Both paths run in the fixture: one half of
+    events appends WITHOUT the generated columns (engine computes
+    them), the other half WITH correct precomputed values (engine
+    validates, one aggregate). The read-back aggregate over the
+    STORED generated values hashes against the oracle's recompute
+    from raw events, so computation and validation are both
+    value-certified; the refusal arm and checkpoint/clone/restore
+    carry-through are pytest-pinned.
+
+    At 100 TB: generation is a scan-stage projection at write time
+    (zero read-side cost forever after — the generated column is a
+    real stored column that predicates can prune on), and validation
+    is the same one-aggregate pass as CHECK constraints."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    gen_exprs = {
+        "cents": "BIGINT(FLOOR(value * 100.0D + 0.5D))",
+        "hr": "BIGINT(HOUR(ts))",
+    }
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"gencols:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("gencols", sf_dir, key)
+    w = TxnLogWriter(root)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events")
+        w.begin().set_metadata(
+            "event_id long, ts timestamp, value double, cents long, hr long",
+            generated=gen_exprs,
+        ).commit()
+        # arm 1: generated columns ABSENT — the committer computes them
+        append_with_checks(
+            w,
+            ev.filter(F.col("event_id") % 2 == 0).select(
+                "event_id", "ts", "value"
+            ),
+            "even",
+        )
+        # arm 2: generated columns PROVIDED correctly — validated, kept
+        append_with_checks(
+            w,
+            ev.filter(F.col("event_id") % 2 == 1).select(
+                "event_id",
+                "ts",
+                "value",
+                F.expr(gen_exprs["cents"]).alias("cents"),
+                F.expr(gen_exprs["hr"]).alias("hr"),
+            ),
+            "odd",
+        )
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    snap = spark.read.schema(
+        "event_id long, ts timestamp, value double, cents long, hr long"
+    ).parquet(*[os.path.join(root, f) for f in w.live_files()])
+    return snap.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents_sum"),
+    )

@@ -428,9 +428,15 @@ class TxnLogWriter:
                 txn.set_dv(f, then)  # newest-wins: supersedes the newer DV
         meta_then = _newest_action(acts_then, "metaData")
         meta_now = _newest_action(acts_now, "metaData")
-        if (meta_now["schema"] if meta_now else None) != (
-            meta_then["schema"] if meta_then else None
-        ):
+
+        def _meta_state(m):
+            # full definition, not just the schema string: a restore
+            # across a generated-column change must rewind it too
+            return (
+                (m["schema"], dict(m.get("generated", {}))) if m else None
+            )
+
+        if _meta_state(meta_now) != _meta_state(meta_then):
             if meta_then is None:
                 raise ValueError(
                     f"cannot restore to v{version}: the table gained its "
@@ -438,7 +444,9 @@ class TxnLogWriter:
                     "replay cannot clear one — restore to a version at or "
                     "after the schema action instead"
                 )
-            txn.set_metadata(meta_then["schema"])
+            txn.set_metadata(
+                meta_then["schema"], generated=meta_then.get("generated")
+            )
         cons_then = _newest_action(acts_then, "constraints")
         cons_now = _newest_action(acts_now, "constraints")
         exprs_then = list(cons_then["exprs"]) if cons_then else []
@@ -499,7 +507,10 @@ class TxnLogWriter:
             ):
                 newest[kind] = a
         if "metaData" in newest:
-            txn.set_metadata(newest["metaData"]["schema"])
+            txn.set_metadata(
+                newest["metaData"]["schema"],
+                generated=newest["metaData"].get("generated"),
+            )
         if "constraints" in newest:
             txn.set_constraints(newest["constraints"]["exprs"])
         if "protocol" in newest:
@@ -510,13 +521,19 @@ class TxnLogWriter:
         hi = self.latest_version()
         if hi < 0:
             return None
-        newest = None
-        for a in self._replay_actions(hi):
-            if a.get("action") == "metaData" and (
-                newest is None or a["version"] >= newest["version"]
-            ):
-                newest = a
+        newest = _newest_action(self._replay_actions(hi), "metaData")
         return newest["schema"] if newest else None
+
+    def generated_columns(self) -> dict[str, str]:
+        """column -> GENERATED ALWAYS AS expression from the newest
+        metaData action (empty for a table without generated columns).
+        Carried through checkpoints, clones, and restores like the
+        schema string it annotates."""
+        hi = self.latest_version()
+        if hi < 0:
+            return {}
+        newest = _newest_action(self._replay_actions(hi), "metaData")
+        return dict(newest.get("generated", {})) if newest else {}
 
     def vacuum(self) -> list[str]:
         """Physically delete data files that are (a) not live at HEAD
@@ -682,6 +699,14 @@ class TxnLogWriter:
                     "version": version,
                     "action": "metaData",
                     "schema": meta["schema"],
+                    # generated-column expressions ride the schema they
+                    # annotate — dropping them at a checkpoint would
+                    # silently stop enforcement after a vacuum
+                    **(
+                        {"generated": meta["generated"]}
+                        if "generated" in meta
+                        else {}
+                    ),
                 }
             )
         ckpt = os.path.join(self.log_dir, f"{version:05d}.checkpoint.json")
@@ -748,11 +773,22 @@ class Transaction:
         self.actions.append({"action": "txn", "app": app, "batch": batch})
         return self
 
-    def set_metadata(self, schema: str) -> "Transaction":
+    def set_metadata(
+        self, schema: str, generated: dict[str, str] | None = None
+    ) -> "Transaction":
         """Stage a schema change (Delta's metaData action): readers
         take the NEWEST metaData schema and read every live file with
-        it — ADD COLUMN is one JSON line, no data file is touched."""
-        self.actions.append({"action": "metaData", "schema": schema})
+        it — ADD COLUMN is one JSON line, no data file is touched.
+        `generated` maps column name -> Spark SQL expression for
+        GENERATED ALWAYS AS columns (Delta stores these in column
+        metadata): append_with_checks computes a missing generated
+        column and validates a provided one, so the stored values
+        provably satisfy their expression however many writers
+        appended."""
+        act: dict = {"action": "metaData", "schema": schema}
+        if generated:
+            act["generated"] = dict(generated)
+        self.actions.append(act)
         return self
 
     def set_protocol(self, min_reader: int) -> "Transaction":
@@ -1030,17 +1066,47 @@ def _violation_counts(df, exprs: list[str]) -> list[tuple[str, int]]:
 
 
 def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
-    """Constraint-enforced append: evaluate every declared CHECK
-    constraint over the batch (one Spark aggregate — executors scan,
-    the driver sees |constraints| counters), refuse the ENTIRE batch
-    with ConstraintViolation if any row fails (no log action is
-    staged, no data file becomes visible), else write the parquet
-    file and commit its add. Returns the committed version.
+    """Constraint-enforced append: first resolve GENERATED ALWAYS AS
+    columns — a missing generated column is COMPUTED from its
+    expression, a provided one is VALIDATED against it (one Spark
+    aggregate, null-safe equality) and the whole batch refuses on any
+    mismatch, Delta's generated-column write semantics — then evaluate
+    every declared CHECK constraint over the batch (one aggregate —
+    executors scan, the driver sees |constraints| counters), refuse
+    the ENTIRE batch with ConstraintViolation if any row fails (no
+    log action is staged, no data file becomes visible), else write
+    the parquet file and commit its add. Returns the committed
+    version.
 
-    This is the write-side contract that makes read-side constraint
-    checking unnecessary: a table whose every append passed through
-    here provably contains no violating row, however many writers
-    appended."""
+    This is the write-side contract that makes read-side checking
+    unnecessary: a table whose every append passed through here
+    provably contains no violating row AND no generated value that
+    disagrees with its expression, however many writers appended."""
+    from pyspark.sql import functions as F
+
+    gen = writer.generated_columns()
+    to_validate = [
+        (col, expr) for col, expr in gen.items() if col in df.columns
+    ]
+    if to_validate:
+        checks = [f"(`{c}` <=> ({e}))" for c, e in to_validate]
+        bad = [
+            (to_validate[i][0], n)
+            for i, (_e, n) in enumerate(_violation_counts(df, checks))
+            if n > 0
+        ]
+        if bad:
+            raise ConstraintViolation(
+                "batch refused: "
+                + "; ".join(
+                    f"{n} row(s) disagree with GENERATED ALWAYS AS "
+                    f"({gen[c]}) for column {c}"
+                    for c, n in bad
+                )
+            )
+    for col, expr in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
     exprs = writer.constraints()
     if exprs:
         bad = [(e, n) for e, n in _violation_counts(df, exprs) if n > 0]
