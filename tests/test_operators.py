@@ -4551,3 +4551,33 @@ def test_generated_columns_write_semantics(spark, tmp_path):
     assert w.generated_columns() == {}
     w.restore(v_before)
     assert w.generated_columns() == gen
+
+
+def test_vacuum_retention_window(tmp_path):
+    """VACUUM RETAIN (r13): a file removed WITHIN the retention window
+    survives vacuum (with its commit evidence), is collected once the
+    window passes, and the no-retention form still collects
+    immediately."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root), checkpoint_interval=None)
+    for n in ("a", "b"):
+        (root / n).mkdir(parents=True)
+    w.begin().add("a").commit(timestamp=1_000)  # v0
+    w.begin().remove("a").add("b").commit(timestamp=5_000)  # v1: rewrite
+    w.write_checkpoint(1)
+
+    # removed 5s "ago" at now=6_000 with a 10s window: retained,
+    # and the pre-checkpoint commits are kept as evidence
+    assert w.vacuum(retain_ms=10_000, now_ms=6_000) == []
+    assert os.path.isdir(root / "a")
+    assert 0 in w._commit_versions()
+
+    # window passed: collected, evidence pruned
+    assert w.vacuum(retain_ms=10_000, now_ms=20_000) == ["a"]
+    assert not os.path.isdir(root / "a")
+    assert 0 not in w._commit_versions()
+    assert w.live_files() == ["b"]

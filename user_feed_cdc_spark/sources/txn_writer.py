@@ -535,7 +535,9 @@ class TxnLogWriter:
         newest = _newest_action(self._replay_actions(hi), "metaData")
         return dict(newest.get("generated", {})) if newest else {}
 
-    def vacuum(self) -> list[str]:
+    def vacuum(
+        self, retain_ms: int | None = None, now_ms: int | None = None
+    ) -> list[str]:
         """Physically delete data files that are (a) not live at HEAD
         and (b) invisible to every reader that starts from the newest
         checkpoint — i.e. their last action is a remove at or below the
@@ -545,8 +547,20 @@ class TxnLogWriter:
         VACUUM's documented trade everywhere). Requires a checkpoint —
         vacuuming without one would break full-log replay. Also prunes
         the now-unreferenced pre-checkpoint commit files. Returns the
-        deleted data-file names."""
+        deleted data-file names.
+
+        `retain_ms` is Delta's VACUUM ... RETAIN window (r13): a file
+        additionally survives unless the commit that REMOVED it is at
+        least `retain_ms` older than `now_ms` (wall clock when None),
+        judged by the commit's in-log commitInfo timestamp — the grace
+        period that keeps a just-superseded file readable by queries
+        and clones started before the rewrite. When any file is
+        deferred by retention, pre-checkpoint commit files are kept
+        too: they hold the remove evidence the NEXT vacuum needs to
+        collect the deferred files (pruning them would leak the data
+        files forever)."""
         import shutil
+        import time
 
         ckpt = self._checkpoint_version()
         if ckpt is None:
@@ -561,17 +575,29 @@ class TxnLogWriter:
             st = (a["version"], 1 if a["action"] == "remove" else 0)
             if a["file"] not in last or st > last[a["file"]]:
                 last[a["file"]] = st
+        cutoff = None
+        if retain_ms is not None:
+            now = int(time.time() * 1000) if now_ms is None else now_ms
+            cutoff = now - retain_ms
+            ts_of = dict(self._known_commit_timestamps())
         live_now = set(self.live_files())  # defensive double-check
-        doomed = sorted(
-            f
+        candidates = [
+            (f, v)
             for f, (v, r) in last.items()
             if r == 1 and v <= ckpt and f not in live_now
-        )
+        ]
+        doomed, deferred = [], []
+        for f, v in sorted(candidates):
+            if cutoff is not None and ts_of.get(v, cutoff) > cutoff:
+                deferred.append(f)  # removed too recently: retained
+            else:
+                doomed.append(f)
         for name in doomed:
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-        for v in self._commit_versions():
-            if v <= ckpt:
-                os.remove(os.path.join(self.log_dir, f"{v:05d}.json"))
+        if not deferred:
+            for v in self._commit_versions():
+                if v <= ckpt:
+                    os.remove(os.path.join(self.log_dir, f"{v:05d}.json"))
         return doomed
 
     def write_checkpoint(self, version: int) -> None:
