@@ -114,6 +114,8 @@ REPRESENTATIVE = [
     "text_html_strip",  # envelope in scan projection + one Arrow clean pass
     "events_ols_value_hour_dow",  # exact co-moment agg + closed-form SELECT
     "events_logistic_purchase_hour",  # 24-row exact stats + Newton fold
+    "source_txn_log_row_tracking",  # metadata row_index ids, no stored col
+    "source_txn_log_generated_columns",  # stored generated cols, one agg
 ]
 
 
