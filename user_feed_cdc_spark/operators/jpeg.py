@@ -1158,7 +1158,9 @@ def _alloc_prog_coefs(
     # path's sample planes — so the proportional guard above is not
     # enough on its own: cap the store absolutely. The cap is a module
     # tunable sized for the thumbnail/frame workloads this tier decodes
-    # (256K blocks = a 4k x 4k 4:2:0 frame): the proportional guard
+    # (256K blocks = a 4096x4096 GRAYSCALE frame exactly, or about a
+    # 3.3k x 3.3k 4:2:0 one — 4:2:0 costs 1.5 blocks per luma block):
+    # the proportional guard
     # only demands n_blocks/8 entropy bytes, so at the old 1<<22 cap a
     # ~512 KB forged SOF2 payload could still force ~2-3 GB of boxed-
     # int allocation (r12 ADVICE). Bigger media belongs to the

@@ -2329,6 +2329,22 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_CLEAN_TAIL = 'A & B CD café vs café "ok"'
 
 
+# compiled ONCE at module load — html_clean runs per document inside
+# the Arrow hot path, so per-call re.compile lookups and imports are
+# pure overhead at corpus scale (r13 review)
+import html as _html_mod
+import re as _re
+import unicodedata as _unicodedata
+
+_HTML_BLOCK_RE = _re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_HTML_COMMENT_RE = _re.compile(r"(?s)<!--.*?-->")
+_HTML_TAG_RE = _re.compile(r"<[^>]+>")
+_HTML_ENTITY_RE = _re.compile(
+    r"&(?:[A-Za-z][A-Za-z0-9]*|#[0-9]+|#[xX][0-9A-Fa-f]+);"
+)
+_HTML_WS_RE = _re.compile(r"[ \t\n\r\f]+")
+
+
 def html_clean(s: str) -> tuple[str, int, int]:
     """The general-purpose HTML→text cleaner (pure helper, unit- and
     property-tested directly; the Spark entry wraps it in an Arrow
@@ -2337,26 +2353,14 @@ def html_clean(s: str) -> tuple[str, int, int]:
     numeric entity table decoded (html.unescape), Unicode NFC
     normalization, ASCII whitespace collapsed. Returns
     (clean_text, n_tags_stripped, n_entities_decoded)."""
-    import html as html_mod
-    import re
-    import unicodedata
-
-    block_re = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
-    comment_re = re.compile(r"(?s)<!--.*?-->")
-    tag_re = re.compile(r"<[^>]+>")
-    entity_re = re.compile(
-        r"&(?:[A-Za-z][A-Za-z0-9]*|#[0-9]+|#[xX][0-9A-Fa-f]+);"
-    )
-    ws_re = re.compile(r"[ \t\n\r\f]+")
-
-    s = block_re.sub(" ", s)
-    s = comment_re.sub(" ", s)
-    n_tags = len(tag_re.findall(s))
-    s = tag_re.sub(" ", s)
-    n_entities = len(entity_re.findall(s))
-    s = html_mod.unescape(s)
-    s = unicodedata.normalize("NFC", s)
-    s = ws_re.sub(" ", s).strip(" ")
+    s = _HTML_BLOCK_RE.sub(" ", s)
+    s = _HTML_COMMENT_RE.sub(" ", s)
+    n_tags = len(_HTML_TAG_RE.findall(s))
+    s = _HTML_TAG_RE.sub(" ", s)
+    n_entities = len(_HTML_ENTITY_RE.findall(s))
+    s = _html_mod.unescape(s)
+    s = _unicodedata.normalize("NFC", s)
+    s = _HTML_WS_RE.sub(" ", s).strip(" ")
     return s, n_tags, n_entities
 
 
@@ -2372,6 +2376,7 @@ _HTML_STRIP_ORACLE = """
         FROM documents
         WHERE text NOT LIKE '%<%' AND text NOT LIKE '%>%'
               AND text NOT LIKE '%&%'
+              AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
     )
     SELECT doc_id,
            CAST(12 AS BIGINT) AS n_tags,
@@ -2404,7 +2409,7 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     acute — ONLY NFC makes them equal, so n_eacute (count of
     precomposed é in the output) reads 2 iff normalization ran, and
     the md5 of the cleaned text hash-diverges on any byte difference.
-    Docs already containing markup characters are excluded in both
+    Docs containing markup or non-ASCII characters are excluded in both
     engines (none exist in the corpus — the filter makes the
     fixture contract total).
 
@@ -2431,6 +2436,12 @@ def _html_strip_frame(docs: DataFrame) -> DataFrame:
         ~F.col("text").contains("<")
         & ~F.col("text").contains(">")
         & ~F.col("text").contains("&")
+        # non-ASCII text is excluded in BOTH engines: the oracle's
+        # fixture constants (n_eacute=2, raw-text concat) are exact
+        # only when the document itself contributes no 'e-acute' and
+        # no non-NFC sequence (r13 review; none exist in the corpus —
+        # the filter makes the contract total, the ascii_seed pattern)
+        & ~F.col("text").rlike("[^\\x00-\\x7F]")
     )
     envelope = F.concat(
         F.lit('<html><head><title>Doc '),

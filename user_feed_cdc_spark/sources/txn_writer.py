@@ -343,19 +343,17 @@ class TxnLogWriter:
         acts = self._replay_actions(as_of)
         return _newest_dv_of(acts, set(_last_wins(acts)))
 
-    def constraints(self) -> list[str]:
+    def constraints(self, as_of: int | None = None) -> list[str]:
         """The table's CHECK constraints: the NEWEST constraints
         action's expression list (empty for an unconstrained table).
-        Carried through checkpoints like schema/txn state."""
-        hi = self.latest_version()
+        Carried through checkpoints like schema/txn state. `as_of`
+        pins the read to a version — the write paths read the
+        definition as of their transaction's base snapshot so the
+        conflict check provably covers anything newer."""
+        hi = self.latest_version() if as_of is None else as_of
         if hi < 0:
             return []
-        newest = None
-        for a in self._replay_actions(hi):
-            if a.get("action") == "constraints" and (
-                newest is None or a["version"] >= newest["version"]
-            ):
-                newest = a
+        newest = _newest_action(self._replay_actions(hi), "constraints")
         return list(newest["exprs"]) if newest else []
 
     # -- transactions ---------------------------------------------------
@@ -392,8 +390,15 @@ class TxnLogWriter:
         protocol (newest-wins, like DVs), so restoring to a version
         that predates the table's first metaData while one exists at
         HEAD refuses loudly; constraints CAN rewind to the empty set."""
+        # begin() FIRST, then diff against the transaction's OWN base
+        # snapshot: computing 'now' before begin() left a window where
+        # a commit landing in between was invisible to both the diff
+        # and the conflict check (r13 review). The restore reads the
+        # WHOLE table, so it is marked serializable — ANY concurrent
+        # write (not just definition changes) conflicts it.
+        txn = self.begin().serializable()
         acts_then = self._replay_actions(version)
-        acts_now = self._replay_actions(self.latest_version())
+        acts_now = self._replay_actions(txn.base_version)
         target_live = _last_wins(acts_then)
         current_live = set(_last_wins(acts_now))
         target_adds = _winning_adds_of(acts_then, set(target_live))
@@ -401,7 +406,6 @@ class TxnLogWriter:
         # live=None: what a reader resolves for a file once it is live
         # again — the stale-DV hazard for re-added files
         dv_now_any = _newest_dv_of(acts_now, None)
-        txn = self.begin()
         for f in sorted(current_live - set(target_live)):
             txn.remove(f)
         for f in target_live:
@@ -498,14 +502,11 @@ class TxnLogWriter:
                 txn.set_dv(
                     src, os.path.abspath(os.path.join(self.root, dvs[f]))
                 )
-        newest: dict[str, dict] = {}
-        for a in acts:
-            kind = a.get("action")
-            if kind in ("metaData", "constraints", "protocol") and (
-                kind not in newest
-                or a["version"] >= newest[kind]["version"]
-            ):
-                newest[kind] = a
+        newest = {
+            kind: act
+            for kind in ("metaData", "constraints", "protocol")
+            if (act := _newest_action(acts, kind)) is not None
+        }
         if "metaData" in newest:
             txn.set_metadata(
                 newest["metaData"]["schema"],
@@ -524,12 +525,13 @@ class TxnLogWriter:
         newest = _newest_action(self._replay_actions(hi), "metaData")
         return newest["schema"] if newest else None
 
-    def generated_columns(self) -> dict[str, str]:
+    def generated_columns(self, as_of: int | None = None) -> dict[str, str]:
         """column -> GENERATED ALWAYS AS expression from the newest
         metaData action (empty for a table without generated columns).
         Carried through checkpoints, clones, and restores like the
-        schema string it annotates."""
-        hi = self.latest_version()
+        schema string it annotates. `as_of` pins the read to a version
+        (see constraints())."""
+        hi = self.latest_version() if as_of is None else as_of
         if hi < 0:
             return {}
         newest = _newest_action(self._replay_actions(hi), "metaData")
@@ -588,8 +590,13 @@ class TxnLogWriter:
         ]
         doomed, deferred = [], []
         for f, v in sorted(candidates):
-            if cutoff is not None and ts_of.get(v, cutoff) > cutoff:
-                deferred.append(f)  # removed too recently: retained
+            # unknown removal time (pre-commitInfo history) DEFERS —
+            # the safe default for a grace period is to keep the file,
+            # never to presume it old enough to destroy (r13 review)
+            if cutoff is not None and (
+                v not in ts_of or ts_of[v] > cutoff
+            ):
+                deferred.append(f)  # removed too recently (or unknown)
             else:
                 doomed.append(f)
         for name in doomed:
@@ -649,12 +656,7 @@ class TxnLogWriter:
         # not re-stamped): after vacuum it is the resolver's floor —
         # timestamp travel to at-or-after the checkpoint keeps working,
         # below it refuses exactly like VERSION AS OF
-        ci = None
-        for a in acts:
-            if a.get("action") == "commitInfo" and (
-                ci is None or a["version"] >= ci["version"]
-            ):
-                ci = a
+        ci = _newest_action(acts, "commitInfo")
         if ci is not None:
             lines.append(
                 {
@@ -665,12 +667,7 @@ class TxnLogWriter:
             )
         # carry the newest protocol demand forward — the gate must
         # survive vacuuming the commit that raised it
-        proto = None
-        for a in acts:
-            if a.get("action") == "protocol" and (
-                proto is None or a["version"] >= proto["version"]
-            ):
-                proto = a
+        proto = _newest_action(acts, "protocol")
         if proto is not None:
             lines.append(
                 {
@@ -681,12 +678,7 @@ class TxnLogWriter:
             )
         # carry the newest constraints declaration forward — enforcement
         # must survive vacuuming the commit that declared it
-        con = None
-        for a in acts:
-            if a.get("action") == "constraints" and (
-                con is None or a["version"] >= con["version"]
-            ):
-                con = a
+        con = _newest_action(acts, "constraints")
         if con is not None:
             lines.append(
                 {
@@ -713,12 +705,7 @@ class TxnLogWriter:
         )
         # carry the newest schema forward too — like txn watermarks,
         # schema-on-log must survive vacuuming the commits that set it
-        meta = None
-        for a in acts:
-            if a.get("action") == "metaData" and (
-                meta is None or a["version"] >= meta["version"]
-            ):
-                meta = a
+        meta = _newest_action(acts, "metaData")
         if meta is not None:
             lines.append(
                 {
@@ -761,6 +748,15 @@ class Transaction:
         self.writer = writer
         self.base_version = base_version
         self.actions: list[dict] = []
+        self._serializable = False
+
+    def serializable(self) -> "Transaction":
+        """Mark this transaction as having read the WHOLE table state
+        (RESTORE-class operations): ANY concurrent commit carrying an
+        add/remove/dv — not just a definition change — conflicts it,
+        Delta's Serializable isolation for full-table operations."""
+        self._serializable = True
+        return self
 
     def add(
         self, file: str, data_change: bool = True, **stats
@@ -976,6 +972,7 @@ class Transaction:
         concurrent_removed: set[str] = set()
         definition_changes: list[tuple[int, str]] = []
         concurrent_data_adds = 0
+        concurrent_file_actions = 0
         for v in range(lo, hi + 1):
             path = os.path.join(self.writer.log_dir, f"{v:05d}.json")
             try:
@@ -992,6 +989,8 @@ class Transaction:
                 ) from None
             for a in lines:
                 kind = a.get("action")
+                if kind in ("add", "remove", "dv"):
+                    concurrent_file_actions += 1
                 if kind == "remove":
                     concurrent_removed.add(a["file"])
                 elif kind in self._DEFINITION_ACTIONS:
@@ -1020,6 +1019,16 @@ class Transaction:
                 f"landed in v{lo}..v{hi} after this definition-changing "
                 f"transaction's base v{self.base_version} — its table "
                 "validation is stale; re-validate from a fresh snapshot"
+            )
+        # Serializable (full-table-read) transactions conflict with ANY
+        # concurrent file-state change — their staged actions were
+        # derived from the complete base snapshot
+        if self._serializable and concurrent_file_actions:
+            raise CommitConflict(
+                f"{concurrent_file_actions} concurrent file action(s) "
+                f"landed in v{lo}..v{hi} after this serializable "
+                f"transaction's base v{self.base_version} — its "
+                "whole-table read is stale; retry from a fresh snapshot"
             )
         clash = sorted(my_removes & concurrent_removed)
         if clash:
@@ -1107,42 +1116,47 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
     This is the write-side contract that makes read-side checking
     unnecessary: a table whose every append passed through here
     provably contains no violating row AND no generated value that
-    disagrees with its expression, however many writers appended."""
+    disagrees with its expression, however many writers appended.
+
+    Ordering matters (r13 review): the transaction BEGINS before the
+    table definition is read, and the definition is read AS OF that
+    base snapshot — so a constraint/metaData/protocol commit landing
+    anywhere after begin() is strictly above base_version and the
+    commit-time conflict check provably sees it (validate-first left
+    a window where a definition landed between validation and
+    begin() and the append slid under it unchecked)."""
     from pyspark.sql import functions as F
 
-    gen = writer.generated_columns()
-    to_validate = [
-        (col, expr) for col, expr in gen.items() if col in df.columns
+    txn = writer.begin()
+    gen = writer.generated_columns(as_of=txn.base_version)
+    provided = [c for c in gen if c in df.columns]
+    for col, expr in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    # ONE aggregate validates PROVIDED generated columns (computed ones
+    # satisfy by construction) AND CHECK constraints over the augmented
+    # batch — constraints may reference generated columns, so
+    # augmentation comes first
+    checks = [f"(`{c}` <=> ({gen[c]}))" for c in provided]
+    labels = [
+        f"GENERATED ALWAYS AS ({gen[c]}) for column {c}" for c in provided
     ]
-    if to_validate:
-        checks = [f"(`{c}` <=> ({e}))" for c, e in to_validate]
+    exprs = writer.constraints(as_of=txn.base_version)
+    checks += exprs
+    labels += [f"CHECK ({e})" for e in exprs]
+    if checks:
         bad = [
-            (to_validate[i][0], n)
+            (labels[i], n)
             for i, (_e, n) in enumerate(_violation_counts(df, checks))
             if n > 0
         ]
         if bad:
             raise ConstraintViolation(
                 "batch refused: "
-                + "; ".join(
-                    f"{n} row(s) disagree with GENERATED ALWAYS AS "
-                    f"({gen[c]}) for column {c}"
-                    for c, n in bad
-                )
-            )
-    for col, expr in gen.items():
-        if col not in df.columns:
-            df = df.withColumn(col, F.expr(expr))
-    exprs = writer.constraints()
-    if exprs:
-        bad = [(e, n) for e, n in _violation_counts(df, exprs) if n > 0]
-        if bad:
-            raise ConstraintViolation(
-                "batch refused: "
-                + "; ".join(f"{n} row(s) violate CHECK ({e})" for e, n in bad)
+                + "; ".join(f"{n} row(s) violate {lbl}" for lbl, n in bad)
             )
     df.write.mode("overwrite").parquet(os.path.join(writer.root, name))
-    return writer.begin().add(name, **stats).commit()
+    return txn.add(name, **stats).commit()
 
 
 def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
@@ -1151,8 +1165,16 @@ def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
     the current data already violates is refused), then commit the
     extended constraint set as one constraints action. `spark` reads
     the current snapshot schema-lessly from the live files; an empty
-    table validates trivially."""
-    live = writer.live_files()
+    table validates trivially.
+
+    The transaction BEGINS before the table is scanned and the live
+    set is read as of its base snapshot (r13 review): a data add
+    landing any time after begin() is strictly above base_version, so
+    the definition-vs-data-add conflict rule provably covers the rows
+    the validation scan never saw (scan-first left a window where a
+    concurrent append landed between scan and begin() unchecked)."""
+    txn = writer.begin()
+    live = writer.live_files(as_of=txn.base_version)
     if live:
         snap = spark.read.parquet(
             *[os.path.join(writer.root, f) for f in live]
@@ -1163,8 +1185,6 @@ def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
                 f"{n} existing row(s) violate CHECK ({expr}) — "
                 "constraint not added"
             )
-    return (
-        writer.begin()
-        .set_constraints(writer.constraints() + [expr])
-        .commit()
-    )
+    return txn.set_constraints(
+        writer.constraints(as_of=txn.base_version) + [expr]
+    ).commit()
