@@ -4581,3 +4581,63 @@ def test_vacuum_retention_window(tmp_path):
     assert not os.path.isdir(root / "a")
     assert 0 not in w._commit_versions()
     assert w.live_files() == ["b"]
+
+
+def test_serializable_txn_conflicts_with_any_file_action(tmp_path):
+    """A serializable (whole-table-read) transaction — RESTORE's
+    isolation level since r13 — conflicts with ANY concurrent file
+    action, not just definition changes or clashing removes."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+    )
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").commit()
+
+    t = w.begin().serializable()
+    (root / "b").mkdir()
+    w.begin().add("b").commit()  # plain concurrent append
+    t.set_txn("app", 1)  # even a watermark-only serializable txn
+    with pytest.raises(CommitConflict, match="serializable"):
+        t.commit()
+
+    # and restore() itself uses it: a concurrent append between
+    # restore's snapshot read and its commit cannot slide under
+    t2 = w.begin().serializable()
+    t2.remove("b")
+    assert t2.commit() == w.latest_version()  # clean when nothing raced
+
+
+def test_vacuum_retention_defers_unknown_timestamps(tmp_path):
+    """A remove whose commit timestamp is unknown (pre-commitInfo
+    history) is DEFERRED by a retention vacuum — the grace period's
+    safe default is keep, never presume-old-and-delete."""
+    import json
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    for n in ("a", "b"):
+        (root / n).mkdir(parents=True)
+    w.begin().add("a").commit(timestamp=1_000)
+    w.begin().remove("a").add("b").commit(timestamp=2_000)
+    # strip the remove commit's commitInfo line (pre-protocol history)
+    p = os.path.join(w.log_dir, "00001.json")
+    lines = [
+        json.loads(ln) for ln in open(p) if ln.strip()
+    ]
+    with open(p, "w") as f:
+        for a in lines:
+            if a.get("action") != "commitInfo":
+                f.write(json.dumps(a) + "\n")
+    w.write_checkpoint(1)
+    assert w.vacuum(retain_ms=10, now_ms=10**12) == []  # deferred
+    assert os.path.isdir(root / "a")
+    assert w.vacuum() == ["a"]  # the un-windowed form still collects
