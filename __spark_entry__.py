@@ -80,6 +80,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_ols_value_hour_dow", "events_logistic_purchase_hour",
         "streaming_html_strip_live", "source_txn_log_row_tracking",
         "source_txn_log_generated_columns",
+        "events_poisson_daily_purchases",
         # then code-changed-this-round entries: every media fixture
         # seed moved to the asserted-ASCII ascii_seed contract and the
         # image entries now decode through the shared GIF/PNG/BMP
@@ -111,13 +112,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "window_range_frame", "window_topk_per_customer",
         "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
-        "array_funcs", "events_funnel_conversion", "dedup_simhash_md5",
+        "array_funcs", "events_funnel_conversion",
         # ---- window boundary (the driver certifies the 50 above;
         # tools/preflight_window.py replays exactly this prefix) ----
         # certified tail, stalest driver row first; the r12-window
         # entries not re-certifying above sit at the very end
         # (freshest rows)
-        "multimodal_rollup", "pipeline_pack_sequences",
+        "dedup_simhash_md5", "multimodal_rollup", "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",

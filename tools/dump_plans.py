@@ -116,6 +116,7 @@ REPRESENTATIVE = [
     "events_logistic_purchase_hour",  # 24-row exact stats + Newton fold
     "source_txn_log_row_tracking",  # metadata row_index ids, no stored col
     "source_txn_log_generated_columns",  # stored generated cols, one agg
+    "events_poisson_daily_purchases",  # 7-row exact stats + Newton fold
 ]
 
 

@@ -4909,3 +4909,192 @@ def events_logistic_purchase_hour(
         r6(F.col("b1"), 6).alias("b1"),
         r6(p_noon, 6).alias("p_noon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression via unrolled Newton (the count-GLM family member)
+# ---------------------------------------------------------------------------
+
+
+def _poisson_oracle() -> str:
+    """DuckDB twin of the Poisson Newton solve: exact per-dow
+    (n_days, purchase_sum) counts, intercept-only MLE start
+    b0 = ln(Y/N), then _LOGIT_ITERS ordered list_reduce folds with
+    per-term fp64 expressions textually identical to the Spark side
+    (the events_logistic_purchase_hour treatment for the log link)."""
+    term = (
+        "{'g0': CAST(e.y AS DOUBLE) - CAST(e.n AS DOUBLE)"
+        " * exp(b0 + b1 * CAST(e.x AS DOUBLE)),"
+        " 'g1': (CAST(e.y AS DOUBLE) - CAST(e.n AS DOUBLE)"
+        " * exp(b0 + b1 * CAST(e.x AS DOUBLE))) * CAST(e.x AS DOUBLE),"
+        " 'aa': CAST(e.n AS DOUBLE) * exp(b0 + b1 * CAST(e.x AS DOUBLE)),"
+        " 'bb': CAST(e.n AS DOUBLE) * exp(b0 + b1 * CAST(e.x AS DOUBLE))"
+        " * CAST(e.x AS DOUBLE),"
+        " 'cc': CAST(e.n AS DOUBLE) * exp(b0 + b1 * CAST(e.x AS DOUBLE))"
+        " * CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)}"
+    )
+    ctes = [
+        """
+    WITH days AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    dows AS (
+        SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS y
+        FROM days GROUP BY 1
+    ),
+    arr AS (
+        SELECT list({'x': x, 'n': n, 'y': y} ORDER BY x) AS xs,
+               CAST(SUM(n) AS BIGINT) AS n_days,
+               CAST(SUM(y) AS BIGINT) AS y_total
+        FROM dows
+    ),
+    i0 AS (
+        SELECT xs, n_days, y_total,
+               ln(CAST(y_total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS b0,
+               CAST(0.0 AS DOUBLE) AS b1
+        FROM arr
+    )"""
+    ]
+    for it in range(_LOGIT_ITERS):
+        ctes.append(f"""
+    s{it + 1} AS (
+        SELECT xs, n_days, y_total, b0, b1,
+               list_reduce(list_prepend(
+                   {{'g0': CAST(0.0 AS DOUBLE), 'g1': CAST(0.0 AS DOUBLE),
+                    'aa': CAST(0.0 AS DOUBLE), 'bb': CAST(0.0 AS DOUBLE),
+                    'cc': CAST(0.0 AS DOUBLE)}},
+                   list_transform(xs, e -> {term})
+               ), (acc, q) -> {{'g0': acc.g0 + q.g0, 'g1': acc.g1 + q.g1,
+                               'aa': acc.aa + q.aa, 'bb': acc.bb + q.bb,
+                               'cc': acc.cc + q.cc}}) AS s
+        FROM i{it}
+    ),
+    i{it + 1} AS (
+        SELECT xs, n_days, y_total,
+               b0 + (s.cc * s.g0 - s.bb * s.g1)
+                   / (s.aa * s.cc - s.bb * s.bb) AS b0,
+               b1 + (s.aa * s.g1 - s.bb * s.g0)
+                   / (s.aa * s.cc - s.bb * s.bb) AS b1
+        FROM s{it + 1}
+    )""")
+    return (
+        ",".join(ctes)
+        + f"""
+    SELECT n_days, y_total,
+           FLOOR(b0 * 1000000.0 + 0.5) / 1000000.0 AS b0,
+           FLOOR(b1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
+           FLOOR(exp(b0 + b1 * 2.0) * 1000000.0 + 0.5) / 1000000.0
+               AS rate_monday
+    FROM i{_LOGIT_ITERS}
+    WHERE y_total > 0 AND len(xs) >= 2
+"""
+    )
+
+
+@_register("events_poisson_daily_purchases", _poisson_oracle())
+def events_poisson_daily_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POISSON regression of daily purchase COUNTS on day-of-week —
+    the count-GLM member of the certified supervised family (OLS =
+    gaussian, logistic = binomial, this = poisson; all three solved
+    from exact grouped sufficient statistics). Daily counts collapse
+    to exact per-dow (n_days, purchase_sum) bigints — zero-purchase
+    days included, because the day grid comes from ALL events — then
+    Newton-Raphson with the canonical log link runs as _LOGIT_ITERS
+    deterministic ascending-dow folds starting from the intercept-only
+    MLE b0 = ln(Y/N) (the exact-integer ratio both engines divide and
+    log identically; a cold beta = 0 start overshoots for lambda >> 1,
+    the classic Poisson-Newton failure the warm start removes).
+    Per-term fp64 expressions are textually identical on both engines,
+    outputs micro-frozen once. rate_monday = exp(b0 + 2*b1) is the
+    fitted expectation a capacity planner reads off.
+
+    At 100 TB: one day-grain rollup (map-side combined) then a 7-row
+    fold in a projection — corpus-size-independent iterative ML, the
+    grouped-sufficient-statistics collapse that any low-cardinality
+    GLM admits."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r6
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("y")
+    )
+    dows = days.groupBy(F.dayofweek("d").cast("long").alias("x")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("y")
+    )
+    cur = dows.agg(
+        F.array_sort(F.collect_list(F.struct("x", "n", "y"))).alias("xs"),
+        F.sum("n").alias("n_days"),
+        F.sum("y").alias("y_total"),
+    ).select(
+        "xs", "n_days", "y_total",
+        F.log(
+            F.col("y_total").cast("double") / F.col("n_days").cast("double")
+        ).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+
+    def term(e):
+        xd = e["x"].cast("double")
+        nd = e["n"].cast("double")
+        yd = e["y"].cast("double")
+        lam = F.exp(F.col("b0") + F.col("b1") * xd)
+        return F.struct(
+            (yd - nd * lam).alias("g0"),
+            ((yd - nd * lam) * xd).alias("g1"),
+            (nd * lam).alias("aa"),
+            (nd * lam * xd).alias("bb"),
+            (nd * lam * xd * xd).alias("cc"),
+        )
+
+    zero = F.struct(
+        F.lit(0.0).alias("g0"), F.lit(0.0).alias("g1"),
+        F.lit(0.0).alias("aa"), F.lit(0.0).alias("bb"),
+        F.lit(0.0).alias("cc"),
+    )
+
+    def merge(acc, q):
+        return F.struct(
+            (acc["g0"] + q["g0"]).alias("g0"),
+            (acc["g1"] + q["g1"]).alias("g1"),
+            (acc["aa"] + q["aa"]).alias("aa"),
+            (acc["bb"] + q["bb"]).alias("bb"),
+            (acc["cc"] + q["cc"]).alias("cc"),
+        )
+
+    for _ in range(_LOGIT_ITERS):
+        s = F.aggregate(F.transform(F.col("xs"), term), zero, merge)
+        cur = cur.select(
+            "xs", "n_days", "y_total", "b0", "b1", s.alias("s")
+        ).select(
+            "xs", "n_days", "y_total",
+            (
+                F.col("b0")
+                + (F.col("s.cc") * F.col("s.g0") - F.col("s.bb") * F.col("s.g1"))
+                / (F.col("s.aa") * F.col("s.cc") - F.col("s.bb") * F.col("s.bb"))
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("s.aa") * F.col("s.g1") - F.col("s.bb") * F.col("s.g0"))
+                / (F.col("s.aa") * F.col("s.cc") - F.col("s.bb") * F.col("s.bb"))
+            ).alias("b1"),
+        )
+
+    rate = F.exp(F.col("b0") + F.col("b1") * F.lit(2.0))
+    return cur.filter(
+        (F.col("y_total") > 0) & (F.size("xs") >= 2)
+    ).select(
+        "n_days",
+        "y_total",
+        r6(F.col("b0"), 6).alias("b0"),
+        r6(F.col("b1"), 6).alias("b1"),
+        r6(rate, 6).alias("rate_monday"),
+    )
