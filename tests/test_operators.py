@@ -4606,17 +4606,83 @@ def test_serializable_txn_conflicts_with_any_file_action(tmp_path):
     with pytest.raises(CommitConflict, match="serializable"):
         t.commit()
 
-    # and restore() itself uses it: a concurrent append between
-    # restore's snapshot read and its commit cannot slide under
+    # a serializable txn with NO race lands cleanly
     t2 = w.begin().serializable()
     t2.remove("b")
-    assert t2.commit() == w.latest_version()  # clean when nothing raced
+    assert t2.commit() == w.latest_version()
+
+
+def test_restore_conflicts_with_concurrent_append(tmp_path, monkeypatch):
+    """restore() itself (not just a hand-built serializable txn) must
+    refuse when a commit lands between its snapshot read and its
+    commit: the race is injected by intercepting the restore
+    transaction's commit — if restore ever loses its begin-first +
+    serializable wiring, this test fails (r13 review: the earlier
+    test only covered the no-race path)."""
+    import pytest
+
+    from user_feed_cdc_spark.sources import txn_writer as tw
+
+    root = tmp_path / "t"
+    w = tw.TxnLogWriter(str(root))
+    (root / "a").mkdir(parents=True)
+    w.begin().add("a").commit()
+    (root / "b").mkdir()
+    w.begin().remove("a").add("b").commit()
+
+    real_commit = tw.Transaction.commit
+    injected = {"done": False}
+
+    def racing_commit(self, timestamp=None):
+        if self._serializable and not injected["done"]:
+            injected["done"] = True
+            (root / "c").mkdir()
+            tw.TxnLogWriter(str(root)).begin().add("c").commit()
+        return real_commit(self, timestamp)
+
+    monkeypatch.setattr(tw.Transaction, "commit", racing_commit)
+    with pytest.raises(tw.CommitConflict, match="serializable"):
+        w.restore(0)
+    # the racing append is the only thing that landed
+    assert sorted(w.live_files()) == ["b", "c"]
+
+
+def test_append_refuses_live_file_name(tmp_path, spark):
+    """append_with_checks refuses a target name that is LIVE at its
+    base snapshot (r13 review): overwriting a live file's path before
+    the conflict-checked commit decides would clobber committed data
+    on an abort. Fresh names land; the live name raises with nothing
+    staged and the live file untouched."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    df = spark.range(3).withColumnRenamed("id", "value")
+    append_with_checks(w, df, "f0")
+    before = sorted(os.listdir(os.path.join(root, "f0")))
+    head = w.latest_version()
+    with pytest.raises(ValueError, match="LIVE file"):
+        append_with_checks(w, spark.range(9).withColumnRenamed("id", "value"), "f0")
+    assert w.latest_version() == head
+    assert sorted(os.listdir(os.path.join(root, "f0"))) == before
+    append_with_checks(w, df, "f1")  # fresh name unaffected
+    assert w.live_files() == ["f0", "f1"]
 
 
 def test_vacuum_retention_defers_unknown_timestamps(tmp_path):
-    """A remove whose commit timestamp is unknown (pre-commitInfo
-    history) is DEFERRED by a retention vacuum — the grace period's
-    safe default is keep, never presume-old-and-delete."""
+    """A remove without an in-log commitInfo timestamp (pre-protocol
+    history) falls back to the commit FILE's mtime (Delta's rule):
+    freshly-written evidence is DEFERRED by a retention vacuum — the
+    grace period never presumes old-and-deletes — while the
+    un-windowed form still collects, and real aging (mtime passing
+    the cutoff) lets a later retention vacuum collect too."""
     import json
     import os
 
@@ -4641,3 +4707,33 @@ def test_vacuum_retention_defers_unknown_timestamps(tmp_path):
     assert w.vacuum(retain_ms=10, now_ms=10**12) == []  # deferred
     assert os.path.isdir(root / "a")
     assert w.vacuum() == ["a"]  # the un-windowed form still collects
+
+
+def test_vacuum_retention_ages_out_via_mtime(tmp_path):
+    """The mtime fallback genuinely ages: backdating the evidence file
+    lets a retention vacuum collect what it previously deferred, and
+    already-collected files are never re-reported by later runs."""
+    import json
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = tmp_path / "t"
+    w = TxnLogWriter(str(root))
+    for n in ("a", "b"):
+        (root / n).mkdir(parents=True)
+    w.begin().add("a").commit(timestamp=1_000)
+    w.begin().remove("a").add("b").commit(timestamp=2_000)
+    p = os.path.join(w.log_dir, "00001.json")
+    lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+    with open(p, "w") as f:
+        for a in lines:
+            if a.get("action") != "commitInfo":
+                f.write(json.dumps(a) + "\n")
+    w.write_checkpoint(1)
+    now = 10**12
+    assert w.vacuum(retain_ms=10, now_ms=now) == []  # fresh mtime defers
+    os.utime(p, (1.0, 1.0))  # backdate: removal aged past any window
+    assert w.vacuum(retain_ms=10, now_ms=now) == ["a"]
+    # re-running must not re-report the already-collected file
+    assert w.vacuum(retain_ms=10, now_ms=now) == []

@@ -459,6 +459,23 @@ class TxnLogWriter:
             # the empty list is a real, clearable state: a newest-wins
             # constraints action with no exprs reads as unconstrained
             txn.set_constraints(exprs_then)
+        # Final existence re-check immediately before commit: VACUUM
+        # writes no commit, so the serializable conflict check cannot
+        # see one racing this restore — re-verifying here narrows that
+        # window to the commit call itself (r13 review). The residual
+        # race is an operator-level exclusion zone, as in Delta: don't
+        # run VACUUM concurrently with RESTORE (retention windows are
+        # the production-grade guard — a retained file can't vanish
+        # mid-restore).
+        for a in txn.actions:
+            if a["action"] == "add" and not os.path.isdir(
+                os.path.join(self.root, a["file"])
+            ):
+                raise ValueError(
+                    f"cannot restore to v{version}: data file "
+                    f"{a['file']} was vacuumed while the restore was "
+                    "staging"
+                )
         return txn.commit()
 
     def clone_to(self, dest_root: str, version: int | None = None) -> int:
@@ -582,19 +599,38 @@ class TxnLogWriter:
             now = int(time.time() * 1000) if now_ms is None else now_ms
             cutoff = now - retain_ms
             ts_of = dict(self._known_commit_timestamps())
+
+            def removal_ms(v: int) -> int | None:
+                # in-log commitInfo when present; else the commit
+                # FILE's mtime (Delta's fallback for metadata-less
+                # history) — a real wall time, so a pre-commitInfo
+                # remove ages out of the window naturally instead of
+                # deferring forever and leaking (r13 review). Only a
+                # missing commit file yields None (defer — the safe
+                # grace-period default).
+                if v in ts_of:
+                    return ts_of[v]
+                p = os.path.join(self.log_dir, f"{v:05d}.json")
+                try:
+                    return int(os.path.getmtime(p) * 1000)
+                except OSError:
+                    return None
+
         live_now = set(self.live_files())  # defensive double-check
         candidates = [
             (f, v)
             for f, (v, r) in last.items()
-            if r == 1 and v <= ckpt and f not in live_now
+            if r == 1
+            and v <= ckpt
+            and f not in live_now
+            # already collected by an earlier (retention) vacuum whose
+            # kept evidence still names it: not re-reported (r13 review)
+            and os.path.isdir(os.path.join(self.root, f))
         ]
         doomed, deferred = [], []
         for f, v in sorted(candidates):
-            # unknown removal time (pre-commitInfo history) DEFERS —
-            # the safe default for a grace period is to keep the file,
-            # never to presume it old enough to destroy (r13 review)
             if cutoff is not None and (
-                v not in ts_of or ts_of[v] > cutoff
+                (ms := removal_ms(v)) is None or ms > cutoff
             ):
                 deferred.append(f)  # removed too recently (or unknown)
             else:
@@ -1128,7 +1164,29 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
     from pyspark.sql import functions as F
 
     txn = writer.begin()
-    gen = writer.generated_columns(as_of=txn.base_version)
+    # ONE replay serves the whole definition read (generated columns,
+    # constraints, live set) — the accessors would each replay the
+    # checkpoint+tail again (r13 review)
+    acts = (
+        writer._replay_actions(txn.base_version)
+        if txn.base_version >= 0
+        else []
+    )
+    # Appends stage FRESH file names. Writing over a LIVE file's path
+    # would clobber committed data BEFORE the conflict-checked commit
+    # decides — a CommitConflict abort (now likelier, since begin()
+    # precedes the whole validation scan) would leave every reader of
+    # the current snapshot serving never-committed rows (r13 review).
+    # With fresh names enforced, an abort leaves only an invisible
+    # orphan file, the same crash-safety order the protocol relies on.
+    if name in set(_last_wins(acts)):
+        raise ValueError(
+            f"append target {name!r} is a LIVE file — appends must use "
+            "fresh names; rewriting a live file is a remove+add "
+            "transaction over a new name"
+        )
+    meta = _newest_action(acts, "metaData")
+    gen = dict(meta.get("generated", {})) if meta else {}
     provided = [c for c in gen if c in df.columns]
     for col, expr in gen.items():
         if col not in df.columns:
@@ -1141,7 +1199,8 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
     labels = [
         f"GENERATED ALWAYS AS ({gen[c]}) for column {c}" for c in provided
     ]
-    exprs = writer.constraints(as_of=txn.base_version)
+    con = _newest_action(acts, "constraints")
+    exprs = list(con["exprs"]) if con else []
     checks += exprs
     labels += [f"CHECK ({e})" for e in exprs]
     if checks:
@@ -1174,7 +1233,12 @@ def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
     the validation scan never saw (scan-first left a window where a
     concurrent append landed between scan and begin() unchecked)."""
     txn = writer.begin()
-    live = writer.live_files(as_of=txn.base_version)
+    acts = (
+        writer._replay_actions(txn.base_version)
+        if txn.base_version >= 0
+        else []
+    )
+    live = _last_wins(acts)
     if live:
         snap = spark.read.parquet(
             *[os.path.join(writer.root, f) for f in live]
@@ -1185,6 +1249,7 @@ def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
                 f"{n} existing row(s) violate CHECK ({expr}) — "
                 "constraint not added"
             )
+    con = _newest_action(acts, "constraints")
     return txn.set_constraints(
-        writer.constraints(as_of=txn.base_version) + [expr]
+        (list(con["exprs"]) if con else []) + [expr]
     ).commit()
