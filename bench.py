@@ -158,6 +158,7 @@ def main() -> None:
     # can't double the suite runtime.
     here = os.path.dirname(os.path.abspath(__file__))
     base_path = os.path.join(here, "BENCH_BASELINE.json")
+    retries: dict[str, dict] = {}
     if os.path.exists(base_path):
         with open(base_path) as f:
             baseline = json.load(f)
@@ -186,11 +187,24 @@ def main() -> None:
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                timings[name] = min(
-                    timings[name], round(time.perf_counter() - t0, 3)
-                )
             except Exception:
-                pass  # keep the in-suite timing; errors were caught above
+                continue  # keep the in-suite timing; errors caught above
+            iso = round(time.perf_counter() - t0, 3)
+            # The isolated time only REPLACES the in-suite min when it
+            # is decisively faster (interference, not plan): a genuine
+            # regression re-times at about the same speed in isolation,
+            # and substituting a marginal improvement would let the
+            # retry forgive real 1.6-2x slowdowns (r13 ADVICE). Every
+            # retry is REPORTED in the artifact either way, so nothing
+            # is silently replaced.
+            substituted = iso < 0.75 * timings[name]
+            retries[name] = {
+                "in_suite": timings[name],
+                "isolated": iso,
+                "substituted": substituted,
+            }
+            if substituted:
+                timings[name] = min(timings[name], iso)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -203,9 +217,15 @@ def main() -> None:
         # self-describing (r08 VERDICT item 5): each timing is the
         # minimum over 3 full suite passes (fresh cache + explicit GC
         # between passes), plus one isolated re-measure for any query
-        # still >2x its committed baseline.
-        "timing_policy": "min_of_3_passes_plus_isolated_retry",
+        # still >1.6x its committed baseline — the isolated time is
+        # substituted ONLY when <0.75x the in-suite min (decisive
+        # interference evidence) and every retry is reported below.
+        "timing_policy": (
+            "min_of_3_passes_plus_reported_isolated_retry_0.75"
+        ),
     }
+    if retries:
+        result["isolated_retries"] = retries
     if errors:
         result["errors"] = errors
 

@@ -4476,12 +4476,12 @@ def test_ascii_seed_contract():
             ascii_seed(bad)
 
 
-def test_benford_refuses_empty_total(spark, tmp_path):
+def test_benford_empty_total_returns_oracle_empty_frame(spark, tmp_path):
     """events_benford_first_digit on a corpus with no positive amounts
-    raises a typed error instead of interpolating NULL into SQL
+    returns the SAME empty frame its DuckDB oracle produces — never a
+    raised error (r13 ADVICE: the r12 loud-refusal guard was an
+    engine/oracle asymmetry) and never NULL interpolated into SQL
     (r12 ADVICE)."""
-    import pytest
-
     from user_feed_cdc_spark.operators.event_windows import (
         events_benford_first_digit,
     )
@@ -4495,8 +4495,11 @@ def test_benford_refuses_empty_total(spark, tmp_path):
     ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
         str(sf / "events.parquet")
     )
-    with pytest.raises(ValueError, match="no positive"):
-        events_benford_first_digit(spark, str(sf))
+    out = events_benford_first_digit(spark, str(sf))
+    assert out.count() == 0
+    assert out.columns == [
+        "d", "n", "observed_ppm", "expected_ppm", "deviation_ppm",
+    ]
 
 
 def test_generated_columns_write_semantics(spark, tmp_path):

@@ -68,6 +68,44 @@ def test_palette_trns_expands_to_rgba():
         )
 
 
+def test_palette_expansion_respects_pixel_cap(monkeypatch):
+    """The allocation cap must bound the EXPANDED palette output (x3
+    RGB, x4 with tRNS), not the 1-byte/pixel index plane (r13 ADVICE):
+    at IHDR time ctype 3 caps with the guaranteed x3 factor, and the
+    exact x4 re-check fires before the RGBA expansion loop."""
+    from user_feed_cdc_spark.operators import png as png_mod
+
+    # IHDR-time: index plane would fit, guaranteed RGB expansion won't
+    ihdr = struct.pack(">IIBBBBB", 3000, 3000, 8, 3, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"x" * 1000)
+        + _chunk(b"IEND", b"")
+    )
+    assert 3000 * 3000 * 1 < PNG_PIXEL_CAP < 3000 * 3000 * 3
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_png(p)
+
+    # expansion-time: x3 fits the (shrunk) cap, tRNS's x4 must not —
+    # the same image WITHOUT tRNS decodes fine under the same cap
+    pal = bytes(range(3 * 4))
+    idx = bytes((i % 4 for i in range(9 * 3)))
+    monkeypatch.setattr(png_mod, "PNG_PIXEL_CAP", 100)
+    assert 9 * 3 * 3 <= 100 < 9 * 3 * 4
+    w, h, px = png_mod.decode_png(
+        encode_png(9, 3, idx, color_type=3, palette=pal)
+    )
+    assert (w, h, len(px)) == (9, 3, 9 * 3 * 3)
+    with pytest.raises(ValueError, match="palette expansion"):
+        png_mod.decode_png(
+            encode_png(
+                9, 3, idx, color_type=3, palette=pal,
+                transparency=bytes([9, 200]),
+            )
+        )
+
+
 @settings(max_examples=60, deadline=None)
 @given(data=st.data())
 def test_round_trip_random(data):

@@ -252,7 +252,10 @@ def test_conflict_matrix_matches_model():
         included, OR
       * the transaction ITSELF changes the definition and the window
         holds a data-changing add (its validation scan is stale), OR
-      * its removes intersect the window's removes,
+      * its removes intersect the window's removes, OR
+      * its adds intersect the window's adds or removes (same-name
+        collision: the physical file may have been clobbered /
+        recycled — r13 ADVICE),
     and must land cleanly in every other interleaving. Randomized
     over staged-action combinations on both sides so no pairwise case
     is missed (the example-based tests cover single cells)."""
@@ -297,6 +300,11 @@ def test_conflict_matrix_matches_model():
         (["remove", "add"], ["remove"]),
         (["add"], ["add", "metaData"]),
         (["txn"], ["protocol", "add"]),
+        # same-name collision cells (r13 ADVICE): the concurrent side
+        # stages an action over the SAME name mine adds
+        (["add"], ["add_same"]),
+        (["add"], ["remove_mine"]),
+        (["add", "txn"], ["add_same"]),
     ]
     for mine, conc in combos:
         root = tempfile.mkdtemp(prefix="txnmatrix_")
@@ -310,24 +318,37 @@ def test_conflict_matrix_matches_model():
                 base_files.append(n)
             stale = w.begin()
             my_remove_targets = []
+            my_add_targets = []
             for a in mine:
                 name = base_files[0] if a == "remove" else f"m{next(counter)}"
                 if a == "remove":
                     my_remove_targets.append(name)
                 elif a in ("add", "add_nodata"):
+                    my_add_targets.append(name)
                     os.makedirs(os.path.join(root, name), exist_ok=True)
                 stage(stale, a, name)
-            conc_removes, conc_data_add, conc_defs = set(), False, False
+            conc_removes, conc_adds = set(), set()
+            conc_data_add, conc_defs = False, False
             for a in conc:
                 # the concurrent remove targets the SAME file mine does
-                # (the clash case) — the matrix's remove-remove cell
-                name = base_files[0] if a == "remove" else f"c{next(counter)}"
+                # (the clash case) — the matrix's remove-remove cell;
+                # add_same / remove_mine target MY staged add's name
+                # (the r13 ADVICE name-collision cells)
+                if a == "remove":
+                    name = base_files[0]
+                elif a in ("add_same", "remove_mine"):
+                    name = my_add_targets[0]
+                    a = "add" if a == "add_same" else "remove"
+                else:
+                    name = f"c{next(counter)}"
                 if a == "remove":
                     conc_removes.add(name)
                 elif a == "add":
+                    conc_adds.add(name)
                     conc_data_add = True
                     os.makedirs(os.path.join(root, name), exist_ok=True)
                 elif a == "add_nodata":
+                    conc_adds.add(name)
                     os.makedirs(os.path.join(root, name), exist_ok=True)
                 elif a in DEFS:
                     conc_defs = True
@@ -336,6 +357,7 @@ def test_conflict_matrix_matches_model():
                 conc_defs
                 or (any(a in DEFS for a in mine) and conc_data_add)
                 or bool(set(my_remove_targets) & conc_removes)
+                or bool(set(my_add_targets) & (conc_adds | conc_removes))
             )
             head_before = w.latest_version()
             try:
@@ -347,3 +369,87 @@ def test_conflict_matrix_matches_model():
                 assert w.latest_version() == head_before  # staged nothing
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def _same_name_worker(root: str, wid: int, barrier, out_q) -> None:
+    """Both workers stage an add of the SAME fresh name from the same
+    base snapshot and release together: the add-name conflict rule
+    must let exactly one land (r13 ADVICE — before it, both commits
+    succeeded and the loser's physical write silently replaced the
+    winner's data)."""
+    from user_feed_cdc_spark.sources import txn_writer as tw
+
+    w = tw.TxnLogWriter(root)
+    os.makedirs(os.path.join(root, "same"), exist_ok=True)
+    txn = w.begin().add("same")
+    barrier.wait()
+    try:
+        out_q.put((wid, txn.commit(), None))
+    except tw.CommitConflict as e:
+        out_q.put((wid, None, str(e)))
+
+
+def test_txn_add_add_same_name_multiprocess(tmp_path):
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = str(tmp_path / "t")
+    seed = TxnLogWriter(root)
+    os.makedirs(os.path.join(root, "base"), exist_ok=True)
+    assert seed.begin().add("base").commit() == 0
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_same_name_worker, args=(root, i, barrier, out_q))
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = [out_q.get(timeout=60) for _ in range(2)]
+    for p in procs:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+    committed = [v for _, v, _ in results if v is not None]
+    errors = [e for _, _, e in results if e is not None]
+    assert len(committed) == 1 and len(errors) == 1, results
+    assert "same physical name" in errors[0]
+    assert TxnLogWriter(root).latest_version() == 1  # seed + one winner
+
+
+def test_append_claim_refuses_existing_dir(tmp_path, spark):
+    """append_with_checks claims its target directory by atomic rename
+    (put-if-absent): a pre-existing non-empty directory at the target
+    name — a concurrent writer's claim or an aborted append's orphan —
+    surfaces CommitConflict BEFORE any live-name bytes are touched,
+    and the occupying data is left exactly as found."""
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    df = spark.range(5).withColumnRenamed("id", "value")
+    append_with_checks(w, df, "f0")
+
+    # occupy a log-fresh name with someone else's bytes
+    occupied = os.path.join(root, "f1")
+    os.makedirs(occupied)
+    with open(os.path.join(occupied, "claim.marker"), "w") as f:
+        f.write("theirs")
+    before = w.latest_version()
+    with pytest.raises(CommitConflict, match="already exists on disk"):
+        append_with_checks(w, df, "f1")
+    assert w.latest_version() == before  # no log version consumed
+    with open(os.path.join(occupied, "claim.marker")) as f:
+        assert f.read() == "theirs"  # occupying data untouched
+    assert not [
+        p for p in os.listdir(root) if ".inflight." in p
+    ]  # scratch cleaned
+    append_with_checks(w, df, "f2")  # fresh names unaffected
+    assert w.live_files() == ["f0", "f2"]

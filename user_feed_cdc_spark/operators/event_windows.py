@@ -4532,15 +4532,14 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # sum over an empty/all-nonpositive frame is NULL — coerce and
-    # refuse loudly instead of interpolating 'DIV NoneL' into the
-    # expression (r12 ADVICE; the text_pmi_collocations guard shape)
-    total = int(digits.agg(F.sum("n")).first()[0] or 0)
-    if total == 0:
-        raise ValueError(
-            "events_benford_first_digit: no positive transaction "
-            "amounts to audit"
-        )
+    # sum over an empty/all-nonpositive frame is NULL — coerce instead
+    # of interpolating 'DIV NoneL' into the expression (r12 ADVICE).
+    # A degenerate corpus (total == 0) means `digits` itself is EMPTY,
+    # so the entry returns the same empty frame the DuckDB oracle
+    # produces (r13 ADVICE — a loud refusal here was an engine/oracle
+    # asymmetry); the dummy divisor below is never observable because
+    # no row survives to evaluate it.
+    total = int(digits.agg(F.sum("n")).first()[0] or 0) or 1
     expected = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )

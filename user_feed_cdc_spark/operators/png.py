@@ -272,7 +272,12 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             ch = _CHANNELS[ctype]
             if width <= 0 or height <= 0:
                 raise ValueError("PNG declares empty dimensions")
-            if width * height * ch > PNG_PIXEL_CAP:
+            # palette (ctype 3) scanlines carry 1 byte/pixel but the
+            # decode ALWAYS expands through PLTE to >= 3 channels
+            # (4 with a tRNS table — re-checked exactly once tRNS is
+            # known), so cap the guaranteed expansion here, before any
+            # allocation (r13 ADVICE)
+            if width * height * (3 if ctype == 3 else ch) > PNG_PIXEL_CAP:
                 raise ValueError(
                     f"declared dims {width}x{height}x{ch} exceed the "
                     "PNG decoder's allocation cap"
@@ -375,6 +380,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         # (missing tail entries default to opaque 255)
         if palette is None:
             raise ValueError("palette PNG without a PLTE chunk")
+        # the IHDR cap ran with ch=1 (the index plane); expansion
+        # multiplies the allocation by 3 (RGB) or 4 (tRNS -> RGBA), so
+        # re-check the EXPANDED size against the same cap before the
+        # loop sizes the buffer (r13 ADVICE — without this, palette
+        # output could reach 4x the documented bound)
+        exp = 4 if trns is not None else 3
+        if width * height * exp > PNG_PIXEL_CAP:
+            raise ValueError(
+                f"palette expansion {width}x{height}x{exp} exceeds the "
+                "PNG decoder's allocation cap"
+            )
         if out and max(out) * 3 >= len(palette):
             raise ValueError("PNG palette index out of range")
         px = bytearray()

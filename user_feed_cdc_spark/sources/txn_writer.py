@@ -987,6 +987,9 @@ class Transaction:
         my_removes = {
             a["file"] for a in self.actions if a["action"] == "remove"
         }
+        my_adds = {
+            a["file"] for a in self.actions if a["action"] == "add"
+        }
         # The window is read UNCONDITIONALLY — a blind append has no
         # remove read-set, but it is NOT definition-independent: its
         # rows were validated (append_with_checks) against the BASE
@@ -1006,6 +1009,7 @@ class Transaction:
         # to read actions) left a window where a vacuum between the
         # listings silently hid concurrent removes (r11 ADVICE).
         concurrent_removed: set[str] = set()
+        concurrent_added: set[str] = set()
         definition_changes: list[tuple[int, str]] = []
         concurrent_data_adds = 0
         concurrent_file_actions = 0
@@ -1031,8 +1035,10 @@ class Transaction:
                     concurrent_removed.add(a["file"])
                 elif kind in self._DEFINITION_ACTIONS:
                     definition_changes.append((v, kind))
-                elif kind == "add" and a.get("dataChange", True):
-                    concurrent_data_adds += 1
+                elif kind == "add":
+                    concurrent_added.add(a["file"])
+                    if a.get("dataChange", True):
+                        concurrent_data_adds += 1
         if definition_changes:
             v, kind = definition_changes[0]
             raise CommitConflict(
@@ -1072,6 +1078,30 @@ class Transaction:
                 f"concurrent commits v{lo}..v{hi} already removed: "
                 + ", ".join(clash[:5])
                 + f" (transaction based on v{self.base_version})"
+            )
+        # Add-name collisions (r13 ADVICE): two writers staging the
+        # same file name both pass the base-snapshot freshness check,
+        # and whichever wrote the physical parquet LAST has silently
+        # replaced the other's data BEFORE either commit decides — so
+        # if both commits landed, the first committer would be serving
+        # the second writer's rows. The second commit must refuse.
+        # A concurrent REMOVE of a name this transaction adds is the
+        # same disease via recycling: the remove's physical file is
+        # vacuum-eligible, so vacuum would delete THIS transaction's
+        # live data. Delta avoids both by UUID-unique file names;
+        # this committer keeps caller-chosen logical names and
+        # enforces uniqueness at conflict-check + claim time
+        # (append_with_checks claims the directory by atomic rename).
+        add_clash = sorted(my_adds & (concurrent_added | concurrent_removed))
+        if add_clash:
+            raise CommitConflict(
+                f"concurrent commits v{lo}..v{hi} already used file "
+                "name(s): "
+                + ", ".join(add_clash[:5])
+                + f" (transaction based on v{self.base_version}) — "
+                "two writers staged the same physical name; this "
+                "transaction's data file may have been overwritten. "
+                "Rewrite and retry under a fresh name"
             )
 
 
@@ -1214,7 +1244,39 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
                 "batch refused: "
                 + "; ".join(f"{n} row(s) violate {lbl}" for lbl, n in bad)
             )
-    df.write.mode("overwrite").parquet(os.path.join(writer.root, name))
+    # Physical claim-by-rename (r13 ADVICE): the fresh-name guard above
+    # only proves freshness at THIS transaction's base snapshot — two
+    # concurrent appends staging the same name both pass it, and a
+    # direct overwrite-write to the final path would let the second
+    # writer silently replace the first's staged rows BEFORE either
+    # commit decides (the first committer would then serve the second
+    # writer's data). So the parquet lands in a writer-private scratch
+    # dir and os.rename() claims the final name: rename onto an
+    # existing non-empty directory fails (ENOTEMPTY), making the claim
+    # an atomic put-if-absent — the loser aborts loudly having touched
+    # nothing under the live name. The commit-time add-name conflict
+    # check covers writers that bypass this helper. An abort AFTER the
+    # claim leaves an invisible orphan under the name (never rmtree'd
+    # here — a racing raw writer may own the bytes); vacuum reclaims
+    # it, and retries must use a fresh name.
+    import shutil
+    import threading
+
+    scratch = os.path.join(
+        writer.root,
+        f"{name}.inflight.{os.getpid()}.{threading.get_ident()}",
+    )
+    df.write.mode("overwrite").parquet(scratch)
+    try:
+        os.rename(scratch, os.path.join(writer.root, name))
+    except OSError as e:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise CommitConflict(
+            f"append target {name!r} already exists on disk — a "
+            "concurrent writer claimed the name (or an aborted append "
+            "left an orphan; vacuum reclaims those). Retry under a "
+            "fresh name"
+        ) from e
     return txn.add(name, **stats).commit()
 
 
