@@ -68,6 +68,54 @@ def test_palette_trns_expands_to_rgba():
         )
 
 
+def test_16bit_round_trip_and_msb_reduction():
+    """16-bit lanes on every non-palette colour type, sequential and
+    Adam7, all five filters: raw16 decode reproduces the exact
+    big-endian sample stream, and the default return reduces each
+    sample to its MSB (spec §13.12) preserving the w*h*ch contract."""
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for interlace in (False, True):
+            w, h = 5, 5
+            samples = [
+                (i * 977 + 13 * ct) % 65536 for i in range(w * h * ch)
+            ]
+            px = b"".join(struct.pack(">H", s) for s in samples)
+            n_rows = (
+                sum(
+                    ph
+                    for _x, _y, _dx, _dy, pw, ph in __import__(
+                        "user_feed_cdc_spark.operators.png",
+                        fromlist=["_adam7_passes"],
+                    )._adam7_passes(w, h)
+                )
+                if interlace
+                else h
+            )
+            filters = [(r * 3 + 1) % 5 for r in range(n_rows)]
+            enc = encode_png(
+                w, h, px, color_type=ct, depth=16,
+                interlace=interlace, row_filters=filters,
+            )
+            w2, h2, raw = decode_png(enc, raw16=True)
+            assert (w2, h2) == (w, h)
+            assert raw == px, (ct, interlace)
+            _, _, red = decode_png(enc)
+            assert red == bytes(s >> 8 for s in samples), (ct, interlace)
+            assert len(red) == w * h * ch  # every consumer's contract
+
+    # 16-bit images respect the BYTE-denominated allocation cap
+    ihdr = struct.pack(">IIBBBBB", 2000, 2000, 16, 6, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"x" * 1000)
+        + _chunk(b"IEND", b"")
+    )
+    assert 2000 * 2000 * 4 < PNG_PIXEL_CAP < 2000 * 2000 * 8
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_png(p)
+
+
 def test_palette_expansion_respects_pixel_cap(monkeypatch):
     """The allocation cap must bound the EXPANDED palette output (x3
     RGB, x4 with tRNS), not the 1-byte/pixel index plane (r13 ADVICE):
@@ -191,7 +239,12 @@ def test_refusals_are_loud():
         decode_png(p)
 
     # 16-bit depth, invalid colour type, tRNS transparency
-    for depth, ctype, msg in ((16, 2, "bit depth"), (8, 5, "colour type")):
+    for depth, ctype, msg in (
+        (4, 0, "bit depth"),       # bit-packed depths still refuse
+        (2, 3, "bit depth"),
+        (8, 5, "colour type"),
+        (16, 3, "1/2/4/8"),        # 16-bit palette is spec-illegal
+    ):
         ihdr = struct.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, 0)
         p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(ValueError, match=msg):

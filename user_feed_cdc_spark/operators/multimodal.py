@@ -3253,3 +3253,149 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id long, n_samples long, dominant_bin long, dom_power_ppm long",
     )
+
+
+_IMAGE_PNG16_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, doc_id % 2 AS cls,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v0,
+               CAST(ascii(substr(text,
+                    CAST((1 % length(text)) + 1 AS INT), 1)) AS BIGINT)
+                   AS v1
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(CASE cls WHEN 0 THEN 4 ELSE 3 END AS BIGINT) AS width,
+           CAST(CASE cls WHEN 0 THEN 3 ELSE 2 END AS BIGINT) AS height,
+           CAST(CASE cls WHEN 0 THEN 1 ELSE 4 END AS BIGINT) AS channels,
+           CAST(CASE cls
+                WHEN 0 THEN 1024 * v0 + 2048 * v1 + 10
+                ELSE 3072 * v0 + 3084 * v1 + 31 END AS BIGINT)
+               AS sample_sum,
+           CAST(256 * v0 AS BIGINT) AS s_first,
+           CAST(CASE cls WHEN 0 THEN 256 * v1 + 1
+                ELSE 257 * v1 END AS BIGINT) AS s_last,
+           CAST(CASE cls WHEN 0 THEN 4 * v0 + 8 * v1
+                ELSE 12 * v0 + 12 * v1 END AS BIGINT) AS hi_sum,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_image_png16_stats", _IMAGE_PNG16_ORACLE)
+def multimodal_image_png16_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """16-BIT PNG decode under the hash gate (r13 VERDICT item 5 —
+    the depth residual): each image doc's payload is a real 16-bit
+    PNG whose big-endian sample pairs ride the SAME five-filter
+    reconstruction as 8-bit lanes (filters offset by BYTES per pixel,
+    spec §6.2 — bpp 2 for grey, 8 for RGBA), rotating by doc_id%2
+    through a sequential 16-bit GREYSCALE (filters None/Sub/Up over a
+    ramp whose low bytes count 0..3 while high bytes carry v0/v1 —
+    any hi/lo lane mix-up moves sample_sum by 255x) and an
+    ADAM7-INTERLACED 16-bit RGBA (four passes on a 3x2 canvas,
+    filters None/Sub/Up/Paeth, low bytes cycling j%7 so pass
+    scattering is position-sensitive). PNG is lossless at any depth,
+    so the symbolic oracle predicts every 16-bit sample from the doc
+    text; hi_sum re-decodes through the SHARED decode_image dispatch
+    and certifies the default MSB reduction (spec §13.12) that every
+    8-bit consumer of a mixed-depth corpus sees.
+
+    Scale: identical narrow media shape — Arrow-batched mapInPandas,
+    bounded per-row decode (16-bit doubles bytes, the allocation cap
+    accounts for it), payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+
+        def png16_of(v0: int, v1: int, cls: int) -> bytes:
+            key = (v0, v1, cls)
+            if key not in cache:
+                if cls == 0:  # 16-bit greyscale, sequential
+                    samples = (
+                        [v0 * 256 + i for i in range(4)]
+                        + [v1 * 256] * 4
+                        + [v1 * 256 + 1] * 4
+                    )
+                    px = b"".join(
+                        struct.pack(">H", s) for s in samples
+                    )
+                    cache[key] = encode_png(
+                        4, 3, px, grayscale=True, depth=16,
+                        row_filters=[0, 1, 2],
+                    )
+                else:  # 16-bit RGBA, Adam7 (4 non-empty passes on 3x2)
+                    samples = (
+                        [v0 * 256 + (j % 7) for j in range(12)]
+                        + [v1 * 257] * 12
+                    )
+                    px = b"".join(
+                        struct.pack(">H", s) for s in samples
+                    )
+                    cache[key] = encode_png(
+                        3, 2, px, color_type=6, depth=16,
+                        interlace=True, row_filters=[0, 1, 2, 4],
+                    )
+            return cache[key]
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = ascii_seed(text)
+                payloads.append(
+                    png16_of(raw[0], raw[1 % len(raw)], int(doc_id) % 2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "channels": [], "sample_sum": [], "s_first": [],
+                "s_last": [], "hi_sum": [], "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    b = bytes(payload)
+                    w, h, px = decode_png(b, raw16=True)
+                    ch = len(px) // (w * h * 2)
+                    samples = [
+                        (px[i] << 8) | px[i + 1]
+                        for i in range(0, len(px), 2)
+                    ]
+                    # the shared dispatch path: default MSB reduction
+                    _w2, _h2, red = decode_image(b)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["sample_sum"].append(sum(samples))
+                    out["s_first"].append(samples[0])
+                    out["s_last"].append(samples[-1])
+                    out["hi_sum"].append(sum(red))
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    for k in (
+                        "width", "height", "channels", "sample_sum",
+                        "s_first", "s_last", "hi_sum",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, width long, height long, channels long, "
+        "sample_sum long, s_first long, s_last long, hi_sum long, "
+        "decoded boolean",
+    )

@@ -1,16 +1,16 @@
 """Pure-stdlib PNG codec (RFC 2083 / ISO 15948) for the multimodal
-Python tier: the full 8-bit colour-type matrix — greyscale (0),
-truecolour RGB (2), palette (3, expanded through PLTE like the GIF
-decoder), grey+alpha (4), RGBA (6) — all five scanline filters
-(None/Sub/Up/Average/Paeth), Adam7 interlaced AND sequential
-layouts, CRC-validated chunk walk, zlib inflate with a zip-bomb
-bound.
+Python tier: the full 8- AND 16-bit colour-type matrix — greyscale
+(0), truecolour RGB (2), palette (3, expanded through PLTE like the
+GIF decoder), grey+alpha (4), RGBA (6); 16-bit lanes on 0/2/4/6 —
+all five scanline filters (None/Sub/Up/Average/Paeth), Adam7
+interlaced AND sequential layouts, CRC-validated chunk walk, zlib
+inflate with a zip-bomb bound.
 
 PNG is the single most common image format in a web-scraped corpus
 (r12 VERDICT gap 1); this closes the codec matrix the same way the
 progressive-JPEG arc did: a real decoder for the common profile,
-loud refusals for the rest (16-bit depth, colour-key tRNS on
-grey/RGB; palette tRNS alpha tables DO decode, to RGBA),
+loud refusals for the rest (bit-packed depths 1/2/4, colour-key tRNS
+on grey/RGB; palette tRNS alpha tables DO decode, to RGBA),
 and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
 (``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
 oracle can derive every decoded byte symbolically — the
@@ -87,9 +87,11 @@ def encode_png(
     color_type: int | None = None,
     palette: bytes | None = None,
     transparency: bytes | None = None,
+    depth: int = 8,
 ) -> bytes:
     """Build a real PNG. ``pixels`` is the UNFILTERED top-down pixel
-    stream (width*height*channels bytes). ``row_filters`` assigns a
+    stream (width*height*channels*(depth//8) bytes; 16-bit samples are
+    BIG-ENDIAN byte pairs per spec §7.1). ``row_filters`` assigns a
     filter type per scanline — image rows for a sequential PNG, the
     concatenated per-pass rows for an Adam7 one; each line is then
     FORWARD-filtered per the spec so the decoder's unfilter path is
@@ -107,6 +109,10 @@ def encode_png(
         color_type = 0 if grayscale else 2
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported colour type {color_type}")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {depth} (8/16 here)")
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette images allow depths 1/2/4/8 only")
     ch = _CHANNELS[color_type]
     if color_type == 3:
         if not palette or len(palette) % 3 or len(palette) > 768:
@@ -122,12 +128,13 @@ def encode_png(
             "transparency (tRNS) takes at most one alpha byte per "
             "palette entry of a colour-type-3 image"
         )
-    if len(pixels) != width * height * ch:
+    unit = ch * (depth // 8)  # bytes per pixel (filter offset, spec §6.2)
+    if len(pixels) != width * height * unit:
         raise ValueError(
             f"pixel stream is {len(pixels)} bytes, expected "
-            f"{width * height * ch}"
+            f"{width * height * unit}"
         )
-    stride = width * ch
+    stride = width * unit
     if interlace:
         lines = []
         for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
@@ -135,8 +142,8 @@ def encode_png(
                 y = y0 + j * dy
                 row = b"".join(
                     pixels[
-                        (y * width + x0 + i * dx) * ch :
-                        (y * width + x0 + i * dx) * ch + ch
+                        (y * width + x0 + i * dx) * unit :
+                        (y * width + x0 + i * dx) * unit + unit
                     ]
                     for i in range(pw)
                 )
@@ -158,11 +165,11 @@ def encode_png(
         if first:  # each pass (or the image) starts with a zero prior row
             prev = bytes(len(row))
         raw.append(ft)
-        raw += _filter_row(row, prev, ft, ch)
+        raw += _filter_row(row, prev, ft, unit)
         prev = row
     ihdr = struct.pack(
         ">IIBBBBB",
-        width, height, 8, color_type, 0, 0,
+        width, height, depth, color_type, 0, 0,
         1 if interlace else 0,
     )
     plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
@@ -213,17 +220,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit PNG of any colour type — sequential OR Adam7
-    interlaced: signature, CRC-checked chunk walk, bounded inflate of
-    the concatenated IDATs, and the five-filter scanline
+def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
+    """Decode an 8- or 16-bit PNG of any colour type — sequential OR
+    Adam7 interlaced: signature, CRC-checked chunk walk, bounded
+    inflate of the concatenated IDATs, and the five-filter scanline
     reconstruction (per pass, for interlaced streams, each pass an
-    independent sub-image scattered back onto the canvas). Returns
-    (width, height, pixel bytes, top-down) — palette images expand
-    through PLTE to RGB; alpha types keep their alpha bytes
-    interleaved. Refuses loudly — never partially — on: bad
-    signature/CRC, unsupported depth, colour-key tRNS, declared dims exceeding
-    the allocation cap or the proportional payload bound, palette
+    independent sub-image scattered back onto the canvas; filters
+    offset by the BYTES-per-pixel unit, so 16-bit lanes reconstruct
+    through the same path — spec §6.2). Returns (width, height,
+    pixel bytes, top-down) — palette images expand through PLTE to
+    RGB; alpha types keep their alpha bytes interleaved. 16-bit
+    images return 8-bit bytes by default, each sample reduced to its
+    MOST SIGNIFICANT byte (the spec §13.12 sample-depth rescale,
+    keeping every shared-dispatch consumer's w*h*ch contract);
+    ``raw16=True`` returns the full big-endian byte stream
+    (w*h*ch*2) for exact-sample consumers. Refuses loudly — never
+    partially — on: bad signature/CRC, bit-packed depths (1/2/4),
+    16-bit palette, colour-key tRNS, declared dims exceeding the
+    allocation cap or the proportional payload bound, palette
     indices past the PLTE, and IDAT that inflates to anything but
     exactly the layout's scanline-stream length."""
     if payload[:8] != PNG_SIGNATURE:
@@ -231,6 +245,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     pos = 8
     width = height = None
     ch = 0
+    depth = 8
     ctype = -1
     interlaced = False
     palette: bytes | None = None
@@ -257,12 +272,19 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if depth not in (8, 16):
+                raise ValueError(
+                    f"unsupported PNG bit depth {depth} (8/16 decode "
+                    "here; bit-packed 1/2/4 refuse)"
+                )
             if ctype not in _CHANNELS:
                 raise ValueError(
-                    f"unsupported PNG colour type {ctype} (8-bit "
-                    "grey/RGB/palette/grey-alpha/RGBA decode here)"
+                    f"unsupported PNG colour type {ctype} "
+                    "(grey/RGB/palette/grey-alpha/RGBA decode here)"
+                )
+            if depth == 16 and ctype == 3:
+                raise ValueError(
+                    "PNG palette images allow depths 1/2/4/8 only"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
@@ -270,14 +292,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unknown PNG interlace method {interlace}")
             interlaced = interlace == 1
             ch = _CHANNELS[ctype]
+            bypp = ch * (depth // 8)  # filter offset = BYTES per pixel
             if width <= 0 or height <= 0:
                 raise ValueError("PNG declares empty dimensions")
             # palette (ctype 3) scanlines carry 1 byte/pixel but the
             # decode ALWAYS expands through PLTE to >= 3 channels
             # (4 with a tRNS table — re-checked exactly once tRNS is
             # known), so cap the guaranteed expansion here, before any
-            # allocation (r13 ADVICE)
-            if width * height * (3 if ctype == 3 else ch) > PNG_PIXEL_CAP:
+            # allocation (r13 ADVICE); 16-bit lanes double the byte
+            # cost and cap accordingly
+            if width * height * (3 if ctype == 3 else bypp) > PNG_PIXEL_CAP:
                 raise ValueError(
                     f"declared dims {width}x{height}x{ch} exceed the "
                     "PNG decoder's allocation cap"
@@ -291,7 +315,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             # cannot possibly satisfy before allocating
             # (Adam7 adds <= 6 extra filter bytes per row-octave, so
             # the sequential form is a valid lower bound either way)
-            need = height * (1 + width * ch)
+            need = height * (1 + width * bypp)
             if (len(payload) - pos) * 1032 < need:
                 raise ValueError(
                     f"declared dims {width}x{height} need {need} scanline "
@@ -330,10 +354,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         # other ancillary chunks (tEXt, pHYs, ...) are skipped
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
-    stride = width * ch
+    bypp = ch * (depth // 8)
+    stride = width * bypp
     if interlaced:
         expect = sum(
-            ph * (1 + pw * ch)
+            ph * (1 + pw * bypp)
             for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
         )
     else:
@@ -352,28 +377,34 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if interlaced:
         off = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
-            pstride = pw * ch
+            pstride = pw * bypp
             prev = bytes(pstride)
             for j in range(ph):
                 ft = raw[off]
                 line = raw[off + 1 : off + 1 + pstride]
                 off += 1 + pstride
-                row = _unfilter_row(line, prev, ft, ch)
+                row = _unfilter_row(line, prev, ft, bypp)
                 prev = row
                 y = y0 + j * dy
                 for i in range(pw):
                     x = x0 + i * dx
-                    out[(y * width + x) * ch : (y * width + x) * ch + ch] = (
-                        row[i * ch : (i + 1) * ch]
-                    )
+                    p = (y * width + x) * bypp
+                    out[p : p + bypp] = row[i * bypp : (i + 1) * bypp]
     else:
         prev = bytes(stride)
         for r in range(height):
             ft = raw[r * (1 + stride)]
             line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
-            row = _unfilter_row(line, prev, ft, ch)
+            row = _unfilter_row(line, prev, ft, bypp)
             out[r * stride : (r + 1) * stride] = row
             prev = row
+    if depth == 16 and not raw16:
+        # spec §13.12 sample-depth rescale: 16->8 keeps the MOST
+        # significant byte (floor(v*255/65535 + 0.5) == hi for all hi
+        # when lo == hi's propagation band; the MSB form is the
+        # standard streaming reduction and keeps the w*h*ch contract
+        # every shared-dispatch consumer assumes)
+        out = out[0::2]
     if ctype == 3:
         # indices expand through PLTE to RGB (the decode_gif
         # contract), or to RGBA when a tRNS alpha table is present

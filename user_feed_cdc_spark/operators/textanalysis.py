@@ -2527,3 +2527,135 @@ def streaming_html_strip_live(
         "streaming_html_strip_live_sink",
         "append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE vocabulary learning (r13 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+_BPE_LEARN_ROUNDS = 4
+
+
+def _bpe_learn_oracle(k: int) -> str:
+    """Unrolled-CTE oracle for k alternating count->merge BPE rounds
+    (the k-means/PageRank/Newton precedent): round r counts adjacent
+    2-char pairs within words of t_{r-1}, picks argmax (n DESC, pair
+    ASC), and t_r replaces it corpus-wide with the 1-char sentinel
+    chr(r) — so merged symbols stay one char and round r+1's pair
+    scan sees them as ordinary symbols, exactly BPE's training loop."""
+    parts = ["WITH t0 AS (SELECT text AS t FROM documents)"]
+    rows = []
+    for r in range(1, k + 1):
+        parts.append(f"""
+    c{r} AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT UNNEST(list_transform(
+                range(1, length(w)),
+                i -> substring(w, CAST(i AS INT), 2))) AS pair
+            FROM (SELECT UNNEST(string_split(t, ' ')) AS w FROM t{r - 1})
+            WHERE length(w) >= 2
+        )
+        GROUP BY pair
+    ),
+    m{r} AS (SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+    t{r} AS (
+        SELECT replace(t, (SELECT pair FROM m{r}), chr({r})) AS t
+        FROM t{r - 1}
+    )""")
+        rows.append(f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(ascii(substring((SELECT pair FROM m{r}), 1, 1)) AS BIGINT)
+               AS p1_code,
+           CAST(ascii(substring((SELECT pair FROM m{r}), 2, 1)) AS BIGINT)
+               AS p2_code,
+           (SELECT n FROM m{r}) AS pair_n,
+           (SELECT CAST(SUM(length(replace(t, ' ', ''))) AS BIGINT)
+            FROM t{r}) AS symbols_after""")
+    return ",".join(parts) + " " + " UNION ALL ".join(rows)
+
+
+@_register(
+    "text_bpe_learn_iterations", _bpe_learn_oracle(_BPE_LEARN_ROUNDS)
+)
+def text_bpe_learn_iterations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ITERATIVE BPE vocabulary learning — the full count->merge->
+    re-segment training loop, k=_BPE_LEARN_ROUNDS=4 rounds, closing
+    the last uncertified iterative-algorithm class in the text stack
+    (text_bpe_merge_pairs certified ONE selection round;
+    text_bpe_apply_merges the apply half). Round r counts adjacent
+    symbol pairs within words of the round-(r-1) corpus, picks the
+    deterministic argmax (count DESC, pair ASC — ties broken on token
+    order), and rewrites the corpus with a 1-char sentinel chr(r), so
+    the merged token participates in round r+1's pairs as one symbol:
+    chained F.replace reproduces real BPE because every symbol is
+    exactly one character (raw chars + sentinels; the sentinel-
+    collision contract is shared with text_bpe_apply_merges). Output
+    per round: the chosen pair (as two code points — sentinel merges
+    of merges surface as codes 1..k), its count at selection time,
+    and the corpus symbol total AFTER the merge — a wrong choice,
+    count, or rewrite in ANY round cascades into every later row and
+    hash-diverges against the unrolled-CTE oracle.
+
+    Scale: each round is one corpus scan into an alphabet²-bounded
+    pair aggregate (map-side combine) plus a ONE-ROW argmax collect
+    rebroadcast into the next round's expression — the k-means/
+    centroid-rebroadcast pattern (bounded collects by contract, k
+    rounds total); the final frame re-evaluates all k chained
+    replace columns in ONE distributed pass (the per-round collects
+    only steer; every emitted number is recomputed in-plan), all
+    string work in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    merges: list[tuple[str, int]] = []
+    for r in range(1, _BPE_LEARN_ROUNDS + 1):
+        words = docs.select(
+            F.explode(F.split(t, " ")).alias("w")
+        ).filter(F.length("w") >= 2)
+        top = (
+            words.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w") - 1),
+                        lambda i: F.col("w").substr(i, F.lit(2)),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .first()
+        )
+        merges.append((top["pair"], int(top["n"])))
+        t = F.replace(t, F.lit(top["pair"]), F.lit(chr(r)))
+
+    # ONE distributed pass recomputes every round's post-merge symbol
+    # total: t_r chains r replaces, so all four columns share the scan
+    t = F.col("text")
+    aggs = []
+    for r, (pair, _n) in enumerate(merges, start=1):
+        t = F.replace(t, F.lit(pair), F.lit(chr(r)))
+        aggs.append(
+            F.sum(F.length(F.replace(t, F.lit(" "), F.lit(""))))
+            .cast("long")
+            .alias(f"sym{r}")
+        )
+    totals = docs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(ord(pair[0])).cast("long").alias("p1_code"),
+                F.lit(ord(pair[1])).cast("long").alias("p2_code"),
+                F.lit(n).cast("long").alias("pair_n"),
+                F.col(f"sym{r}").alias("symbols_after"),
+            )
+            for r, (pair, n) in enumerate(merges, start=1)
+        ]
+    )
+    return totals.select(F.explode(rows).alias("r")).select(
+        "r.round", "r.p1_code", "r.p2_code", "r.pair_n",
+        "r.symbols_after",
+    )
