@@ -66,70 +66,48 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # DRIVER-FAILED entries first, then never-certified, then
     # CODE-CHANGED-since-last-driver-row, then stalest-certification-
     # first. Backlog has been ZERO since r10 — the union of
-    # CORRECTNESS_r01..r12 covers all pre-r13 entries.
+    # CORRECTNESS_r01..r13 covers all pre-r14 entries, and the whole
+    # list (head AND tail) is now ordered stalest-driver-row-first so
+    # future windows pick up rotation debt automatically.
     # Every entry additionally passes the full local oracle gate every
     # round (tools/check_correctness.py, all entries; output committed
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r13 window ----
-        # new r13 entries lead (rotation policy: NEW first): the PNG
-        # codec, the HTML/NFC ingest gate, and the closed-form
-        # multivariate OLS
-        "multimodal_image_png_stats", "text_html_strip",
-        "events_ols_value_hour_dow", "events_logistic_purchase_hour",
-        "streaming_html_strip_live", "source_txn_log_row_tracking",
+        # ---- r14 window (50; tools/preflight_window.py replays
+        # exactly this prefix) ----
+        # Rotation policy (r08): NEW entries first — the 16-bit and
+        # colour-key PNG arms, binaryFile real-file media ingestion,
+        # the gzip JSONL round trip, and iterative BPE learning,
+        "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
+        "source_binaryfile_media", "source_json_gzip_roundtrip",
+        "text_bpe_learn_iterations",
+        # then CODE-CHANGED-since-last-driver-row: benford now returns
+        # the oracle's empty frame on a degenerate corpus (r13
+        # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
+        # 8-bit entry re-certifies through the same decoder), and the
+        # committer gained add-add conflict detection + claim-by-
+        # rename appends (the two append_with_checks-built tables
+        # re-certify),
+        "events_benford_first_digit", "multimodal_image_png_stats",
+        "source_txn_log_check_constraints",
         "source_txn_log_generated_columns",
-        "events_poisson_daily_purchases",
-        # then code-changed-this-round entries: every media fixture
-        # seed moved to the asserted-ASCII ascii_seed contract and the
-        # image entries now decode through the shared GIF/PNG/BMP
-        # dispatch (hashes expected unchanged — external evidence
-        # beats expectation),
-        "multimodal_video_mjpeg_stats", "multimodal_video_mjpeg_420_stats",
-        "multimodal_image_progressive_stats",
-        "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
-        "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
-        "multimodal_resize_certified", "multimodal_phash_dedup",
-        "multimodal_codec_fallback",
-        # the committer grew the definition-change conflict rule,
-        # RESTORE now rewinds schema/constraints, and clone_to emits
-        # abspath adds — the txn-log read modes re-certify,
-        "source_txn_log_restore", "source_txn_log_shallow_clone",
-        "source_txn_log_check_constraints", "source_txn_log_writer_roundtrip",
-        "streaming_txn_sink_live", "source_txn_log_cdf",
-        "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
-        "source_txn_log_timestamp_travel",
-        # and the Benford audit gained its empty-total guard
-        "events_benford_first_digit",
-        # then the stalest-certified cohort fills the window: the
-        # r06-driver-row relational/window/function block the r12
-        # VERDICT named as next in rotation
-        "agg_percentiles", "agg_salted_hot_keys", "rollup_flag_status",
-        "cube_status_priority", "grouping_sets_revenue", "case_when_pivot",
-        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
-        "window_rank_family", "window_running_analytics",
-        "window_range_frame", "window_topk_per_customer",
-        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
-        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
-        "array_funcs", "events_funnel_conversion",
-        # ---- window boundary (the driver certifies the 50 above;
-        # tools/preflight_window.py replays exactly this prefix) ----
-        # certified tail, stalest driver row first; the r12-window
-        # entries not re-certifying above sit at the very end
-        # (freshest rows)
+        # then the stalest-certified cohort: the 14 entries whose
+        # newest driver row was r06 (r13 VERDICT directive 1 — the
+        # rotation policy's only open debt),
         "dedup_simhash_md5", "multimodal_rollup", "pipeline_pack_sequences",
         "pipeline_shuffle_shards", "pipeline_source_mixture",
         "pipeline_mixture_weighted", "similarity_cosine_topk",
         "similarity_ivf_topk", "similarity_label_centroid_dist",
         "similarity_quantized_topk", "text_bigram_top_terms",
         "text_chunk_documents", "text_lang_rollup",
-        "text_winnow_fingerprints", "sketch_value_quantiles_bounded",
-        "sketch_top_users", "sketch_top_users_bounded",
-        "sketch_bloom_prefilter", "sketch_distinct_overlap_bounded",
-        "sketch_union_daily_to_weekly", "agg_sorted_strings",
-        "agg_argmax_funcs", "join_lateral_topk", "join_salted_skew",
-        "join_null_aware_anti", "window_value_functions",
+        "text_winnow_fingerprints",
+        # and the stalest r07-certified entries fill the window
+        "sketch_value_quantiles_bounded", "sketch_top_users",
+        "sketch_top_users_bounded", "sketch_bloom_prefilter",
+        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
+        "agg_sorted_strings", "agg_argmax_funcs", "join_lateral_topk",
+        "join_salted_skew", "join_null_aware_anti", "window_value_functions",
         "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
         "graph_connected_components", "graph_reachability_recursive",
         "events_rfm_segments", "events_value_histogram",
@@ -137,6 +115,9 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_activity_streaks", "events_daily_spine",
         "feed_ranked_personalized", "similarity_matryoshka_topk",
         "dedup_minhash_md5_clusters", "text_boilerplate_ngrams",
+        # ---- window boundary ----
+        # certified tail, stalest driver row first (r07 remainder,
+        # then r08, r09, ... — freshest last)
         "text_edit_distance_pairs", "text_bpe_merge_pairs",
         "text_bigram_surprisal", "text_udtf_sentences",
         "pipeline_boilerplate_filter", "pipeline_quality_mixture",
@@ -243,7 +224,27 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_daily_retention", "events_cohort_matrix", "pricing_summary",
         "filter_project", "join_inner", "join_left_outer", "join_semi",
         "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct",
+        "agg_distinct", "text_html_strip", "events_ols_value_hour_dow",
+        "events_logistic_purchase_hour", "streaming_html_strip_live",
+        "source_txn_log_row_tracking", "events_poisson_daily_purchases",
+        "multimodal_video_mjpeg_stats", "multimodal_video_mjpeg_420_stats",
+        "multimodal_image_progressive_stats",
+        "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
+        "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
+        "multimodal_resize_certified", "multimodal_phash_dedup",
+        "multimodal_codec_fallback", "source_txn_log_restore",
+        "source_txn_log_shallow_clone", "source_txn_log_writer_roundtrip",
+        "streaming_txn_sink_live", "source_txn_log_cdf",
+        "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
+        "source_txn_log_timestamp_travel", "agg_percentiles",
+        "agg_salted_hot_keys", "rollup_flag_status", "cube_status_priority",
+        "grouping_sets_revenue", "case_when_pivot", "unpivot_flag_measures",
+        "set_ops", "sort_limit_topk", "window_rank_family",
+        "window_running_analytics", "window_range_frame",
+        "window_topk_per_customer", "subquery_scalar_and_correlated",
+        "string_funcs", "math_funcs", "date_funcs", "date_arithmetic",
+        "json_extract", "null_safe_funcs", "array_funcs",
+        "events_funnel_conversion",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

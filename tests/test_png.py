@@ -68,6 +68,48 @@ def test_palette_trns_expands_to_rgba():
         )
 
 
+def test_colour_key_trns_expands_alpha():
+    """Grey/RGB colour-key tRNS (spec §11.3.2.1): exactly-matching
+    pixels decode transparent and the image gains an alpha channel —
+    grey -> grey+alpha, RGB -> RGBA — at 8 AND 16 bits (the key
+    matches on FULL-depth samples, before any MSB reduction)."""
+    px = bytes([65, 7, 90, 7, 7, 66, 91, 65])
+    enc = encode_png(
+        4, 2, px, grayscale=True, row_filters=[0, 2],
+        transparency=struct.pack(">H", 7),
+    )
+    _, _, out = decode_png(enc)
+    assert [(out[2 * i], out[2 * i + 1]) for i in range(8)] == [
+        (65, 255), (7, 0), (90, 255), (7, 0),
+        (7, 0), (66, 255), (91, 255), (65, 255),
+    ]
+
+    rgb = bytes(
+        [7, 8, 9, 65, 66, 7, 7, 8, 65, 7, 8, 9, 66, 8, 9, 9, 8, 7]
+    )
+    enc = encode_png(
+        3, 2, rgb, color_type=2, row_filters=[1, 4],
+        transparency=struct.pack(">HHH", 7, 8, 9),
+    )
+    _, _, out = decode_png(enc)
+    assert [out[4 * i + 3] for i in range(6)] == [0, 255, 255, 0, 255, 255]
+    assert b"".join(out[4 * i : 4 * i + 3] for i in range(6)) == rgb
+
+    # 16-bit: key matched on the full sample, exposed raw and reduced
+    samples = [1000, 7, 2000, 7]
+    px = b"".join(struct.pack(">H", s) for s in samples)
+    enc = encode_png(
+        2, 2, px, grayscale=True, depth=16, row_filters=[3, 4],
+        transparency=struct.pack(">H", 7),
+    )
+    _, _, raw = decode_png(enc, raw16=True)
+    assert [
+        int.from_bytes(raw[2 * i : 2 * i + 2], "big") for i in range(8)
+    ] == [1000, 65535, 7, 0, 2000, 65535, 7, 0]
+    _, _, red = decode_png(enc)
+    assert list(red) == [1000 >> 8, 255, 0, 0, 2000 >> 8, 255, 0, 0]
+
+
 def test_16bit_round_trip_and_msb_reduction():
     """16-bit lanes on every non-palette colour type, sequential and
     Adam7, all five filters: raw16 decode reproduces the exact
@@ -249,16 +291,25 @@ def test_refusals_are_loud():
         p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(ValueError, match=msg):
             decode_png(p)
-    # tRNS COLOUR-KEY transparency (grey/RGB) still refuses — only the
-    # palette alpha-table form decodes
+    # tRNS on ALPHA colour types is spec-illegal (they carry alpha
+    # already); a colour-key of the wrong byte length also refuses
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    p = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", bytes(2))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="invalid for alpha"):
+        decode_png(p)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
     p = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"tRNS", bytes(6))
+        + _chunk(b"tRNS", bytes(4))  # RGB key must be 6 bytes
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="colour-key"):
+    with pytest.raises(ValueError, match="must be 6 bytes"):
         decode_png(p)
 
     # palette index past the PLTE refuses at expansion, not mis-reads

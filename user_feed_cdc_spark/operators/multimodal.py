@@ -3399,3 +3399,131 @@ def multimodal_image_png16_stats(
         "sample_sum long, s_first long, s_last long, hi_sum long, "
         "decoded boolean",
     )
+
+
+_IMAGE_PNG_TRNS_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, doc_id % 2 AS cls,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v0,
+               CAST(ascii(substr(text,
+                    CAST((1 % length(text)) + 1 AS INT), 1)) AS BIGINT)
+                   AS v1
+        FROM documents
+        WHERE doc_id % 3 = 1 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(CASE cls WHEN 0 THEN 4 ELSE 3 END AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(CASE cls WHEN 0 THEN 2 ELSE 4 END AS BIGINT) AS channels,
+           CAST(CASE cls WHEN 0 THEN 3 * v0 + 2 * v1 + 1296
+                ELSE 2 * v0 + 2 * v1 + 1131 END AS BIGINT) AS pixel_sum,
+           CAST(CASE cls WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_transparent,
+           CAST(CASE cls WHEN 0 THEN 255 ELSE 0 END AS BIGINT) AS a_first,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_image_png_trns_stats", _IMAGE_PNG_TRNS_ORACLE)
+def multimodal_image_png_trns_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG COLOUR-KEY transparency under the hash gate (r13 VERDICT
+    item 5's optional half, closing the last PNG residual): grey and
+    RGB images whose tRNS chunk names ONE sample value (spec
+    §11.3.2.1) decode with a synthesized alpha channel — exactly-
+    matching pixels transparent, everything else full-scale opaque —
+    so grey expands to grey+alpha and RGB to RGBA through the same
+    five-filter reconstruction. The fixtures plant the key value 7
+    (ASCII document heads are >= 32, so text-derived samples can
+    never collide with the key and the match count is corpus-
+    independent arithmetic): a 4x2 grey image with three key pixels
+    (filters None/Up) and a 3x2 RGB image with two key pixels
+    (filters Sub/Paeth, one pixel a near-miss differing only in its
+    last sample — an equality-on-ALL-samples probe). pixel_sum covers
+    grey/rgb AND alpha bytes, n_transparent counts synthesized zero
+    alphas, a_first pins the first pixel's alpha either way.
+
+    Scale: the standard narrow media shape — Arrow-batched
+    mapInPandas, bounded per-row decode, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+
+        def png_of(v0: int, v1: int, cls: int) -> bytes:
+            key = (v0, v1, cls)
+            if key not in cache:
+                if cls == 0:  # grey + colour-key 7
+                    px = bytes([v0, 7, v1, 7, 7, v0, v1, v0])
+                    cache[key] = encode_png(
+                        4, 2, px, grayscale=True, row_filters=[0, 2],
+                        transparency=struct.pack(">H", 7),
+                    )
+                else:  # RGB + colour-key (7, 8, 9)
+                    px = bytes(
+                        [7, 8, 9, v0, v1, 7, 7, 8, v0,
+                         7, 8, 9, v1, 8, 9, 9, 8, 7]
+                    )
+                    cache[key] = encode_png(
+                        3, 2, px, color_type=2, row_filters=[1, 4],
+                        transparency=struct.pack(">HHH", 7, 8, 9),
+                    )
+            return cache[key]
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = ascii_seed(text)
+                payloads.append(
+                    png_of(raw[0], raw[1 % len(raw)], int(doc_id) % 2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "channels": [], "pixel_sum": [], "n_transparent": [],
+                "a_first": [], "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    # the shared sniffer routes by magic; alpha is
+                    # synthesized by the colour-key expansion
+                    w, h, px = decode_image(bytes(payload))
+                    ch = len(px) // (w * h)
+                    alphas = px[ch - 1 :: ch]
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["pixel_sum"].append(sum(px))
+                    out["n_transparent"].append(
+                        sum(1 for a in alphas if a == 0)
+                    )
+                    out["a_first"].append(alphas[0])
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    for k in (
+                        "width", "height", "channels", "pixel_sum",
+                        "n_transparent", "a_first",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, width long, height long, channels long, "
+        "pixel_sum long, n_transparent long, a_first long, "
+        "decoded boolean",
+    )

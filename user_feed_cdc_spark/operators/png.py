@@ -121,13 +121,28 @@ def encode_png(
             raise ValueError("palette index out of range")
     elif palette is not None:
         raise ValueError("palette is only valid for colour type 3")
-    if transparency is not None and (
-        color_type != 3 or len(transparency) > len(palette or b"") // 3
-    ):
-        raise ValueError(
-            "transparency (tRNS) takes at most one alpha byte per "
-            "palette entry of a colour-type-3 image"
-        )
+    if transparency is not None:
+        # ctype 3: per-entry alpha table; ctype 0: one 16-bit grey
+        # sample key (2 bytes); ctype 2: one RGB sample key (6 bytes).
+        # Alpha colour types carry their own alpha — tRNS is illegal.
+        if color_type == 3:
+            if len(transparency) > len(palette or b"") // 3:
+                raise ValueError(
+                    "transparency (tRNS) takes at most one alpha byte "
+                    "per palette entry of a colour-type-3 image"
+                )
+        elif color_type in (0, 2):
+            want = 2 if color_type == 0 else 6
+            if len(transparency) != want:
+                raise ValueError(
+                    f"colour-key tRNS for colour type {color_type} is "
+                    f"{want} bytes (16-bit sample value(s)), got "
+                    f"{len(transparency)}"
+                )
+        else:
+            raise ValueError(
+                "tRNS is invalid for alpha colour types (4/6)"
+            )
     unit = ch * (depth // 8)  # bytes per pixel (filter offset, spec §6.2)
     if len(pixels) != width * height * unit:
         raise ValueError(
@@ -250,6 +265,7 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
     interlaced = False
     palette: bytes | None = None
     trns: bytes | None = None
+    colour_key: tuple[int, ...] | None = None
     idat = bytearray()
     seen_end = False
     while pos < len(payload):
@@ -336,21 +352,37 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
             # palette transparency: per-entry alpha table, at most one
             # byte per PLTE entry — decoded palette images then expand
             # to RGBA (missing tail entries default opaque, spec
-            # §11.3.2). For grey/RGB colour types tRNS is a COLOUR-KEY
-            # (one transparent sample value) — that rewrites pixel
-            # semantics, so it still refuses loudly rather than
-            # dropping alpha silently.
-            if ctype != 3:
-                raise ValueError(
-                    "PNG tRNS colour-key transparency is only supported "
-                    "for palette images"
+            # §11.3.2). For grey (0) / RGB (2) colour types tRNS is a
+            # COLOUR-KEY: one 16-bit sample value (pair/triple) whose
+            # exactly-matching pixels decode as fully transparent —
+            # the image expands to grey+alpha / RGBA (spec §11.3.2.1).
+            # Alpha colour types (4/6) carry alpha already; tRNS there
+            # is spec-illegal and refuses.
+            if ctype == 3:
+                if palette is None or len(body) > len(palette) // 3:
+                    raise ValueError(
+                        "PNG tRNS must follow PLTE with at most one "
+                        "alpha byte per palette entry"
+                    )
+                trns = bytes(body)
+            elif ctype in (0, 2):
+                want = 2 if ctype == 0 else 6
+                if len(body) != want:
+                    raise ValueError(
+                        f"PNG colour-key tRNS for colour type {ctype} "
+                        f"must be {want} bytes, got {len(body)}"
+                    )
+                # stored as 16-bit sample values; at depth 8 only the
+                # low-order bits are significant (spec §11.3.2.1)
+                mask = (1 << depth) - 1
+                colour_key = tuple(
+                    (struct.unpack_from(">H", body, 2 * i)[0]) & mask
+                    for i in range(want // 2)
                 )
-            if palette is None or len(body) > len(palette) // 3:
+            else:
                 raise ValueError(
-                    "PNG tRNS must follow PLTE with at most one alpha "
-                    "byte per palette entry"
+                    "PNG tRNS is invalid for alpha colour types (4/6)"
                 )
-            trns = bytes(body)
         # other ancillary chunks (tEXt, pHYs, ...) are skipped
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
@@ -398,6 +430,31 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
             row = _unfilter_row(line, prev, ft, bypp)
             out[r * stride : (r + 1) * stride] = row
             prev = row
+    if colour_key is not None:
+        # colour-key expansion BEFORE any depth reduction (the key is
+        # matched on full-depth samples): grey -> grey+alpha, RGB ->
+        # RGBA; exactly-matching pixels get alpha 0, all others the
+        # depth's full-scale opaque value. Adds a channel, so re-check
+        # the expanded allocation against the cap first (the palette
+        # rule, r13 ADVICE).
+        sw = depth // 8
+        if width * height * (ch + 1) * sw > PNG_PIXEL_CAP:
+            raise ValueError(
+                f"colour-key expansion {width}x{height}x{ch + 1} "
+                "exceeds the PNG decoder's allocation cap"
+            )
+        opaque = (1 << depth) - 1
+        expanded = bytearray()
+        for p in range(width * height):
+            px = out[p * bypp : (p + 1) * bypp]
+            samples = tuple(
+                int.from_bytes(px[s * sw : (s + 1) * sw], "big")
+                for s in range(ch)
+            )
+            expanded += px
+            a = 0 if samples == colour_key else opaque
+            expanded += a.to_bytes(sw, "big")
+        out = expanded
     if depth == 16 and not raw16:
         # spec §13.12 sample-depth rescale: 16->8 keeps the MOST
         # significant byte (floor(v*255/65535 + 0.5) == hi for all hi
