@@ -77,11 +77,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # ---- r14 window (50; tools/preflight_window.py replays
         # exactly this prefix) ----
         # Rotation policy (r08): NEW entries first — the 16-bit and
-        # colour-key PNG arms, binaryFile real-file media ingestion,
-        # the gzip JSONL round trip, and iterative BPE learning,
+        # colour-key PNG arms, binaryFile real-file media ingestion
+        # (batch + the 18th live streaming gate), the gzip JSONL
+        # round trip, and iterative BPE learning,
         "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
         "source_binaryfile_media", "source_json_gzip_roundtrip",
-        "text_bpe_learn_iterations",
+        "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
         # then CODE-CHANGED-since-last-driver-row: benford now returns
         # the oracle's empty frame on a degenerate corpus (r13
         # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
@@ -114,10 +115,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_anomaly_zscore", "events_markov_transitions",
         "events_activity_streaks", "events_daily_spine",
         "feed_ranked_personalized", "similarity_matryoshka_topk",
-        "dedup_minhash_md5_clusters", "text_boilerplate_ngrams",
+        "dedup_minhash_md5_clusters",
         # ---- window boundary ----
         # certified tail, stalest driver row first (r07 remainder,
         # then r08, r09, ... — freshest last)
+        "text_boilerplate_ngrams",
         "text_edit_distance_pairs", "text_bpe_merge_pairs",
         "text_bigram_surprisal", "text_udtf_sentences",
         "pipeline_boilerplate_filter", "pipeline_quality_mixture",

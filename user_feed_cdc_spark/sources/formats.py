@@ -4580,6 +4580,23 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the bounded per-file decode, the same posture as
     every media entry. Cite: reference has no media source at all —
     this is the E5/E19 north-star completion."""
+    media = _binaryfile_media_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc*.{png,bmp,wav,gif}")
+        .option("recursiveFileLookup", "true")
+        .load(media)
+    )
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    return _binaryfile_stats_frame(fan_out(bf, min_parallelism=8))
+
+
+def _binaryfile_stats_frame(bf: DataFrame) -> DataFrame:
+    """Shared decode stage over a binaryFile-schema frame (path,
+    modificationTime, length, content) — batch and streaming entries
+    run the IDENTICAL plan tail, so batch-stream equivalence is a
+    certified property (the _html_strip_frame pattern)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -4589,15 +4606,7 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
         decode_wav,
     )
-    from user_feed_cdc_spark.sources.tables import fan_out
 
-    media = _binaryfile_media_dir(spark, sf_dir)
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "doc*.{png,bmp,wav,gif}")
-        .option("recursiveFileLookup", "true")
-        .load(media)
-    )
     pat = r"doc(\d+)\.(png|bmp|wav|gif)$"
     parsed = bf.select(
         F.regexp_extract("path", pat, 1).cast("long").alias("doc_id"),
@@ -4638,10 +4647,54 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["decoded"].append(False)
             yield pd.DataFrame(out)
 
-    return fan_out(parsed, min_parallelism=8).mapInPandas(
+    return parsed.mapInPandas(
         batches,
         "doc_id long, ext string, len_matches boolean, width long, "
         "height long, channels long, pixel_sum long, decoded boolean",
+    )
+
+
+@_register("streaming_binaryfile_media_live", _BINARYFILE_MEDIA_ORACLE)
+def streaming_binaryfile_media_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The real-file media ingest LIVE — the 18th live streaming
+    certification: the SAME scratch media tree the batch entry reads
+    replays as a `binaryFile` FILE STREAM (readStream with the
+    source's fixed four-column schema, recursiveFileLookup descending
+    the b0/b1 buckets, pathGlobFilter excluding the planted decoys,
+    maxFilesPerTrigger forcing multiple micro-batches), every
+    micro-batch runs the IDENTICAL shared decode stage
+    (_binaryfile_stats_frame — PNG/BMP/GIF/WAV through the shared
+    dispatch inside Arrow-batched mapInPandas), availableNow drains
+    it through the memory sink in append mode, and the materialized
+    rows hash against the same symbolic oracle as the batch form.
+    This is the ARRIVAL shape of a production multimodal corpus: new
+    media shards land as files, each is decoded exactly once, and
+    batch-stream equivalence is a certified property.
+
+    At 100 TB: the stateless pipeline (no watermark, no state store)
+    makes replays idempotent per file; per-trigger work is bounded by
+    maxFilesPerTrigger and payloads never shuffle."""
+    from user_feed_cdc_spark.streaming.windows import run_to_memory
+
+    media = _binaryfile_media_dir(spark, sf_dir)
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "doc*.{png,bmp,wav,gif}")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "64")
+        .load(media)
+    )
+    return run_to_memory(
+        spark,
+        _binaryfile_stats_frame(bf),
+        "streaming_binaryfile_media_live_sink",
+        "append",
     )
 
 
