@@ -78,11 +78,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # exactly this prefix) ----
         # Rotation policy (r08): NEW entries first — the 16-bit and
         # colour-key PNG arms, binaryFile real-file media ingestion
-        # (batch + the 18th live streaming gate), the gzip JSONL
-        # round trip, and iterative BPE learning,
+        # (batch + the 18th live streaming gate), the gzip and
+        # SPLITTABLE bzip2 JSONL round trips, iterative BPE learning,
+        # and txn-log IDENTITY columns,
         "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
         "source_binaryfile_media", "source_json_gzip_roundtrip",
         "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
+        "source_json_bzip2_roundtrip", "source_txn_log_identity_columns",
         # then CODE-CHANGED-since-last-driver-row: benford now returns
         # the oracle's empty frame on a degenerate corpus (r13
         # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
@@ -114,11 +116,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_rfm_segments", "events_value_histogram",
         "events_anomaly_zscore", "events_markov_transitions",
         "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized", "similarity_matryoshka_topk",
-        "dedup_minhash_md5_clusters",
+        "feed_ranked_personalized",
         # ---- window boundary ----
         # certified tail, stalest driver row first (r07 remainder,
         # then r08, r09, ... — freshest last)
+        "similarity_matryoshka_topk", "dedup_minhash_md5_clusters",
         "text_boilerplate_ngrams",
         "text_edit_distance_pairs", "text_bpe_merge_pairs",
         "text_bigram_surprisal", "text_udtf_sentences",

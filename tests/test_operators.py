@@ -4740,3 +4740,54 @@ def test_vacuum_retention_ages_out_via_mtime(tmp_path):
     assert w.vacuum(retain_ms=10, now_ms=now) == ["a"]
     # re-running must not re-report the already-collected file
     assert w.vacuum(retain_ms=10, now_ms=now) == []
+
+
+def test_identity_columns_allocation_semantics(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY (r14): values engine-assigned from
+    the metaData high-water mark (reproducible via order_by), explicit
+    values refused, ids never recycled past a DELETE, and — because
+    the allocating commit re-stamps metaData — any transaction open
+    across an allocation conflicts (the serialization that makes
+    ranges provably non-overlapping)."""
+    import pytest
+
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+        append_with_identity,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    w.begin().set_metadata(
+        "k long, sid long",
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+
+    # explicit identity refused, nothing staged
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_with_identity(w, df.withColumn("sid", F.lit(0)), "bad")
+    assert w.latest_version() == 0
+
+    append_with_identity(w, df, "a")  # ids 10,12,14 by k order
+    got = {
+        r["k"]: r["sid"]
+        for r in spark.read.parquet(os.path.join(root, "a")).collect()
+    }
+    assert got == {1: 10, 2: 12, 3: 14}
+
+    # delete the file; the next allocation must NOT reuse 10..14
+    w.begin().remove("a").commit()
+    append_with_identity(w, spark.createDataFrame([(9,)], "k long"), "b")
+    (row,) = spark.read.parquet(os.path.join(root, "b")).collect()
+    assert row["sid"] == 16  # hwm survived the delete
+
+    # a transaction begun before an allocation conflicts on commit
+    # (identity allocation IS a definition change)
+    stale = w.begin().set_txn("app", 1)
+    append_with_identity(w, spark.createDataFrame([(8,)], "k long"), "c")
+    with pytest.raises(CommitConflict, match="table definition"):
+        stale.commit()

@@ -4760,3 +4760,201 @@ def source_json_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     return _fidelity_agg(back)
+
+
+@_register("source_json_bzip2_roundtrip", _ROUNDTRIP_ORACLE)
+def source_json_bzip2_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLITTABLE-codec text round trip — the scale-correct
+    counterpart of source_json_gzip_roundtrip: events written as ONE
+    bzip2-compressed JSONL file (coalesce(1), 'BZh' magic verified on
+    disk), then read back with the explicit schema under a reduced
+    `spark.sql.files.maxPartitionBytes` — and the entry ASSERTS the
+    single .bz2 file split into multiple input partitions, the
+    property gzip fundamentally cannot give (Hadoop's BZip2Codec is a
+    SplittableCompressionCodec: readers sync to the next 'BZh' block
+    boundary, so one large archive parallelizes across tasks). The
+    same per-type fidelity aggregate certifies the rows are
+    value-identical through the compress → split → decompress cycle.
+
+    At 100 TB this is THE codec decision for text lakes that cannot
+    land parquet immediately: a 1 TB .jsonl.gz is one task for hours,
+    a 1 TB .jsonl.bz2 (or zstd-seekable outside stdlib) is ~8000
+    parallel splits. The conf tweak is scoped try/finally and the
+    split assertion keeps the claim load-bearing instead of
+    documentation."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"jsonbz2:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    path = _scratch_path("events_jsonbz2", sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("timestampFormat", _TS_FMT)
+            .option("compression", "bzip2")
+            .json(path)
+        )
+        parts = [
+            n
+            for n in os.listdir(path)
+            if n.startswith("part-") and n.endswith(".json.bz2")
+        ]
+        if len(parts) != 1:
+            raise ValueError(f"expected one .bz2 part, got {parts}")
+        with open(os.path.join(path, parts[0]), "rb") as f:
+            if f.read(3) != b"BZh":
+                raise ValueError(f"{parts[0]} lacks the bzip2 magic")
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf_key)
+    part_file = [
+        n
+        for n in os.listdir(path)
+        if n.startswith("part-") and n.endswith(".json.bz2")
+    ][0]
+    fsize = os.path.getsize(os.path.join(path, part_file))
+    try:
+        # a split size ~1/3 of the file forces multiple byte-range
+        # splits at ANY scale factor — Spark only emits them when the
+        # codec reports isSplitable (gzip would stay at one partition
+        # no matter how small the split size); range readers then sync
+        # to the next bzip2 block boundary so rows appear exactly once
+        spark.conf.set(conf_key, str(max(4096, fsize // 3)))
+        back = (
+            spark.read.schema(TABLE_SCHEMAS["events"])
+            .option("timestampFormat", _TS_FMT)
+            .json(path)
+        )
+        n_splits = back.rdd.getNumPartitions()
+        if n_splits < 2:
+            raise ValueError(
+                "bzip2 read did not split: one file produced "
+                f"{n_splits} partition(s) — the splittable-codec "
+                "contract is broken"
+            )
+        return _fidelity_agg(back)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+# ---------------------------------------------------------------------------
+# IDENTITY columns on the txn-log protocol (r14 — the generated-columns
+# sibling: engine-ASSIGNED values instead of engine-COMPUTED ones)
+# ---------------------------------------------------------------------------
+
+def _identity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per (sf, mtime, rev)) an identity-column table: v0
+    declares GENERATED ALWAYS AS IDENTITY sid (start 100, step 3,
+    order_by event_id), three pmod-3 bucket appends allocate through
+    append_with_identity — with an explicit-sid batch REFUSED in
+    between (Delta's identity-insert rule, no version consumed) and
+    bucket 1 DELETED before bucket 2's append, so the read-back table
+    proves the high-water mark advanced over the removed rows and
+    never recycled their ids."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_identity,
+    )
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnidentity:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnidentity", sf_dir, key)
+    w = TxnLogWriter(root)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        w.begin().set_metadata(
+            "event_id long, event_type string, value double, sid long",
+            identity={
+                "sid": {"start": 100, "step": 3, "order_by": "event_id"}
+            },
+        ).commit()  # v0
+        bucket = F.pmod(F.col("event_id"), F.lit(3))
+        append_with_identity(w, ev.filter(bucket == 0), "p0")  # v1
+        before = w.latest_version()
+        try:
+            append_with_identity(
+                w,
+                ev.filter(bucket == 1).withColumn("sid", F.lit(1)),
+                "poison",
+            )
+            raise RuntimeError("explicit identity batch was NOT refused")
+        except ValueError as e:
+            if "GENERATED ALWAYS" not in str(e):
+                raise RuntimeError(f"wrong refusal message: {e}")
+        if w.latest_version() != before:
+            raise RuntimeError("refused batch consumed a version")
+        append_with_identity(w, ev.filter(bucket == 1), "p1")  # v2
+        w.begin().remove("p1").commit()  # v3 — ids 'burned', never reused
+        append_with_identity(w, ev.filter(bucket == 2), "p2")  # v4
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return spark.read.schema(
+        "event_id long, event_type string, value double, sid long"
+    ).parquet(*[os.path.join(root, f) for f in w.live_files()])
+
+
+_IDENTITY_ORACLE = """
+    WITH ranked AS (
+        SELECT event_id, CAST(event_id % 3 AS BIGINT) AS bucket,
+               97 + 3 * ROW_NUMBER()
+                   OVER (ORDER BY event_id % 3, event_id) AS sid
+        FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(sid) AS BIGINT) AS min_sid,
+           CAST(MAX(sid) AS BIGINT) AS max_sid,
+           CAST(SUM(sid) AS BIGINT) AS sid_sum
+    FROM ranked
+    WHERE bucket IN (0, 2)
+    GROUP BY bucket
+"""
+
+
+@_register("source_txn_log_identity_columns", _IDENTITY_ORACLE)
+def source_txn_log_identity_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDENTITY columns through the committer (Delta's GENERATED
+    ALWAYS AS IDENTITY — the allocation sibling of r13's generated
+    columns): metaData declares (start=100, step=3, order_by=
+    event_id) for `sid`; three bucket appends allocate reproducibly
+    from the high-water mark the allocating commit re-stamps onto
+    metaData — so allocation is a definition change and concurrent
+    allocators serialize through the model-checked metadata-conflict
+    rule, ranges provably never overlapping. The builder REFUSES an
+    explicit-sid batch mid-sequence (no version consumed) and DELETES
+    bucket 1 before bucket 2's append: the surviving rows certify
+    that bucket 2's ids continue PAST the removed bucket's range (the
+    mark lives on metaData, not on files — DELETE/VACUUM can never
+    recycle an id). The oracle replays the allocation arithmetic as
+    one global rank: sid = 97 + 3·rank(bucket, event_id); min/max/sum
+    per surviving bucket hash-certify every assigned value.
+
+    Scale: allocation cost = the in-batch rank (window over order_by,
+    bounded batches by contract) + one integer on one JSON line; a
+    production writer reserves per-partition ranges off the same
+    atomic hwm bump — Delta's nondeterministic allocation — with the
+    protocol unchanged."""
+    snap = _identity_table(spark, sf_dir)
+    return (
+        snap.withColumn(
+            "bucket", F.pmod(F.col("event_id"), F.lit(3)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("sid").alias("min_sid"),
+            F.max("sid").alias("max_sid"),
+            F.sum("sid").alias("sid_sum"),
+        )
+    )

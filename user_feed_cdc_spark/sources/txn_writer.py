@@ -832,7 +832,10 @@ class Transaction:
         return self
 
     def set_metadata(
-        self, schema: str, generated: dict[str, str] | None = None
+        self,
+        schema: str,
+        generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "Transaction":
         """Stage a schema change (Delta's metaData action): readers
         take the NEWEST metaData schema and read every live file with
@@ -842,10 +845,33 @@ class Transaction:
         metadata): append_with_checks computes a missing generated
         column and validates a provided one, so the stored values
         provably satisfy their expression however many writers
-        appended."""
+        appended.
+        `identity` maps ONE column name -> {"start", "step",
+        "order_by"} for GENERATED ALWAYS AS IDENTITY: values are
+        engine-assigned at append time (append_with_identity) from a
+        high-water mark the allocating commit re-stamps onto the
+        metaData action — so identity allocation IS a definition
+        change and concurrent identity appends serialize through the
+        metadata-conflict rule, exactly Delta's mechanism. The
+        `order_by` key makes allocation REPRODUCIBLE (rank within the
+        batch), the property the hash gate certifies; Delta's own
+        allocation is monotonic but nondeterministic — the divergence
+        is deliberate and documented."""
         act: dict = {"action": "metaData", "schema": schema}
         if generated:
             act["generated"] = dict(generated)
+        if identity:
+            if len(identity) != 1:
+                raise ValueError("one identity column per table")
+            ((c, spec),) = identity.items()
+            missing = {"start", "step", "order_by"} - set(spec)
+            if missing:
+                raise ValueError(
+                    f"identity spec for {c!r} missing {sorted(missing)}"
+                )
+            if spec["step"] == 0:
+                raise ValueError("identity step must be nonzero")
+            act["identity"] = {c: dict(spec)}
         self.actions.append(act)
         return self
 
@@ -1166,6 +1192,84 @@ def _violation_counts(df, exprs: list[str]) -> list[tuple[str, int]]:
     return [(e, int(row[i] or 0)) for i, e in enumerate(exprs)]
 
 
+def _refuse_live_name(name: str, acts: list[dict]) -> None:
+    """Appends stage FRESH file names. Writing over a LIVE file's path
+    would clobber committed data BEFORE the conflict-checked commit
+    decides (r13 review) — refuse up front."""
+    if name in set(_last_wins(acts)):
+        raise ValueError(
+            f"append target {name!r} is a LIVE file — appends must use "
+            "fresh names; rewriting a live file is a remove+add "
+            "transaction over a new name"
+        )
+
+
+def _validate_against_definition(df, acts: list[dict]):
+    """Resolve GENERATED ALWAYS AS columns (compute missing, validate
+    provided) and evaluate every declared CHECK constraint over the
+    batch in ONE Spark aggregate; refuse the ENTIRE batch with
+    ConstraintViolation on any failing row. Returns the (possibly
+    augmented) batch. Shared by append_with_checks and
+    append_with_identity so identity tables keep full write-side
+    enforcement."""
+    from pyspark.sql import functions as F
+
+    meta = _newest_action(acts, "metaData")
+    gen = dict(meta.get("generated", {})) if meta else {}
+    provided = [c for c in gen if c in df.columns]
+    for col, expr in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    checks = [f"(`{c}` <=> ({gen[c]}))" for c in provided]
+    labels = [
+        f"GENERATED ALWAYS AS ({gen[c]}) for column {c}" for c in provided
+    ]
+    con = _newest_action(acts, "constraints")
+    exprs = list(con["exprs"]) if con else []
+    checks += exprs
+    labels += [f"CHECK ({e})" for e in exprs]
+    if checks:
+        bad = [
+            (labels[i], n)
+            for i, (_e, n) in enumerate(_violation_counts(df, checks))
+            if n > 0
+        ]
+        if bad:
+            raise ConstraintViolation(
+                "batch refused: "
+                + "; ".join(f"{n} row(s) violate {lbl}" for lbl, n in bad)
+            )
+    return df
+
+
+def _claim_write(writer: TxnLogWriter, df, name: str) -> None:
+    """Physical claim-by-rename (r13 ADVICE): land the parquet in a
+    writer-private scratch dir, then os.rename() claims the final name
+    — rename onto an existing non-empty directory fails (ENOTEMPTY),
+    an atomic put-if-absent, so a racing writer can never silently
+    replace another's staged bytes. An abort AFTER the claim leaves an
+    invisible orphan under the name (never rmtree'd — a racing raw
+    writer may own the bytes); vacuum reclaims it."""
+    import shutil
+    import threading
+
+    scratch = os.path.join(
+        writer.root,
+        f"{name}.inflight.{os.getpid()}.{threading.get_ident()}",
+    )
+    df.write.mode("overwrite").parquet(scratch)
+    try:
+        os.rename(scratch, os.path.join(writer.root, name))
+    except OSError as e:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise CommitConflict(
+            f"append target {name!r} already exists on disk — a "
+            "concurrent writer claimed the name (or an aborted append "
+            "left an orphan; vacuum reclaims those). Retry under a "
+            "fresh name"
+        ) from e
+
+
 def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
     """Constraint-enforced append: first resolve GENERATED ALWAYS AS
     columns — a missing generated column is COMPUTED from its
@@ -1191,8 +1295,6 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
     commit-time conflict check provably sees it (validate-first left
     a window where a definition landed between validation and
     begin() and the append slid under it unchecked)."""
-    from pyspark.sql import functions as F
-
     txn = writer.begin()
     # ONE replay serves the whole definition read (generated columns,
     # constraints, live set) — the accessors would each replay the
@@ -1202,82 +1304,74 @@ def append_with_checks(writer: TxnLogWriter, df, name: str, **stats) -> int:
         if txn.base_version >= 0
         else []
     )
-    # Appends stage FRESH file names. Writing over a LIVE file's path
-    # would clobber committed data BEFORE the conflict-checked commit
-    # decides — a CommitConflict abort (now likelier, since begin()
-    # precedes the whole validation scan) would leave every reader of
-    # the current snapshot serving never-committed rows (r13 review).
-    # With fresh names enforced, an abort leaves only an invisible
-    # orphan file, the same crash-safety order the protocol relies on.
-    if name in set(_last_wins(acts)):
-        raise ValueError(
-            f"append target {name!r} is a LIVE file — appends must use "
-            "fresh names; rewriting a live file is a remove+add "
-            "transaction over a new name"
-        )
-    meta = _newest_action(acts, "metaData")
-    gen = dict(meta.get("generated", {})) if meta else {}
-    provided = [c for c in gen if c in df.columns]
-    for col, expr in gen.items():
-        if col not in df.columns:
-            df = df.withColumn(col, F.expr(expr))
-    # ONE aggregate validates PROVIDED generated columns (computed ones
-    # satisfy by construction) AND CHECK constraints over the augmented
-    # batch — constraints may reference generated columns, so
-    # augmentation comes first
-    checks = [f"(`{c}` <=> ({gen[c]}))" for c in provided]
-    labels = [
-        f"GENERATED ALWAYS AS ({gen[c]}) for column {c}" for c in provided
-    ]
-    con = _newest_action(acts, "constraints")
-    exprs = list(con["exprs"]) if con else []
-    checks += exprs
-    labels += [f"CHECK ({e})" for e in exprs]
-    if checks:
-        bad = [
-            (labels[i], n)
-            for i, (_e, n) in enumerate(_violation_counts(df, checks))
-            if n > 0
-        ]
-        if bad:
-            raise ConstraintViolation(
-                "batch refused: "
-                + "; ".join(f"{n} row(s) violate {lbl}" for lbl, n in bad)
-            )
-    # Physical claim-by-rename (r13 ADVICE): the fresh-name guard above
-    # only proves freshness at THIS transaction's base snapshot — two
-    # concurrent appends staging the same name both pass it, and a
-    # direct overwrite-write to the final path would let the second
-    # writer silently replace the first's staged rows BEFORE either
-    # commit decides (the first committer would then serve the second
-    # writer's data). So the parquet lands in a writer-private scratch
-    # dir and os.rename() claims the final name: rename onto an
-    # existing non-empty directory fails (ENOTEMPTY), making the claim
-    # an atomic put-if-absent — the loser aborts loudly having touched
-    # nothing under the live name. The commit-time add-name conflict
-    # check covers writers that bypass this helper. An abort AFTER the
-    # claim leaves an invisible orphan under the name (never rmtree'd
-    # here — a racing raw writer may own the bytes); vacuum reclaims
-    # it, and retries must use a fresh name.
-    import shutil
-    import threading
-
-    scratch = os.path.join(
-        writer.root,
-        f"{name}.inflight.{os.getpid()}.{threading.get_ident()}",
-    )
-    df.write.mode("overwrite").parquet(scratch)
-    try:
-        os.rename(scratch, os.path.join(writer.root, name))
-    except OSError as e:
-        shutil.rmtree(scratch, ignore_errors=True)
-        raise CommitConflict(
-            f"append target {name!r} already exists on disk — a "
-            "concurrent writer claimed the name (or an aborted append "
-            "left an orphan; vacuum reclaims those). Retry under a "
-            "fresh name"
-        ) from e
+    _refuse_live_name(name, acts)
+    df = _validate_against_definition(df, acts)
+    _claim_write(writer, df, name)
     return txn.add(name, **stats).commit()
+
+
+def append_with_identity(
+    writer: TxnLogWriter, df, name: str, **stats
+) -> int:
+    """GENERATED ALWAYS AS IDENTITY append (Delta's identity columns):
+    the table's metaData declares ONE identity column with (start,
+    step, order_by); this helper REFUSES a batch that provides the
+    column explicitly (identity is always engine-assigned, Delta's
+    rule), assigns values from the table's high-water mark —
+    hwm + step·rank(order_by within the batch), so allocation is
+    REPRODUCIBLE and certifiable where Delta's is merely monotonic —
+    then validates constraints/generated columns over the augmented
+    batch, claims the file, and commits [add, metaData'] where the
+    re-stamped metaData carries the advanced identityHigh. Because the
+    allocating commit IS a definition change, concurrent identity
+    appends (and any other open transaction) serialize through the
+    metadata-conflict rule the model checker already covers — two
+    racing allocators can never both land, so ranges never overlap,
+    and the high-water mark never recycles even after DELETE/VACUUM
+    (it lives on metaData, not on the removed files).
+
+    Scale: the in-batch rank is a window over order_by — for the
+    bounded batches the certified entries append. A production-scale
+    writer would reserve per-partition ranges off one atomic hwm bump
+    (monotonic, non-contiguous — exactly Delta's nondeterministic
+    allocation); the protocol here supports that unchanged since only
+    identityHigh is load-bearing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    txn = writer.begin()
+    acts = (
+        writer._replay_actions(txn.base_version)
+        if txn.base_version >= 0
+        else []
+    )
+    meta = _newest_action(acts, "metaData")
+    ident = dict(meta.get("identity", {})) if meta else {}
+    if not ident:
+        raise ValueError(
+            "table declares no identity column — use append_with_checks"
+        )
+    ((col, spec),) = ident.items()
+    if col in df.columns:
+        raise ValueError(
+            f"identity column {col!r} is GENERATED ALWAYS — explicit "
+            "values are refused (Delta's identity-insert rule)"
+        )
+    _refuse_live_name(name, acts)
+    start, step = int(spec["start"]), int(spec["step"])
+    hwm = int(meta.get("identityHigh", start - step))
+    rank = F.row_number().over(Window.orderBy(spec["order_by"]))
+    df = df.withColumn(
+        col, (F.lit(hwm) + F.lit(step) * rank).cast("long")
+    )
+    df = _validate_against_definition(df, acts)
+    n = df.count()
+    _claim_write(writer, df, name)
+    new_meta = {k: v for k, v in meta.items() if k != "version"}
+    new_meta["identityHigh"] = hwm + step * n
+    txn.add(name, **stats)
+    txn.actions.append(new_meta)
+    return txn.commit()
 
 
 def add_constraint(writer: TxnLogWriter, spark, expr: str) -> int:
