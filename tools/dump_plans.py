@@ -117,6 +117,13 @@ REPRESENTATIVE = [
     "source_txn_log_row_tracking",  # metadata row_index ids, no stored col
     "source_txn_log_generated_columns",  # stored generated cols, one agg
     "events_poisson_daily_purchases",  # 7-row exact stats + Newton fold
+    "source_binaryfile_media",  # binaryFile scan: path-glob, no shuffle
+    "source_json_gzip_roundtrip",  # codec'd JSONL scan + fidelity agg
+    "source_json_bzip2_roundtrip",  # SPLITTABLE codec: multi-split scan
+    "multimodal_image_png16_stats",  # 16-bit decode: narrow Arrow stage
+    "multimodal_image_png_trns_stats",  # colour-key expansion, no shuffle
+    "text_bpe_learn_iterations",  # k chained rewrites in ONE final pass
+    "source_txn_log_identity_columns",  # hwm-allocated ids, scan + 2-grp agg
 ]
 
 
