@@ -4791,3 +4791,62 @@ def test_identity_columns_allocation_semantics(spark, tmp_path):
     append_with_identity(w, spark.createDataFrame([(8,)], "k long"), "c")
     with pytest.raises(CommitConflict, match="table definition"):
         stale.commit()
+
+
+def test_identity_high_water_survives_restore_and_clone(spark, tmp_path):
+    """The identity high-water mark never rewinds (r14, Delta's RESTORE
+    rule): a restore across a schema change re-asserts the TARGET's
+    definition (spec included) but carries the mark FORWARD, so
+    post-restore appends cannot re-issue ids that post-target rows
+    carried; a shallow clone inherits spec + mark and continues the
+    allocation lineage."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_identity,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    w.begin().set_metadata(
+        "k long, sid long",
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()  # v0
+    append_with_identity(w, spark.createDataFrame([(1,), (2,)], "k long"), "a")  # v1: ids 10,12
+    target = w.latest_version()
+    # schema change (adds a generated col) then another allocation
+    w.begin().set_metadata(
+        "k long, sid long, kk long",
+        generated={"kk": "k * 2"},
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()  # v2
+    append_with_identity(w, spark.createDataFrame([(5,)], "k long"), "b")  # v3: id 14
+    w.restore(target)  # definition rewinds, mark must NOT
+    append_with_identity(w, spark.createDataFrame([(7,)], "k long"), "c")
+    (row,) = spark.read.parquet(os.path.join(root, "c")).collect()
+    assert row["sid"] == 16, "restore rewound the identity mark"
+
+    # clone continues the lineage from the same mark
+    clone_root = str(tmp_path / "c")
+    w.clone_to(clone_root)
+    cw = TxnLogWriter(clone_root)
+    append_with_identity(
+        cw, spark.createDataFrame([(9,)], "k long"), "d"
+    )
+    (row,) = spark.read.parquet(os.path.join(clone_root, "d")).collect()
+    assert row["sid"] == 18, "clone restarted the identity lineage"
+
+    # checkpoint + vacuum: the checkpoint's metaData carry is often
+    # the ONLY metaData a vacuumed log still shows — the furthest-ever
+    # mark must ride it (a user schema-evolution commit had dropped
+    # the mark from the newest action; the checkpoint repairs it)
+    w.begin().set_metadata(
+        "k long, sid long",
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()  # forgets identityHigh on the newest action
+    w.write_checkpoint(w.latest_version())
+    w.vacuum()
+    append_with_identity(w, spark.createDataFrame([(11,)], "k long"), "e")
+    (row,) = spark.read.parquet(os.path.join(root, "e")).collect()
+    assert row["sid"] == 18, "checkpoint dropped the identity mark"

@@ -127,6 +127,24 @@ def _newest_dv_of(
     return {f: dv for f, (_v, dv) in newest.items()}
 
 
+def _identity_high(acts: list[dict], step: int) -> int | None:
+    """The identity high-water mark over EVERY visible metaData action
+    — not just the newest: allocation marks only move in the step's
+    direction, so the furthest-ever mark is the never-recycle floor
+    even when a later definition rewrite (user set_metadata, schema
+    evolution) forgot to carry it (r14). Returns None if no visible
+    action carries a mark."""
+    highs = [
+        a["identityHigh"]
+        for a in acts
+        if a.get("action") == "metaData"
+        and a.get("identityHigh") is not None
+    ]
+    if not highs:
+        return None
+    return max(highs) if step > 0 else min(highs)
+
+
 def _newest_action(acts: list[dict], kind: str) -> dict | None:
     """The NEWEST action of `kind` over an already-replayed list —
     the newest-wins rule shared by schema, constraints, and protocol
@@ -435,9 +453,20 @@ class TxnLogWriter:
 
         def _meta_state(m):
             # full definition, not just the schema string: a restore
-            # across a generated-column change must rewind it too
+            # across a generated-column or identity-SPEC change must
+            # rewind those too (identityHigh is deliberately NOT part
+            # of the definition — see below)
             return (
-                (m["schema"], dict(m.get("generated", {}))) if m else None
+                (
+                    m["schema"],
+                    dict(m.get("generated", {})),
+                    {
+                        c: dict(s)
+                        for c, s in m.get("identity", {}).items()
+                    },
+                )
+                if m
+                else None
             )
 
         if _meta_state(meta_now) != _meta_state(meta_then):
@@ -449,8 +478,26 @@ class TxnLogWriter:
                     "after the schema action instead"
                 )
             txn.set_metadata(
-                meta_then["schema"], generated=meta_then.get("generated")
+                meta_then["schema"],
+                generated=meta_then.get("generated"),
+                identity=meta_then.get("identity") or None,
             )
+            # The identity HIGH-WATER MARK never rewinds (Delta keeps
+            # it forward across RESTORE): re-asserting the target's
+            # mark would let post-restore appends re-issue ids that
+            # post-target rows already carried — exactly the recycling
+            # the mark exists to prevent. Carry the mark FURTHEST in
+            # the restored spec's step direction; it drops only when
+            # the restored definition has no identity column at all
+            # (re-declaring later is a NEW allocation lineage).
+            ident = meta_then.get("identity") or {}
+            if ident:
+                ((_c, spec),) = ident.items()
+                high = _identity_high(
+                    acts_then + acts_now, int(spec["step"])
+                )
+                if high is not None:
+                    txn.actions[-1]["identityHigh"] = high
         cons_then = _newest_action(acts_then, "constraints")
         cons_now = _newest_action(acts_now, "constraints")
         exprs_then = list(cons_then["exprs"]) if cons_then else []
@@ -525,10 +572,22 @@ class TxnLogWriter:
             if (act := _newest_action(acts, kind)) is not None
         }
         if "metaData" in newest:
+            # identity spec AND its high-water mark ride into the
+            # clone: the clone continues the source's allocation
+            # lineage from the same mark, so clone-side appends can
+            # never re-issue ids the source already assigned (r14 —
+            # same never-recycle rule RESTORE keeps)
             txn.set_metadata(
                 newest["metaData"]["schema"],
                 generated=newest["metaData"].get("generated"),
+                identity=newest["metaData"].get("identity") or None,
             )
+            ident = newest["metaData"].get("identity") or {}
+            if ident:
+                ((_c, spec),) = ident.items()
+                high = _identity_high(acts, int(spec["step"]))
+                if high is not None:
+                    txn.actions[-1]["identityHigh"] = high
         if "constraints" in newest:
             txn.set_constraints(newest["constraints"]["exprs"])
         if "protocol" in newest:
@@ -743,21 +802,31 @@ class TxnLogWriter:
         # schema-on-log must survive vacuuming the commits that set it
         meta = _newest_action(acts, "metaData")
         if meta is not None:
-            lines.append(
-                {
-                    "version": version,
-                    "action": "metaData",
-                    "schema": meta["schema"],
-                    # generated-column expressions ride the schema they
-                    # annotate — dropping them at a checkpoint would
-                    # silently stop enforcement after a vacuum
-                    **(
-                        {"generated": meta["generated"]}
-                        if "generated" in meta
-                        else {}
-                    ),
-                }
-            )
+            line = {
+                "version": version,
+                "action": "metaData",
+                "schema": meta["schema"],
+                # generated-column expressions ride the schema they
+                # annotate — dropping them at a checkpoint would
+                # silently stop enforcement after a vacuum
+                **(
+                    {"generated": meta["generated"]}
+                    if "generated" in meta
+                    else {}
+                ),
+            }
+            # identity spec + the FURTHEST-ever high-water mark ride
+            # too (r14): a checkpoint is often the only metaData a
+            # vacuumed log still shows, and losing the mark would let
+            # post-vacuum appends recycle ids
+            ident = meta.get("identity")
+            if ident:
+                line["identity"] = ident
+                ((_c, spec),) = ident.items()
+                high = _identity_high(acts, int(spec["step"]))
+                if high is not None:
+                    line["identityHigh"] = high
+            lines.append(line)
         ckpt = os.path.join(self.log_dir, f"{version:05d}.checkpoint.json")
         tmp = ckpt + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -1359,7 +1428,11 @@ def append_with_identity(
         )
     _refuse_live_name(name, acts)
     start, step = int(spec["start"]), int(spec["step"])
-    hwm = int(meta.get("identityHigh", start - step))
+    # furthest-ever mark over ALL visible metaData actions — robust
+    # against definition rewrites that dropped the mark from the
+    # newest action (r14; checkpoints also re-carry it)
+    found = _identity_high(acts, step)
+    hwm = start - step if found is None else int(found)
     rank = F.row_number().over(Window.orderBy(spec["order_by"]))
     df = df.withColumn(
         col, (F.lit(hwm) + F.lit(step) * rank).cast("long")
