@@ -80,11 +80,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # colour-key PNG arms, binaryFile real-file media ingestion
         # (batch + the 18th live streaming gate), the gzip and
         # SPLITTABLE bzip2 JSONL round trips, iterative BPE learning,
-        # and txn-log IDENTITY columns,
+        # txn-log IDENTITY columns, the Gopher quality-rule filter,
+        # and dynamic-gap session windows,
         "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
         "source_binaryfile_media", "source_json_gzip_roundtrip",
         "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
         "source_json_bzip2_roundtrip", "source_txn_log_identity_columns",
+        "pipeline_gopher_rules", "events_dynamic_session_stats",
         # then CODE-CHANGED-since-last-driver-row: benford now returns
         # the oracle's empty frame on a degenerate corpus (r13
         # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
@@ -95,6 +97,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "events_benford_first_digit", "multimodal_image_png_stats",
         "source_txn_log_check_constraints",
         "source_txn_log_generated_columns",
+        # (identity high-water never-recycle: restore/clone/checkpoint
+        # carry changed — those three re-certify too)
+        "source_txn_log_restore", "source_txn_log_shallow_clone",
+        "source_txn_log_checkpoint",
         # then the stalest-certified cohort: the 14 entries whose
         # newest driver row was r06 (r13 VERDICT directive 1 — the
         # rotation policy's only open debt),
@@ -114,12 +120,12 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
         "graph_connected_components", "graph_reachability_recursive",
         "events_rfm_segments", "events_value_histogram",
-        "events_anomaly_zscore", "events_markov_transitions",
-        "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized",
         # ---- window boundary ----
         # certified tail, stalest driver row first (r07 remainder,
         # then r08, r09, ... — freshest last)
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized",
         "similarity_matryoshka_topk", "dedup_minhash_md5_clusters",
         "text_boilerplate_ngrams",
         "text_edit_distance_pairs", "text_bpe_merge_pairs",

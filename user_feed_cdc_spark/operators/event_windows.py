@@ -5097,3 +5097,97 @@ def events_poisson_daily_purchases(
         r6(F.col("b1"), 6).alias("b1"),
         r6(rate, 6).alias("rate_monday"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (r14 — per-event gap expressions)
+# ---------------------------------------------------------------------------
+
+_DYNAMIC_SESSION_ORACLE = """
+    WITH gapped AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               ts + CASE event_type
+                    WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                    WHEN 'error' THEN INTERVAL 5 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS ev_end
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, ts, cents, ev_end,
+               CASE WHEN MAX(ev_end) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts >= MAX(ev_end) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gapped
+    ),
+    islands AS (
+        SELECT user_id, ts, cents, ev_end,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ev_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM islands
+    GROUP BY user_id, session_id
+"""
+
+
+@_register("events_dynamic_session_stats", _DYNAMIC_SESSION_ORACLE)
+def events_dynamic_session_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP session windows — session_window with a PER-EVENT
+    gap expression (Spark 3.2+): purchases hold a session open 60
+    minutes, errors only 5, everything else 30, the
+    engagement-weighted sessionization real product analytics use.
+    The semantics are interval-merge, not prev-row distance: each
+    event contributes [ts, ts+gap(event)) and a new session starts
+    only when an event's ts clears the RUNNING MAX of all previous
+    events' ends — a long-gap purchase can cover several short-gap
+    errors after it, which a LAG-based oracle would mis-split. The
+    DuckDB twin therefore runs the running-max gaps-and-islands form,
+    and session_end = MAX(ts + gap) certifies Spark's window.end
+    composition exactly (session_start = MIN ts). Values ride as
+    exact cents.
+
+    Scale: one shuffle on user_id into the session-merge (the same
+    exchange the fixed-gap form pays); gap evaluation is a scan-stage
+    CASE in whole-stage codegen. In streaming this exact expression
+    is watermark-finalizable — the batch twin certifies the
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window demands CalendarIntervalType; INTERVAL literals
+    # are DayTimeIntervalType in ANSI mode — CAST(string AS INTERVAL)
+    # is the calendar-interval spelling
+    gap = F.expr(
+        "CAST(CASE event_type WHEN 'purchase' THEN '60 minutes' "
+        "WHEN 'error' THEN '5 minutes' "
+        "ELSE '30 minutes' END AS INTERVAL)"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_cents",
+        )
+    )

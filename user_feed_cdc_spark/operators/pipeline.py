@@ -2582,3 +2582,133 @@ def pipeline_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "v_first", "v_changed", "n_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1 — the canonical rule-based
+# document filter every web-corpus pipeline implements)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END
+               || text
+               || CASE WHEN doc_id % 4 = 1
+                       THEN chr(10) || 'and so on...' ELSE '' END
+               || CASE WHEN doc_id % 5 = 2 THEN ' ##' ELSE '' END AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, t,
+               list_filter(string_split_regex(t, '[ \n]+'),
+                           w -> w <> '') AS words,
+               string_split(t, chr(10)) AS lines
+        FROM raw
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, w -> length(w)))
+                    * 1000 // len(words) AS BIGINT) AS mean_len_milli,
+               CAST((length(t) - length(replace(t, '#', '')))
+                    * 1000 // len(words) AS BIGINT) AS symbol_milli,
+               CAST(len(list_filter(lines, l -> l LIKE '- %'))
+                    * 1000 // len(lines) AS BIGINT) AS bullet_milli,
+               CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                    * 1000 // len(lines) AS BIGINT) AS ellipsis_milli,
+               CAST(len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   s -> list_contains(words, s))) AS BIGINT) AS n_stop
+        FROM feats
+    )
+    SELECT doc_id, n_words, mean_len_milli, symbol_milli, bullet_milli,
+           ellipsis_milli, n_stop,
+           (n_words BETWEEN 50 AND 100000)
+               AND (mean_len_milli BETWEEN 3000 AND 10000)
+               AND symbol_milli < 100
+               AND bullet_milli <= 900
+               AND ellipsis_milli <= 300
+               AND n_stop >= 2 AS keep
+    FROM stats
+"""
+
+
+@_register("pipeline_gopher_rules", _GOPHER_ORACLE)
+def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER RULES — the canonical rule-based quality filter (Rae et
+    al. 2021 §A1.1, reused by MassiveText/RefinedWeb/Dolma): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio < 0.1, <=90% of lines bullet-led, <=30% ellipsis-terminated,
+    and >=2 distinct English stopwords present. The corpus's word
+    counts (10-99) and stopword-bearing vocabulary split every rule
+    naturally; a deterministic doc_id-keyed envelope (bullet prefix,
+    ellipsis line, symbol tail — mirrored verbatim in the oracle)
+    exercises the line- and symbol-rules the plain soup cannot. Every
+    ratio is frozen to integer milli-units (x*1000 DIV n) before
+    comparison so each rule verdict — and the conjunctive keep — is
+    engine-exact under the hash gate.
+
+    Scale: one narrow projection pass — split/aggregate/filter all in
+    whole-stage codegen, no shuffle, no Python; the embarrassingly
+    parallel shape every rule-based corpus gate has at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("\nand so on..."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2, F.lit(" ##")).otherwise(F.lit("")),
+    )
+    feats = docs.select(
+        "doc_id",
+        raw.alias("t"),
+        F.filter(
+            F.split(raw, "[ \n]+"), lambda w: w != F.lit("")
+        ).alias("words"),
+        F.split(raw, "\n").alias("lines"),
+    )
+    stops = F.array(
+        *[
+            F.lit(s)
+            for s in ("the", "be", "to", "of", "and", "that", "have",
+                      "with")
+        ]
+    )
+    stats = feats.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(transform(words, w -> length(w)), 0L,"
+            " (a, x) -> a + x) * 1000 DIV size(words)"
+        ).alias("mean_len_milli"),
+        F.expr(
+            "(length(t) - length(replace(t, '#', ''))) * 1000"
+            " DIV size(words)"
+        ).alias("symbol_milli"),
+        F.expr(
+            "size(filter(lines, l -> l LIKE '- %')) * 1000"
+            " DIV size(lines)"
+        ).alias("bullet_milli"),
+        F.expr(
+            "size(filter(lines, l -> l LIKE '%...')) * 1000"
+            " DIV size(lines)"
+        ).alias("ellipsis_milli"),
+        F.size(
+            F.filter(stops, lambda s: F.array_contains("words", s))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return stats.select(
+        "doc_id", "n_words", "mean_len_milli", "symbol_milli",
+        "bullet_milli", "ellipsis_milli", "n_stop",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_len_milli").between(3000, 10000)
+            & (F.col("symbol_milli") < 100)
+            & (F.col("bullet_milli") <= 900)
+            & (F.col("ellipsis_milli") <= 300)
+            & (F.col("n_stop") >= 2)
+        ).alias("keep"),
+    )
