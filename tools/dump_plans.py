@@ -124,6 +124,8 @@ REPRESENTATIVE = [
     "multimodal_image_png_trns_stats",  # colour-key expansion, no shuffle
     "text_bpe_learn_iterations",  # k chained rewrites in ONE final pass
     "source_txn_log_identity_columns",  # hwm-allocated ids, scan + 2-grp agg
+    "pipeline_gopher_rules",  # rule gate: one codegen projection pass
+    "events_dynamic_session_stats",  # per-event gap session merge
 ]
 
 
