@@ -4850,3 +4850,51 @@ def test_identity_high_water_survives_restore_and_clone(spark, tmp_path):
     append_with_identity(w, spark.createDataFrame([(11,)], "k long"), "e")
     (row,) = spark.read.parquet(os.path.join(root, "e")).collect()
     assert row["sid"] == 18, "checkpoint dropped the identity mark"
+
+
+def test_dynamic_session_running_max_semantics(spark, tmp_path):
+    """Dynamic-gap sessions are INTERVAL-MERGE, not prev-row distance:
+    a 60-minute purchase at t=0 covers a 5-minute error at t=40m even
+    though the error's OWN gap (5m) is far smaller than the 40m step —
+    a LAG-based split would start a new session there. An event at
+    EXACTLY the running-max end merges (touching intervals join —
+    Spark's rule, which forced this oracle to strict >); one
+    microsecond past it splits."""
+    import os
+
+    from user_feed_cdc_spark.operators.event_windows import (
+        events_dynamic_session_stats,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        # purchase t=0 (gap 60m) covers error t=40m (gap 5m): one
+        # session — a LAG-based oracle would split at the error
+        (1, "2024-01-01 00:00:00", 7, "purchase", 10.0, "{}"),
+        (2, "2024-01-01 00:40:00", 7, "error", 1.0, "{}"),
+        # ts == running-max end (purchase 0:00+60m): TOUCHING
+        # intervals MERGE (Spark's rule) — still the same session,
+        # which extends its end to 1:30
+        (3, "2024-01-01 01:00:00", 7, "click", 2.0, "{}"),
+        # one microsecond PAST the new end: strictly greater -> split
+        (4, "2024-01-01 01:30:00.000001", 7, "click", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+        str(sf / "events.parquet")
+    )
+    got = sorted(
+        (
+            (r["session_start"].isoformat(), r["session_end"].isoformat(),
+             r["n_events"], r["total_cents"])
+            for r in events_dynamic_session_stats(spark, str(sf)).collect()
+        )
+    )
+    assert got == [
+        ("2024-01-01T00:00:00", "2024-01-01T01:30:00", 3, 1300),
+        ("2024-01-01T01:30:00.000001", "2024-01-01T02:00:00.000001", 1, 400),
+    ], got

@@ -238,6 +238,74 @@ def test_round_trip_random(data):
 
 @settings(max_examples=40, deadline=None)
 @given(data=st.data())
+def test_round_trip_random_16bit(data):
+    """The 16-bit lanes under the same random treatment: any colour
+    type, sequential or Adam7, random per-line filters — raw16 decode
+    reproduces the exact big-endian sample stream, the default return
+    is the per-sample MSB, and an optional grey/RGB colour key
+    synthesizes alpha exactly where full samples match the key."""
+    from user_feed_cdc_spark.operators.png import _adam7_passes
+
+    ct = data.draw(st.sampled_from([0, 2, 4, 6]))
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    w = data.draw(st.integers(1, 6))
+    h = data.draw(st.integers(1, 6))
+    samples = data.draw(
+        st.lists(
+            st.integers(0, 65535),
+            min_size=w * h * ch,
+            max_size=w * h * ch,
+        )
+    )
+    px = b"".join(struct.pack(">H", s) for s in samples)
+    interlace = data.draw(st.booleans())
+    nlines = (
+        sum(ph for *_, ph in _adam7_passes(w, h)) if interlace else h
+    )
+    fts = data.draw(
+        st.lists(st.integers(0, 4), min_size=nlines, max_size=nlines)
+    )
+    key = None
+    if ct in (0, 2) and data.draw(st.booleans()):
+        # colour-key drawn from the image's own pixels half the time so
+        # matches actually occur
+        if data.draw(st.booleans()):
+            p = data.draw(st.integers(0, w * h - 1))
+            key = tuple(samples[p * ch : (p + 1) * ch])
+        else:
+            key = tuple(
+                data.draw(st.integers(0, 65535)) for _ in range(ch)
+            )
+    enc = encode_png(
+        w, h, px, color_type=ct, depth=16, row_filters=fts,
+        interlace=interlace,
+        transparency=(
+            b"".join(struct.pack(">H", k) for k in key)
+            if key is not None
+            else None
+        ),
+    )
+    w2, h2, raw = decode_png(enc, raw16=True)
+    assert (w2, h2) == (w, h)
+    got = [
+        int.from_bytes(raw[2 * i : 2 * i + 2], "big")
+        for i in range(len(raw) // 2)
+    ]
+    if key is None:
+        assert got == samples
+        _, _, red = decode_png(enc)
+        assert list(red) == [s >> 8 for s in samples]
+    else:
+        expect = []
+        for p in range(w * h):
+            pix = samples[p * ch : (p + 1) * ch]
+            expect += pix
+            expect.append(0 if tuple(pix) == key else 65535)
+        assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
 def test_survives_arbitrary_corruption(data):
     """Corrupt any byte / truncate anywhere: decode either succeeds or
     raises ValueError — never hangs, never raises anything else (the

@@ -5115,11 +5115,15 @@ _DYNAMIC_SESSION_ORACLE = """
     ),
     seq AS (
         SELECT user_id, ts, cents, ev_end,
+               -- strictly GREATER: Spark merges TOUCHING intervals
+               -- (an event at exactly the running-max end joins the
+               -- session) — pinned by
+               -- test_dynamic_session_running_max_semantics
                CASE WHEN MAX(ev_end) OVER (
                         PARTITION BY user_id ORDER BY ts
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ) IS NULL
-                    OR ts >= MAX(ev_end) OVER (
+                    OR ts > MAX(ev_end) OVER (
                         PARTITION BY user_id ORDER BY ts
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     )
