@@ -87,6 +87,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
         "source_json_bzip2_roundtrip", "source_txn_log_identity_columns",
         "pipeline_gopher_rules", "events_dynamic_session_stats",
+        "multimodal_image_png_lowdepth_stats",
         # then CODE-CHANGED-since-last-driver-row: benford now returns
         # the oracle's empty frame on a degenerate corpus (r13
         # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
@@ -119,11 +120,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "join_salted_skew", "join_null_aware_anti", "window_value_functions",
         "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
         "graph_connected_components", "graph_reachability_recursive",
-        "events_rfm_segments", "events_value_histogram",
+        "events_rfm_segments",
         # ---- window boundary ----
         # certified tail, stalest driver row first (r07 remainder,
         # then r08, r09, ... — freshest last)
-        "events_anomaly_zscore", "events_markov_transitions",
+        "events_value_histogram", "events_anomaly_zscore", "events_markov_transitions",
         "events_activity_streaks", "events_daily_spine",
         "feed_ranked_personalized",
         "similarity_matryoshka_topk", "dedup_minhash_md5_clusters",

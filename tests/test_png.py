@@ -304,6 +304,75 @@ def test_round_trip_random_16bit(data):
         assert got == expect
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_round_trip_random_bit_packed(data):
+    """Bit-packed depths 1/2/4 (grey and palette), sequential or
+    Adam7, random per-line filters: filters run on the PACKED bytes,
+    so reconstruction and MSB-first unpacking must both be exact —
+    grey rescales by the exact 255/85/17 multiplier, palette indices
+    expand through the PLTE (with an optional tRNS alpha table)."""
+    from user_feed_cdc_spark.operators.png import _adam7_passes
+
+    depth = data.draw(st.sampled_from([1, 2, 4]))
+    mask = (1 << depth) - 1
+    ct = data.draw(st.sampled_from([0, 3]))
+    w = data.draw(st.integers(1, 10))
+    h = data.draw(st.integers(1, 6))
+    samples = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, mask), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    interlace = data.draw(st.booleans())
+    nlines = (
+        sum(ph for *_, ph in _adam7_passes(w, h)) if interlace else h
+    )
+    fts = data.draw(
+        st.lists(st.integers(0, 4), min_size=nlines, max_size=nlines)
+    )
+    if ct == 0:
+        enc = encode_png(
+            w, h, samples, grayscale=True, depth=depth,
+            row_filters=fts, interlace=interlace,
+        )
+        mult = 255 // mask
+        assert decode_png(enc) == (w, h, bytes(v * mult for v in samples))
+    else:
+        pal = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=3 * (mask + 1),
+                    max_size=3 * (mask + 1),
+                )
+            )
+        )
+        trns = None
+        if data.draw(st.booleans()):
+            trns = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=1,
+                        max_size=mask + 1,
+                    )
+                )
+            )
+        enc = encode_png(
+            w, h, samples, color_type=3, depth=depth, palette=pal,
+            transparency=trns, row_filters=fts, interlace=interlace,
+        )
+        _, _, px = decode_png(enc)
+        expect = bytearray()
+        for i in samples:
+            expect += pal[3 * i : 3 * i + 3]
+            if trns is not None:
+                expect.append(trns[i] if i < len(trns) else 255)
+        assert px == bytes(expect)
+
+
 @settings(max_examples=40, deadline=None)
 @given(data=st.data())
 def test_survives_arbitrary_corruption(data):
@@ -350,10 +419,11 @@ def test_refusals_are_loud():
 
     # 16-bit depth, invalid colour type, tRNS transparency
     for depth, ctype, msg in (
-        (4, 0, "bit depth"),       # bit-packed depths still refuse
-        (2, 3, "bit depth"),
+        (3, 0, "invalid PNG bit depth"),  # non-power-of-two depth
+        (4, 2, "greyscale/palette"),      # sub-byte RGB is spec-illegal
+        (2, 6, "greyscale/palette"),      # ... and sub-byte RGBA
         (8, 5, "colour type"),
-        (16, 3, "1/2/4/8"),        # 16-bit palette is spec-illegal
+        (16, 3, "1/2/4/8"),               # 16-bit palette is spec-illegal
     ):
         ihdr = struct.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, 0)
         p = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")

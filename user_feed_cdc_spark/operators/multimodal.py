@@ -3527,3 +3527,136 @@ def multimodal_image_png_trns_stats(
         "pixel_sum long, n_transparent long, a_first long, "
         "decoded boolean",
     )
+
+
+_IMAGE_PNG_LOWDEPTH_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, doc_id % 2 AS cls,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v0,
+               CAST(ascii(substr(text,
+                    CAST((1 % length(text)) + 1 AS INT), 1)) AS BIGINT)
+                   AS v1
+        FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(CASE cls WHEN 0 THEN 6 ELSE 8 END AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(CASE cls WHEN 0 THEN 1 ELSE 4 END AS BIGINT) AS channels,
+           CAST(CASE cls
+                WHEN 0 THEN 102 * (v0 % 16) + 102 * (v1 % 16)
+                ELSE 12 * v0 + 24 * v1 + 2984 END AS BIGINT)
+               AS pixel_sum,
+           CAST(CASE cls WHEN 0 THEN 17 * (v0 % 16) ELSE v0 END
+                AS BIGINT) AS probe_first,
+           CAST(CASE cls WHEN 0 THEN 17 * (v0 % 16) ELSE 200 END
+                AS BIGINT) AS probe_last,
+           TRUE AS decoded
+    FROM m
+"""
+
+
+@_register("multimodal_image_png_lowdepth_stats", _IMAGE_PNG_LOWDEPTH_ORACLE)
+def multimodal_image_png_lowdepth_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIT-PACKED PNG decode under the hash gate — depths 1/2/4
+    complete the codec's depth matrix (r14; the r13 refusal narrowed
+    to spec-illegal combinations only). Scanline filters operate on
+    the PACKED bytes (spec §6.2, bpp floored at one byte), samples
+    unpack MSB-first per row, greys rescale by the EXACT 255/85/17
+    multipliers (spec §13.12): doc_id%2 rotates a 4-BIT GREYSCALE
+    (6x2 sequential, filters None/Up, nibbles from the text head mod
+    16 — any packing/unpacking slip moves pixel_sum by the 17x
+    multiplier) and a 2-BIT PALETTE laid out ADAM7 across five
+    single-row passes exercising ALL FIVE filters on packed bytes,
+    expanded through a v0/v1-derived PLTE with a tRNS alpha table to
+    RGBA (fixed index pattern, so per-index occupancy is corpus-
+    independent arithmetic). The symbolic oracle predicts every
+    decoded byte; probes pin the first sample and the last alpha.
+
+    Scale: the standard narrow media shape — Arrow-batched
+    mapInPandas through the shared dispatch, bounded per-row decode,
+    payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") >= 1)
+    )
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+
+        def png_of(v0: int, v1: int, cls: int) -> bytes:
+            key = (v0, v1, cls)
+            if key not in cache:
+                if cls == 0:  # 4-bit grey, sequential
+                    a, b = v0 % 16, v1 % 16
+                    samples = bytes([a, b] * 3 + [b, a] * 3)
+                    cache[key] = encode_png(
+                        6, 2, samples, grayscale=True, depth=4,
+                        row_filters=[0, 2],
+                    )
+                else:  # 2-bit palette, Adam7 (5 passes), tRNS -> RGBA
+                    pal = (
+                        bytes([v0]) * 3
+                        + bytes([v1]) * 3
+                        + bytes([v1 + 1]) * 3
+                        + bytes([7, 8, 9])
+                    )
+                    idx = bytes(
+                        [0, 1, 2, 3, 3, 2, 1, 0, 1, 0, 3, 2, 2, 3, 0, 1]
+                    )
+                    cache[key] = encode_png(
+                        8, 2, idx, color_type=3, depth=2, palette=pal,
+                        transparency=bytes([9, 200]),
+                        interlace=True, row_filters=[0, 1, 2, 3, 4],
+                    )
+            return cache[key]
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = ascii_seed(text)
+                payloads.append(
+                    png_of(raw[0], raw[1 % len(raw)], int(doc_id) % 2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mm = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "channels": [], "pixel_sum": [], "probe_first": [],
+                "probe_last": [], "decoded": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    w, h, px = decode_image(bytes(payload))
+                    ch = len(px) // (w * h)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["pixel_sum"].append(sum(px))
+                    out["probe_first"].append(px[0])
+                    out["probe_last"].append(px[-1])
+                    out["decoded"].append(True)
+                except DECODE_FALLBACK_ERRORS:
+                    for k in (
+                        "width", "height", "channels", "pixel_sum",
+                        "probe_first", "probe_last",
+                    ):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return fan_out(mm, min_parallelism=8).mapInPandas(
+        batches,
+        "doc_id long, width long, height long, channels long, "
+        "pixel_sum long, probe_first long, probe_last long, "
+        "decoded boolean",
+    )

@@ -1,16 +1,18 @@
 """Pure-stdlib PNG codec (RFC 2083 / ISO 15948) for the multimodal
-Python tier: the full 8- AND 16-bit colour-type matrix — greyscale
-(0), truecolour RGB (2), palette (3, expanded through PLTE like the
-GIF decoder), grey+alpha (4), RGBA (6); 16-bit lanes on 0/2/4/6 —
-all five scanline filters (None/Sub/Up/Average/Paeth), Adam7
-interlaced AND sequential layouts, CRC-validated chunk walk, zlib
-inflate with a zip-bomb bound.
+Python tier: the COMPLETE depth/colour-type matrix — greyscale (0),
+truecolour RGB (2), palette (3, expanded through PLTE like the GIF
+decoder), grey+alpha (4), RGBA (6); 16-bit lanes on 0/2/4/6 and
+bit-packed 1/2/4 lanes on 0/3 (filters on packed bytes, MSB-first
+unpack, exact 255/85/17 grey rescale) — all five scanline filters
+(None/Sub/Up/Average/Paeth), Adam7 interlaced AND sequential
+layouts, CRC-validated chunk walk, zlib inflate with a zip-bomb
+bound.
 
 PNG is the single most common image format in a web-scraped corpus
 (r12 VERDICT gap 1); this closes the codec matrix the same way the
 progressive-JPEG arc did: a real decoder for the common profile,
-loud refusals for the rest (bit-packed depths 1/2/4, colour-key tRNS
-on grey/RGB; palette tRNS alpha tables DO decode, to RGBA),
+loud refusals only for spec-ILLEGAL combinations (sub-byte RGB/
+alpha types, 16-bit palette, tRNS on alpha types),
 and a fixture ENCODER whose IDAT uses zlib stored-mode blocks
 (``zlib.compress(level=0)``, BTYPE=00 verbatim bytes) so the DuckDB
 oracle can derive every decoded byte symbolically — the
@@ -109,10 +111,15 @@ def encode_png(
         color_type = 0 if grayscale else 2
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported colour type {color_type}")
-    if depth not in (8, 16):
-        raise ValueError(f"unsupported bit depth {depth} (8/16 here)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if depth == 16 and color_type == 3:
         raise ValueError("palette images allow depths 1/2/4/8 only")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"bit depth {depth} is only valid for greyscale/palette "
+            "(spec table 11.1)"
+        )
     ch = _CHANNELS[color_type]
     if color_type == 3:
         if not palette or len(palette) % 3 or len(palette) > 768:
@@ -143,31 +150,74 @@ def encode_png(
             raise ValueError(
                 "tRNS is invalid for alpha colour types (4/6)"
             )
-    unit = ch * (depth // 8)  # bytes per pixel (filter offset, spec §6.2)
-    if len(pixels) != width * height * unit:
-        raise ValueError(
-            f"pixel stream is {len(pixels)} bytes, expected "
-            f"{width * height * unit}"
-        )
-    stride = width * unit
-    if interlace:
+    if depth < 8:
+        # bit-packed lanes: `pixels` is ONE BYTE PER SAMPLE (values
+        # 0..2^depth-1, the unpacked form); rows pack MSB-first per
+        # spec §7.2, each scanline independently byte-padded
+        mask = (1 << depth) - 1
+        if len(pixels) != width * height:
+            raise ValueError(
+                f"pixel stream is {len(pixels)} samples, expected "
+                f"{width * height}"
+            )
+        if pixels and max(pixels) > mask:
+            raise ValueError(
+                f"sample exceeds {depth}-bit range 0..{mask}"
+            )
         lines = []
-        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
-            for j in range(ph):
-                y = y0 + j * dy
-                row = b"".join(
-                    pixels[
-                        (y * width + x0 + i * dx) * unit :
-                        (y * width + x0 + i * dx) * unit + unit
-                    ]
-                    for i in range(pw)
+        if interlace:
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+                for j in range(ph):
+                    y = y0 + j * dy
+                    lines.append(
+                        (
+                            _pack_bits(
+                                [
+                                    pixels[y * width + x0 + i * dx]
+                                    for i in range(pw)
+                                ],
+                                depth,
+                            ),
+                            j == 0,
+                        )
+                    )
+        else:
+            lines = [
+                (
+                    _pack_bits(
+                        pixels[r * width : (r + 1) * width], depth
+                    ),
+                    r == 0,
                 )
-                lines.append((row, j == 0))
+                for r in range(height)
+            ]
+        unit = 1  # filter offset is one byte for sub-byte depths
     else:
-        lines = [
-            (pixels[r * stride : (r + 1) * stride], r == 0)
-            for r in range(height)
-        ]
+        unit = ch * (depth // 8)  # bytes/pixel (filter offset, §6.2)
+        if len(pixels) != width * height * unit:
+            raise ValueError(
+                f"pixel stream is {len(pixels)} bytes, expected "
+                f"{width * height * unit}"
+            )
+        stride = width * unit
+        if interlace:
+            lines = []
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+                for j in range(ph):
+                    y = y0 + j * dy
+                    row = b"".join(
+                        pixels[
+                            (y * width + x0 + i * dx) * unit :
+                            (y * width + x0 + i * dx) * unit + unit
+                        ]
+                        for i in range(pw)
+                    )
+                    lines.append((row, j == 0))
+        else:
+            lines = [
+                (pixels[r * stride : (r + 1) * stride], r == 0)
+                for r in range(height)
+            ]
     filters = row_filters or [0] * len(lines)
     if len(filters) != len(lines):
         raise ValueError(
@@ -198,6 +248,27 @@ def encode_png(
         + trns
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 0))
         + _chunk(b"IEND", b"")
+    )
+
+
+def _pack_bits(samples, depth: int) -> bytes:
+    """Pack sub-byte samples MSB-first into scanline bytes (spec §7.2);
+    the trailing partial byte zero-pads on the right."""
+    per = 8 // depth
+    out = bytearray((len(samples) + per - 1) // per)
+    for i, v in enumerate(samples):
+        out[i // per] |= v << (8 - depth * (i % per + 1))
+    return bytes(out)
+
+
+def _unpack_bits(row: bytes, n: int, depth: int) -> bytes:
+    """Inverse of _pack_bits: the first `n` MSB-first sub-byte samples
+    of a scanline, one byte per sample."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return bytes(
+        (row[i // per] >> (8 - depth * (i % per + 1))) & mask
+        for i in range(n)
     )
 
 
@@ -249,9 +320,11 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
     MOST SIGNIFICANT byte (the spec §13.12 sample-depth rescale,
     keeping every shared-dispatch consumer's w*h*ch contract);
     ``raw16=True`` returns the full big-endian byte stream
-    (w*h*ch*2) for exact-sample consumers. Refuses loudly — never
-    partially — on: bad signature/CRC, bit-packed depths (1/2/4),
-    16-bit palette, colour-key tRNS, declared dims exceeding the
+    (w*h*ch*2) for exact-sample consumers. Bit-packed depths (1/2/4,
+    grey/palette) unfilter on the packed bytes then unpack MSB-first;
+    grey rescales by the exact 255/85/17 multiplier. Refuses loudly —
+    never partially — on: bad signature/CRC, spec-illegal
+    depth/colour-type combinations, declared dims exceeding the
     allocation cap or the proportional payload bound, palette
     indices past the PLTE, and IDAT that inflates to anything but
     exactly the layout's scanline-stream length."""
@@ -288,11 +361,8 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth not in (8, 16):
-                raise ValueError(
-                    f"unsupported PNG bit depth {depth} (8/16 decode "
-                    "here; bit-packed 1/2/4 refuse)"
-                )
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"invalid PNG bit depth {depth}")
             if ctype not in _CHANNELS:
                 raise ValueError(
                     f"unsupported PNG colour type {ctype} "
@@ -302,13 +372,20 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
                 raise ValueError(
                     "PNG palette images allow depths 1/2/4/8 only"
                 )
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError(
+                    f"PNG bit depth {depth} is only valid for "
+                    "greyscale/palette (spec table 11.1)"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
             interlaced = interlace == 1
             ch = _CHANNELS[ctype]
-            bypp = ch * (depth // 8)  # filter offset = BYTES per pixel
+            # filter offset = BYTES per pixel, floored at one byte for
+            # bit-packed depths (spec §6.2)
+            bypp = max(1, ch * depth // 8)
             if width <= 0 or height <= 0:
                 raise ValueError("PNG declares empty dimensions")
             # palette (ctype 3) scanlines carry 1 byte/pixel but the
@@ -331,7 +408,7 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
             # cannot possibly satisfy before allocating
             # (Adam7 adds <= 6 extra filter bytes per row-octave, so
             # the sequential form is a valid lower bound either way)
-            need = height * (1 + width * bypp)
+            need = height * (1 + (width * ch * depth + 7) // 8)
             if (len(payload) - pos) * 1032 < need:
                 raise ValueError(
                     f"declared dims {width}x{height} need {need} scanline "
@@ -386,11 +463,16 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
         # other ancillary chunks (tEXt, pHYs, ...) are skipped
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
-    bypp = ch * (depth // 8)
-    stride = width * bypp
+    bypp = max(1, ch * depth // 8)
+    packed = depth < 8
+
+    def _stride(w: int) -> int:
+        return (w * ch * depth + 7) // 8
+
+    stride = _stride(width)
     if interlaced:
         expect = sum(
-            ph * (1 + pw * bypp)
+            ph * (1 + _stride(pw))
             for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
         )
     else:
@@ -405,11 +487,14 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
             f"PNG IDAT inflates to {len(raw)}+ bytes, expected exactly "
             f"{expect}"
         )
-    out = bytearray(height * stride)
+    # the canvas holds one byte per SAMPLE: filtered scanline bytes for
+    # depths >= 8, unpacked sub-byte samples for bit-packed depths
+    # (filters always ran on the PACKED bytes — spec §6.2)
+    out = bytearray(height * (width if packed else stride))
     if interlaced:
         off = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
-            pstride = pw * bypp
+            pstride = _stride(pw)
             prev = bytes(pstride)
             for j in range(ph):
                 ft = raw[off]
@@ -418,18 +503,41 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
                 row = _unfilter_row(line, prev, ft, bypp)
                 prev = row
                 y = y0 + j * dy
-                for i in range(pw):
-                    x = x0 + i * dx
-                    p = (y * width + x) * bypp
-                    out[p : p + bypp] = row[i * bypp : (i + 1) * bypp]
+                if packed:
+                    samples = _unpack_bits(row, pw, depth)
+                    for i in range(pw):
+                        out[y * width + x0 + i * dx] = samples[i]
+                else:
+                    for i in range(pw):
+                        x = x0 + i * dx
+                        p = (y * width + x) * bypp
+                        out[p : p + bypp] = row[i * bypp : (i + 1) * bypp]
     else:
         prev = bytes(stride)
         for r in range(height):
             ft = raw[r * (1 + stride)]
             line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
             row = _unfilter_row(line, prev, ft, bypp)
-            out[r * stride : (r + 1) * stride] = row
+            if packed:
+                out[r * width : (r + 1) * width] = _unpack_bits(
+                    row, width, depth
+                )
+            else:
+                out[r * stride : (r + 1) * stride] = row
             prev = row
+    if packed and ctype == 0:
+        # greyscale sub-byte samples rescale to 8-bit EXACTLY —
+        # 255/(2^d - 1) is the integer 255/85/17 for d = 1/2/4 (spec
+        # §13.12 left-bit replication); palette indices stay raw. The
+        # colour key (raw sample domain) rescales with them so the
+        # downstream expansion compares like with like.
+        mult = 255 // ((1 << depth) - 1)
+        out = bytearray(v * mult for v in out)
+        if colour_key is not None:
+            colour_key = (colour_key[0] * mult,)
+        depth = 8  # downstream (colour-key sw/opaque) sees 8-bit
+    elif packed:
+        depth = 8  # palette indices expand below exactly like 8-bit
     if colour_key is not None:
         # colour-key expansion BEFORE any depth reduction (the key is
         # matched on full-depth samples): grey -> grey+alpha, RGB ->
