@@ -204,7 +204,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
-        "source_txn_log_snapshot", "source_txn_log_checkpoint",
+        "source_txn_log_snapshot", 
         "source_txn_log_deletes", "source_txn_log_time_travel",
         "source_txn_log_bloom_index", "multimodal_video_avi_stats",
         "events_trending_users", "range_join_user_pairs",
@@ -243,8 +243,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
         "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
         "multimodal_resize_certified", "multimodal_phash_dedup",
-        "multimodal_codec_fallback", "source_txn_log_restore",
-        "source_txn_log_shallow_clone", "source_txn_log_writer_roundtrip",
+        "multimodal_codec_fallback", 
+        "source_txn_log_writer_roundtrip",
         "streaming_txn_sink_live", "source_txn_log_cdf",
         "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
         "source_txn_log_timestamp_travel", "agg_percentiles",
@@ -259,6 +259,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"
+    dupes = sorted({n for n in priority if priority.count(n) > 1})
+    assert not dupes, f"priority list repeats names: {dupes}"
     queries = {n: merged[n] for n in priority}
     queries.update(merged)
     return queries, oracles

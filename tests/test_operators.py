@@ -4898,3 +4898,48 @@ def test_dynamic_session_running_max_semantics(spark, tmp_path):
         ("2024-01-01T00:00:00", "2024-01-01T01:30:00", 3, 1300),
         ("2024-01-01T01:30:00.000001", "2024-01-01T02:00:00.000001", 1, 400),
     ], got
+
+
+def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
+    """VACUUM collects directories the log never references (r14
+    review): an aborted claim-by-rename append leaves its parquet at
+    the final name with no add/remove action, permanently burning the
+    name — vacuum must reclaim it (and leaked .inflight scratch), so
+    the CommitConflict remediation message is actually true. Under a
+    retention window a FRESH orphan survives (it may be a live
+    in-flight claim)."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        CommitConflict,
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root, checkpoint_interval=1)
+    df = spark.range(4).withColumnRenamed("id", "value")
+    append_with_checks(w, df, "f0")
+
+    # orphan a claimed name: occupy it, get the conflict, log untouched
+    os.makedirs(os.path.join(root, "orphan"))
+    with open(os.path.join(root, "orphan", "part"), "w") as f:
+        f.write("x")
+    with __import__("pytest").raises(CommitConflict):
+        append_with_checks(w, df, "orphan")
+    os.makedirs(os.path.join(root, "g0.inflight.999.888"))  # leaked scratch
+
+    w.write_checkpoint(w.latest_version())
+    # retention window: fresh orphans are protected (may be live claims)
+    kept = w.vacuum(retain_ms=10_000)
+    assert "orphan" not in kept and os.path.isdir(
+        os.path.join(root, "orphan")
+    )
+    # without a window (the documented exclusion-zone mode) both go
+    gone = w.vacuum()
+    assert "orphan" in gone and "g0.inflight.999.888" in gone
+    assert not os.path.exists(os.path.join(root, "orphan"))
+    assert not os.path.exists(os.path.join(root, "g0.inflight.999.888"))
+    # the burned name is usable again
+    append_with_checks(w, df, "orphan")
+    assert "orphan" in w.live_files()

@@ -3415,8 +3415,8 @@ _IMAGE_PNG_TRNS_ORACLE = """
            CAST(CASE cls WHEN 0 THEN 4 ELSE 3 END AS BIGINT) AS width,
            CAST(2 AS BIGINT) AS height,
            CAST(CASE cls WHEN 0 THEN 2 ELSE 4 END AS BIGINT) AS channels,
-           CAST(CASE cls WHEN 0 THEN 3 * v0 + 2 * v1 + 1296
-                ELSE 2 * v0 + 2 * v1 + 1131 END AS BIGINT) AS pixel_sum,
+           CAST(CASE cls WHEN 0 THEN 3 * v0 + 2 * v1 + 1875
+                ELSE 2 * v0 + 2 * v1 + 3833 END AS BIGINT) AS pixel_sum,
            CAST(CASE cls WHEN 0 THEN 3 ELSE 2 END AS BIGINT)
                AS n_transparent,
            CAST(CASE cls WHEN 0 THEN 255 ELSE 0 END AS BIGINT) AS a_first,
@@ -3435,10 +3435,13 @@ def multimodal_image_png_trns_stats(
     §11.3.2.1) decode with a synthesized alpha channel — exactly-
     matching pixels transparent, everything else full-scale opaque —
     so grey expands to grey+alpha and RGB to RGBA through the same
-    five-filter reconstruction. The fixtures plant the key value 7
-    (ASCII document heads are >= 32, so text-derived samples can
-    never collide with the key and the match count is corpus-
-    independent arithmetic): a 4x2 grey image with three key pixels
+    five-filter reconstruction. The fixtures plant key values ABOVE
+    the 7-bit range (200/201/202): ascii_seed guarantees only
+    isascii() — control characters are admissible heads — so
+    text-derived samples are <= 127 and provably can never collide
+    with the key, keeping the match count corpus-independent
+    arithmetic (r14 review; the original key 7 was collidable by a
+    BEL-headed document): a 4x2 grey image with three key pixels
     (filters None/Up) and a 3x2 RGB image with two key pixels
     (filters Sub/Paeth, one pixel a near-miss differing only in its
     last sample — an equality-on-ALL-samples probe). pixel_sum covers
@@ -3459,20 +3462,20 @@ def multimodal_image_png_trns_stats(
         def png_of(v0: int, v1: int, cls: int) -> bytes:
             key = (v0, v1, cls)
             if key not in cache:
-                if cls == 0:  # grey + colour-key 7
-                    px = bytes([v0, 7, v1, 7, 7, v0, v1, v0])
+                if cls == 0:  # grey + colour-key 200 (> any ASCII byte)
+                    px = bytes([v0, 200, v1, 200, 200, v0, v1, v0])
                     cache[key] = encode_png(
                         4, 2, px, grayscale=True, row_filters=[0, 2],
-                        transparency=struct.pack(">H", 7),
+                        transparency=struct.pack(">H", 200),
                     )
-                else:  # RGB + colour-key (7, 8, 9)
+                else:  # RGB + colour-key (200, 201, 202)
                     px = bytes(
-                        [7, 8, 9, v0, v1, 7, 7, 8, v0,
-                         7, 8, 9, v1, 8, 9, 9, 8, 7]
+                        [200, 201, 202, v0, v1, 200, 200, 201, v0,
+                         200, 201, 202, v1, 201, 202, 202, 201, 200]
                     )
                     cache[key] = encode_png(
                         3, 2, px, color_type=2, row_filters=[1, 4],
-                        transparency=struct.pack(">HHH", 7, 8, 9),
+                        transparency=struct.pack(">HHH", 200, 201, 202),
                     )
             return cache[key]
 

@@ -4594,9 +4594,11 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(media)
     )
-    from user_feed_cdc_spark.sources.tables import fan_out
-
-    return _binaryfile_stats_frame(fan_out(bf, min_parallelism=8))
+    # no fan_out here: repartitioning would shuffle the raw payload
+    # bytes — the one movement the entry's scale story forbids; the
+    # binaryFile scan's file packing IS the parallelism, and the
+    # per-file decode is bounded (r14 review)
+    return _binaryfile_stats_frame(bf)
 
 
 def _binaryfile_stats_frame(bf: DataFrame) -> DataFrame:
@@ -4690,7 +4692,13 @@ def streaming_binaryfile_media_live(
     # files-per-trigger made batch COUNT scale with corpus size —
     # 26 batches of pure harness overhead at sf0.1; multi-batch
     # progression is the property, not the batch count)
-    n_files = sum(len(fs) for _d, _s, fs in os.walk(media))
+    n_files = sum(
+        1
+        for _d, _s, fs in os.walk(media)
+        for f in fs
+        if f.startswith("doc")
+        and f.rsplit(".", 1)[-1] in ("png", "bmp", "wav", "gif")
+    )
     per_trigger = max(1, n_files // 3)
     bf = (
         spark.readStream.format("binaryFile")
@@ -4852,7 +4860,14 @@ def source_json_bzip2_roundtrip(
                 f"{n_splits} partition(s) — the splittable-codec "
                 "contract is broken"
             )
-        return _fidelity_agg(back)
+        # MATERIALIZE while the conf is live: a lazily returned plan
+        # would re-plan (and read) under the restored default — one
+        # split — leaving the multi-split row fidelity this entry
+        # exists to certify unexecuted (r14 review). The aggregate is
+        # |event_type| rows, so the local rebuild is trivial.
+        agg = _fidelity_agg(back)
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
     finally:
         spark.conf.set(conf_key, old)
 

@@ -127,17 +127,25 @@ def _newest_dv_of(
     return {f: dv for f, (_v, dv) in newest.items()}
 
 
-def _identity_high(acts: list[dict], step: int) -> int | None:
-    """The identity high-water mark over EVERY visible metaData action
-    — not just the newest: allocation marks only move in the step's
-    direction, so the furthest-ever mark is the never-recycle floor
-    even when a later definition rewrite (user set_metadata, schema
-    evolution) forgot to carry it (r14). Returns None if no visible
-    action carries a mark."""
+def _identity_high(acts: list[dict], col: str, spec: dict) -> int | None:
+    """The identity high-water mark over every visible metaData action
+    OF THE SAME DECLARATION LINEAGE — marks are matched on (column,
+    spec) identity, so a dropped-and-re-declared identity column with
+    a DIFFERENT spec starts a genuinely fresh lineage (start/step of
+    its own), while an identical re-declaration — or a RESTORE across
+    an interlude — keeps inheriting its old marks and can never
+    recycle (r14 review: an unscoped furthest-ever leaked one
+    lineage's marks into another, and a step-sign change picked the
+    wrong extreme from the old direction). Within one lineage marks
+    only advance, so the furthest (in step direction) is the
+    never-recycle floor even when a later definition rewrite forgot
+    to carry it. Returns None when no matching action has a mark."""
+    step = int(spec["step"])
     highs = [
         a["identityHigh"]
         for a in acts
         if a.get("action") == "metaData"
+        and (a.get("identity") or {}).get(col) == spec
         and a.get("identityHigh") is not None
     ]
     if not highs:
@@ -493,9 +501,9 @@ class TxnLogWriter:
             ident = meta_then.get("identity") or {}
             if ident:
                 ((_c, spec),) = ident.items()
-                high = _identity_high(
-                    acts_then + acts_now, int(spec["step"])
-                )
+                # acts_now is a SUPERSET of acts_then (history is
+                # append-only), so one lineage-scoped walk suffices
+                high = _identity_high(acts_now, _c, spec)
                 if high is not None:
                     txn.actions[-1]["identityHigh"] = high
         cons_then = _newest_action(acts_then, "constraints")
@@ -585,7 +593,7 @@ class TxnLogWriter:
             ident = newest["metaData"].get("identity") or {}
             if ident:
                 ((_c, spec),) = ident.items()
-                high = _identity_high(acts, int(spec["step"]))
+                high = _identity_high(acts, _c, spec)
                 if high is not None:
                     txn.actions[-1]["identityHigh"] = high
         if "constraints" in newest:
@@ -696,6 +704,40 @@ class TxnLogWriter:
                 doomed.append(f)
         for name in doomed:
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        # UNTRACKED orphans (r14 review): a claim-by-rename append that
+        # aborted after its claim — or a writer that crashed between
+        # parquet write and rename — leaves a directory the log never
+        # references (no add, no remove), which the remove-based sweep
+        # above can never collect and which permanently burns its name
+        # for future appends. Anything under the table root that no
+        # action (add/remove/dv sidecar) names is such an orphan;
+        # delete it under the same retention policy (mtime-gated when
+        # a window is set — a window is also what protects a LIVE
+        # in-flight claim, so production vacuums should always pass
+        # one; without a window, vacuum-vs-writer concurrency is the
+        # documented operator exclusion zone, as for RESTORE).
+        referenced = set(last)
+        for a in self._actions_between(0, self.latest_version()):
+            if a.get("action") == "dv":
+                referenced.add(a["dv"])
+        log_base = os.path.basename(os.path.normpath(self.log_dir))
+        for name in sorted(os.listdir(self.root)):
+            if name in referenced or name == log_base:
+                continue
+            p = os.path.join(self.root, name)
+            if cutoff is not None:
+                try:
+                    if int(os.path.getmtime(p) * 1000) > cutoff:
+                        continue  # too fresh — may be an active claim
+                except OSError:
+                    continue
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.exists(p):  # a plain file, not a directory
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            doomed.append(name)
         if not deferred:
             for v in self._commit_versions():
                 if v <= ckpt:
@@ -823,7 +865,7 @@ class TxnLogWriter:
             if ident:
                 line["identity"] = ident
                 ((_c, spec),) = ident.items()
-                high = _identity_high(acts, int(spec["step"]))
+                high = _identity_high(acts, _c, spec)
                 if high is not None:
                     line["identityHigh"] = high
             lines.append(line)
@@ -1428,10 +1470,11 @@ def append_with_identity(
         )
     _refuse_live_name(name, acts)
     start, step = int(spec["start"]), int(spec["step"])
-    # furthest-ever mark over ALL visible metaData actions — robust
-    # against definition rewrites that dropped the mark from the
-    # newest action (r14; checkpoints also re-carry it)
-    found = _identity_high(acts, step)
+    # furthest mark within THIS declaration lineage — robust against
+    # definition rewrites that dropped the mark from the newest
+    # action, while a re-declared DIFFERENT spec starts fresh
+    # (r14 review; checkpoints also re-carry the mark)
+    found = _identity_high(acts, col, spec)
     hwm = start - step if found is None else int(found)
     rank = F.row_number().over(Window.orderBy(spec["order_by"]))
     df = df.withColumn(
