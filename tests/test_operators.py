@@ -4852,6 +4852,72 @@ def test_identity_high_water_survives_restore_and_clone(spark, tmp_path):
     assert row["sid"] == 18, "checkpoint dropped the identity mark"
 
 
+def test_identity_lineage_keyed_on_step_sign(spark, tmp_path):
+    """Lineage is (column, step SIGN), not full spec equality (r14
+    ADVICE): re-declaring with only order_by / start / step-magnitude
+    changed inherits the old marks — sids carried by live rows are
+    never re-issued — and a re-declared start is honored only when it
+    moves FORWARD past every issued sid. A step-sign flip starts a
+    genuinely fresh lineage."""
+    import os
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_identity,
+    )
+
+    schema = "k long, k2 long, sid long"
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()
+
+    def batch(*ks):
+        return spark.createDataFrame(
+            [(k, -k) for k in ks], "k long, k2 long"
+        )
+
+    append_with_identity(w, batch(1, 2), "a")  # sids 10, 12 live
+
+    # order_by-only rewrite, same direction: marks must carry
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k2"}},
+    ).commit()
+    append_with_identity(w, batch(3), "b")
+    (row,) = spark.read.parquet(os.path.join(root, "b")).collect()
+    assert row["sid"] == 14, "order_by rewrite rewound the mark to start"
+
+    # start moved BACKWARD below issued sids: refused by the floor
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 0, "step": 2, "order_by": "k"}},
+    ).commit()
+    append_with_identity(w, batch(4), "c")
+    (row,) = spark.read.parquet(os.path.join(root, "c")).collect()
+    assert row["sid"] == 16, "backward start re-issued a live sid"
+
+    # start moved FORWARD past everything issued: honored
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 100, "step": 2, "order_by": "k"}},
+    ).commit()
+    append_with_identity(w, batch(5), "d")
+    (row,) = spark.read.parquet(os.path.join(root, "d")).collect()
+    assert row["sid"] == 100, "forward start jump was ignored"
+
+    # sign flip: fresh lineage, old direction's extreme is meaningless
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": -1, "step": -3, "order_by": "k"}},
+    ).commit()
+    append_with_identity(w, batch(6), "e")
+    (row,) = spark.read.parquet(os.path.join(root, "e")).collect()
+    assert row["sid"] == -1, "sign flip inherited the wrong extreme"
+
+
 def test_dynamic_session_running_max_semantics(spark, tmp_path):
     """Dynamic-gap sessions are INTERVAL-MERGE, not prev-row distance:
     a 60-minute purchase at t=0 covers a 5-minute error at t=40m even
@@ -4905,9 +4971,12 @@ def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
     review): an aborted claim-by-rename append leaves its parquet at
     the final name with no add/remove action, permanently burning the
     name — vacuum must reclaim it (and leaked .inflight scratch), so
-    the CommitConflict remediation message is actually true. Under a
-    retention window a FRESH orphan survives (it may be a live
-    in-flight claim)."""
+    the CommitConflict remediation message is actually true. The sweep
+    is age-gated even with retain_ms=None (r14 ADVICE: a built-in
+    minimum age protects a concurrent writer's just-claimed directory
+    whose commit hasn't landed), never touches `_`-prefixed metadata
+    names, and never touches an .inflight scratch whose pid is alive
+    — whatever its age."""
     import os
 
     from user_feed_cdc_spark.sources.txn_writer import (
@@ -4927,19 +4996,90 @@ def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
         f.write("x")
     with __import__("pytest").raises(CommitConflict):
         append_with_checks(w, df, "orphan")
-    os.makedirs(os.path.join(root, "g0.inflight.999.888"))  # leaked scratch
+    # leaked scratch of a DEAD pid (this test's own pid can't recycle
+    # while it runs, so pid 1's parent-of-none trick won't do — use a
+    # pid far above pid_max's default to guarantee ProcessLookupError)
+    dead = os.path.join(root, "g0.inflight.4194999.888")
+    os.makedirs(dead)
+    # leaked-looking scratch of a LIVE pid: protected at any age
+    alive = os.path.join(root, f"g1.inflight.{os.getpid()}.1")
+    os.makedirs(alive)
+    os.makedirs(os.path.join(root, "_BUILT_MARKER"))  # metadata name
 
     w.write_checkpoint(w.latest_version())
-    # retention window: fresh orphans are protected (may be live claims)
-    kept = w.vacuum(retain_ms=10_000)
+    # fresh orphans are protected even with NO window (built-in floor)
+    kept = w.vacuum()
     assert "orphan" not in kept and os.path.isdir(
         os.path.join(root, "orphan")
     )
-    # without a window (the documented exclusion-zone mode) both go
-    gone = w.vacuum()
-    assert "orphan" in gone and "g0.inflight.999.888" in gone
+    # age everything past both gates; live-pid scratch + _ names stay
+    old = __import__("time").time() - 3600
+    for name in ("orphan", "g0.inflight.4194999.888",
+                 f"g1.inflight.{os.getpid()}.1", "_BUILT_MARKER"):
+        os.utime(os.path.join(root, name), (old, old))
+    gone = w.vacuum(retain_ms=60_000)
+    assert "orphan" in gone and "g0.inflight.4194999.888" in gone
     assert not os.path.exists(os.path.join(root, "orphan"))
-    assert not os.path.exists(os.path.join(root, "g0.inflight.999.888"))
+    assert not os.path.exists(dead)
+    assert os.path.isdir(alive), "live-pid scratch must survive"
+    assert os.path.isdir(os.path.join(root, "_BUILT_MARKER"))
     # the burned name is usable again
     append_with_checks(w, df, "orphan")
     assert "orphan" in w.live_files()
+
+
+def test_vacuum_double_vacuum_keeps_checkpoint_only_live_files(
+    spark, tmp_path
+):
+    """The untracked-orphan sweep must see CHECKPOINT-carried
+    references (r14 ADVICE, high): after a vacuum prunes every commit
+    <= checkpoint, a live file whose add action survives only in the
+    checkpoint — and its dv/bloom sidecars — must NOT be swept as an
+    orphan by the next vacuum. Sequence: add a; checkpoint; vacuum
+    (prunes commits); age everything; vacuum again -> 'a' and its
+    sidecars are still on disk and still readable."""
+    import os
+    import time
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_checks,
+    )
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root, checkpoint_interval=1)
+    df = spark.range(6).withColumnRenamed("id", "value")
+    append_with_checks(w, df, "a")
+    # attach a dv sidecar + a bloom sidecar so the checkpoint carries
+    # both reference kinds
+    spark.range(1).write.mode("overwrite").parquet(
+        os.path.join(root, "a_dv")
+    )
+    spark.range(1).write.mode("overwrite").parquet(
+        os.path.join(root, "a_bloom")
+    )
+    t = w.begin().set_dv("a", "a_dv")
+    t.actions.append(
+        {"action": "add", "file": "a", "dataChange": False,
+         "bloom": "a_bloom"}
+    )
+    t.commit()
+    w.write_checkpoint(w.latest_version())
+
+    gone1 = w.vacuum()  # prunes commits <= checkpoint, nothing deferred
+    assert not [
+        v for v in os.listdir(w.log_dir)
+        if v.endswith(".json") and not v.endswith(".checkpoint.json")
+    ], "first vacuum should prune every commit at/below the checkpoint"
+    # age every path far beyond any freshness floor
+    old = time.time() - 7 * 86400
+    for name in os.listdir(root):
+        os.utime(os.path.join(root, name), (old, old))
+    gone2 = w.vacuum()
+    for name in ("a", "a_dv", "a_bloom"):
+        assert os.path.isdir(os.path.join(root, name)), (
+            f"double-vacuum deleted live {name!r}: {gone1} / {gone2}"
+        )
+    assert w.live_files() == ["a"]
+    # and the table still reads
+    assert spark.read.parquet(os.path.join(root, "a")).count() == 6

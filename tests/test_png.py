@@ -110,6 +110,22 @@ def test_colour_key_trns_expands_alpha():
     assert list(red) == [1000 >> 8, 255, 0, 0, 2000 >> 8, 255, 0, 0]
 
 
+def test_colour_key_trns_out_of_range_refuses():
+    """A tRNS colour-key sample above the bit-depth range is
+    spec-invalid and must REFUSE (r14 ADVICE): masking it to the
+    depth silently aliased e.g. key 0x0148 at depth 8 onto sample
+    0x48, making real pixels transparent."""
+    import pytest
+
+    px = bytes([65, 7, 90, 7, 7, 66, 91, 65])
+    enc = encode_png(
+        4, 2, px, grayscale=True, row_filters=[0, 2],
+        transparency=struct.pack(">H", 0x0148),  # > 255 at depth 8
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(enc)
+
+
 def test_16bit_round_trip_and_msb_reduction():
     """16-bit lanes on every non-palette colour type, sequential and
     Adam7, all five filters: raw16 decode reproduces the exact

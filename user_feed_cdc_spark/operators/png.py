@@ -449,13 +449,22 @@ def decode_png(payload: bytes, raw16: bool = False) -> tuple[int, int, bytes]:
                         f"PNG colour-key tRNS for colour type {ctype} "
                         f"must be {want} bytes, got {len(body)}"
                     )
-                # stored as 16-bit sample values; at depth 8 only the
-                # low-order bits are significant (spec §11.3.2.1)
-                mask = (1 << depth) - 1
+                # stored as 16-bit sample values; a value above the
+                # bit-depth range is spec-invalid and REFUSES (r14
+                # ADVICE: masking it silently aliased an out-of-range
+                # key onto a real in-range value, turning pixels
+                # transparent — inconsistent with this codec's
+                # refuse-loudly posture for malformed inputs)
+                limit = (1 << depth) - 1
                 colour_key = tuple(
-                    (struct.unpack_from(">H", body, 2 * i)[0]) & mask
+                    struct.unpack_from(">H", body, 2 * i)[0]
                     for i in range(want // 2)
                 )
+                if any(v > limit for v in colour_key):
+                    raise ValueError(
+                        f"PNG tRNS colour-key sample out of range for "
+                        f"bit depth {depth}: {colour_key}"
+                    )
             else:
                 raise ValueError(
                     "PNG tRNS is invalid for alpha colour types (4/6)"

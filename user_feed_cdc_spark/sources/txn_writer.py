@@ -127,30 +127,61 @@ def _newest_dv_of(
     return {f: dv for f, (_v, dv) in newest.items()}
 
 
+# Built-in freshness floor for vacuum's UNTRACKED-orphan sweep when the
+# caller passes no retention window (r14 ADVICE): long enough that any
+# healthy writer's write-parquet -> rename claim completes inside it.
+_ORPHAN_MIN_AGE_MS = 10 * 60 * 1000
+
+
+def _inflight_pid_alive(name: str) -> bool:
+    """True when `name` is a claim-by-rename scratch dir
+    (`<table>.inflight.<pid>.<tid>`) whose owning pid is still running
+    ON THIS HOST — vacuum must never sweep a live writer's scratch,
+    whatever its age (the writer may be paused pre-rename). A dead
+    pid, a foreign-format name, or an unparseable pid is NOT protected
+    (the age gate still applies to those)."""
+    parts = name.split(".inflight.")
+    if len(parts) != 2:
+        return False
+    try:
+        pid = int(parts[1].split(".")[0])
+    except ValueError:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OverflowError, ValueError):
+        return True  # exists but not ours — assume alive
+    return True
+
+
 def _identity_high(acts: list[dict], col: str, spec: dict) -> int | None:
     """The identity high-water mark over every visible metaData action
-    OF THE SAME DECLARATION LINEAGE — marks are matched on (column,
-    spec) identity, so a dropped-and-re-declared identity column with
-    a DIFFERENT spec starts a genuinely fresh lineage (start/step of
-    its own), while an identical re-declaration — or a RESTORE across
-    an interlude — keeps inheriting its old marks and can never
-    recycle (r14 review: an unscoped furthest-ever leaked one
-    lineage's marks into another, and a step-sign change picked the
-    wrong extreme from the old direction). Within one lineage marks
-    only advance, so the furthest (in step direction) is the
-    never-recycle floor even when a later definition rewrite forgot
-    to carry it. Returns None when no matching action has a mark."""
-    step = int(spec["step"])
+    OF THE SAME DECLARATION LINEAGE — a lineage is keyed on (column,
+    step SIGN), not full spec equality (r14 ADVICE): re-declaring the
+    column with only order_by, start, or step MAGNITUDE changed keeps
+    inheriting the old marks, so sids issued to live rows under the
+    previous declaration can never be re-issued (Delta: the mark never
+    rewinds). Only a step-sign flip starts a genuinely fresh lineage —
+    the old direction's extreme is meaningless to the new one (r14
+    review: an unscoped furthest-ever picked the wrong extreme there).
+    Within one lineage marks only advance, so the furthest (in step
+    direction) is the never-recycle floor even when a later definition
+    rewrite forgot to carry it. Returns None when no same-direction
+    action has a mark."""
+    sign = 1 if int(spec["step"]) > 0 else -1
     highs = [
         a["identityHigh"]
         for a in acts
         if a.get("action") == "metaData"
-        and (a.get("identity") or {}).get(col) == spec
+        and (s := (a.get("identity") or {}).get(col)) is not None
+        and (1 if int(s["step"]) > 0 else -1) == sign
         and a.get("identityHigh") is not None
     ]
     if not highs:
         return None
-    return max(highs) if step > 0 else min(highs)
+    return max(highs) if sign > 0 else min(highs)
 
 
 def _newest_action(acts: list[dict], kind: str) -> dict | None:
@@ -710,27 +741,60 @@ class TxnLogWriter:
         # references (no add, no remove), which the remove-based sweep
         # above can never collect and which permanently burns its name
         # for future appends. Anything under the table root that no
-        # action (add/remove/dv sidecar) names is such an orphan;
-        # delete it under the same retention policy (mtime-gated when
-        # a window is set — a window is also what protects a LIVE
-        # in-flight claim, so production vacuums should always pass
-        # one; without a window, vacuum-vs-writer concurrency is the
-        # documented operator exclusion zone, as for RESTORE).
+        # action names is such an orphan; delete it behind an age gate.
+        #
+        # `referenced` MUST union the raw commit files with the
+        # CHECKPOINT-AWARE replay (r14 ADVICE, high): a prior vacuum
+        # with nothing deferred prunes every commit <= checkpoint, so
+        # a live file whose add action survives ONLY in the checkpoint
+        # — and any checkpoint-carried dv/bloom sidecar — is invisible
+        # to the raw scan and would be rmtree'd as an orphan on the
+        # NEXT vacuum: permanent loss of live data (add a; checkpoint;
+        # vacuum; vacuum -> deleted 'a'). Sidecar names ride the
+        # action payloads ("dv" on dv actions, "bloom" on adds), so
+        # both sources contribute file AND sidecar names.
         referenced = set(last)
-        for a in self._actions_between(0, self.latest_version()):
+        for a in (
+            self._actions_between(0, self.latest_version())
+            + self._replay_actions(self.latest_version())
+        ):
+            if "file" in a:
+                referenced.add(a["file"])
             if a.get("action") == "dv":
                 referenced.add(a["dv"])
+            if a.get("bloom"):
+                referenced.add(a["bloom"])
         log_base = os.path.basename(os.path.normpath(self.log_dir))
+        # Age gate (r14 ADVICE, medium): with retain_ms=None the sweep
+        # previously deleted ANY untracked path immediately — including
+        # a concurrent writer's just-claimed directory whose commit
+        # hadn't landed yet. Claim-by-rename is only crash-safe against
+        # vacuum if freshness protects the claim window, so a built-in
+        # minimum age applies even when the caller passed no window
+        # (an explicit retain_ms is the operator's choice and is
+        # honored as given, however small).
+        now = int(time.time() * 1000) if now_ms is None else now_ms
+        orphan_cutoff = cutoff if cutoff is not None else (
+            now - _ORPHAN_MIN_AGE_MS
+        )
         for name in sorted(os.listdir(self.root)):
             if name in referenced or name == log_base:
                 continue
+            if name.startswith("_"):
+                # Delta's convention: underscore-prefixed paths are
+                # metadata (_log, fixture markers like _BUILT), never
+                # vacuum candidates
+                continue
+            if _inflight_pid_alive(name):
+                # a live writer's scratch — its claim rename may land
+                # any moment; age says nothing about a paused process
+                continue
             p = os.path.join(self.root, name)
-            if cutoff is not None:
-                try:
-                    if int(os.path.getmtime(p) * 1000) > cutoff:
-                        continue  # too fresh — may be an active claim
-                except OSError:
-                    continue
+            try:
+                if int(os.path.getmtime(p) * 1000) > orphan_cutoff:
+                    continue  # too fresh — may be an active claim
+            except OSError:
+                continue
             shutil.rmtree(p, ignore_errors=True)
             if os.path.exists(p):  # a plain file, not a directory
                 try:
@@ -1470,12 +1534,18 @@ def append_with_identity(
         )
     _refuse_live_name(name, acts)
     start, step = int(spec["start"]), int(spec["step"])
-    # furthest mark within THIS declaration lineage — robust against
-    # definition rewrites that dropped the mark from the newest
-    # action, while a re-declared DIFFERENT spec starts fresh
-    # (r14 review; checkpoints also re-carry the mark)
+    # furthest mark within THIS declaration lineage (same column, same
+    # step sign — r14 ADVICE: order_by/start-only rewrites inherit;
+    # only a sign flip starts fresh). A re-declared start is honored
+    # only when it moves FORWARD past every issued sid — never
+    # backward, so live rows' sids can't be recycled.
     found = _identity_high(acts, col, spec)
-    hwm = start - step if found is None else int(found)
+    if found is None:
+        hwm = start - step
+    elif step > 0:
+        hwm = max(int(found), start - step)
+    else:
+        hwm = min(int(found), start - step)
     rank = F.row_number().over(Window.orderBy(spec["order_by"]))
     df = df.withColumn(
         col, (F.lit(hwm) + F.lit(step) * rank).cast("long")
