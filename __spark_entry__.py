@@ -79,9 +79,13 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # Rotation policy (r08): NEW entries first — zstd parquet +
         # .jsonl.zst round trips (r14 VERDICT gap 1), the LIVE
         # dynamic-gap session gate (gap 4, 19th live certification),
-        # and DV-aware OPTIMIZE (REORG/PURGE),
+        # DV-aware OPTIMIZE (REORG/PURGE), the from-the-spec Avro
+        # container codec, bin-packing small-file compaction, dynamic
+        # partition pruning, and the SCD2 point-in-time join,
         "source_parquet_zstd_roundtrip", "source_json_zstd_roundtrip",
         "streaming_dynamic_session_live", "source_txn_log_optimize_dv",
+        "source_avro_roundtrip", "source_txn_log_compact_small_files",
+        "source_partitioned_dpp", "cdc_scd2_pointintime_join",
         # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
         # fixes touched txn_writer (vacuum referenced-set, identity
         # lineage keying) and the PNG decoder (tRNS range refusal),

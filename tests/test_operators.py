@@ -5180,3 +5180,80 @@ def test_jsonl_zstd_shards_are_standard_frames(spark, sf_dir):
         df.write.mode("overwrite").option("compression", "zstd").json(
             os.path.join(root, "_jvm_probe")
         )
+
+
+def test_avro_wire_format_spec_vectors():
+    """The pure-stdlib Avro codec matches the PUBLIC spec's own
+    binary-encoding examples (Avro 1.11 "Binary Encoding": 0→00,
+    -1→01, 1→02, -2→03, 2→04, -64→7f, 64→80 01), so container files
+    written here are readable by any conforming implementation; plus
+    refusal posture: bad magic, foreign codec, sync corruption, and
+    out-of-scope schema nodes all refuse loudly."""
+    import pytest
+
+    from user_feed_cdc_spark.sources import avro_io as av
+
+    assert [
+        av.encode_long(n).hex()
+        for n in (0, -1, 1, -2, 2, -64, 64)
+    ] == ["00", "01", "02", "03", "04", "7f", "8001"]
+    for n in (0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        v, pos = av.decode_long(av.encode_long(n), 0)
+        assert v == n and pos == len(av.encode_long(n))
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": ["null", "boolean"]},
+            {"name": "e", "type": "bytes"},
+        ],
+    }
+    rows = [
+        (1, "x", 1.5, True, b"\x00\xff"),
+        (None, "émoji ☃", -0.0, None, b""),
+        (-(2**40), "", 3.141592653589793, False, b"abc"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        n = av.write_container(p, schema, iter(rows))
+        assert n == 3
+        data = open(p, "rb").read()
+        got_schema, got = av.read_container(data)
+        assert got == rows
+        assert got_schema["fields"][0]["name"] == "a"
+
+        # deflate blocks are RAW deflate (RFC 1951): the null-codec
+        # twin holds the same records, so payloads provably inflate
+        p2 = os.path.join(d, "t0.avro")
+        av.write_container(p2, schema, iter(rows), codec="null")
+        _, got_null = av.read_container(open(p2, "rb").read())
+        assert got_null == rows
+
+        with pytest.raises(ValueError, match="magic"):
+            av.read_container(b"Obj\x02" + data[4:])
+        corrupt = bytearray(data)
+        corrupt[-1] ^= 0xFF  # last byte is inside the final sync
+        with pytest.raises(ValueError, match="sync"):
+            av.read_container(bytes(corrupt))
+        with pytest.raises(ValueError, match="unsupported Avro type"):
+            av.write_container(
+                os.path.join(d, "bad.avro"),
+                {
+                    "type": "record",
+                    "name": "r",
+                    "fields": [
+                        {
+                            "name": "a",
+                            "type": {"type": "array", "items": "long"},
+                        }
+                    ],
+                },
+                iter([([1],)]),
+            )

@@ -1394,3 +1394,25 @@ def test_png_stats_payloads_never_shuffle(spark, sf_dir):
     head = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in head
     assert head.count("MapInPandas") == 2  # build + decode stages
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """source_partitioned_dpp: the dimension filter must reach the
+    partitioned fact scan as a dynamicpruning subquery (Catalyst DPP
+    reusing the broadcast), so only the conversion partitions are
+    opened — without DPP the join is a full fact scan however
+    selective the dim filter is."""
+    import __spark_entry__ as em
+
+    df = em.queries()["source_partitioned_dpp"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    # runtime proof, not just the plan marker: after execution the
+    # fact scan must report having read only the 2 of 5 partitions
+    import re as _re
+
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"partitions read: (\d+)", scan.lower())
+    if m:  # metric present on this Spark build
+        assert int(m.group(1)) <= 2, scan[:2000]

@@ -324,6 +324,118 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_PIT_ORACLE = """
+    WITH chg AS (
+        SELECT event_id % 500 AS key, event_id, ts,
+               FLOOR(value * 100.0 + 0.5) / 100.0 AS val,
+               CASE WHEN event_id % 10 = 0 THEN 'u'
+                    WHEN event_id % 10 = 5 THEN 'd'
+                    ELSE 'c' END AS op
+        FROM events
+    ),
+    versions AS (
+        SELECT key, event_id, ts AS valid_from, val, op,
+               LEAD(ts) OVER (PARTITION BY key ORDER BY ts, event_id)
+                   AS valid_to
+        FROM chg
+    ),
+    alive AS (SELECT * FROM versions WHERE op <> 'd'),
+    facts AS (
+        SELECT user_id % 500 AS key, event_id AS fact_event_id, ts,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.key, f.fact_event_id, f.ts AS fact_ts, f.cents,
+           v.event_id AS version_event_id, v.val AS version_value,
+           v.event_id IS NOT NULL AS has_version
+    FROM facts f
+    LEFT JOIN alive v
+      ON f.key = v.key AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+"""
+
+
+@_register("cdc_scd2_pointintime_join", _SCD2_PIT_ORACLE)
+def cdc_scd2_pointintime_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POINT-IN-TIME join of a fact stream onto the SCD2 dimension —
+    "which dimension version was in force when this fact happened",
+    the query SCD2 history exists to answer (and the training-data
+    shape for leakage-free feature joins: a feature valid AFTER the
+    fact's timestamp must never attach). Each purchase joins the
+    version whose [valid_from, valid_to) covers its ts; a version
+    opened at exactly the fact's ts applies (inclusive start), a
+    version CLOSED at it does not (exclusive end), and facts before
+    any version — or after a delete tombstone closed coverage — carry
+    NULL with has_version=false.
+
+    Spark-first scale shape: NOT a range join. Because SCD2 intervals
+    tile the timeline per key, the point-in-time lookup is an AS-OF:
+    dim changes and facts UNION into one stream, one shuffle on key,
+    and `last(version, ignorenulls) OVER (ORDER BY ts, dim-first)`
+    carries the in-force version onto each fact row — delete
+    tombstones ride along as a non-null struct with null members, so
+    they CLOSE coverage through the same window instead of needing an
+    interval join. Cost: one exchange + one window over |facts|+|dim|
+    rows, vs the O(n·m)-prone inequality join the oracle runs; ties
+    at equal ts are resolved dim-first then by event_id, matching the
+    oracle's zero-width-interval algebra exactly (pytest-pinned in
+    the dynamic-session style)."""
+    from user_feed_cdc_spark.functions.numeric import round_half_up as r2
+
+    ver_type = "struct<version_event_id:bigint,version_value:double>"
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select(
+        (F.col("event_id") % 500).alias("key"),
+        "ts",
+        F.lit(1).alias("is_dim"),
+        F.struct(
+            F.when(_op() != "d", F.col("event_id"))
+            .alias("version_event_id"),
+            F.when(_op() != "d", r2(F.col("value")))
+            .alias("version_value"),
+        ).alias("ver"),
+        F.col("event_id").alias("seq"),
+        F.lit(None).cast("long").alias("fact_event_id"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 500).alias("key"),
+        "ts",
+        F.lit(0).alias("is_dim"),
+        F.lit(None).cast(ver_type).alias("ver"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("fact_event_id"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("key")
+        .orderBy(F.col("ts"), F.col("is_dim").desc(), F.col("seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dim.unionByName(facts)
+        .withColumn("inforce", F.last("ver", ignorenulls=True).over(w))
+        .filter(F.col("is_dim") == 0)
+        .select(
+            "key",
+            "fact_event_id",
+            F.col("ts").alias("fact_ts"),
+            "cents",
+            F.col("inforce.version_event_id").alias("version_event_id"),
+            F.col("inforce.version_value").alias("version_value"),
+            F.col("inforce.version_event_id")
+            .isNotNull()
+            .alias("has_version"),
+        )
+    )
+
+
 _METADATA_MAP_ORACLE = """
     WITH base AS (
         SELECT event_type, event_id, props FROM events
