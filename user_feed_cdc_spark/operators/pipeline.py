@@ -2712,3 +2712,74 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= 2)
         ).alias("keep"),
     )
+
+
+_OBSERVED_METRICS_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_non_en,
+           CAST(SUM(CASE WHEN n_chars >= 100 AND lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+"""
+
+
+@_register("pipeline_observed_metrics", _OBSERVED_METRICS_ORACLE)
+def pipeline_observed_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-quality counters VIA `observe()` — metrics collected on a
+    pass the pipeline already pays for (Spark's Observation API /
+    CollectMetrics node), the production alternative to running a
+    second aggregation job over the corpus just to fill a dashboard.
+    The observe node attaches BEFORE the keep-filter, so it sees every
+    document exactly once while the filter does its real work
+    downstream — corpus size, short-doc and non-English counts, total
+    chars, and the kept count all materialize as a side effect of one
+    action, then certify against the oracle running the equivalent
+    stand-alone aggregate. A metric miscounted by filter pushdown
+    reordering (the classic observe() hazard — Spark guarantees
+    CollectMetrics is a barrier the optimizer cannot push a filter
+    through) moves the hash.
+
+    At 100 TB this is strictly better than metrics-as-a-second-query:
+    zero extra scans, map-side-combined accumulation riding the
+    existing exchange-free projection, driver receives ONE row."""
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_quality")
+    docs = load_table(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("n_non_en"),
+        F.sum(
+            ((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
+            .cast("long")
+        ).alias("n_kept"),
+    )
+    kept = docs.filter((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
+    n_kept_action = kept.count()  # the real pass; metrics ride it
+    got = obs.get
+    if got["n_kept"] != n_kept_action:
+        raise ValueError(
+            f"observe() disagrees with the action it rode: "
+            f"{got['n_kept']} vs {n_kept_action}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                got["n_docs"],
+                got["n_short"],
+                got["total_chars"],
+                got["n_non_en"],
+                got["n_kept"],
+            )
+        ],
+        "n_docs long, n_short long, total_chars long, n_non_en long, "
+        "n_kept long",
+    )

@@ -5550,6 +5550,94 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fidelity_agg(back)
 
 
+_AVRO_LIVE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("streaming_avro_events_live", _AVRO_LIVE_ORACLE)
+def streaming_avro_events_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro shards ARRIVING — the 20th live streaming certification:
+    the same Object Container Files the batch round trip certifies
+    replay as a `binaryFile` FILE STREAM (maxFilesPerTrigger forcing
+    multiple micro-batches), each shard runs the identical spec
+    decoder inside Arrow-batched mapInPandas, timestamps reconstruct
+    via `timestamp_micros`, and a per-type rollup in complete mode
+    drains through the memory sink under the oracle hash. This is the
+    production arrival shape of a schema-registry CDC lake: Avro
+    shards land as files, each is decoded exactly once per trigger,
+    and batch-stream equivalence is certified, not assumed (the
+    fidelity aggregate swaps countDistinct for a timestamp
+    microsecond sum — distinct aggregation is unsupported over
+    streams, and the ts_us_sum still catches any lost microsecond).
+
+    At 100 TB: stateless per-file decode (no watermark, no state
+    store), per-trigger work bounded by maxFilesPerTrigger, payloads
+    never shuffle — the same posture as the binaryFile media
+    stream."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.streaming.windows import run_to_memory
+
+    root = _avro_dir(spark, sf_dir)
+    n_files = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
+    per_trigger = max(1, n_files // 3)
+
+    def decode(batches):
+        from user_feed_cdc_spark.sources.avro_io import read_container
+
+        names = [f["name"] for f in _AVRO_SCHEMA["fields"]]
+        for pdf in batches:
+            out: list[tuple] = []
+            for content in pdf["content"]:
+                _schema, rows = read_container(bytes(content))
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=names)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .load(root)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+    )
+    agg = (
+        stream.select(
+            "event_type",
+            "value",
+            F.timestamp_micros("ts").alias("ts"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("cents_sum"),
+            F.sum(F.unix_micros("ts") % 1000000000).alias("ts_us_sum"),
+        )
+    )
+    return run_to_memory(
+        spark, agg, "streaming_avro_events_live_sink", "complete"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IDENTITY columns on the txn-log protocol (r14 — the generated-columns
 # sibling: engine-ASSIGNED values instead of engine-COMPUTED ones)
