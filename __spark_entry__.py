@@ -87,6 +87,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_avro_roundtrip", "source_txn_log_compact_small_files",
         "source_partitioned_dpp", "cdc_scd2_pointintime_join",
         "streaming_avro_events_live", "pipeline_observed_metrics",
+        "source_txn_log_multipart_checkpoint",
         # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
         # fixes touched txn_writer (vacuum referenced-set, identity
         # lineage keying) and the PNG decoder (tRNS range refusal),
@@ -114,11 +115,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "feed_topk_per_user", "cdc_merge_into_state",
         "text_tfidf_cosine_pairs", "events_moment_profile",
         "events_corr_value_hour", "events_iqr_outliers",
-        "streaming_sliding_counts_live",
         # ---- window boundary (first 50 above) ----
         # certified tail, stalest driver row first (r08 remainder,
         # then r09, r10, ... — freshest last)
-        "union_by_name_evolution",
+        "streaming_sliding_counts_live", "union_by_name_evolution",
         "string_collation_groups", "events_daily_locf",
         "feed_page_parameterized", "source_python_datasource_write",
         "pipeline_linear_quality_score",

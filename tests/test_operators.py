@@ -5257,3 +5257,63 @@ def test_avro_wire_format_spec_vectors():
                 },
                 iter([([1],)]),
             )
+
+
+def test_multipart_checkpoint_replay_and_refusals(spark, tmp_path):
+    """Multi-part checkpoints (r15): (a) writer-side replay through
+    parts equals the single-file form action-for-action (stats, dv,
+    txn watermarks, schema all carried); (b) a pointer whose parts
+    are missing REFUSES rather than replaying a partial live set;
+    (c) part files are never miscounted as commit versions; (d)
+    vacuum works against a parts-only log."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    df = spark.range(8).withColumnRenamed("id", "value")
+    for name in ("a", "b", "c"):
+        df.write.mode("overwrite").parquet(os.path.join(root, name))
+        w.begin().add(name, min_id=1, max_id=8).commit()
+    w.begin().set_dv("b", "bdv").set_txn("app1", 7).commit()
+    w.begin().remove("c").commit()
+    head = w.latest_version()
+
+    w.write_checkpoint(head)  # single-file reference
+    single = w._checkpoint_lines(head)
+    w.write_checkpoint(head, parts=3)
+    multi = w._checkpoint_lines(head)
+    def json_key(a):
+        import json as _j
+
+        return _j.dumps(a, sort_keys=True)
+
+    assert sorted(map(json_key, single)) == sorted(map(json_key, multi))
+
+    # (c) phantom versions: parts must not register as commits
+    assert w.latest_version() == head
+    assert w.live_files() == ["a", "b"]
+
+    # (d) vacuum against parts-only history (prunes all commits)
+    import time
+    w.vacuum(retain_ms=0, now_ms=int(time.time() * 1000))
+    assert w.live_files() == ["a", "b"]
+    # dv association survives through the parts
+    from user_feed_cdc_spark.sources.txn_writer import _newest_dv_of
+    acts = w._replay_actions(w.latest_version())
+    assert _newest_dv_of(acts, {"a", "b"}) == {"b": "bdv"}
+
+    # (b) a missing part refuses loudly
+    part0 = [
+        n for n in os.listdir(w.log_dir)
+        if ".checkpoint.0000.0003" in n
+    ][0]
+    os.rename(
+        os.path.join(w.log_dir, part0),
+        os.path.join(w.log_dir, part0 + ".hidden"),
+    )
+    with pytest.raises(ValueError, match="incomplete"):
+        w.live_files()

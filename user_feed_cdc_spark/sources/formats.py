@@ -1052,18 +1052,41 @@ def read_txn_log_checkpointed(
     import json
 
     with open(os.path.join(log_dir, "_last_checkpoint")) as f:
-        ckpt_version = json.loads(f.readline())["version"]
+        pointer = json.loads(f.readline())
+    ckpt_version, parts = pointer["version"], pointer.get("parts")
     tail = [
         os.path.join(log_dir, name)
         for name in os.listdir(log_dir)  # planning step: |log| names
         if name.endswith(".json")
-        and not name.endswith(".checkpoint.json")
+        and ".checkpoint." not in name  # multi-part files end .json too
         and int(name.split(".")[0]) > ckpt_version
     ]
+    if parts is None:
+        ckpt_paths = [
+            os.path.join(log_dir, f"{ckpt_version:05d}.checkpoint.json")
+        ]
+    else:
+        # multi-part checkpoint (r15): the pointer names the part
+        # count; a missing part REFUSES rather than replaying a
+        # partial live set. The part files load as ONE distributed
+        # json read — at Delta scale this is the entire point of the
+        # layout (a million-file live set loads in parallel).
+        ckpt_paths = [
+            os.path.join(
+                log_dir,
+                f"{ckpt_version:05d}.checkpoint."
+                f"{i:04d}.{parts:04d}.json",
+            )
+            for i in range(parts)
+        ]
+        missing = [p for p in ckpt_paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"checkpoint v{ckpt_version} is incomplete: "
+                f"{[os.path.basename(p) for p in missing]} missing"
+            )
     log_schema = "version long, action string, file string, minReader long"
-    base = spark.read.schema(log_schema).json(
-        os.path.join(log_dir, f"{ckpt_version:05d}.checkpoint.json")
-    )
+    base = spark.read.schema(log_schema).json(ckpt_paths)
     log = (
         base.unionByName(spark.read.schema(log_schema).json(tail))
         if tail  # a checkpoint at HEAD has no tail to replay
@@ -5548,6 +5571,93 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     return _fidelity_agg(back)
+
+
+_MULTIPART_CKPT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum
+    FROM events
+    WHERE event_id % 6 <> 5
+    GROUP BY event_type
+"""
+
+
+def _txn_multipart_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per (sf, mtime, rev)) a committer-written table
+    whose ONLY surviving state is a MULTI-PART checkpoint: six pmod-6
+    appends, one delete (f5 removed — replay must honor it through
+    the parts), `write_checkpoint(parts=3)` at HEAD, then a vacuum
+    that prunes every commit file — so any reader that cannot resolve
+    the part layout has nothing to fall back on."""
+    import time as _time
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnmultipart:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnmultipart", sf_dir, key)
+    log_dir = os.path.join(root, "_log")
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        w = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        for b in range(6):
+            ev.filter(F.pmod("event_id", F.lit(6)) == b).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, f"f{b}"))
+            w.begin().add(f"f{b}").commit()
+        w.begin().remove("f5").commit()
+        w.write_checkpoint(w.latest_version(), parts=3)
+        # prune history: pass an explicit aged now so the orphan
+        # age-gate math can't defer; the removed f5 dir goes too
+        w.vacuum(retain_ms=0, now_ms=int(_time.time() * 1000))
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root, log_dir
+
+
+@_register("source_txn_log_multipart_checkpoint", _MULTIPART_CKPT_ORACLE)
+def source_txn_log_multipart_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-PART checkpoints — Delta's `v.checkpoint.i-of-n` layout
+    (r15): the live-set materialization round-robins across N part
+    files and `_last_checkpoint` records {"version", "parts"}, the
+    form that keeps any single checkpoint file bounded as the live
+    set grows to millions of entries AND lets the reader load parts
+    as one distributed json read instead of a single-file bottleneck.
+    This table's history is fully vacuumed, so the three parts are
+    the ONLY source of state — a reader that loads a strict subset of
+    parts loses live files (and an in-flight delete carried by a
+    different part), which is exactly what the fidelity hash would
+    catch; missing parts REFUSE loudly (pytest-pinned) rather than
+    replaying a partial live set. The entry also refuses if the
+    layout on disk isn't genuinely multi-part.
+
+    At 100 TB: a single-file checkpoint of a 10M-file table is a
+    multi-GB JSON a driver must stream alone; parts bound file size
+    and parallelize the load — the same reason Delta shards
+    checkpoint parquet."""
+    root, log_dir = _txn_multipart_table(spark, sf_dir)
+    parts = [
+        n
+        for n in os.listdir(log_dir)
+        if ".checkpoint." in n and not n.endswith(".checkpoint.json")
+    ]
+    if len(parts) != 3:
+        raise ValueError(f"expected 3 checkpoint parts, got {parts}")
+    if any(
+        n.endswith(".checkpoint.json") for n in os.listdir(log_dir)
+    ):
+        raise ValueError("single-file checkpoint present alongside parts")
+    return _fidelity_agg(read_txn_log_checkpointed(spark, root, log_dir))
 
 
 _AVRO_LIVE_ORACLE = """

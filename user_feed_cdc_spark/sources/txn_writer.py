@@ -226,9 +226,11 @@ class TxnLogWriter:
             return []
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json") and not name.endswith(
-                ".checkpoint.json"
-            ):
+            # ".checkpoint." (not just the ".checkpoint.json" suffix)
+            # also excludes multi-part checkpoint files, whose names
+            # end ".{i}.{n}.json" — counting one as a commit would
+            # invent a phantom version (r15)
+            if name.endswith(".json") and ".checkpoint." not in name:
                 out.append(int(name.split(".")[0]))
         return sorted(out)
 
@@ -254,12 +256,50 @@ class TxnLogWriter:
                     )
         return acts
 
-    def _checkpoint_version(self) -> int | None:
+    def _checkpoint_meta(self) -> dict | None:
+        """Parsed `_last_checkpoint` pointer ({"version"} and, for a
+        multi-part checkpoint, {"parts"}), or None without one."""
         p = os.path.join(self.log_dir, "_last_checkpoint")
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.loads(f.readline())["version"]
+            return json.loads(f.readline())
+
+    def _checkpoint_version(self) -> int | None:
+        meta = self._checkpoint_meta()
+        return meta["version"] if meta else None
+
+    def _checkpoint_lines(self, ckpt: int) -> list[dict]:
+        """Action lines of the checkpoint at `ckpt`, resolving the
+        single-file and multi-part layouts from the pointer. A
+        pointer naming parts that are missing on disk REFUSES —
+        replaying a partial live set would silently drop files."""
+        meta = self._checkpoint_meta() or {}
+        parts = meta.get("parts") if meta.get("version") == ckpt else None
+        if parts is None:
+            paths = [
+                os.path.join(self.log_dir, f"{ckpt:05d}.checkpoint.json")
+            ]
+        else:
+            paths = [
+                os.path.join(
+                    self.log_dir,
+                    f"{ckpt:05d}.checkpoint.{i:04d}.{parts:04d}.json",
+                )
+                for i in range(parts)
+            ]
+        acts: list[dict] = []
+        for path in paths:
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"checkpoint v{ckpt} is incomplete: {path} is "
+                    "missing — refusing a partial live-set replay"
+                )
+            with open(path) as f:
+                acts.extend(
+                    json.loads(line) for line in f if line.strip()
+                )
+        return acts
 
     def _replay_actions(self, hi: int) -> list[dict]:
         """Checkpoint base (when one exists at or below hi) + tail —
@@ -267,9 +307,7 @@ class TxnLogWriter:
         correct after pre-checkpoint commits are vacuumed."""
         ckpt = self._checkpoint_version()
         if ckpt is not None and ckpt <= hi:
-            path = os.path.join(self.log_dir, f"{ckpt:05d}.checkpoint.json")
-            with open(path) as f:
-                acts = [json.loads(line) for line in f if line.strip()]
+            acts = self._checkpoint_lines(ckpt)
             lo = ckpt + 1
         else:
             acts, lo = [], 0
@@ -323,14 +361,9 @@ class TxnLogWriter:
         out: dict[int, int] = {}
         ckpt = self._checkpoint_version()
         if ckpt is not None:
-            path = os.path.join(self.log_dir, f"{ckpt:05d}.checkpoint.json")
-            with open(path) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    if a.get("action") == "commitInfo":
-                        out[a["version"]] = a["timestamp"]
+            for a in self._checkpoint_lines(ckpt):
+                if a.get("action") == "commitInfo":
+                    out[a["version"]] = a["timestamp"]
         for v in self._commit_versions():
             with open(os.path.join(self.log_dir, f"{v:05d}.json")) as f:
                 first = f.readline()
@@ -808,7 +841,7 @@ class TxnLogWriter:
                     os.remove(os.path.join(self.log_dir, f"{v:05d}.json"))
         return doomed
 
-    def write_checkpoint(self, version: int) -> None:
+    def write_checkpoint(self, version: int, parts: int | None = None) -> None:
         """Materialize the live set as of `version` (plus the newest
         txn action per app) into `{version:05d}.checkpoint.json`, then
         repoint `_last_checkpoint` atomically (tmp + rename) — a crash
@@ -821,7 +854,18 @@ class TxnLogWriter:
         log, and a name-only checkpoint would silently strip them the
         moment pre-checkpoint commits are vacuumed. The newest dv
         action per live file is carried forward for the same reason —
-        dropping it would resurrect deleted rows after a vacuum."""
+        dropping it would resurrect deleted rows after a vacuum.
+
+        `parts=N` writes a MULTI-PART checkpoint (Delta's
+        `v.checkpoint.i-of-n` form, r15): action lines round-robin
+        across `{version:05d}.checkpoint.{i:04d}.{N:04d}.json` and
+        `_last_checkpoint` records {"version", "parts"} — the layout
+        that keeps any one checkpoint file bounded as the live set
+        grows to millions of files, and lets a distributed reader
+        load parts in parallel. All parts land before the pointer
+        repoints, so a crash mid-write never strands a reader on a
+        partial set; readers REFUSE a pointer whose parts are missing
+        rather than replaying half a live set."""
         acts = self._replay_actions(version)
         winning_add: dict[str, dict] = {}
         for a in acts:
@@ -933,18 +977,43 @@ class TxnLogWriter:
                 if high is not None:
                     line["identityHigh"] = high
             lines.append(line)
-        ckpt = os.path.join(self.log_dir, f"{version:05d}.checkpoint.json")
-        tmp = ckpt + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            for line in lines:
-                f.write(json.dumps(line) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, ckpt)
+        if parts is None:
+            targets = [
+                (
+                    os.path.join(
+                        self.log_dir, f"{version:05d}.checkpoint.json"
+                    ),
+                    lines,
+                )
+            ]
+            pointer: dict = {"version": version}
+        else:
+            if parts < 1:
+                raise ValueError("checkpoint parts must be >= 1")
+            targets = [
+                (
+                    os.path.join(
+                        self.log_dir,
+                        f"{version:05d}.checkpoint."
+                        f"{i:04d}.{parts:04d}.json",
+                    ),
+                    lines[i::parts],
+                )
+                for i in range(parts)
+            ]
+            pointer = {"version": version, "parts": parts}
+        for ckpt, chunk in targets:
+            tmp = ckpt + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                for line in chunk:
+                    f.write(json.dumps(line) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, ckpt)
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
         tmp = ptr + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(json.dumps({"version": version}) + "\n")
+            f.write(json.dumps(pointer) + "\n")
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ptr)
