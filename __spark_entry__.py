@@ -88,6 +88,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_partitioned_dpp", "cdc_scd2_pointintime_join",
         "streaming_avro_events_live", "pipeline_observed_metrics",
         "source_txn_log_multipart_checkpoint",
+        "source_txn_log_hidden_partitioning",
+        "source_txn_log_string_stats_pruning",
         # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
         # fixes touched txn_writer (vacuum referenced-set, identity
         # lineage keying) and the PNG decoder (tRNS range refusal),
@@ -114,10 +116,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_dedup_live", "streaming_hourly_users_live",
         "feed_topk_per_user", "cdc_merge_into_state",
         "text_tfidf_cosine_pairs", "events_moment_profile",
-        "events_corr_value_hour", "events_iqr_outliers",
         # ---- window boundary (first 50 above) ----
         # certified tail, stalest driver row first (r08 remainder,
         # then r09, r10, ... — freshest last)
+        "events_corr_value_hour", "events_iqr_outliers",
         "streaming_sliding_counts_live", "union_by_name_evolution",
         "string_collation_groups", "events_daily_locf",
         "feed_page_parameterized", "source_python_datasource_write",

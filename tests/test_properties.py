@@ -795,3 +795,25 @@ def test_avro_container_round_trip_any_rows(rows, codec):
     for (a, b, c, dd, e), (ga, gb, gc, gd, ge) in zip(rows, got):
         assert ga == a and gb == b and gd == dd and ge == e
         assert struct.pack("<d", c) == struct.pack("<d", gc)
+
+
+@given(st.text(min_size=33, max_size=200), st.text(max_size=160))
+@settings(max_examples=200, deadline=None)
+def test_truncated_upper_bound_is_a_true_bound(s, ext):
+    """_truncated_upper_bound(s, 32) must sort ABOVE every string that
+    shares s's 32-char prefix — in particular above s itself and above
+    any extension of the prefix (the property a plain prefix VIOLATES,
+    which is the pruning bug the helper exists to prevent). The plain
+    prefix must conversely sort <= s (valid lower bound)."""
+    from user_feed_cdc_spark.sources.formats import (
+        _truncated_upper_bound,
+    )
+
+    ub = _truncated_upper_bound(s, 32)
+    assert s[:32] <= s  # prefix is a valid LOWER bound
+    if ub is None:
+        # every prefix char at the codepoint ceiling — legal refusal
+        assert all(ord(c) >= 0x10FFFF for c in s[:32])
+        return
+    assert ub > s, (ub, s)
+    assert ub > s[:32] + ext

@@ -5660,6 +5660,267 @@ def source_txn_log_multipart_checkpoint(
     return _fidelity_agg(read_txn_log_checkpointed(spark, root, log_dir))
 
 
+_HIDDEN_PART_ORACLE = """
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS day0 FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events, d0
+    WHERE ts >= CAST(day0 AS TIMESTAMP) + INTERVAL 7 DAY
+                + INTERVAL 12 HOUR
+      AND ts <  CAST(day0 AS TIMESTAMP) + INTERVAL 12 DAY
+                + INTERVAL 6 HOUR
+    GROUP BY event_type
+"""
+
+
+def _txn_hidden_part_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, mtime, rev)) a table HIDDEN-PARTITIONED by
+    day(ts) — Iceberg's transform partitioning: one file per calendar
+    day, each add action carrying partitionValues {"ts_day": ISO day}
+    DERIVED from the ts column, while ts itself stays in the data
+    files (no partition column is split out of the schema, unlike the
+    hive layout). Readers never see the layout; they prune on ts
+    predicates."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnhidden:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnhidden", sf_dir, key)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        w = TxnLogWriter(root)
+        ev = load_table(spark, sf_dir, "events")
+        days = [
+            r[0].isoformat()
+            for r in ev.select(F.to_date("ts").alias("d"))
+            .distinct()
+            .orderBy("d")
+            .collect()
+        ]  # planning scale: |days| rows
+        txn = w.begin()
+        for d in days:
+            name = "d_" + d.replace("-", "")
+            ev.filter(F.to_date("ts") == d).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, name))
+            txn.add(name, partition_values={"ts_day": d})
+        txn.commit()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@_register("source_txn_log_hidden_partitioning", _HIDDEN_PART_ORACLE)
+def source_txn_log_hidden_partitioning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN PARTITIONING — Iceberg's transform partitioning
+    (`PARTITIONED BY days(ts)`), the feature that removes the classic
+    hive trap where users must know the layout and filter on a
+    separate partition column: the log's add actions carry a DERIVED
+    partition value (day(ts)) while ts stays a normal data column,
+    and the reader converts a plain ts range predicate into a day
+    range over the LOG ALONE — catalog-scale planning, zero data I/O
+    — scans only the covered day files, and applies the original
+    predicate as the residual filter for the partial boundary days.
+    Pruning is pinned in-query (the scan must read exactly the
+    covered-day files; a reader that fell back to scan-everything
+    refuses), and the per-type rollup hashes against the oracle
+    running the plain ts range over the original table.
+
+    At 100 TB this is why Iceberg queries stay fast without layout
+    literacy: every time-ranged query on an event lake auto-prunes to
+    its days; the transform evolves (day→hour) by writing new adds
+    with the new transform, readers unchanged."""
+    import datetime as _dt
+
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = _txn_hidden_part_table(spark, sf_dir)
+    day0 = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min(F.to_date("ts")))
+        .first()[0]
+    )  # planning: one scalar
+    lo = _dt.datetime.combine(
+        day0 + _dt.timedelta(days=7), _dt.time(12, 0)
+    )
+    hi = _dt.datetime.combine(
+        day0 + _dt.timedelta(days=12), _dt.time(6, 0)
+    )
+    # predicate -> day range, resolved against the log alone
+    lo_day, hi_day = lo.date(), hi.date()
+    w = TxnLogWriter(root)
+    adds = w._winning_adds(w.latest_version())
+    survivors = sorted(
+        f
+        for f, a in adds.items()
+        if lo_day
+        <= _dt.date.fromisoformat(a["partition_values"]["ts_day"])
+        <= hi_day
+    )
+    if not survivors or len(survivors) >= len(adds):
+        raise RuntimeError(
+            f"hidden-partition pruning ineffective: {len(survivors)} "
+            f"of {len(adds)} files survive"
+        )
+    scan = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        *[os.path.join(root, f) for f in survivors]
+    )
+    got = {os.path.basename(os.path.dirname(p)) for p in scan.inputFiles()}
+    if got != set(survivors):
+        raise RuntimeError(f"scan read beyond the pruned set: {got}")
+    # residual: exact bounds for the partial boundary days
+    snap = scan.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+    )
+
+
+_STRING_STATS_ORACLE = """
+    WITH probe AS (
+        SELECT MAX(text) AS t FROM documents WHERE doc_id % 8 = 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents, probe
+    WHERE text = t
+"""
+
+
+def _truncated_upper_bound(s: str, width: int) -> str | None:
+    """Delta/Iceberg's truncated string MAX: keep `width` chars, then
+    INCREMENT the last incrementable char so the prefix stays a true
+    UPPER bound of the full value (a plain prefix sorts BELOW the
+    original — pruning on it silently drops matching files, the
+    classic truncation bug). Walks backward past non-incrementable
+    chars; returns None when nothing can be incremented (the stat is
+    then omitted and the file never prunes — conservative)."""
+    if len(s) <= width:
+        return s
+    prefix = s[:width]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp + 1)
+    return None
+
+
+def _txn_string_stats_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, mtime, rev)) a documents table whose add
+    actions carry 32-char TRUNCATED string min/max stats on `text` —
+    min as a plain prefix (a prefix is already a valid lower bound),
+    max through _truncated_upper_bound."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"txnstrstats:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("txnstrstats", sf_dir, key)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        w = TxnLogWriter(root)
+        docs = load_table(spark, sf_dir, "documents")
+        txn = w.begin()
+        for b in range(8):
+            part = docs.filter(F.pmod("doc_id", F.lit(8)) == b)
+            part.write.mode("overwrite").parquet(
+                os.path.join(root, f"b{b}")
+            )
+            st = part.agg(
+                F.min("text").alias("mn"), F.max("text").alias("mx")
+            ).first()
+            stats = {"min_text": st.mn[:32]}
+            ub = _truncated_upper_bound(st.mx, 32)
+            if ub is not None:
+                stats["max_text"] = ub
+            txn.add(f"b{b}", **stats)
+        txn.commit()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root
+
+
+@_register("source_txn_log_string_stats_pruning", _STRING_STATS_ORACLE)
+def source_txn_log_string_stats_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUNCATED STRING statistics — data skipping on long strings,
+    with the bound-correctness subtlety Delta/Iceberg both implement:
+    stats on a 150+-char text column are stored as 32-char prefixes,
+    a prefix is a valid LOWER bound as-is, but a prefix used as the
+    UPPER bound sorts BELOW the real maximum — a point lookup for any
+    value extending the prefix would prune away its own file. The
+    committer therefore stores max = prefix with its last
+    incrementable char bumped (_truncated_upper_bound), and this
+    entry PROVES the hazard is real before relying on the fix: it
+    refuses unless the probe (the longest text of bucket 3) actually
+    sorts ABOVE the naive truncated max — i.e. naive truncation WOULD
+    have mispruned — then prunes files by [min_text, max_text] from
+    the log alone, scans the survivors (inputFiles-gated), applies
+    the exact equality as the residual filter, and hashes the matched
+    rows against the oracle.
+
+    At 100 TB: string stats cost O(32 bytes/file) in the log instead
+    of O(longest value), and point/range lookups on URLs, ids, and
+    content hashes prune at catalog scale — but only if the
+    truncation math preserves boundhood, which is exactly what the
+    refusal pins."""
+    from user_feed_cdc_spark.sources.txn_writer import TxnLogWriter
+
+    root = _txn_string_stats_table(spark, sf_dir)
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(8)) == 3)
+        .agg(F.max("text"))
+        .first()[0]
+    )  # planning: one scalar
+    if not probe > probe[:32]:
+        raise RuntimeError(
+            "fixture degenerate: probe does not extend its prefix — "
+            "the truncation hazard this entry certifies is absent"
+        )
+    w = TxnLogWriter(root)
+    adds = w._winning_adds(w.latest_version())
+    survivors = sorted(
+        f
+        for f, a in adds.items()
+        if a["min_text"] <= probe
+        and ("max_text" not in a or probe <= a["max_text"])
+    )
+    if "b3" not in survivors:
+        raise RuntimeError(
+            "truncated-max bound dropped the probe's own file — the "
+            "bug _truncated_upper_bound exists to prevent"
+        )
+    if len(survivors) >= len(adds):
+        raise RuntimeError("string-stats pruning removed nothing")
+    scan = spark.read.schema(TABLE_SCHEMAS["documents"]).parquet(
+        *[os.path.join(root, f) for f in survivors]
+    )
+    got = {os.path.basename(os.path.dirname(p)) for p in scan.inputFiles()}
+    if got != set(survivors):
+        raise RuntimeError(f"scan read beyond the pruned set: {got}")
+    hit = scan.filter(F.col("text") == probe)
+    return hit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
 _AVRO_LIVE_ORACLE = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
