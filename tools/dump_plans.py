@@ -126,6 +126,10 @@ REPRESENTATIVE = [
     "source_txn_log_identity_columns",  # hwm-allocated ids, scan + 2-grp agg
     "pipeline_gopher_rules",  # rule gate: one codegen projection pass
     "events_dynamic_session_stats",  # per-event gap session merge
+    "cdc_scd2_pointintime_join",  # as-of union+window: one exchange, no range join
+    "source_partitioned_dpp",  # dynamicpruning subquery on the fact scan
+    "source_json_zstd_roundtrip",  # Arrow decompress-only stage + JVM from_json
+    "pipeline_observed_metrics",  # CollectMetrics riding the keep-filter pass
 ]
 
 
