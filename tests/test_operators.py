@@ -4908,14 +4908,15 @@ def test_identity_lineage_keyed_on_step_sign(spark, tmp_path):
     (row,) = spark.read.parquet(os.path.join(root, "d")).collect()
     assert row["sid"] == 100, "forward start jump was ignored"
 
-    # sign flip: fresh lineage, old direction's extreme is meaningless
+    # sign flip: REFUSED while the old direction's declarations are
+    # visible (r15 review) — a fresh opposite lineage honors any
+    # start and would descend straight through live rows' sids
     w.begin().set_metadata(
         schema,
         identity={"sid": {"start": -1, "step": -3, "order_by": "k"}},
     ).commit()
-    append_with_identity(w, batch(6), "e")
-    (row,) = spark.read.parquet(os.path.join(root, "e")).collect()
-    assert row["sid"] == -1, "sign flip inherited the wrong extreme"
+    with __import__("pytest").raises(ValueError, match="direction"):
+        append_with_identity(w, batch(6), "e")
 
 
 def test_dynamic_session_running_max_semantics(spark, tmp_path):

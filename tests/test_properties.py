@@ -817,3 +817,18 @@ def test_truncated_upper_bound_is_a_true_bound(s, ext):
         return
     assert ub > s, (ub, s)
     assert ub > s[:32] + ext
+    ub.encode("utf-8")  # never a lone surrogate (r15 review)
+
+
+def test_truncated_upper_bound_surrogate_gap():
+    """Incrementing U+D7FF must skip the UTF-16 surrogate gap: the
+    bound stays strict AND UTF-8-encodable."""
+    from user_feed_cdc_spark.sources.formats import (
+        _truncated_upper_bound,
+    )
+
+    s = "a" * 31 + "퟿" + "tail"
+    ub = _truncated_upper_bound(s, 32)
+    assert ub == "a" * 31 + ""
+    assert ub > s
+    ub.encode("utf-8")

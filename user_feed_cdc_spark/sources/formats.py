@@ -5282,25 +5282,39 @@ def source_parquet_zstd_roundtrip(
             .option("compression", "zstd")
             .parquet(path)
         )
-        parts = [n for n in os.listdir(path) if n.startswith("part-")]
-        if not parts or not all(
-            n.endswith(".zstd.parquet") for n in parts
-        ):
-            raise ValueError(
-                f"zstd parquet write produced wrong suffixes: {parts[:3]}"
-            )
-        import pyarrow.parquet as pq
+        # verification inside a try that DISCARDS the fixture on
+        # failure (r15 review): Spark lands _SUCCESS before these
+        # checks run, so raising while leaving the dir in place would
+        # let every rerun skip the verification and silently certify
+        # the non-zstd fixture the check exists to refuse
+        try:
+            parts = [
+                n for n in os.listdir(path) if n.startswith("part-")
+            ]
+            if not parts or not all(
+                n.endswith(".zstd.parquet") for n in parts
+            ):
+                raise ValueError(
+                    "zstd parquet write produced wrong suffixes: "
+                    f"{parts[:3]}"
+                )
+            import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(os.path.join(path, parts[0])).metadata
-        codecs = {
-            md.row_group(i).column(j).compression
-            for i in range(md.num_row_groups)
-            for j in range(md.row_group(i).num_columns)
-        }
-        if codecs != {"ZSTD"}:
-            raise ValueError(
-                f"parquet column chunks are not ZSTD: {sorted(codecs)}"
-            )
+            md = pq.ParquetFile(os.path.join(path, parts[0])).metadata
+            codecs = {
+                md.row_group(i).column(j).compression
+                for i in range(md.num_row_groups)
+                for j in range(md.row_group(i).num_columns)
+            }
+            if codecs != {"ZSTD"}:
+                raise ValueError(
+                    f"parquet column chunks are not ZSTD: {sorted(codecs)}"
+                )
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            raise
     back = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
     return _fidelity_agg(back)
 
@@ -5319,6 +5333,14 @@ def _jsonl_zstd_dir(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     root = _scratch_path("events_jsonzstd", sf_dir, key)
     if not os.path.exists(os.path.join(root, "_BUILT")):
+        # idempotent rebuild (r15 review): an interrupted build leaves
+        # uuid-named partial shards that a blind rerun would APPEND a
+        # full second set alongside — unlike the parquet builders'
+        # mode("overwrite"), executor-side shard writes need an
+        # explicit clean slate
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         lines = load_table(spark, sf_dir, "events").select(
             F.to_json(
                 F.struct("*"), {"timestampFormat": _TS_FMT}
@@ -5393,7 +5415,14 @@ def source_json_zstd_roundtrip(
                     _pa.BufferReader(content), "zstd"
                 ) as stream:
                     text = bytes(stream.read()).decode("utf-8")
-                out.extend(text.splitlines())
+                # split on the writer's '\n' ONLY (r15 review):
+                # str.splitlines() also breaks on U+2028/U+2029/U+0085,
+                # which to_json legally emits unescaped inside string
+                # values — splitting there shears a record in two; the
+                # JVM text reader (gzip/bzip2 lanes) splits \n/\r only
+                out.extend(
+                    ln for ln in text.split("\n") if ln
+                )
             yield pd.DataFrame({"value": out})
 
     frames = (
@@ -5458,9 +5487,13 @@ def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
         f"avro:{sf_dir}:{mtime}:v1".encode()
     ).hexdigest()[:12]
     root = _scratch_path("events_avro", sf_dir, key)
-    cols = (
-        load_table(spark, sf_dir, "events")
-        .select(
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        # clean slate (r15 review): an interrupted build's uuid-named
+        # partial shards must not survive into the rebuild
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        cols = load_table(spark, sf_dir, "events").select(
             "event_id",
             F.unix_micros("ts").alias("ts"),
             "user_id",
@@ -5468,9 +5501,6 @@ def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
             "value",
             "props",
         )
-    )
-
-    if not os.path.exists(os.path.join(root, "_BUILT")):
 
         def write_shards(rows) -> None:
             import uuid
@@ -5509,6 +5539,46 @@ def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _avro_decode_batches(batches):
+    """The ONE Avro shard decoder both the batch round trip and the
+    live streaming gate run (r15 review: two hand-synced copies had
+    already diverged — the streaming copy dropped the schema-drift
+    refusal). Yields per-batch DataFrames with EXPLICIT dtypes:
+    nullable long columns use pandas' Int64 extension array — a plain
+    tuple DataFrame would coerce a None-bearing int column to
+    float64, silently rounding values above 2^53 before Arrow casts
+    back to long."""
+    import pandas as pd
+
+    from user_feed_cdc_spark.sources.avro_io import read_container
+
+    names = [f["name"] for f in _AVRO_SCHEMA["fields"]]
+    long_cols = {"event_id", "ts", "user_id"}
+    for pdf in batches:
+        out: list[tuple] = []
+        for content in pdf["content"]:
+            schema, rows = read_container(bytes(content))
+            got = [f["name"] for f in schema["fields"]]
+            if got != names:
+                raise ValueError(f"Avro shard schema drifted: {got}")
+            out.extend(rows)
+        cols = list(zip(*out)) if out else [[] for _ in names]
+        yield pd.DataFrame(
+            {
+                n: pd.array(
+                    list(vals), dtype="Int64" if n in long_cols else None
+                )
+                for n, vals in zip(names, cols)
+            }
+        )
+
+
+_AVRO_DECODE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 @_register("source_avro_roundtrip", _ROUNDTRIP_ORACLE)
 def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVRO connector round trip — the CDC interchange format (Kafka
@@ -5531,36 +5601,13 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster with spark-avro deployed, swap the scan for
     `format("avro")` and this entry's fidelity gate carries over
     unchanged."""
-    import pandas as pd
-
     root = _avro_dir(spark, sf_dir)
-
-    def decode(batches):
-        from user_feed_cdc_spark.sources.avro_io import read_container
-
-        names = [f["name"] for f in _AVRO_SCHEMA["fields"]]
-        for pdf in batches:
-            out: list[tuple] = []
-            for content in pdf["content"]:
-                schema, rows = read_container(bytes(content))
-                got = [f["name"] for f in schema["fields"]]
-                if got != names:
-                    raise ValueError(
-                        f"Avro shard schema drifted: {got}"
-                    )
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=names)
-
     decoded = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(root)
         .select("content")
-        .mapInPandas(
-            decode,
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string",
-        )
+        .mapInPandas(_avro_decode_batches, _AVRO_DECODE_SCHEMA)
     )
     back = decoded.select(
         "event_id",
@@ -5813,7 +5860,15 @@ def _truncated_upper_bound(s: str, width: int) -> str | None:
     for i in range(len(chars) - 1, -1, -1):
         cp = ord(chars[i])
         if cp < 0x10FFFF:
-            return "".join(chars[:i]) + chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # never emit a lone UTF-16 surrogate (r15 review):
+                # U+D7FF + 1 lands in the surrogate gap, producing a
+                # stat no conforming consumer can UTF-8-encode; skip
+                # to the first scalar past the gap — still a strict
+                # upper bound since the gap holds no valid scalars
+                nxt = 0xE000
+            return "".join(chars[:i]) + chr(nxt)
     return None
 
 
@@ -5954,25 +6009,11 @@ def streaming_avro_events_live(
     store), per-trigger work bounded by maxFilesPerTrigger, payloads
     never shuffle — the same posture as the binaryFile media
     stream."""
-    import pandas as pd
-
     from user_feed_cdc_spark.streaming.windows import run_to_memory
 
     root = _avro_dir(spark, sf_dir)
     n_files = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
     per_trigger = max(1, n_files // 3)
-
-    def decode(batches):
-        from user_feed_cdc_spark.sources.avro_io import read_container
-
-        names = [f["name"] for f in _AVRO_SCHEMA["fields"]]
-        for pdf in batches:
-            out: list[tuple] = []
-            for content in pdf["content"]:
-                _schema, rows = read_container(bytes(content))
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=names)
-
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
@@ -5983,11 +6024,7 @@ def streaming_avro_events_live(
         .option("maxFilesPerTrigger", str(per_trigger))
         .load(root)
         .select("content")
-        .mapInPandas(
-            decode,
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string",
-        )
+        .mapInPandas(_avro_decode_batches, _AVRO_DECODE_SCHEMA)
     )
     agg = (
         stream.select(

@@ -163,9 +163,11 @@ def _identity_high(acts: list[dict], col: str, spec: dict) -> int | None:
     column with only order_by, start, or step MAGNITUDE changed keeps
     inheriting the old marks, so sids issued to live rows under the
     previous declaration can never be re-issued (Delta: the mark never
-    rewinds). Only a step-sign flip starts a genuinely fresh lineage —
-    the old direction's extreme is meaningless to the new one (r14
-    review: an unscoped furthest-ever picked the wrong extreme there).
+    rewinds). Opposite-sign marks are excluded — the old direction's
+    extreme is meaningless to the new one (r14 review: an unscoped
+    furthest-ever picked the wrong extreme there) — and allocation
+    REFUSES a sign flip outright while opposite-direction declarations
+    are visible (r15 review), so the exclusion can't recycle sids.
     Within one lineage marks only advance, so the furthest (in step
     direction) is the never-recycle floor even when a later definition
     rewrite forgot to carry it. Returns None when no same-direction
@@ -717,9 +719,12 @@ class TxnLogWriter:
             raise ValueError("vacuum requires a checkpoint")
         # scan the RAW commit files, not the checkpoint-based replay —
         # the checkpoint carries only the surviving adds, so the very
-        # removes vacuum exists to collect are invisible through it
+        # removes vacuum exists to collect are invisible through it.
+        # ONE scan, reused below for the referenced set (r15 review:
+        # re-reading the whole log per consumer tripled vacuum's I/O)
+        raw_acts = self._actions_between(0, self.latest_version())
         last: dict[str, tuple[int, int]] = {}
-        for a in self._actions_between(0, self.latest_version()):
+        for a in raw_acts:
             if a.get("action") not in ("add", "remove"):
                 continue
             st = (a["version"], 1 if a["action"] == "remove" else 0)
@@ -786,11 +791,12 @@ class TxnLogWriter:
         # vacuum; vacuum -> deleted 'a'). Sidecar names ride the
         # action payloads ("dv" on dv actions, "bloom" on adds), so
         # both sources contribute file AND sidecar names.
+        # the raw scan from above + the checkpoint's own lines cover
+        # everything _replay_actions would see (replay = checkpoint +
+        # a tail that is a subset of the raw scan) without re-reading
+        # any commit file
         referenced = set(last)
-        for a in (
-            self._actions_between(0, self.latest_version())
-            + self._replay_actions(self.latest_version())
-        ):
+        for a in raw_acts + self._checkpoint_lines(ckpt):
             if "file" in a:
                 referenced.add(a["file"])
             if a.get("action") == "dv":
@@ -1603,11 +1609,32 @@ def append_with_identity(
         )
     _refuse_live_name(name, acts)
     start, step = int(spec["start"]), int(spec["step"])
+    # step DIRECTION is immutable for the column's visible lifetime
+    # (r15 review): a fresh opposite-sign lineage would honor any
+    # start — including one inside the old direction's issued range —
+    # and descend/ascend straight through live rows' sids, silently
+    # voiding never-recycle. Refuse while any opposite-direction
+    # declaration is visible; like time travel, flip detection is
+    # forfeited only once vacuum has erased the evidence.
+    sign = 1 if step > 0 else -1
+    for a in acts:
+        if a.get("action") != "metaData":
+            continue
+        old = (a.get("identity") or {}).get(col)
+        if old is not None and (
+            1 if int(old["step"]) > 0 else -1
+        ) != sign:
+            raise ValueError(
+                f"identity column {col!r} was previously declared "
+                f"with step {old['step']} — flipping allocation "
+                "direction can re-issue sids held by live rows; "
+                "declare a NEW column for a new direction"
+            )
     # furthest mark within THIS declaration lineage (same column, same
-    # step sign — r14 ADVICE: order_by/start-only rewrites inherit;
-    # only a sign flip starts fresh). A re-declared start is honored
-    # only when it moves FORWARD past every issued sid — never
-    # backward, so live rows' sids can't be recycled.
+    # step sign — r14 ADVICE: order_by/start-only rewrites inherit).
+    # A re-declared start is honored only when it moves FORWARD past
+    # every issued sid — never backward, so live rows' sids can't be
+    # recycled.
     found = _identity_high(acts, col, spec)
     if found is None:
         hwm = start - step
