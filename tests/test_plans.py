@@ -1416,3 +1416,38 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     m = _re.search(r"partitions read: (\d+)", scan.lower())
     if m:  # metric present on this Spark build
         assert int(m.group(1)) <= 2, scan[:2000]
+
+
+def test_scd2_pointintime_join_is_single_exchange(spark, sf_dir):
+    """cdc_scd2_pointintime_join: the as-of union+window form must
+    plan as exactly ONE hash exchange (on key) over the unioned
+    stream — no inequality join anywhere (the oracle's interval join
+    would be a BroadcastNestedLoopJoin at scale)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["cdc_scd2_pointintime_join"](spark, sf_dir)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_zstd_jsonl_parse_stays_jvm_side(spark, sf_dir):
+    """source_json_zstd_roundtrip: Python touches ONLY decompression —
+    exactly one MapInPandas stage, sitting directly on the binaryFile
+    scan, with from_json in a JVM projection above it (a second
+    Python stage would mean parsing leaked out of codegen)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["source_json_zstd_roundtrip"](spark, sf_dir)
+    )
+    assert plan.count("MapInPandas") >= 1
+    # node list counts each node once in the tree and once in the
+    # details; assert one stage via the numbered tree section
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("MapInPandas") == 1, tree
+    assert "from_json" in plan
+    assert "binaryFile" in plan
