@@ -49,6 +49,7 @@ NESTED_LOOP_WHITELIST = {
     "tpch_q22_sales_opportunity",  # 1-row broadcast avg-balance scalar
     "similarity_lsh_recall",      # 8-row broadcast query set (exact arm)
     "dedup_minhash_quality",      # doc_id < 200 bounded truth arm + 1-row counts
+    "pipeline_ccnet_buckets",     # 1-row broadcast vocab-size + doc-count scalars
     "similarity_hard_negatives",  # 8-row broadcast anchor set
     "dedup_simhash_quality",      # doc_id < 300 bounded truth arm + 1-row counts
     "tpch_q11_important_parts",   # 1-row broadcast total-value scalar

@@ -2783,3 +2783,158 @@ def pipeline_observed_metrics(
         "n_docs long, n_short long, total_chars long, n_non_en long, "
         "n_kept long",
     )
+
+
+_CCNET_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    bis AS (
+        SELECT doc_id, source,
+               UNNEST(list_transform(
+                   range(1, len(tk)),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+               )) AS bigram
+        FROM toks
+    ),
+    ref AS (
+        SELECT bigram FROM bis
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    bi_freq AS (SELECT bigram, COUNT(*) AS cnt FROM ref GROUP BY bigram),
+    head_freq AS (
+        SELECT string_split(bigram, ' ')[1] AS head, COUNT(*) AS hcnt
+        FROM ref GROUP BY head
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT string_split(bigram, ' ')[2]) AS v FROM ref
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               FLOOR(LN((COALESCE(h.hcnt, 0) + v.v) * 1.0
+                        / (COALESCE(f.cnt, 0) + 1)) * 1000000.0 + 0.5)
+                   AS s_int
+        FROM bis b
+        LEFT JOIN bi_freq f USING (bigram)
+        LEFT JOIN head_freq h
+          ON string_split(b.bigram, ' ')[1] = h.head
+        CROSS JOIN vocab v
+    ),
+    docscore AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(s_int) AS BIGINT) // COUNT(*) AS score_micro
+        FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY score_micro, doc_id) AS r,
+               (SELECT COUNT(*) FROM docscore) AS n
+        FROM docscore
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CASE WHEN 3 * (r - 1) < n THEN 'head'
+                WHEN 3 * (r - 1) < 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+
+
+@_register("pipeline_ccnet_buckets", _CCNET_ORACLE)
+def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020) — the quality
+    tiering behind CCNet/RedPajama Common Crawl curation: train a
+    bigram LM on a REFERENCE corpus (sources src0-src3, the Wikipedia
+    stand-in), score EVERY document's out-of-domain surprisal under
+    it, and split the corpus into head/middle/tail perplexity
+    tertiles (head+middle is what trains; tail is noise). Unlike
+    text_bigram_surprisal (self-trained, every bigram seen), scoring
+    foreign docs hits UNSEEN bigrams and heads, so the LM is
+    Laplace-smoothed: s = ln((hcnt + V) / (cnt + 1)) with V the
+    reference vocabulary — exactly defined on both engines, >= 0
+    always.
+
+    Cross-engine float contract: each bigram's smoothed surprisal is
+    frozen to an integer micro before any accumulation; the per-doc
+    score is an exact bigint floor-division (sum DIV n) — no float
+    leaves a single row. Tertile assignment is integer
+    cross-multiplication (3*(rank-1) < n) over a deterministic
+    (score, doc_id) total order.
+
+    Scale: the LM tables are vocabulary-sized groupBys (broadcast
+    side at 100 TB); the corpus streams ONCE through two hash joins;
+    V rides a 1-row broadcast. The global tertile rank is the one
+    full sort — at 1e9 docs swap it for the two-level band-offset
+    decomposition certified in pipeline_curriculum_order (band by
+    score_micro, broadcast band offsets); the bucketing math is
+    unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    bis = (
+        docs.select("doc_id", "source", tokens.alias("tk"))
+        .select(
+            "doc_id", "source", F.explode_outer(bigrams).alias("bigram")
+        )
+        .filter(F.col("bigram").isNotNull())
+    )
+    ref = bis.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    ).select("bigram")
+    bi_freq = ref.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    head_of = F.substring_index("bigram", " ", 1)
+    head_freq = ref.groupBy(head_of.alias("head")).agg(
+        F.count(F.lit(1)).alias("hcnt")
+    )
+    vocab = F.broadcast(
+        ref.select(
+            F.substring_index("bigram", " ", -1).alias("w2")
+        ).agg(F.countDistinct("w2").alias("v"))
+    )
+    scored = (
+        bis.join(bi_freq, "bigram", "left")
+        .withColumn("head", head_of)
+        .join(F.broadcast(head_freq), "head", "left")
+        .crossJoin(vocab)
+        .withColumn(
+            "s_int",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("hcnt"), F.lit(0)) + F.col("v"))
+                    * F.lit(1.0)
+                    / (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ),
+        )
+    )
+    docscore = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s_int").alias("sum_s"),
+    ).withColumn(
+        "score_micro", F.expr("sum_s DIV n_bigrams")
+    )
+    n_total = F.broadcast(docscore.agg(F.count(F.lit(1)).alias("n")))
+    r = F.row_number().over(W.orderBy("score_micro", "doc_id"))
+    return (
+        docscore.crossJoin(n_total)
+        .withColumn("r", r)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score_micro",
+            F.when(3 * (F.col("r") - 1) < F.col("n"), "head")
+            .when(3 * (F.col("r") - 1) < 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
