@@ -90,6 +90,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_multipart_checkpoint",
         "source_txn_log_hidden_partitioning",
         "pipeline_ccnet_buckets",
+        "pipeline_luhn_ccn_filter", "text_char_entropy",
         "source_txn_log_string_stats_pruning",
         # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
         # fixes touched txn_writer (vacuum referenced-set, identity
@@ -115,11 +116,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
         "streaming_hourly_rollup_live", "streaming_session_stats_live",
         "streaming_dedup_live", "streaming_hourly_users_live",
-        "feed_topk_per_user", "cdc_merge_into_state",
-        "text_tfidf_cosine_pairs",
+        "feed_topk_per_user",
         # ---- window boundary (first 50 above) ----
         # certified tail, stalest driver row first (r08 remainder,
         # then r09, r10, ... — freshest last)
+        "cdc_merge_into_state", "text_tfidf_cosine_pairs",
         "events_moment_profile", "events_corr_value_hour", "events_iqr_outliers",
         "streaming_sliding_counts_live", "union_by_name_evolution",
         "string_collation_groups", "events_daily_locf",

@@ -2938,3 +2938,90 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+_LUHN_ORACLE = """
+    WITH cands AS (
+        SELECT doc_id,
+               regexp_extract(
+                   text || ' card ' ||
+                   lpad(CAST((doc_id * 7919) % 1000000000000000
+                             AS VARCHAR), 15, '0') ||
+                   CAST(doc_id % 10 AS VARCHAR) || ' thanks',
+                   '[0-9]{16}') AS ccn
+        FROM documents
+    ),
+    summed AS (
+        SELECT doc_id, ccn,
+               CAST(list_sum(list_transform(range(0, 16), i ->
+                   CASE WHEN i % 2 = 0
+                        THEN CAST(substr(ccn, CAST(16 - i AS INT), 1)
+                                  AS INT)
+                        ELSE CASE
+                            WHEN 2 * CAST(substr(ccn,
+                                     CAST(16 - i AS INT), 1) AS INT) > 9
+                            THEN 2 * CAST(substr(ccn,
+                                     CAST(16 - i AS INT), 1) AS INT) - 9
+                            ELSE 2 * CAST(substr(ccn,
+                                     CAST(16 - i AS INT), 1) AS INT)
+                        END
+                   END)) AS BIGINT) AS luhn_sum
+        FROM cands
+    )
+    SELECT doc_id, ccn, luhn_sum, luhn_sum % 10 = 0 AS luhn_valid
+    FROM summed
+"""
+
+
+@_register("pipeline_luhn_ccn_filter", _LUHN_ORACLE)
+def pipeline_luhn_ccn_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Luhn-VALIDATED credit-card detection — the false-positive cut
+    every production PII scrubber layers on top of the regex pass
+    (pipeline_pii_scrub's sibling): a bare `[0-9]{16}` matches order
+    ids, hashes, and timestamps, so candidates are validated with the
+    Luhn mod-10 checksum (ISO/IEC 7812) and only checksum-passing
+    spans are treated as card numbers. The fixture embeds one
+    deterministic doc_id-derived 16-digit candidate per document
+    (roughly one in ten passes Luhn, exactly as synthesized ids
+    mostly shouldn't); the entry runs the regex extraction and the
+    checksum — a per-position doubled-digit fold written as the SAME
+    higher-order aggregate on both engines, pure integers end to end,
+    no float anywhere.
+
+    Plan: one scan-stage projection (regexp + a 16-step codegen'd
+    fold), zero shuffles, zero Python — the embarrassingly parallel
+    shape of every content gate; at 100 TB the Luhn fold costs less
+    than the regex that feeds it."""
+    docs = load_table(spark, sf_dir, "documents")
+    ccn_lit = F.concat(
+        F.lpad(
+            ((F.col("doc_id") * 7919) % F.lit(10**15)).cast("string"),
+            15,
+            "0",
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    aug = F.concat(
+        F.col("text"), F.lit(" card "), ccn_lit, F.lit(" thanks")
+    )
+    cands = docs.select(
+        "doc_id",
+        F.regexp_extract(aug, "[0-9]{16}", 0).alias("ccn"),
+    )
+    luhn = F.expr(
+        "CAST(aggregate(sequence(0, 15), 0, (acc, i) -> acc + "
+        "CASE WHEN i % 2 = 0 "
+        "THEN CAST(substring(ccn, 16 - i, 1) AS INT) "
+        "ELSE CASE WHEN 2 * CAST(substring(ccn, 16 - i, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substring(ccn, 16 - i, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substring(ccn, 16 - i, 1) AS INT) END END"
+        ") AS BIGINT)"
+    )
+    return cands.select(
+        "doc_id",
+        "ccn",
+        luhn.alias("luhn_sum"),
+        (luhn % 10 == 0).alias("luhn_valid"),
+    )

@@ -2659,3 +2659,78 @@ def text_bpe_learn_iterations(
         "r.round", "r.p1_code", "r.p2_code", "r.pair_n",
         "r.symbols_after",
     )
+
+
+_CHAR_ENTROPY_ORACLE = """
+    WITH chars AS (
+        SELECT doc_id, length(text) AS n,
+               substr(text, CAST(i AS INT), 1) AS ch
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        WHERE length(text) >= 1
+    ),
+    counts AS (
+        SELECT doc_id, n, ch, COUNT(*) AS cnt
+        FROM chars GROUP BY doc_id, n, ch
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * FLOOR(LN(n * 1.0 / cnt) * 1000000.0 + 0.5))
+                AS BIGINT) // n AS h_micro,
+           CAST(SUM(cnt * FLOOR(LN(n * 1.0 / cnt) * 1000000.0 + 0.5))
+                AS BIGINT) // n < 2000000 AS low_diversity
+    FROM counts
+    GROUP BY doc_id, n
+"""
+
+
+@_register("text_char_entropy", _CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate — the cheap screen quality
+    pipelines (Dolma/C4-class) run before any model-based scoring:
+    H = -sum p_c ln p_c over a document's character distribution.
+    Keyboard mash, base64 blobs, and single-char floods sit far from
+    natural text's ~2.6-3.0 nats; the gate flags documents below 2.0
+    nats as low-diversity. Characters are enumerated by POSITION
+    (substr over a 1..len range) on both engines — identical
+    semantics by construction, where empty-pattern split rules
+    diverge between engines.
+
+    Cross-engine float contract (the surprisal family's freeze): each
+    character class contributes cnt * floor(ln(n/cnt)*1e6 + 0.5) —
+    the transcendental frozen to an integer micro BEFORE the
+    count-weighted sum — and the per-doc entropy is one exact bigint
+    floor-division; ratio >= 1 always, so every term is >= 0. Plan:
+    position explode + two hash aggregations keyed by doc — map-side
+    combinable, no joins; at 100 TB this pass is I/O-bound like every
+    other rule gate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), "
+                "i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t_int = F.col("cnt") * F.floor(
+        F.log(F.col("n") * F.lit(1.0) / F.col("cnt"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    h = F.expr("sum_t DIV n")
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(F.sum(t_int).cast("long").alias("sum_t"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            h.alias("h_micro"),
+            (h < 2000000).alias("low_diversity"),
+        )
+    )
