@@ -1452,3 +1452,44 @@ def test_zstd_jsonl_parse_stays_jvm_side(spark, sf_dir):
     assert tree.count("MapInPandas") == 1, tree
     assert "from_json" in plan
     assert "binaryFile" in plan
+
+
+def test_ccnet_rank_window_is_band_partitioned(spark, sf_dir):
+    """pipeline_ccnet_buckets (r15 VERDICT finding 1 closed): the
+    doc-ranking row_number window must carry a band partition spec —
+    no document row may cross a single-partition WindowExec. The only
+    unpartitioned Window allowed is the cumulative-offset running sum,
+    and it must sit directly on the band-count HashAggregate (bounded
+    by the surprisal range, never by |docs|)."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["pipeline_ccnet_buckets"](spark, sf_dir)
+    )
+    lines = plan.splitlines()
+    rank = [
+        ln for ln in lines if "Window [" in ln and "row_number" in ln
+    ]
+    assert rank, "expected the row_number Window in the ccnet plan"
+    for ln in rank:
+        assert "windowspecdefinition(band#" in ln, ln
+    for i, ln in enumerate(lines):
+        if "Window [" in ln and "row_number" not in ln:
+            below = "\n".join(lines[i + 1 : i + 6])
+            assert "Exchange SinglePartition" in below, below
+            assert "keys=[band#" in below, below
+
+
+def test_char_entropy_is_shuffle_free_projection(spark, sf_dir):
+    """text_char_entropy (r15 VERDICT finding 3 closed): the entropy is
+    one in-row fold — no explode (Generate), no Exchange, no Window,
+    no join; one output row per scanned row inside codegen."""
+    import __spark_entry__ as em
+
+    plan = _executed_plan(
+        em.queries()["text_char_entropy"](spark, sf_dir)
+    )
+    assert "Generate" not in plan, plan[:1200]
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -2865,11 +2865,21 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LM tables are vocabulary-sized groupBys (broadcast
     side at 100 TB); the corpus streams ONCE through two hash joins;
-    V rides a 1-row broadcast. The global tertile rank is the one
-    full sort — at 1e9 docs swap it for the two-level band-offset
-    decomposition certified in pipeline_curriculum_order (band by
-    score_micro, broadcast band offsets); the bucketing math is
-    unchanged."""
+    V rides a 1-row broadcast. The tertile rank uses the two-level
+    band-offset decomposition certified by pipeline_curriculum_order
+    (r15 VERDICT finding 1 closed): docs band by fixed-width
+    score_micro strata (width 10_000 micro-nats, so the band table is
+    bounded by the surprisal RANGE — ceil(ln(V+|ref|)·1e6/1e4) ≈ a
+    few thousand rows at ANY corpus size, never by |docs|); per-band
+    counts turn into cumulative offsets via a running sum over that
+    tiny aggregate and broadcast back; the rank is band_offset +
+    within-band row_number, partitioned by band so no doc row ever
+    crosses a single-partition window. Band is monotone in
+    score_micro, so (band, score_micro, doc_id) reproduces the
+    (score_micro, doc_id) total order bit-for-bit — hash unchanged
+    vs the naive global window the oracle runs. Plan-gated in
+    tests/test_plans.py: the row_number window must carry a
+    partition spec."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2917,16 +2927,46 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Doc-level LM scores are |docs| rows × 4 ints — the scan-side
+    # work (bigram explode + two LM joins) must run ONCE, not once
+    # per consumer (rank input, band counts): cut lineage the same
+    # way dedup's _materialize does (persist on a real cluster).
     docscore = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("s_int").alias("sum_s"),
     ).withColumn(
         "score_micro", F.expr("sum_s DIV n_bigrams")
+    ).localCheckpoint(eager=False)
+    banded = docscore.withColumn(
+        "band", F.expr("score_micro DIV 10000")
     )
-    n_total = F.broadcast(docscore.agg(F.count(F.lit(1)).alias("n")))
-    r = F.row_number().over(W.orderBy("score_micro", "doc_id"))
+    bandcounts = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    # |docs| rides out of the same tiny band aggregate — no third
+    # pass over the corpus for a COUNT(*).
+    n_total = F.broadcast(bandcounts.agg(F.sum("bn").alias("n")))
+    offsets = (
+        bandcounts
+        .withColumn(
+            "band_offset",
+            F.coalesce(
+                F.sum("bn").over(
+                    W.orderBy("band").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "band_offset")
+    )
+    r = F.col("band_offset") + F.row_number().over(
+        W.partitionBy("band").orderBy("score_micro", "doc_id")
+    )
     return (
-        docscore.crossJoin(n_total)
+        banded.join(F.broadcast(offsets), "band")
+        .crossJoin(n_total)
         .withColumn("r", r)
         .select(
             "doc_id",

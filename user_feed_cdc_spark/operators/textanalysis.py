@@ -2698,35 +2698,42 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     character class contributes cnt * floor(ln(n/cnt)*1e6 + 0.5) —
     the transcendental frozen to an integer micro BEFORE the
     count-weighted sum — and the per-doc entropy is one exact bigint
-    floor-division; ratio >= 1 always, so every term is >= 0. Plan:
-    position explode + two hash aggregations keyed by doc — map-side
-    combinable, no joins; at 100 TB this pass is I/O-bound like every
-    other rule gate."""
+    floor-division; ratio >= 1 always, so every term is >= 0. Plan
+    (r15 VERDICT finding 3 closed — no explode): the whole entropy is
+    ONE in-row projection. Per doc, the distinct character set is an
+    array_distinct over the positional transform (bounded by the
+    alphabet, ~10^2), each class count is the classic single-char
+    occurrence identity n - length(replace(text, ch, '')), and the
+    count-weighted micro-surprisal sum is a higher-order `aggregate`
+    fold over that distinct set (the same fold form
+    pipeline_luhn_ccn_filter uses). Zero joins, ZERO shuffles, zero
+    intermediate rows — the old plan materialized |chars| exploded
+    rows and hash-aggregated them twice; this one emits exactly one
+    output row per input row inside whole-stage codegen. CPU is
+    O(|text|·|alphabet|) per doc (the replace scans), pure JVM; at
+    100 TB the pass is scan-bound with nothing to spill."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 1
     )
-    chars = docs.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)), "
-                "i -> substring(text, i, 1))"
-            )
-        ).alias("ch"),
-    )
-    counts = chars.groupBy("doc_id", "n", "ch").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    t_int = F.col("cnt") * F.floor(
-        F.log(F.col("n") * F.lit(1.0) / F.col("cnt"))
-        * F.lit(1000000.0)
-        + F.lit(0.5)
+    sum_t = F.expr(
+        "aggregate("
+        "  array_distinct(transform(sequence(1, length(text)),"
+        "                           i -> substring(text, i, 1))),"
+        "  0L,"
+        "  (acc, ch) -> acc"
+        "    + (length(text) - length(replace(text, ch, '')))"
+        "      * cast(floor(ln(length(text) * 1.0"
+        "                      / (length(text)"
+        "                         - length(replace(text, ch, ''))))"
+        "                   * 1000000.0 + 0.5) as bigint))"
     )
     h = F.expr("sum_t DIV n")
     return (
-        counts.groupBy("doc_id", "n")
-        .agg(F.sum(t_int).cast("long").alias("sum_t"))
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n"),
+            sum_t.cast("long").alias("sum_t"),
+        )
         .select(
             "doc_id",
             F.col("n").cast("long").alias("n_chars"),
