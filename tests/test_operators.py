@@ -4919,6 +4919,64 @@ def test_identity_lineage_keyed_on_step_sign(spark, tmp_path):
         append_with_identity(w, batch(6), "e")
 
 
+def test_identity_flip_refusal_survives_checkpoint_and_vacuum(
+    spark, tmp_path
+):
+    """The step-sign-flip refusal is evidence-based, and a routine
+    checkpoint (newest metaData only) + vacuum used to erase the
+    evidence (r15 ADVICE): write_checkpoint now folds every direction
+    ever declared into an identityLineages record — column -> sign ->
+    furthest-ever mark — so (a) the flip stays refused after normal
+    maintenance, and (b) the surviving same-sign mark still floors
+    allocation if the flip is rolled back by re-declaring the
+    original direction."""
+    import os
+
+    import pytest
+
+    from user_feed_cdc_spark.sources.txn_writer import (
+        TxnLogWriter,
+        append_with_identity,
+    )
+
+    schema = "k long, sid long"
+    root = str(tmp_path / "t")
+    w = TxnLogWriter(root)
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    append_with_identity(w, df, "a")  # sids 10, 12 live
+    # the flip lands as a declaration; maintenance then collapses the
+    # log to checkpoint-only — the old +2 declarations all pruned
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 5, "step": -1, "order_by": "k"}},
+    ).commit()
+    w.write_checkpoint(w.latest_version())
+    w.vacuum()
+    assert w._commit_versions() == [], "vacuum left commit files"
+    with pytest.raises(ValueError, match="direction"):
+        append_with_identity(
+            w, spark.createDataFrame([(3,)], "k long"), "b"
+        )
+    # rolling the flip back re-enters the ORIGINAL lineage; the +2
+    # mark carried through the lineage record must still floor
+    # allocation past the live sids 10/12 — and now the -1 side is
+    # the refused direction, symmetrically
+    w.begin().set_metadata(
+        schema,
+        identity={"sid": {"start": 10, "step": 2, "order_by": "k"}},
+    ).commit()
+    w.write_checkpoint(w.latest_version())
+    w.vacuum()
+    with pytest.raises(ValueError, match="direction"):
+        append_with_identity(
+            w, spark.createDataFrame([(3,)], "k long"), "c"
+        )
+
+
 def test_dynamic_session_running_max_semantics(spark, tmp_path):
     """Dynamic-gap sessions are INTERVAL-MERGE, not prev-row distance:
     a 60-minute purchase at t=0 covers a 5-minute error at t=40m even
@@ -4977,7 +5035,9 @@ def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
     minimum age protects a concurrent writer's just-claimed directory
     whose commit hasn't landed), never touches `_`-prefixed metadata
     names, and never touches an .inflight scratch whose pid is alive
-    — whatever its age."""
+    AND plausibly owns it — a scratch whose mtime PREDATES the live
+    pid's /proc start time was written by a dead writer whose pid got
+    recycled, and is swept like any orphan (r15 ADVICE)."""
     import os
 
     from user_feed_cdc_spark.sources.txn_writer import (
@@ -5002,9 +5062,14 @@ def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
     # pid far above pid_max's default to guarantee ProcessLookupError)
     dead = os.path.join(root, "g0.inflight.4194999.888")
     os.makedirs(dead)
-    # leaked-looking scratch of a LIVE pid: protected at any age
+    # leaked-looking scratch of a LIVE pid: protected at any age the
+    # pid could actually have produced (>= its own start time)
     alive = os.path.join(root, f"g1.inflight.{os.getpid()}.1")
     os.makedirs(alive)
+    # scratch CLAIMING our live pid but older than the process itself:
+    # only a dead writer whose pid got recycled can look like this
+    recycled = os.path.join(root, f"g2.inflight.{os.getpid()}.2")
+    os.makedirs(recycled)
     os.makedirs(os.path.join(root, "_BUILT_MARKER"))  # metadata name
 
     w.write_checkpoint(w.latest_version())
@@ -5013,16 +5078,37 @@ def test_vacuum_reclaims_untracked_orphans(spark, tmp_path):
     assert "orphan" not in kept and os.path.isdir(
         os.path.join(root, "orphan")
     )
-    # age everything past both gates; live-pid scratch + _ names stay
+    # age everything past both gates; live-pid scratch + _ names stay.
+    # The live scratch ages to just after OUR process start (the
+    # oldest mtime this pid can legitimately own — the spark fixture
+    # guarantees the process is far older than the retain window);
+    # the recycled-claim scratch ages to BEFORE it.
+    from user_feed_cdc_spark.sources.txn_writer import _proc_start_ms
+
+    start_s = _proc_start_ms(os.getpid())
+    start_s = (
+        __import__("time").time() - 3600
+        if start_s is None  # non-Linux: recycle detection inert
+        else start_s / 1000.0
+    )
     old = __import__("time").time() - 3600
-    for name in ("orphan", "g0.inflight.4194999.888",
-                 f"g1.inflight.{os.getpid()}.1", "_BUILT_MARKER"):
-        os.utime(os.path.join(root, name), (old, old))
-    gone = w.vacuum(retain_ms=60_000)
+    for name, ts in (
+        ("orphan", old),
+        ("g0.inflight.4194999.888", old),
+        (f"g1.inflight.{os.getpid()}.1", start_s + 3),
+        (f"g2.inflight.{os.getpid()}.2", start_s - 10),
+        ("_BUILT_MARKER", old),
+    ):
+        os.utime(os.path.join(root, name), (ts, ts))
+    gone = w.vacuum(retain_ms=2_000)
     assert "orphan" in gone and "g0.inflight.4194999.888" in gone
     assert not os.path.exists(os.path.join(root, "orphan"))
     assert not os.path.exists(dead)
     assert os.path.isdir(alive), "live-pid scratch must survive"
+    if _proc_start_ms(os.getpid()) is not None:
+        assert not os.path.exists(recycled), (
+            "recycled-pid scratch must be swept"
+        )
     assert os.path.isdir(os.path.join(root, "_BUILT_MARKER"))
     # the burned name is usable again
     append_with_checks(w, df, "orphan")

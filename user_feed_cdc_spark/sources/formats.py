@@ -2611,7 +2611,7 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = max(
         int(n.split(".")[0])
         for n in os.listdir(log_dir)
-        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        if n.endswith(".json") and ".checkpoint." not in n
     )
 
     class TxnLogStreamReader(SimpleDataSourceStreamReader):
@@ -3293,7 +3293,7 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = max(
         int(n.split(".")[0])
         for n in os.listdir(log_dir)
-        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        if n.endswith(".json") and ".checkpoint." not in n
     )
     ev = load_table(spark, sf_dir, "events")
     n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
@@ -3410,7 +3410,7 @@ def streaming_txn_source_exec_live(
     latest = max(
         int(n.split(".")[0])
         for n in os.listdir(log_dir)
-        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        if n.endswith(".json") and ".checkpoint." not in n
     )
 
     class _FilePartition(InputPartition):
@@ -4218,7 +4218,7 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = max(
         int(n.split(".")[0])
         for n in os.listdir(log_dir)
-        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        if n.endswith(".json") and ".checkpoint." not in n
     )
     mv_root = _scratch_path("txncdfivm", sf_dir, uuid.uuid4().hex[:12])
     os.makedirs(mv_root, exist_ok=True)

@@ -133,13 +133,45 @@ def _newest_dv_of(
 _ORPHAN_MIN_AGE_MS = 10 * 60 * 1000
 
 
-def _inflight_pid_alive(name: str) -> bool:
+def _proc_start_ms(pid: int) -> int | None:
+    """Best-effort process START time in epoch ms via /proc (Linux):
+    boot epoch (btime in /proc/stat) + starttime clock-ticks (field 22
+    of /proc/<pid>/stat, counted after the parenthesised comm field so
+    comm values containing spaces/parens can't shift it). None when
+    /proc is unavailable (non-Linux) or unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            btime = next(
+                int(ln.split()[1])
+                for ln in f
+                if ln.startswith("btime ")
+            )
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        ticks = int(stat.rsplit(") ", 1)[1].split()[19])
+        hz = os.sysconf("SC_CLK_TCK")
+        return (btime * 1000) + (ticks * 1000) // hz
+    except (OSError, StopIteration, IndexError, ValueError):
+        return None
+
+
+def _inflight_pid_alive(name: str, mtime_ms: int | None = None) -> bool:
     """True when `name` is a claim-by-rename scratch dir
     (`<table>.inflight.<pid>.<tid>`) whose owning pid is still running
     ON THIS HOST — vacuum must never sweep a live writer's scratch,
     whatever its age (the writer may be paused pre-rename). A dead
     pid, a foreign-format name, or an unparseable pid is NOT protected
-    (the age gate still applies to those)."""
+    (the age gate still applies to those).
+
+    SINGLE-HOST ASSUMPTION (r15 ADVICE, documented + narrowed): the
+    pid check only sees processes on the vacuuming host — a writer on
+    another host/container is protected ONLY by the age gate, and a
+    recycled pid could otherwise shield a dead writer's scratch
+    forever. When the caller passes the scratch dir's mtime, a live
+    pid whose /proc start time POSTDATES the scratch (the dir was
+    written before the process existed) is treated as recycled, so
+    the shield expires with the real owner. On shared storage use the
+    retention window, not pids, as the actual safety contract."""
     parts = name.split(".inflight.")
     if len(parts) != 2:
         return False
@@ -153,6 +185,12 @@ def _inflight_pid_alive(name: str) -> bool:
         return False
     except (PermissionError, OverflowError, ValueError):
         return True  # exists but not ours — assume alive
+    if mtime_ms is not None:
+        start = _proc_start_ms(pid)
+        # 2 s slack: dir mtimes and btime-derived starts come from
+        # different clocks/granularities
+        if start is not None and mtime_ms < start - 2000:
+            return False  # pid recycled after the scratch was written
     return True
 
 
@@ -170,8 +208,10 @@ def _identity_high(acts: list[dict], col: str, spec: dict) -> int | None:
     are visible (r15 review), so the exclusion can't recycle sids.
     Within one lineage marks only advance, so the furthest (in step
     direction) is the never-recycle floor even when a later definition
-    rewrite forgot to carry it. Returns None when no same-direction
-    action has a mark."""
+    rewrite forgot to carry it. Checkpoint-carried identityLineages
+    records (r15 ADVICE — the flip evidence that survives
+    checkpoint+vacuum) contribute their same-sign marks too. Returns
+    None when no same-direction action has a mark."""
     sign = 1 if int(spec["step"]) > 0 else -1
     highs = [
         a["identityHigh"]
@@ -181,6 +221,17 @@ def _identity_high(acts: list[dict], col: str, spec: dict) -> int | None:
         and (1 if int(s["step"]) > 0 else -1) == sign
         and a.get("identityHigh") is not None
     ]
+    highs.extend(
+        m
+        for a in acts
+        if a.get("action") == "metaData"
+        for m in [
+            (a.get("identityLineages") or {})
+            .get(col, {})
+            .get(str(sign))
+        ]
+        if m is not None
+    )
     if not highs:
         return None
     return max(highs) if sign > 0 else min(highs)
@@ -824,16 +875,19 @@ class TxnLogWriter:
                 # metadata (_log, fixture markers like _BUILT), never
                 # vacuum candidates
                 continue
-            if _inflight_pid_alive(name):
-                # a live writer's scratch — its claim rename may land
-                # any moment; age says nothing about a paused process
-                continue
             p = os.path.join(self.root, name)
             try:
-                if int(os.path.getmtime(p) * 1000) > orphan_cutoff:
-                    continue  # too fresh — may be an active claim
+                mtime_ms = int(os.path.getmtime(p) * 1000)
             except OSError:
                 continue
+            if _inflight_pid_alive(name, mtime_ms):
+                # a live writer's scratch — its claim rename may land
+                # any moment; age says nothing about a paused process
+                # (a pid recycled AFTER the scratch was written does
+                # not count as the owner — see _inflight_pid_alive)
+                continue
+            if mtime_ms > orphan_cutoff:
+                continue  # too fresh — may be an active claim
             shutil.rmtree(p, ignore_errors=True)
             if os.path.exists(p):  # a plain file, not a directory
                 try:
@@ -982,6 +1036,47 @@ class TxnLogWriter:
                 high = _identity_high(acts, _c, spec)
                 if high is not None:
                     line["identityHigh"] = high
+            # EVERY direction ever declared rides as a lineage record
+            # (r15 ADVICE): the flip refusal in append_with_identity
+            # is evidence-based — it scans visible metaData for an
+            # opposite-sign declaration — and a routine checkpoint +
+            # vacuum used to erase exactly that evidence (plus the old
+            # direction's extreme), after which a flipped re-declare
+            # could re-issue sids held by live rows. Unlike time
+            # travel, that lapse was triggered by normal maintenance,
+            # so the refusal must survive it: identityLineages maps
+            # column -> step-sign -> furthest-ever mark (None when the
+            # lineage never recorded one), merged across raw metaData
+            # actions AND lineage records of earlier checkpoints.
+            lineages: dict[str, dict[str, int | None]] = {}
+
+            def _merge(c: str, sgn: str, mark) -> None:
+                cur = lineages.setdefault(c, {})
+                if sgn not in cur or cur[sgn] is None:
+                    cur[sgn] = cur.get(sgn) if mark is None else mark
+                elif mark is not None:
+                    cur[sgn] = (
+                        max(cur[sgn], mark)
+                        if sgn == "1"
+                        else min(cur[sgn], mark)
+                    )
+
+            for a in acts:
+                if a.get("action") != "metaData":
+                    continue
+                for c, s in (a.get("identity") or {}).items():
+                    _merge(
+                        c,
+                        "1" if int(s["step"]) > 0 else "-1",
+                        a.get("identityHigh"),
+                    )
+                for c, by_sign in (
+                    a.get("identityLineages") or {}
+                ).items():
+                    for sgn, mark in by_sign.items():
+                        _merge(c, sgn, mark)
+            if lineages:
+                line["identityLineages"] = lineages
             lines.append(line)
         if parts is None:
             targets = [
@@ -1614,19 +1709,26 @@ def append_with_identity(
     # start — including one inside the old direction's issued range —
     # and descend/ascend straight through live rows' sids, silently
     # voiding never-recycle. Refuse while any opposite-direction
-    # declaration is visible; like time travel, flip detection is
-    # forfeited only once vacuum has erased the evidence.
+    # declaration OR checkpoint-carried lineage record is visible —
+    # write_checkpoint folds every direction ever declared into
+    # identityLineages (r15 ADVICE), so unlike time travel the
+    # refusal now SURVIVES routine checkpoint+vacuum maintenance.
     sign = 1 if step > 0 else -1
+    opp = "-1" if sign > 0 else "1"
     for a in acts:
         if a.get("action") != "metaData":
             continue
         old = (a.get("identity") or {}).get(col)
-        if old is not None and (
+        flipped = old is not None and (
             1 if int(old["step"]) > 0 else -1
-        ) != sign:
+        ) != sign
+        if flipped or opp in (a.get("identityLineages") or {}).get(
+            col, {}
+        ):
+            prev = old["step"] if flipped else opp
             raise ValueError(
                 f"identity column {col!r} was previously declared "
-                f"with step {old['step']} — flipping allocation "
+                f"with step {prev} — flipping allocation "
                 "direction can re-issue sids held by live rows; "
                 "declare a NEW column for a new direction"
             )
