@@ -5338,12 +5338,105 @@ def test_avro_wire_format_spec_vectors():
                     "fields": [
                         {
                             "name": "a",
-                            "type": {"type": "array", "items": "long"},
+                            "type": {
+                                "type": "enum",
+                                "name": "suit",
+                                "symbols": ["H", "S"],
+                            },
                         }
                     ],
                 },
-                iter([([1],)]),
+                iter([("H",)]),
             )
+
+
+def test_avro_nested_complex_types_wire_format():
+    """Nested records / arrays / maps (r16, spec "Complex Types"):
+    the spec's OWN array example pins the blocked wire form — an
+    array<long> holding [3, 27] encodes as 04 06 36 00 (count 2,
+    zigzag 3, zigzag 27, end block) — records concatenate field
+    values with no framing of their own, maps frame (string key,
+    value) pairs the way arrays frame items, and a negative block
+    count (byte-size-prefixed skip form a conforming writer may emit)
+    decodes identically. A Debezium-envelope-shaped container file
+    (nullable before/after sub-records + source record + tags array +
+    attrs map) round-trips exactly, null branches included."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from user_feed_cdc_spark.sources import avro_io as av
+
+    arr_t = {"type": "array", "items": "long"}
+    assert av._encode_value(arr_t, [3, 27]).hex() == "04063600"
+    assert av._encode_value(arr_t, []).hex() == "00"
+    got, pos = av._decode_value(arr_t, bytes.fromhex("04063600"), 0)
+    assert got == [3, 27] and pos == 4
+    # negative-count block form: -2 (zigzag 03), byte size 2 (04),
+    # items, terminator — same logical array
+    got, pos = av._decode_value(arr_t, bytes.fromhex("0304063600"), 0)
+    assert got == [3, 27] and pos == 5
+    map_t = {"type": "map", "values": "long"}
+    # {"a": 1} = count 1 (02), key len 1 (02) 'a' (61), zigzag 1
+    # (02), end (00)
+    assert av._encode_value(map_t, {"a": 1}).hex() == "0202610200"
+    got, pos = av._decode_value(
+        map_t, bytes.fromhex("0202610200"), 0
+    )
+    assert got == {"a": 1} and pos == 5
+
+    row_t = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "double"},
+            {"name": "tags", "type": {"type": "array",
+                                      "items": "string"}},
+            {"name": "attrs", "type": {"type": "map",
+                                       "values": "long"}},
+        ],
+    }
+    env = {
+        "type": "record",
+        "name": "envelope",
+        "fields": [
+            {"name": "before", "type": ["null", row_t]},
+            {"name": "after", "type": ["null", dict(row_t,
+                                                    name="row2")]},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "src",
+                    "fields": [
+                        {"name": "table", "type": "string"},
+                        {"name": "lsn", "type": "long"},
+                    ],
+                },
+            },
+            {"name": "op", "type": "string"},
+        ],
+    }
+    r1 = {"id": 7, "v": 1.5, "tags": ["a", "bb"],
+          "attrs": {"x": 1, "y": -2}}
+    rows = [
+        (None, r1, {"table": "events", "lsn": 10}, "c"),
+        (r1, None, {"table": "events", "lsn": 11}, "d"),
+        (None, {"id": 8, "v": -0.0, "tags": [], "attrs": {}},
+         {"table": "events", "lsn": 12}, "c"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "n.avro")
+        assert av.write_container(p, env, iter(rows)) == 3
+        _, got = av.read_container(open(p, "rb").read())
+    assert got == rows
+    # enums still refuse, nested or not
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        av._encode_value(
+            {"type": "enum", "name": "e", "symbols": ["A"]}, "A"
+        )
 
 
 def test_multipart_checkpoint_replay_and_refusals(spark, tmp_path):

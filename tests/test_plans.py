@@ -1493,3 +1493,24 @@ def test_char_entropy_is_shuffle_free_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan[:1200]
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_zstd_shard_count_sets_scan_parallelism(spark, sf_dir):
+    """source_json_zstd_roundtrip's documented 100 TB contract —
+    "the producer's shard size sets parallelism" — as a tested fact
+    (r15 VERDICT item 7): an N-shard build of the same fixture must
+    arrive as N scan files AND N tasks through the Python decompress
+    stage (whole frames are the unit of work; nothing coalesces or
+    splits them at this size)."""
+    from user_feed_cdc_spark.sources.formats import _jsonl_zstd_dir
+
+    n = 4
+    root = _jsonl_zstd_dir(spark, sf_dir, shards=n)
+    frames = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jsonl.zst")
+        .load(root)
+        .select("content")
+    )
+    assert len(frames.inputFiles()) == n
+    assert frames.rdd.getNumPartitions() == n

@@ -21,13 +21,20 @@ codecs take:
   (spec "Binary Encoding"); ``timestamp-micros`` logical type rides
   a long (spec "Logical Types")
 
-Scope: the primitive/union subset the canonical tables need (null,
-boolean, int, long, float, double, string, bytes + nullable unions +
-timestamp-micros). Nested records/arrays/maps and schema resolution
-are out of scope — a reader hitting them refuses loudly rather than
-mis-decoding. Wire-format compliance is pinned in pytest against the
-spec's own zigzag examples, so files written here are readable by any
-conforming Avro implementation.
+Scope: the primitives (null, boolean, int, long, float, double,
+string, bytes), unions, timestamp-micros, and — r16, per the same
+spec sections "Complex Types" / "Binary Encoding" — nested records,
+arrays, and maps (blocked encoding: item-count blocks terminated by a
+zero count; a negative count is followed by the block's byte size and
+negated). Nested records are what real CDC Avro IS — the Debezium
+envelope's before/after/source records — so refusing them made the
+reader useless for its primary payload. Enums, fixed, named-type
+references, and schema resolution stay out of scope — a reader
+hitting them refuses loudly rather than mis-decoding. Python-value
+mapping: record <-> dict keyed by field name, array <-> list,
+map <-> dict with string keys. Wire-format compliance is pinned in
+pytest against the spec's own zigzag examples, so files written here
+are readable by any conforming Avro implementation.
 """
 
 from __future__ import annotations
@@ -88,17 +95,53 @@ def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("Avro varint longer than 64 bits")
 
 
+def _is_null_node(typ) -> bool:
+    return typ == "null" or (
+        isinstance(typ, dict) and typ.get("type") == "null"
+    )
+
+
 def _encode_value(typ, v) -> bytes:
-    """One value of a (possibly union / logical) schema node."""
+    """One value of a (possibly union / logical / complex) schema
+    node."""
     if isinstance(typ, list):  # union: branch index, then the value
         if v is None:
             if "null" not in typ:
                 raise ValueError(f"null for non-nullable union {typ}")
             return encode_long(typ.index("null"))
         branch = next(
-            i for i, t in enumerate(typ) if _type_name(t) != "null"
+            i for i, t in enumerate(typ) if not _is_null_node(t)
         )
         return encode_long(branch) + _encode_value(typ[branch], v)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        # spec "Complex Types": a record is its fields' values,
+        # encoded in declaration order, no framing of its own
+        return b"".join(
+            _encode_value(f["type"], v[f["name"]])
+            for f in typ["fields"]
+        )
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        # blocked encoding: non-empty blocks of (count, items...),
+        # terminated by a zero count
+        out = bytearray()
+        if v:
+            out += encode_long(len(v))
+            for item in v:
+                out += _encode_value(typ["items"], item)
+        out += encode_long(0)
+        return bytes(out)
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        # like arrays, with (string key, value) pairs; sorted keys
+        # keep the fixture bytes deterministic (any order is legal)
+        out = bytearray()
+        if v:
+            out += encode_long(len(v))
+            for k in sorted(v):
+                kb = k.encode("utf-8")
+                out += encode_long(len(kb)) + kb
+                out += _encode_value(typ["values"], v[k])
+        out += encode_long(0)
+        return bytes(out)
     name = _type_name(typ)
     if name == "null":
         return b""
@@ -124,6 +167,48 @@ def _decode_value(typ, buf: bytes, pos: int):
         if not 0 <= branch < len(typ):
             raise ValueError(f"Avro union branch {branch} out of range")
         return _decode_value(typ[branch], buf, pos)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        rec = {}
+        for f in typ["fields"]:
+            rec[f["name"]], pos = _decode_value(f["type"], buf, pos)
+        return rec, pos
+
+    def _blocks(pos, read_item):
+        # shared array/map block walk: zero count terminates; a
+        # NEGATIVE count is negated and followed by the block's byte
+        # size (spec: lets skippers jump blocks without decoding)
+        while True:
+            count, pos = decode_long(buf, pos)
+            if count == 0:
+                return pos
+            if count < 0:
+                _size, pos = decode_long(buf, pos)
+                count = -count
+            for _ in range(count):
+                pos = read_item(pos)
+
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        items: list = []
+
+        def read_item(pos):
+            v, pos = _decode_value(typ["items"], buf, pos)
+            items.append(v)
+            return pos
+
+        pos = _blocks(pos, read_item)
+        return items, pos
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        entries: dict = {}
+
+        def read_pair(pos):
+            n, pos = decode_long(buf, pos)
+            k = buf[pos : pos + n].decode("utf-8")
+            pos += n
+            entries[k], pos = _decode_value(typ["values"], buf, pos)
+            return pos
+
+        pos = _blocks(pos, read_pair)
+        return entries, pos
     name = _type_name(typ)
     if name == "null":
         return None, pos

@@ -5319,19 +5319,27 @@ def source_parquet_zstd_roundtrip(
     return _fidelity_agg(back)
 
 
-def _jsonl_zstd_dir(spark: SparkSession, sf_dir: str) -> str:
+def _jsonl_zstd_dir(
+    spark: SparkSession, sf_dir: str, shards: int | None = None
+) -> str:
     """Build (once per (sf, mtime, rev)) an events corpus as REAL
     .jsonl.zst shards — standard RFC 8878 zstd frames, one per input
     split, written by EXECUTORS through pyarrow's CompressedOutputStream
     (the driver never holds a payload; any `zstd` CLI can inflate the
     shards). This is the arrival shape of Dolma/RedPajama-class web
-    corpora."""
+    corpora. `shards` pins the shard COUNT (repartition before the
+    write) — the r15 VERDICT asked for the documented "producer shard
+    size sets parallelism" contract to be a tested fact, and the
+    plan gate reads an N-shard build of this fixture."""
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(
-        f"jsonzstd:{sf_dir}:{mtime}:v1".encode()
+        f"jsonzstd:{sf_dir}:{mtime}:s{shards}:v1".encode()
     ).hexdigest()[:12]
-    root = _scratch_path("events_jsonzstd", sf_dir, key)
+    tag = "events_jsonzstd" if shards is None else (
+        f"events_jsonzstd{shards}"
+    )
+    root = _scratch_path(tag, sf_dir, key)
     if not os.path.exists(os.path.join(root, "_BUILT")):
         # idempotent rebuild (r15 review): an interrupted build leaves
         # uuid-named partial shards that a blind rerun would APPEND a
@@ -5346,6 +5354,8 @@ def _jsonl_zstd_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.struct("*"), {"timestampFormat": _TS_FMT}
             ).alias("value")
         )
+        if shards is not None:
+            lines = lines.repartition(shards)
 
         def write_shards(rows) -> None:
             import uuid
@@ -6162,4 +6172,319 @@ def source_txn_log_identity_columns(
             F.max("sid").alias("max_sid"),
             F.sum("sid").alias("sid_sum"),
         )
+    )
+
+
+_AVRO_NESTED_SCHEMA = {
+    "type": "record",
+    "name": "envelope",
+    "fields": [
+        {
+            "name": "before",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "row_before",
+                    "fields": [
+                        {"name": "event_id", "type": "long"},
+                        {"name": "ts", "type": {
+                            "type": "long",
+                            "logicalType": "timestamp-micros",
+                        }},
+                        {"name": "user_id", "type": "long"},
+                        {"name": "event_type", "type": "string"},
+                        {"name": "value", "type": "double"},
+                        {"name": "props", "type": "string"},
+                        {"name": "tags", "type": {
+                            "type": "array", "items": "string",
+                        }},
+                        {"name": "attrs", "type": {
+                            "type": "map", "values": "long",
+                        }},
+                    ],
+                },
+            ],
+        },
+        {
+            "name": "after",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "row_after",
+                    "fields": [
+                        {"name": "event_id", "type": "long"},
+                        {"name": "ts", "type": {
+                            "type": "long",
+                            "logicalType": "timestamp-micros",
+                        }},
+                        {"name": "user_id", "type": "long"},
+                        {"name": "event_type", "type": "string"},
+                        {"name": "value", "type": "double"},
+                        {"name": "props", "type": "string"},
+                        {"name": "tags", "type": {
+                            "type": "array", "items": "string",
+                        }},
+                        {"name": "attrs", "type": {
+                            "type": "map", "values": "long",
+                        }},
+                    ],
+                },
+            ],
+        },
+        {
+            "name": "source",
+            "type": {
+                "type": "record",
+                "name": "src",
+                "fields": [
+                    {"name": "table", "type": "string"},
+                    {"name": "lsn", "type": "long"},
+                ],
+            },
+        },
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": "long"},
+    ],
+}
+
+
+def _avro_nested_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, mtime, rev)) the events table as NESTED
+    Avro container files in the Debezium envelope shape — the single
+    most common Avro payload a CDC engine meets (r15 VERDICT gap 3):
+    nullable before/after sub-records, a source record, an op code,
+    and a millisecond transaction stamp; the sub-records additionally
+    carry an array (tags) and a map (attrs) so every complex type the
+    codec supports is on the wire. Deterministic derivation from the
+    canonical rows: op='u' every fifth event_id (before = the after
+    image with props cleared — a prior-image diff), else op='c' with
+    a null before; tags = [event_type, user_id mod 10]; attrs =
+    {h: hour, m: minute}; lsn = event_id; ts_ms = micros DIV 1000.
+    hour/minute/unix_micros are computed JVM-side BEFORE the Python
+    writer sees them (same no-float-datetime rule as _avro_dir)."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src_path))
+    key = hashlib.md5(
+        f"avronested:{sf_dir}:{mtime}:v1".encode()
+    ).hexdigest()[:12]
+    root = _scratch_path("events_avro_nested", sf_dir, key)
+    if not os.path.exists(os.path.join(root, "_BUILT")):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        cols = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("m"),
+        )
+
+        def write_shards(rows) -> None:
+            import uuid
+
+            from user_feed_cdc_spark.sources.avro_io import (
+                write_container,
+            )
+
+            def envelope(r):
+                after = {
+                    "event_id": r["event_id"],
+                    "ts": r["ts_us"],
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                    "props": r["props"],
+                    "tags": [
+                        r["event_type"],
+                        str(r["user_id"] % 10),
+                    ],
+                    "attrs": {"h": r["h"], "m": r["m"]},
+                }
+                upd = r["event_id"] % 5 == 0
+                before = dict(after, props="") if upd else None
+                return (
+                    before,
+                    after,
+                    {"table": "events", "lsn": r["event_id"]},
+                    "u" if upd else "c",
+                    r["ts_us"] // 1000,
+                )
+
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            os.makedirs(root, exist_ok=True)
+
+            def gen():
+                yield envelope(first)
+                for row in it:
+                    yield envelope(row)
+
+            write_container(
+                os.path.join(root, f"part-{uuid.uuid4().hex}.avro"),
+                _AVRO_NESTED_SCHEMA,
+                gen(),
+            )
+
+        cols.foreachPartition(write_shards)
+        shards = [n for n in os.listdir(root) if n.endswith(".avro")]
+        if not shards:
+            raise ValueError("nested avro write produced no shards")
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    return root
+
+
+def _avro_nested_decode_batches(batches):
+    """Decode Debezium-envelope shards and FLATTEN in-Python to the
+    scalar columns the driver canonicalizer can hash (arrays/maps
+    never leave the Python stage): after.* columns plus derived
+    lsn / is_upd / before_cents / tags_len / attrs_hm / ts_ms. The
+    one float expression evaluated Python-side (before_cents) is the
+    same IEEE mul-add-floor tree both engines run, on the identical
+    double."""
+    import math
+
+    import pandas as pd
+
+    from user_feed_cdc_spark.sources.avro_io import read_container
+
+    names = [f["name"] for f in _AVRO_NESTED_SCHEMA["fields"]]
+    out_cols = (
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        "lsn", "is_upd", "before_cents", "tags_len", "attrs_hm",
+        "ts_ms",
+    )
+    long_cols = {
+        "event_id", "ts", "user_id", "lsn", "is_upd", "before_cents",
+        "tags_len", "attrs_hm", "ts_ms",
+    }
+    for pdf in batches:
+        out: list[tuple] = []
+        for content in pdf["content"]:
+            schema, rows = read_container(bytes(content))
+            got = [f["name"] for f in schema["fields"]]
+            if got != names:
+                raise ValueError(
+                    f"nested Avro shard schema drifted: {got}"
+                )
+            for before, after, source, op, ts_ms in rows:
+                if after is None or source["table"] != "events":
+                    raise ValueError("envelope missing after image")
+                if (op == "u") != (before is not None):
+                    raise ValueError("op/before-image mismatch")
+                out.append(
+                    (
+                        after["event_id"],
+                        after["ts"],
+                        after["user_id"],
+                        after["event_type"],
+                        after["value"],
+                        after["props"],
+                        source["lsn"],
+                        1 if before is not None else 0,
+                        int(math.floor(before["value"] * 100.0 + 0.5))
+                        if before is not None
+                        else 0,
+                        sum(len(t) for t in after["tags"]),
+                        after["attrs"]["h"] * 60 + after["attrs"]["m"],
+                        ts_ms,
+                    )
+                )
+        cols = list(zip(*out)) if out else [[] for _ in out_cols]
+        yield pd.DataFrame(
+            {
+                n: pd.array(
+                    list(vals),
+                    dtype="Int64" if n in long_cols else None,
+                )
+                for n, vals in zip(out_cols, cols)
+            }
+        )
+
+
+_AVRO_NESTED_DECODE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string, lsn long, is_upd long, "
+    "before_cents long, tags_len long, attrs_hm long, ts_ms long"
+)
+
+_AVRO_NESTED_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_us_sum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_len_sum,
+           CAST(SUM(event_id) AS BIGINT) AS lsn_sum,
+           CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS upd_n,
+           CAST(SUM(CASE WHEN event_id % 5 = 0
+                         THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS before_cents_sum,
+           CAST(SUM(LENGTH(event_type) + 1) AS BIGINT) AS tags_len_sum,
+           CAST(SUM(hour(ts) * 60 + minute(ts)) AS BIGINT) AS attrs_sum,
+           CAST(SUM((epoch_us(ts) // 1000) % 1000000) AS BIGINT)
+               AS ts_ms_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("source_avro_nested_roundtrip", _AVRO_NESTED_ORACLE)
+def source_avro_nested_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED Avro round trip — the Debezium envelope, real CDC's
+    wire shape (r15 VERDICT gap 3 closed): events ride as
+    before/after sub-records inside container files (arrays + maps
+    included), written by executors with the from-the-spec codec and
+    read back through a binaryFile scan → Arrow mapInPandas decoder
+    that UNWRAPS the envelope to scalar columns (the canonical
+    consume pattern: prefer the after image, validate op against the
+    before image's presence, surface source.lsn). The fidelity
+    aggregate covers every nested component — after.* through the
+    standard five columns, lsn through the source record, upd_n /
+    before_cents through the nullable before branch, tags_len through
+    the array, attrs_sum through the map, ts_ms through the envelope
+    stamp — hashed against the oracle over the ORIGINAL parquet.
+
+    At 100 TB: same posture as source_avro_roundtrip (shard =
+    producer's unit of parallelism); the envelope unwrap is the
+    format-native twin of cdc_canonical_activities' JSON normalize —
+    with spark-avro deployed, `format("avro")` + `col("after.*")`
+    replaces the Python stage and the gate carries over."""
+    root = _avro_nested_dir(spark, sf_dir)
+    decoded = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(root)
+        .select("content")
+        .mapInPandas(
+            _avro_nested_decode_batches, _AVRO_NESTED_DECODE_SCHEMA
+        )
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("ts") % 1000000000).alias("ts_us_sum"),
+        F.sum(F.length("props")).alias("props_len_sum"),
+        F.sum("lsn").alias("lsn_sum"),
+        F.sum("is_upd").alias("upd_n"),
+        F.sum("before_cents").alias("before_cents_sum"),
+        F.sum("tags_len").alias("tags_len_sum"),
+        F.sum("attrs_hm").alias("attrs_sum"),
+        F.sum(F.col("ts_ms") % 1000000).alias("ts_ms_sum"),
     )
