@@ -74,64 +74,29 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # as CORRECTNESS_LOCAL_r{N}.json so new entries always have recorded
     # certification before their driver row).
     priority = [
-        # ---- r15 window (50; tools/preflight_window.py replays
+        # ---- r16 window (50; tools/preflight_window.py replays
         # exactly this prefix) ----
-        # Rotation policy (r08): NEW entries first — zstd parquet +
-        # .jsonl.zst round trips (r14 VERDICT gap 1), the LIVE
-        # dynamic-gap session gate (gap 4, 19th live certification),
-        # DV-aware OPTIMIZE (REORG/PURGE), the from-the-spec Avro
-        # container codec, bin-packing small-file compaction, dynamic
-        # partition pruning, and the SCD2 point-in-time join,
-        "source_parquet_zstd_roundtrip", "source_json_zstd_roundtrip",
-        "streaming_dynamic_session_live", "source_txn_log_optimize_dv",
-        "source_avro_roundtrip", "source_txn_log_compact_small_files",
-        "source_partitioned_dpp", "cdc_scd2_pointintime_join",
-        "streaming_avro_events_live", "pipeline_observed_metrics",
-        "source_txn_log_multipart_checkpoint",
-        "source_txn_log_hidden_partitioning",
-        "pipeline_ccnet_buckets",
-        "pipeline_luhn_ccn_filter", "text_char_entropy",
-        "source_txn_log_string_stats_pruning",
-        # then CODE-CHANGED-since-last-driver-row: the r14 ADVICE
-        # fixes touched txn_writer (vacuum referenced-set, identity
-        # lineage keying) and the PNG decoder (tRNS range refusal),
-        # and the dynamic-session batch plan was refactored into the
-        # helper the live gate shares,
-        "source_txn_log_identity_columns", "multimodal_image_png_stats",
-        "multimodal_image_png16_stats", "multimodal_image_png_trns_stats",
-        "multimodal_image_png_lowdepth_stats", "events_dynamic_session_stats",
-        # then the stalest-certified cohort: all 28 entries whose
-        # newest driver row is r07, then r08 entries filling the
-        # window (r14 VERDICT residual b — the rotation debt),
-        "events_value_histogram", "events_anomaly_zscore",
-        "events_markov_transitions", "events_activity_streaks",
-        "events_daily_spine", "feed_ranked_personalized",
-        "similarity_matryoshka_topk", "dedup_minhash_md5_clusters",
-        "text_boilerplate_ngrams", "text_edit_distance_pairs",
-        "text_bpe_merge_pairs", "text_bigram_surprisal",
-        "text_udtf_sentences", "pipeline_boilerplate_filter",
-        "pipeline_quality_mixture", "pipeline_reservoir_sample",
-        "pipeline_pii_scrub", "pipeline_training_funnel",
-        "pipeline_profile_columns", "pipeline_quality_checks",
-        "cdc_timetravel_lookup", "sql_udf_pricing", "json_variant_stats",
-        "streaming_hourly_rollup_live", "streaming_session_stats_live",
-        "streaming_dedup_live", "streaming_hourly_users_live",
-        "feed_topk_per_user",
-        # ---- window boundary (first 50 above) ----
-        # certified tail, stalest driver row first (r08 remainder,
-        # then r09, r10, ... — freshest last)
+        # Rotation policy (r08): NEW entries first — the nested-Avro
+        # Debezium-envelope round trip (r15 VERDICT gap 3) — then
+        # CODE-CHANGED re-leads the judge directed into this window:
+        # pipeline_ccnet_buckets (band-offset tertile rank replacing
+        # the single-partition global window, r15 finding 1),
+        "source_avro_nested_roundtrip", "pipeline_ccnet_buckets",
+        # then the ENTIRE 48-entry r08-stale cohort (r15 VERDICT
+        # directive 1: drain it in one window — after this round no
+        # entry's newest driver row is older than r09),
         "cdc_merge_into_state", "text_tfidf_cosine_pairs",
-        "events_moment_profile", "events_corr_value_hour", "events_iqr_outliers",
-        "streaming_sliding_counts_live", "union_by_name_evolution",
-        "string_collation_groups", "events_daily_locf",
-        "feed_page_parameterized", "source_python_datasource_write",
-        "pipeline_linear_quality_score",
+        "events_moment_profile", "events_corr_value_hour",
+        "events_iqr_outliers", "streaming_sliding_counts_live",
+        "union_by_name_evolution", "string_collation_groups",
+        "events_daily_locf", "feed_page_parameterized",
+        "source_python_datasource_write", "pipeline_linear_quality_score",
         "source_python_stream_datasource", "window_distribution_ranks",
         "pipeline_contamination_score", "events_ab_test_ztest",
         "tpch_q3_shipping_priority", "events_day_over_day_growth",
         "events_ewma_values", "similarity_pandas_udf_normalize",
-        "text_hashed_features", "dedup_substring_windows", "dedup_semantic",
-        "pipeline_dsir_weights", "text_zipf_slope",
+        "text_hashed_features", "dedup_substring_windows",
+        "dedup_semantic", "pipeline_dsir_weights", "text_zipf_slope",
         "streaming_enrich_join_live", "asof_nearest_purchase",
         "sql_pipe_pricing", "text_inverted_index", "text_bm25_topk",
         "events_groupmap_ranks", "pipeline_curriculum_order",
@@ -142,7 +107,43 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_schema_evolution", "source_json_permissive",
         "source_python_datasource", "events_grouped_agg_mad",
         "feed_single_user_page", "feed_single_user_page_offset",
-        "join_full_outer", "events_hourly_rollup", "events_dow_seasonality",
+        "join_full_outer", "events_hourly_rollup",
+        # ---- window boundary (first 50 above) ----
+        # the r17 window forms here: the round's OTHER new entry (the
+        # 21st live gate — the window had exactly one free slot and
+        # the batch nested-Avro twin took it), then the code-changed-
+        # but-hash-unchanged entries (text_char_entropy de-exploded
+        # r15 finding 3, the zstd fixture shard-count pin, identity
+        # columns checkpoint lineage records);
+        # then the certified remainder, stalest driver row first
+        "streaming_avro_nested_live",
+        "text_char_entropy", "source_json_zstd_roundtrip",
+        "source_txn_log_identity_columns", "source_parquet_zstd_roundtrip",
+        "streaming_dynamic_session_live", "source_txn_log_optimize_dv",
+        "source_avro_roundtrip", "source_txn_log_compact_small_files",
+        "source_partitioned_dpp", "cdc_scd2_pointintime_join",
+        "streaming_avro_events_live", "pipeline_observed_metrics",
+        "source_txn_log_multipart_checkpoint",
+        "source_txn_log_hidden_partitioning", "pipeline_luhn_ccn_filter",
+        "source_txn_log_string_stats_pruning",
+        "multimodal_image_png_stats", "multimodal_image_png16_stats",
+        "multimodal_image_png_trns_stats",
+        "multimodal_image_png_lowdepth_stats",
+        "events_dynamic_session_stats", "events_value_histogram",
+        "events_anomaly_zscore", "events_markov_transitions",
+        "events_activity_streaks", "events_daily_spine",
+        "feed_ranked_personalized", "similarity_matryoshka_topk",
+        "dedup_minhash_md5_clusters", "text_boilerplate_ngrams",
+        "text_edit_distance_pairs", "text_bpe_merge_pairs",
+        "text_bigram_surprisal", "text_udtf_sentences",
+        "pipeline_boilerplate_filter", "pipeline_quality_mixture",
+        "pipeline_reservoir_sample", "pipeline_pii_scrub",
+        "pipeline_training_funnel", "pipeline_profile_columns",
+        "pipeline_quality_checks", "cdc_timetravel_lookup",
+        "sql_udf_pricing", "json_variant_stats",
+        "streaming_hourly_rollup_live", "streaming_session_stats_live",
+        "streaming_dedup_live", "streaming_hourly_users_live",
+        "feed_topk_per_user", "events_dow_seasonality",
         "cdc_lifecycle_violations", "similarity_pq_topk",
         "multimodal_audio_stats", "text_vocab_oov_rate",
         "text_js_divergence_sources", "pipeline_data_card",
@@ -153,34 +154,35 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "text_phrase_search", "tpch_q21_waiting_suppliers",
         "events_cuped_adjustment", "streaming_interval_join_live",
         "pipeline_weighted_sample", "events_power_analysis",
-        "streaming_two_level_rollup_live", "streaming_stateful_totals_live",
-        "source_bucketed_join", "events_stickiness_ratio",
-        "events_growth_accounting", "asof_cogrouped_merge",
-        "text_arrow_byte_stats", "tpch_q4_priority_exists",
-        "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "tpch_q10_returned_items",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_suppliers", "tpch_q22_sales_opportunity",
-        "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
-        "tpch_q9_product_type_profit", "tpch_q11_important_parts",
-        "tpch_q12_latency_priority", "tpch_q16_supplier_diversity",
-        "similarity_lsh_recall", "events_cusum_changepoint",
-        "similarity_mmr_topk", "streaming_activity_bitmap_live",
-        "graph_personalized_pagerank", "source_txn_log_data_skipping",
-        "streaming_left_outer_join_live", "events_holt_linear_trend",
-        "text_bpe_apply_merges", "pipeline_score_calibration",
-        "pipeline_k_anonymity", "dedup_minhash_quality",
-        "similarity_hard_negatives", "pipeline_blocklist_filter",
-        "dedup_simhash_quality", "events_activity_bitmap",
-        "pipeline_token_budget_epochs", "events_psi_drift",
-        "events_median_halfsample_ci", "events_incident_overlap_join",
-        "events_theil_sen_trend", "events_mahalanobis_outliers",
-        "events_sequence_pattern", "events_autocorrelation",
-        "source_xml_roundtrip", "multimodal_audio_spectrum",
-        "dedup_containment_pairs", "dedup_source_signatures",
-        "text_dup_ngram_fraction", "similarity_range_search",
-        "cdc_snapshot_diff", "graph_link_prediction", "similarity_ann_lsh",
+        "streaming_two_level_rollup_live",
+        "streaming_stateful_totals_live", "source_bucketed_join",
+        "events_stickiness_ratio", "events_growth_accounting",
+        "asof_cogrouped_merge", "text_arrow_byte_stats",
+        "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+        "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
+        "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
+        "tpch_q6_forecast_revenue", "tpch_q9_product_type_profit",
+        "tpch_q11_important_parts", "tpch_q12_latency_priority",
+        "tpch_q16_supplier_diversity", "similarity_lsh_recall",
+        "events_cusum_changepoint", "similarity_mmr_topk",
+        "streaming_activity_bitmap_live", "graph_personalized_pagerank",
+        "source_txn_log_data_skipping", "streaming_left_outer_join_live",
+        "events_holt_linear_trend", "text_bpe_apply_merges",
+        "pipeline_score_calibration", "pipeline_k_anonymity",
+        "dedup_minhash_quality", "similarity_hard_negatives",
+        "pipeline_blocklist_filter", "dedup_simhash_quality",
+        "events_activity_bitmap", "pipeline_token_budget_epochs",
+        "events_psi_drift", "events_median_halfsample_ci",
+        "events_incident_overlap_join", "events_theil_sen_trend",
+        "events_mahalanobis_outliers", "events_sequence_pattern",
+        "events_autocorrelation", "source_xml_roundtrip",
+        "multimodal_audio_spectrum", "dedup_containment_pairs",
+        "dedup_source_signatures", "text_dup_ngram_fraction",
+        "similarity_range_search", "cdc_snapshot_diff",
+        "graph_link_prediction", "similarity_ann_lsh",
         "multimodal_feature_extract", "sketch_distinct_users",
         "sketch_value_quantiles", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
@@ -196,9 +198,10 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
         "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
         "multimodal_binary_stats", "multimodal_frame_sample",
-        "cdc_upsert_state", "cdc_metadata_map_stats", "cdc_dead_letter_stats",
-        "split_stratified_train", "pipeline_corpus_clean",
-        "pipeline_decontaminate", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "cdc_upsert_state", "cdc_metadata_map_stats",
+        "cdc_dead_letter_stats", "split_stratified_train",
+        "pipeline_corpus_clean", "pipeline_decontaminate",
+        "dedup_exact_docs", "dedup_ngram_jaccard",
         "dedup_incremental_new_docs", "dedup_embedding_cosine",
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
@@ -214,48 +217,51 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "source_txn_log_schema_evolution", "streaming_txn_source_live",
         "events_max_concurrent_sessions", "asof_next_purchase",
         "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
-        "events_daily_retention", "events_cohort_matrix", "pricing_summary",
-        "filter_project", "join_inner", "join_left_outer", "join_semi",
-        "join_anti", "join_broadcast_dim", "join_multiway_region_revenue",
-        "agg_distinct", "text_html_strip", "events_ols_value_hour_dow",
-        "events_logistic_purchase_hour", "streaming_html_strip_live",
-        "source_txn_log_row_tracking", "events_poisson_daily_purchases",
-        "multimodal_video_mjpeg_stats", "multimodal_video_mjpeg_420_stats",
+        "events_daily_retention", "events_cohort_matrix",
+        "pricing_summary", "filter_project", "join_inner",
+        "join_left_outer", "join_semi", "join_anti", "join_broadcast_dim",
+        "join_multiway_region_revenue", "agg_distinct", "text_html_strip",
+        "events_ols_value_hour_dow", "events_logistic_purchase_hour",
+        "streaming_html_strip_live", "source_txn_log_row_tracking",
+        "events_poisson_daily_purchases", "multimodal_video_mjpeg_stats",
+        "multimodal_video_mjpeg_420_stats",
         "multimodal_image_progressive_stats",
-        "multimodal_video_rle8_delta_stats", "multimodal_gif_animation_stats",
-        "multimodal_audio_adpcm_stats", "pipeline_multimodal_funnel",
-        "multimodal_resize_certified", "multimodal_phash_dedup",
-        "multimodal_codec_fallback", "source_txn_log_writer_roundtrip",
-        "streaming_txn_sink_live", "source_txn_log_cdf",
-        "source_txn_log_cdf_ivm", "source_txn_log_optimize_zorder",
+        "multimodal_video_rle8_delta_stats",
+        "multimodal_gif_animation_stats", "multimodal_audio_adpcm_stats",
+        "pipeline_multimodal_funnel", "multimodal_resize_certified",
+        "multimodal_phash_dedup", "multimodal_codec_fallback",
+        "source_txn_log_writer_roundtrip", "streaming_txn_sink_live",
+        "source_txn_log_cdf", "source_txn_log_cdf_ivm",
+        "source_txn_log_optimize_zorder",
         "source_txn_log_timestamp_travel", "agg_percentiles",
-        "agg_salted_hot_keys", "rollup_flag_status", "cube_status_priority",
-        "grouping_sets_revenue", "case_when_pivot", "unpivot_flag_measures",
-        "set_ops", "sort_limit_topk", "window_rank_family",
-        "window_running_analytics", "window_range_frame",
-        "window_topk_per_customer", "subquery_scalar_and_correlated",
-        "string_funcs", "math_funcs", "date_funcs", "date_arithmetic",
-        "json_extract", "null_safe_funcs", "array_funcs",
-        "events_funnel_conversion", "source_binaryfile_media",
-        "source_json_gzip_roundtrip", "text_bpe_learn_iterations",
-        "streaming_binaryfile_media_live", "source_json_bzip2_roundtrip",
-        "pipeline_gopher_rules", "events_benford_first_digit",
-        "source_txn_log_check_constraints",
+        "agg_salted_hot_keys", "rollup_flag_status",
+        "cube_status_priority", "grouping_sets_revenue", "case_when_pivot",
+        "unpivot_flag_measures", "set_ops", "sort_limit_topk",
+        "window_rank_family", "window_running_analytics",
+        "window_range_frame", "window_topk_per_customer",
+        "subquery_scalar_and_correlated", "string_funcs", "math_funcs",
+        "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
+        "array_funcs", "events_funnel_conversion",
+        "source_binaryfile_media", "source_json_gzip_roundtrip",
+        "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
+        "source_json_bzip2_roundtrip", "pipeline_gopher_rules",
+        "events_benford_first_digit", "source_txn_log_check_constraints",
         "source_txn_log_generated_columns", "source_txn_log_restore",
         "source_txn_log_shallow_clone", "source_txn_log_checkpoint",
-        "dedup_simhash_md5", "multimodal_rollup", "pipeline_pack_sequences",
-        "pipeline_shuffle_shards", "pipeline_source_mixture",
-        "pipeline_mixture_weighted", "similarity_cosine_topk",
-        "similarity_ivf_topk", "similarity_label_centroid_dist",
-        "similarity_quantized_topk", "text_bigram_top_terms",
-        "text_chunk_documents", "text_lang_rollup",
-        "text_winnow_fingerprints", "sketch_value_quantiles_bounded",
-        "sketch_top_users", "sketch_top_users_bounded",
-        "sketch_bloom_prefilter", "sketch_distinct_overlap_bounded",
-        "sketch_union_daily_to_weekly", "agg_sorted_strings",
-        "agg_argmax_funcs", "join_lateral_topk", "join_salted_skew",
-        "join_null_aware_anti", "window_value_functions",
-        "pivot_event_type_revenue", "graph_two_hop_reach", "graph_pagerank",
+        "dedup_simhash_md5", "multimodal_rollup",
+        "pipeline_pack_sequences", "pipeline_shuffle_shards",
+        "pipeline_source_mixture", "pipeline_mixture_weighted",
+        "similarity_cosine_topk", "similarity_ivf_topk",
+        "similarity_label_centroid_dist", "similarity_quantized_topk",
+        "text_bigram_top_terms", "text_chunk_documents",
+        "text_lang_rollup", "text_winnow_fingerprints",
+        "sketch_value_quantiles_bounded", "sketch_top_users",
+        "sketch_top_users_bounded", "sketch_bloom_prefilter",
+        "sketch_distinct_overlap_bounded", "sketch_union_daily_to_weekly",
+        "agg_sorted_strings", "agg_argmax_funcs", "join_lateral_topk",
+        "join_salted_skew", "join_null_aware_anti",
+        "window_value_functions", "pivot_event_type_revenue",
+        "graph_two_hop_reach", "graph_pagerank",
         "graph_connected_components", "graph_reachability_recursive",
         "events_rfm_segments",
     ]

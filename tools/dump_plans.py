@@ -130,6 +130,9 @@ REPRESENTATIVE = [
     "source_partitioned_dpp",  # dynamicpruning subquery on the fact scan
     "source_json_zstd_roundtrip",  # Arrow decompress-only stage + JVM from_json
     "pipeline_observed_metrics",  # CollectMetrics riding the keep-filter pass
+    "pipeline_ccnet_buckets",  # band-offset tertile rank, no global window
+    "text_char_entropy",  # in-row entropy fold: zero shuffle, zero explode
+    "source_avro_nested_roundtrip",  # envelope unwrap: one Arrow stage
 ]
 
 

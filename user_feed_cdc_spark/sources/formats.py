@@ -6488,3 +6488,69 @@ def source_avro_nested_roundtrip(
         F.sum("attrs_hm").alias("attrs_sum"),
         F.sum(F.col("ts_ms") % 1000000).alias("ts_ms_sum"),
     )
+
+
+_AVRO_NESTED_LIVE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(SUM(event_id) AS BIGINT) AS lsn_sum,
+           CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS upd_n,
+           CAST(SUM(hour(ts) * 60 + minute(ts)) AS BIGINT) AS attrs_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("streaming_avro_nested_live", _AVRO_NESTED_LIVE_ORACLE)
+def streaming_avro_nested_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Debezium-envelope Avro shards ARRIVING — the 21st live
+    streaming certification (r16): the nested container files the
+    batch round trip certifies replay as a `binaryFile` FILE STREAM
+    (maxFilesPerTrigger forcing multiple micro-batches), each shard
+    unwrapped by the identical envelope decoder inside Arrow-batched
+    mapInPandas, and a per-type rollup exercising every nested
+    component (after.* cents, source.lsn, the nullable before branch
+    via upd_n, the attrs map) drains through the memory sink under
+    the oracle hash — the arrival shape of an actual Debezium topic
+    landed to files, batch-stream equivalence certified rather than
+    assumed.
+
+    At 100 TB: stateless per-file decode, per-trigger work bounded by
+    maxFilesPerTrigger, payloads never shuffle — the posture of the
+    other binaryFile streams."""
+    from user_feed_cdc_spark.streaming.windows import run_to_memory
+
+    root = _avro_nested_dir(spark, sf_dir)
+    n_files = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
+    per_trigger = max(1, n_files // 3)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .load(root)
+        .select("content")
+        .mapInPandas(
+            _avro_nested_decode_batches, _AVRO_NESTED_DECODE_SCHEMA
+        )
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("cents_sum"),
+        F.sum("lsn").alias("lsn_sum"),
+        F.sum("is_upd").alias("upd_n"),
+        F.sum("attrs_hm").alias("attrs_sum"),
+    )
+    return run_to_memory(
+        spark, agg, "streaming_avro_nested_live_sink", "complete"
+    )
