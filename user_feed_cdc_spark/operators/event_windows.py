@@ -695,10 +695,12 @@ def streaming_hourly_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     agg = tumbling_counts(stream, "1 hour", watermark="10 minutes")
     return run_to_memory(
-        spark, agg, "streaming_hourly_rollup_live_sink", "complete"
+        spark, agg, "streaming_hourly_rollup_live_sink", "complete",
+        src_paths=(src,),
     )
 
 
@@ -727,10 +729,12 @@ def streaming_session_stats_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_counts,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     agg = session_counts(stream, "30 minutes")
     return run_to_memory(
-        spark, agg, "streaming_session_stats_live_sink", "complete"
+        spark, agg, "streaming_session_stats_live_sink", "complete",
+        src_paths=(src,),
     )
 
 
@@ -763,14 +767,17 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(spark, deduped, "streaming_dedup_live_sink")
+    return run_to_memory(
+        spark, deduped, "streaming_dedup_live_sink", src_paths=(src,)
+    )
 
 
 @_register(
@@ -803,7 +810,8 @@ def streaming_hourly_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -811,7 +819,8 @@ def streaming_hourly_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "_approx")
     )
     live = run_to_memory(
-        spark, agg, "streaming_hourly_users_live_sink", "complete"
+        spark, agg, "streaming_hourly_users_live_sink", "complete",
+        src_paths=(src,),
     )
     exact = (
         load_table(spark, sf_dir, "events")
@@ -861,7 +870,8 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -886,7 +896,8 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(
-        spark, agg, "streaming_enrich_join_live_sink", "complete"
+        spark, agg, "streaming_enrich_join_live_sink", "complete",
+        src_paths=(src,),
     )
 
 
@@ -1586,10 +1597,12 @@ def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame
         sliding_counts,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     agg = sliding_counts(stream, "1 hour", "30 minutes", watermark="10 minutes")
     return run_to_memory(
-        spark, agg, "streaming_sliding_counts_live_sink", "complete"
+        spark, agg, "streaming_sliding_counts_live_sink", "complete",
+        src_paths=(src,),
     )
 
 
@@ -2526,7 +2539,8 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("secs_to_purchase"),
     )
     return run_to_memory(
-        spark, joined, "streaming_interval_join_live_sink", "append"
+        spark, joined, "streaming_interval_join_live_sink", "append",
+        src_paths=(src, src),
     )
 
 
@@ -2603,12 +2617,11 @@ def streaming_left_outer_join_live(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    mc = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
-    mp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .agg(F.max("ts"))
-        .first()[0]
-    )
+    # one scan for both per-type maxima (was two separate agg jobs)
+    mc, mp = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+    ).first()
     cutoff = (
         min(mc, mp)
         - datetime.timedelta(hours=1)
@@ -2655,7 +2668,8 @@ def streaming_left_outer_join_live(
         .alias("secs_to_purchase"),
     )
     sink = run_to_memory(
-        spark, joined, "streaming_left_outer_join_live_sink", "append"
+        spark, joined, "streaming_left_outer_join_live_sink", "append",
+        src_paths=(src, src),
     )
     return sink.filter(
         F.col("purchase_id").isNotNull()
@@ -2807,7 +2821,8 @@ def streaming_two_level_rollup_live(spark: SparkSession, sf_dir: str) -> DataFra
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     hourly = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -2824,7 +2839,8 @@ def streaming_two_level_rollup_live(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.col("d.start").alias("day_start"), "n_events", "cents")
     )
     return run_to_memory(
-        spark, daily, "streaming_two_level_rollup_live_sink", "append"
+        spark, daily, "streaming_two_level_rollup_live_sink", "append",
+        src_paths=(src,),
     )
 
 
@@ -2869,11 +2885,27 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
-    totals = running_user_totals(stream)
-    sink = run_to_memory(
-        spark, totals, "streaming_stateful_totals_live_sink", "update"
+    from user_feed_cdc_spark.streaming.windows import (
+        stream_partition_scope,
+        stream_state_partitions,
     )
+
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
+    totals = running_user_totals(stream)
+    # Python-tier stateful stage: the per-key pandas update is
+    # CPU-bound in Python workers, so partition count must not drop
+    # below the executor parallelism (state-store overhead is the
+    # SECONDARY cost here, unlike the JVM state operators) — size by
+    # max(input-derived, defaultParallelism).
+    n_parts = max(
+        stream_state_partitions(src),
+        spark.sparkContext.defaultParallelism,
+    )
+    with stream_partition_scope(spark, n=n_parts):
+        sink = run_to_memory(
+            spark, totals, "streaming_stateful_totals_live_sink", "update"
+        )
     # Update mode appends one row per (user, micro-batch) to the memory
     # sink; with a multi-file source the replay runs several batches, so
     # reduce to each user's FINAL state (n_events is strictly increasing
@@ -4101,7 +4133,8 @@ def streaming_activity_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFram
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     bm = stream.groupBy("user_id").agg(
         F.bit_or(F.expr("shiftleft(1L, hour(ts))")).alias("hour_bitmap")
     )
@@ -4110,7 +4143,8 @@ def streaming_activity_bitmap_live(spark: SparkSession, sf_dir: str) -> DataFram
         F.bit_count(F.col("hour_bitmap")).cast("long").alias("n_active_hours"),
     )
     return run_to_memory(
-        spark, agg, "streaming_activity_bitmap_live_sink", "complete"
+        spark, agg, "streaming_activity_bitmap_live_sink", "complete",
+        src_paths=(src,),
     )
 
 
@@ -5231,10 +5265,12 @@ def streaming_dynamic_session_live(
         run_to_memory,
     )
 
-    stream = events_file_stream(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    stream = events_file_stream(spark, src)
     return run_to_memory(
         spark,
         _dynamic_session_agg(stream),
         "streaming_dynamic_session_live_sink",
         "complete",
+        src_paths=(src,),
     )

@@ -739,11 +739,7 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            if spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n >= _STREAM_N:
-                break
-            time.sleep(0.05)
+        _await_stream_offset(q, "pos", _STREAM_N)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -2384,6 +2380,42 @@ _TXN_STREAM_ORACLE = """
 """
 
 
+def _await_stream_offset(q, key: str, target: int, deadline_s: float = 120.0):
+    """Wait until the streaming query's last COMPLETED batch has read
+    through offset {key: target}. Pure driver-side polling on
+    q.lastProgress — the previous form counted the memory sink with a
+    Spark job every 50 ms, and those poll jobs contended with the
+    micro-batches themselves (guide §5: the driver should do almost no
+    data work; a progress dict read does none). lastProgress is emitted
+    AFTER a batch commits, so offset-reached implies the batch's rows
+    are queryable in the sink."""
+    import ast as _ast
+    import json as _json
+    import time as _time
+
+    deadline = _time.monotonic() + deadline_s
+    while _time.monotonic() < deadline:
+        p = q.lastProgress
+        if p:
+            try:
+                end = p["sources"][0]["endOffset"]
+                if isinstance(end, str):
+                    # Python DataSource offsets surface as the dict's
+                    # repr (single quotes), not JSON — literal_eval
+                    # handles both repr and plain ints; JSON as fallback
+                    try:
+                        end = _ast.literal_eval(end)
+                    except (ValueError, SyntaxError):
+                        end = _json.loads(end)
+                if isinstance(end, dict) and int(
+                    end.get(key, -(10**18))
+                ) >= target:
+                    return
+            except (KeyError, IndexError, TypeError, ValueError):
+                pass
+        _time.sleep(0.02)
+
+
 def _txn_stream_table(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
     """Build (once per (sf, source-mtime, rev)) an APPEND-ONLY table
     the committer wrote in five commits (pmod 5 buckets of the 5%
@@ -2655,12 +2687,7 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            n = spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n
-            if n >= total:
-                break
-            time.sleep(0.05)
+        _await_stream_offset(q, "v", latest)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -3295,13 +3322,6 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in os.listdir(log_dir)
         if n.endswith(".json") and ".checkpoint." not in n
     )
-    ev = load_table(spark, sf_dir, "events")
-    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
-    n_m4 = ev.filter(F.col("event_id") % 10 == 4).count()
-    n_m6 = ev.filter(F.col("event_id") % 10 == 6).count()
-    n_m9 = ev.filter(F.col("event_id") % 10 == 9).count()
-    total = n_odd + n_m4 + n_m6 + 2 * n_m9  # v3 contributes ZERO rows
-
     def _commit_changes(version: int) -> list[tuple]:
         return _txn_stream_commit_rows(root, log_dir, version, mode="cdf")
 
@@ -3347,12 +3367,7 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            n = spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n
-            if n >= total:
-                break
-            time.sleep(0.05)
+        _await_stream_offset(q, "v", latest)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -3503,12 +3518,7 @@ def streaming_txn_source_exec_live(
         .start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            n = spark.sql(f"SELECT COUNT(*) AS n FROM {sink}").collect()[0].n
-            if n >= total:
-                break
-            time.sleep(0.05)
+        _await_stream_offset(q, "v", latest)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -6052,7 +6062,8 @@ def streaming_avro_events_live(
         )
     )
     return run_to_memory(
-        spark, agg, "streaming_avro_events_live_sink", "complete"
+        spark, agg, "streaming_avro_events_live_sink", "complete",
+        src_paths=(root,),
     )
 
 
@@ -6552,5 +6563,6 @@ def streaming_avro_nested_live(
         F.sum("attrs_hm").alias("attrs_sum"),
     )
     return run_to_memory(
-        spark, agg, "streaming_avro_nested_live_sink", "complete"
+        spark, agg, "streaming_avro_nested_live_sink", "complete",
+        src_paths=(root,),
     )

@@ -12,12 +12,95 @@ stream equivalence is pinned by tests/test_streaming.py.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.sources.tables import load_events
 
 DEFAULT_WATERMARK = "10 minutes"
+
+# --- Scale-adaptive streaming state partitioning -------------------------
+#
+# Structured Streaming has no AQE: stateful operators inherit
+# spark.sql.shuffle.partitions at query start and keep that many state
+# store instances FOREVER (the count is pinned in the checkpoint).  Every
+# micro-batch — including the empty watermark-advance batch availableNow
+# appends — pays a per-partition fixed cost (store load, eviction scan,
+# delta-file commit) for EVERY state store of EVERY stateful operator, so
+# a partition count inherited from the batch default is pure overhead
+# whenever the actual state volume doesn't need it (measured here: the
+# stream-stream join entry runs 4 stores x N partitions x 2 batches; at
+# N=32 on a 2 MB source that is 12.6 s wall, at N=8 it is 3.3 s, with
+# row-identical output — guide §2.2/§2.4: fewer, larger partitions, and
+# don't shuffle into more partitions than the data warrants).
+#
+# The partition count is therefore DERIVED FROM INPUT SIZE (the same
+# bytes-per-partition logic AQE's coalescing applies to batch shuffles),
+# not hard-coded to either the local core count or a cluster constant:
+# ~SPARK_GRAFT_STREAM_PART_BYTES of compressed source bytes per state
+# partition (default 8 MB ≈ 32-64 MB of in-memory state), floored at
+# SPARK_GRAFT_STREAM_PART_MIN (default 4, keeps multi-core locally) and
+# capped at SPARK_GRAFT_STREAM_PART_MAX (default 4096, a deployment knob:
+# a 100 TB/day topic at 8 MB/partition would otherwise ask for millions —
+# production sizes the cap to executor count x a small factor).  All
+# three knobs are env-tunable so cluster deployments can size state
+# partitioning without touching code.
+
+STREAM_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", str(8 << 20))
+)
+STREAM_PART_MIN = int(os.environ.get("SPARK_GRAFT_STREAM_PART_MIN", "4"))
+STREAM_PART_MAX = int(os.environ.get("SPARK_GRAFT_STREAM_PART_MAX", "4096"))
+
+
+def _path_bytes(path: str) -> int:
+    """Recursive on-disk size of a file or directory (symlinks followed:
+    the stream-replay dirs are symlink farms over the real parquet)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path, followlinks=True):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def stream_state_partitions(*paths: str) -> int:
+    """State-partition count for a streaming query reading ``paths``:
+    ceil(source bytes / STREAM_PART_BYTES), clamped to
+    [STREAM_PART_MIN, STREAM_PART_MAX]."""
+    size = sum(_path_bytes(p) for p in paths)
+    return max(
+        STREAM_PART_MIN,
+        min(STREAM_PART_MAX, math.ceil(size / STREAM_PART_BYTES)),
+    )
+
+
+class stream_partition_scope:
+    """Context manager: pin spark.sql.shuffle.partitions to the
+    input-derived state-partition count for the duration of a streaming
+    query's start+drain, restoring the session default afterwards.  The
+    streaming query captures the value at start; batch work outside the
+    scope is untouched (and batch work is AQE-coalesced anyway)."""
+
+    def __init__(self, spark: SparkSession, *paths: str, n: int | None = None):
+        self.spark = spark
+        self.n = n if n is not None else stream_state_partitions(*paths)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
 
 
 def events_stream_dir(sf_dir: str) -> str:
@@ -188,15 +271,40 @@ def attribution_join(
     )
 
 
-def run_to_memory(spark: SparkSession, df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    src_paths: tuple[str, ...] = (),
+):
     """Drive a streaming DF to completion into an in-memory table
-    (availableNow) and return the materialized batch result."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    (availableNow) and return the materialized batch result.
+
+    ``src_paths``: the streamed source files/dirs — when given, the
+    query's state partitioning is derived from their size
+    (stream_state_partitions) instead of inheriting the batch shuffle
+    default; the session conf is restored after the drain."""
+    scope = (
+        stream_partition_scope(spark, *src_paths)
+        if src_paths
+        else _null_scope()
     )
-    q.awaitTermination()
+    with scope:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
+
+
+class _null_scope:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
