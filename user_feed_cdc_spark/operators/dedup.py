@@ -327,27 +327,42 @@ def _cluster_by_bands(
     pointer-jumping, and Σ-convergence exit described in
     dedup_minhash_lsh. Used by both the production xxhash path and the
     oracle-certified md5 twin (dedup_minhash_md5_clusters)."""
-    # skew guard: drop degenerate buckets before any join
+    # skew guard + round-0 bucket minima in ONE window pass: the first
+    # hyperedge round's bucket min is min(doc_id) over the bucket —
+    # labels are the identity at round 0 — so it rides the exact
+    # (band_idx, band_hash) partition the guard already shuffles into,
+    # deleting round 0's bands⋈labels join, its second window shuffle,
+    # and the labels-init distinct (3 exchanges; guide §2.4 "two
+    # operations keyed the same way share one exchange")
+    w_bucket = W.partitionBy("band_idx", "band_hash")
     bands = (
-        bands.withColumn(
-            "_bsz", F.count(F.lit(1)).over(W.partitionBy("band_idx", "band_hash"))
-        )
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+        .withColumn("_bm0", F.min("doc_id").over(w_bucket))
         .filter(F.col("_bsz") <= max_bucket)
         .drop("_bsz")
     )
     # materialize once: the minhash computation must not rerun per round
     bands = _materialize(bands, materialize)
+    loop_bands = bands.drop("_bm0")
 
-    labels = bands.select("doc_id").distinct().withColumn("rep_id", F.col("doc_id"))
-    prev_sum = None
-    prev_labels = None  # previous round's persisted frame, for eviction
-    for _ in range(max_rounds):
+    # round 0 (identity labels) from the precomputed bucket minima
+    stepped = bands.groupBy("doc_id").agg(F.min("_bm0").alias("rep_id"))
+    reps0 = stepped.select(
+        F.col("doc_id").alias("rep_id"), F.col("rep_id").alias("_rr")
+    )
+    labels = _materialize(
+        stepped.join(reps0, "rep_id", "left").select(
+            "doc_id", F.coalesce("_rr", F.col("rep_id")).alias("rep_id")
+        ),
+        materialize,
+    )
+    prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+    prev_labels = labels  # previous round's persisted frame, for eviction
+    for _ in range(1, max_rounds):
         # hyperedge step: every bucket's min label spreads to its members
         stepped = (
-            bands.join(labels, "doc_id")
-            .withColumn(
-                "bm", F.min("rep_id").over(W.partitionBy("band_idx", "band_hash"))
-            )
+            loop_bands.join(labels, "doc_id")
+            .withColumn("bm", F.min("rep_id").over(w_bucket))
             .groupBy("doc_id")
             .agg(F.min("bm").alias("rep_id"))
         )

@@ -5074,7 +5074,7 @@ def streaming_binaryfile_media_live(
         if f.startswith("doc")
         and f.rsplit(".", 1)[-1] in ("png", "bmp", "wav", "gif")
     )
-    per_trigger = max(1, n_files // 3)
+    per_trigger = max(1, (n_files + 2) // 3)
     bf = (
         spark.readStream.format("binaryFile")
         .schema(
@@ -5504,7 +5504,7 @@ def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(
-        f"avro:{sf_dir}:{mtime}:v1".encode()
+        f"avro:{sf_dir}:{mtime}:v2".encode()
     ).hexdigest()[:12]
     root = _scratch_path("events_avro", sf_dir, key)
     if not os.path.exists(os.path.join(root, "_BUILT")):
@@ -5521,6 +5521,12 @@ def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
             "value",
             "props",
         )
+        # shard count = producer parallelism (the docstring's "shard =
+        # producer's unit of parallelism"): one shard per core rather
+        # than one per input split — the events table is a single
+        # parquet file, and a single 100k-row shard made every
+        # downstream decode a one-task stage
+        cols = cols.repartition(spark.sparkContext.defaultParallelism)
 
         def write_shards(rows) -> None:
             import uuid
@@ -5622,11 +5628,19 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     `format("avro")` and this entry's fidelity gate carries over
     unchanged."""
     root = _avro_dir(spark, sf_dir)
+    n_shards = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
     decoded = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(root)
         .select("content")
+        # one decode task per shard: openCostInBytes packs the small
+        # local shards into one split, serializing the CPU-dominant
+        # decode — a one-hop round robin of the shard blobs restores
+        # shard-count parallelism (guide §2.5 input-skew remedy; at
+        # production shard sizes the scan splits already spread and
+        # this is a no-op-sized exchange either way)
+        .repartition(n_shards)
         .mapInPandas(_avro_decode_batches, _AVRO_DECODE_SCHEMA)
     )
     back = decoded.select(
@@ -6033,7 +6047,7 @@ def streaming_avro_events_live(
 
     root = _avro_dir(spark, sf_dir)
     n_files = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
-    per_trigger = max(1, n_files // 3)
+    per_trigger = max(1, (n_files + 2) // 3)
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
@@ -6044,6 +6058,10 @@ def streaming_avro_events_live(
         .option("maxFilesPerTrigger", str(per_trigger))
         .load(root)
         .select("content")
+        # one decode task per shard within each trigger (see
+        # source_avro_roundtrip: openCost packing serializes small
+        # local shards otherwise)
+        .repartition(per_trigger)
         .mapInPandas(_avro_decode_batches, _AVRO_DECODE_SCHEMA)
     )
     agg = (
@@ -6278,7 +6296,7 @@ def _avro_nested_dir(spark: SparkSession, sf_dir: str) -> str:
     src_path = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(src_path))
     key = hashlib.md5(
-        f"avronested:{sf_dir}:{mtime}:v1".encode()
+        f"avronested:{sf_dir}:{mtime}:v2".encode()
     ).hexdigest()[:12]
     root = _scratch_path("events_avro_nested", sf_dir, key)
     if not os.path.exists(os.path.join(root, "_BUILT")):
@@ -6295,6 +6313,9 @@ def _avro_nested_dir(spark: SparkSession, sf_dir: str) -> str:
             F.hour("ts").alias("h"),
             F.minute("ts").alias("m"),
         )
+        # shard by producer parallelism (see _avro_dir): decode
+        # parallelism downstream is bounded by shard count
+        cols = cols.repartition(spark.sparkContext.defaultParallelism)
 
         def write_shards(rows) -> None:
             import uuid
@@ -6475,11 +6496,14 @@ def source_avro_nested_roundtrip(
     with spark-avro deployed, `format("avro")` + `col("after.*")`
     replaces the Python stage and the gate carries over."""
     root = _avro_nested_dir(spark, sf_dir)
+    n_shards = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
     decoded = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(root)
         .select("content")
+        # one decode task per shard (see source_avro_roundtrip)
+        .repartition(n_shards)
         .mapInPandas(
             _avro_nested_decode_batches, _AVRO_NESTED_DECODE_SCHEMA
         )
@@ -6538,7 +6562,7 @@ def streaming_avro_nested_live(
 
     root = _avro_nested_dir(spark, sf_dir)
     n_files = sum(1 for n in os.listdir(root) if n.endswith(".avro"))
-    per_trigger = max(1, n_files // 3)
+    per_trigger = max(1, (n_files + 2) // 3)
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
@@ -6549,6 +6573,9 @@ def streaming_avro_nested_live(
         .option("maxFilesPerTrigger", str(per_trigger))
         .load(root)
         .select("content")
+        # one decode task per shard within each trigger (see
+        # source_avro_roundtrip)
+        .repartition(per_trigger)
         .mapInPandas(
             _avro_nested_decode_batches, _AVRO_NESTED_DECODE_SCHEMA
         )
