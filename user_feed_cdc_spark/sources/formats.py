@@ -2470,29 +2470,52 @@ def _txn_stream_table(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
     return root, log_dir, total
 
 
-def _txn_stream_file_rows(root: str, file: str) -> list[tuple]:
+def _txn_stream_file_rows(
+    root: str, file: str, memo: dict | None = None
+) -> list[tuple]:
     """Driver-side (pyarrow) read of one data file into (event_id,
     ts_us, user_id, event_type, value, props) tuples — the Simple
-    streaming protocol's batch body."""
+    streaming protocol's batch body.
+
+    ``memo`` (optional): per-QUERY-INVOCATION cache {file: rows} — a
+    CDF stream legitimately revisits a file across commits (a file
+    added in one commit is the remove side of a later rewrite and the
+    row source for a later deletion-vector delta), and the Simple
+    protocol reads on the driver, so each revisit is a full pyarrow
+    decode + tuple build unless memoized for the stream's lifetime.
+    Scoped to one reader instance: nothing persists across runs."""
+    if memo is not None and file in memo:
+        return memo[file]
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(root, file))
-    unit = tbl.schema.field("ts").type.unit
-    div = 1000 if unit == "ns" else 1
+    ts64 = tbl.column("ts").cast(pa.int64())
+    if tbl.schema.field("ts").type.unit == "ns":
+        # vectorized ns→us (guide §4.2: bulk work in native code, not a
+        # per-value Python loop)
+        ts64 = pc.divide(ts64, pa.scalar(1000, pa.int64()))
     cols = [
         tbl.column("event_id").to_pylist(),
-        [v // div for v in tbl.column("ts").cast(pa.int64()).to_pylist()],
+        ts64.to_pylist(),
         tbl.column("user_id").to_pylist(),
         tbl.column("event_type").to_pylist(),
         tbl.column("value").to_pylist(),
         tbl.column("props").to_pylist(),
     ]
-    return list(zip(*cols))
+    rows = list(zip(*cols))
+    if memo is not None:
+        memo[file] = rows
+    return rows
 
 
 def _txn_stream_commit_rows(
-    root: str, log_dir: str, version: int, mode: str = "append_only"
+    root: str,
+    log_dir: str,
+    version: int,
+    mode: str = "append_only",
+    memo: dict | None = None,
 ) -> list[tuple]:
     """One streaming micro-batch = one commit, two contracts:
 
@@ -2531,7 +2554,7 @@ def _txn_stream_commit_rows(
         rows: list[tuple] = []
         for a in actions:
             if a["action"] == "add":
-                rows.extend(_txn_stream_file_rows(root, a["file"]))
+                rows.extend(_txn_stream_file_rows(root, a["file"], memo))
         return rows
 
     assert mode == "cdf", mode
@@ -2545,8 +2568,10 @@ def _txn_stream_commit_rows(
         for a in actions
         if a["action"] == "remove" and a.get("dataChange", True)
     ]
-    added = [r for f in adds for r in _txn_stream_file_rows(root, f)]
-    removed = [r for f in removes for r in _txn_stream_file_rows(root, f)]
+    added = [r for f in adds for r in _txn_stream_file_rows(root, f, memo)]
+    removed = [
+        r for f in removes for r in _txn_stream_file_rows(root, f, memo)
+    ]
     added_ids = {r[0] for r in added}
     removed_by_id = {r[0]: r for r in removed}
     out: list[tuple] = []
@@ -2598,7 +2623,7 @@ def _txn_stream_commit_rows(
             new_ids -= _dv_ids(prev)
         out.extend(
             ("delete", version, *r)
-            for r in _txn_stream_file_rows(root, a["file"])
+            for r in _txn_stream_file_rows(root, a["file"], memo)
             if r[0] in new_ids
         )
     return out
@@ -2637,8 +2662,10 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root, log_dir, total = _txn_stream_table(spark, sf_dir)
 
+    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+
     def _commit_rows(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(root, log_dir, version)
+        return _txn_stream_commit_rows(root, log_dir, version, memo=memo)
 
     latest = max(
         int(n.split(".")[0])
@@ -3322,8 +3349,12 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in os.listdir(log_dir)
         if n.endswith(".json") and ".checkpoint." not in n
     )
+    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+
     def _commit_changes(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(root, log_dir, version, mode="cdf")
+        return _txn_stream_commit_rows(
+            root, log_dir, version, mode="cdf", memo=memo
+        )
 
     class TxnCdfStreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
@@ -4235,8 +4266,12 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = TxnLogWriter(mv_root)
     mv_schema = "event_type string, n long, cents_sum long"
 
+    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+
     def _commit_changes(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(root, log_dir, version, mode="cdf")
+        return _txn_stream_commit_rows(
+            root, log_dir, version, mode="cdf", memo=memo
+        )
 
     class TxnCdfIvmReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
@@ -4446,7 +4481,7 @@ def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceStreamWriter,
+        DataSourceStreamArrowWriter,
         WriterCommitMessage,
     )
 
@@ -4459,21 +4494,29 @@ def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.name = name
             self.n = n
 
-    class JsonlStreamWriter(DataSourceStreamWriter):
+    class JsonlStreamWriter(DataSourceStreamArrowWriter):
         def __init__(self, options):
             self.root = options["path"]
 
         def write(self, iterator):
-            import json
             import uuid as _uuid
 
+            # rows arrive pre-serialized (a single `line` column built
+            # by to_json in the JVM) as ARROW BATCHES — the 4.1 Arrow
+            # stream-writer form of the same protocol: no per-row
+            # pickling, the writer is pure I/O over a contiguous
+            # string column (guide §4.1/§4.2); the commit/abort
+            # stage-then-publish contract under certification is the
+            # DataSourceStreamWriter one, unchanged
             name = f"stage/part-{_uuid.uuid4().hex}.jsonl"
             n = 0
             path = os.path.join(self.root, name)
             with open(path, "w") as f:
-                for row in iterator:
-                    f.write(json.dumps(row.asDict()) + "\n")
-                    n += 1
+                for batch in iterator:
+                    lines = batch.column(0).to_pylist()
+                    if lines:
+                        f.write("\n".join(lines) + "\n")
+                    n += len(lines)
             return _Msg(name, n)
 
         def commit(self, messages, batchId):
@@ -4507,12 +4550,22 @@ def source_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
         .select(
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+            # serialize in the JVM (codegen'd Jackson), ship ONE string
+            # per row through the Python writer instead of a 6-field Row
+            # pickled and json.dumps'd per row (guide §4.1/§4.2); the
+            # parsed-back values are identical (shortest-round-trip
+            # doubles both sides; to_json drops null fields, which the
+            # schema'd reader restores as null)
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            ).alias("line")
         )
     )
     q = (
