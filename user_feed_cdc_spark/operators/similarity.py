@@ -1083,8 +1083,19 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub_a = subspace(1).persist()
     sub_b = subspace(_PQ_SUB_DIM + 1).persist()
-    prev_a, _ = _kmeans_centroids(spark, sub_a)
-    prev_b, _ = _kmeans_centroids(spark, sub_b)
+    # The two subspace Lloyd loops are INDEPENDENT driver-blocking
+    # iteration chains (tiny per-iteration jobs, driver round-trip
+    # bound) — overlap them from a 2-thread pool so each loop's next
+    # iteration back-fills the executor idle time of the other's
+    # collect (guide §2.6 "overlap independent jobs"); per-loop
+    # determinism is untouched, the loops share nothing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_a = pool.submit(_kmeans_centroids, spark, sub_a)
+        fut_b = pool.submit(_kmeans_centroids, spark, sub_b)
+        prev_a, _ = fut_a.result()
+        prev_b, _ = fut_b.result()
     q_row = (
         emb.filter(F.col("vec_id") == 0)
         .select(

@@ -4355,24 +4355,32 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.add(name).set_txn("mv_refresh", bid)
         txn.commit()
 
-    q = (
-        spark.readStream.format("txn_cdf_ivm_stream")
-        .load()
-        .writeStream.foreachBatch(refresh)
-        .option("checkpointLocation", os.path.join(mv_root, "_ckpt"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            last = mv.last_txn("mv_refresh")
-            if last is not None and last >= latest:
-                break
-            time.sleep(0.05)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    from user_feed_cdc_spark.streaming.windows import stream_partition_scope
+
+    # The refresh's delta aggregate and MV merge join handle ≤|groups|
+    # rows per batch; partition them from the CHANGE-FEED source size
+    # (the same input-derived sizing every live entry uses) instead of
+    # the batch shuffle default — 6 refreshes × 3 tiny jobs otherwise
+    # launch 32 near-empty shuffle tasks each (guide §2.2/§2.4)
+    with stream_partition_scope(spark, root):
+        q = (
+            spark.readStream.format("txn_cdf_ivm_stream")
+            .load()
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", os.path.join(mv_root, "_ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                last = mv.last_txn("mv_refresh")
+                if last is not None and last >= latest:
+                    break
+                time.sleep(0.05)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     return spark.read.schema(mv_schema).parquet(
         *[os.path.join(mv_root, f) for f in mv.live_files()]
     )
