@@ -909,7 +909,10 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     already carries. Production ExactSubstr removes the span, not the
     doc — the verdict column is the doc-level summary both need."""
     k = _SUBSTR_WIN
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the per-window md5 derivation is the CPU-dominant stage
+    # and evaluates per element interpreted — a single small scan file
+    # otherwise pins it to one task (no-op at real scale; guide §2.5)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n_win = F.size(toks) - (k - 1)
     wins = F.when(

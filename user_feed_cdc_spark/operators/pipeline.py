@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.operators.dedup import shingles
 from user_feed_cdc_spark.operators.textanalysis import EN_STOPWORDS
-from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -1044,7 +1044,9 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_band_rows,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(  # s1 token/stopword derivation is CPU-bound on the scan
+        load_table(spark, sf_dir, "documents")
+    )
     corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         "doc_id", "text"
     )
@@ -1635,7 +1637,9 @@ def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-vs-string compare agrees absent a 2⁻⁶⁴ collision."""
     from user_feed_cdc_spark.functions.numeric import round_half_up as r2
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(  # gram-hash derivation is the CPU-heavy scan stage
+        load_table(spark, sf_dir, "documents")
+    )
     grams = docs.select(
         "doc_id",
         F.array_distinct(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from user_feed_cdc_spark.functions.numeric import round_half_up as r2
-from user_feed_cdc_spark.sources.tables import load_table
+from user_feed_cdc_spark.sources.tables import fan_out, load_table
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -1987,7 +1987,9 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy+join formulation, certifying the window rewrite. The ratio
     divides two small exact BIGINTs in fp64 and micro-rounds —
     hash-stable."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the shingle+md5 derivation is the CPU-dominant scan
+    # stage (interpreted per element); no-op at real scale (guide §2.5)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     from user_feed_cdc_spark.operators.dedup import shingles
 
     ex = docs.select(
