@@ -3369,9 +3369,18 @@ def events_median_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and the {_HS_REPLICAS}x fan-out of one bigint column is
     the entire overhead (GK sketches answer the same question
     approximately; this is the exact-arm certification)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    from user_feed_cdc_spark.sources.tables import fan_out
+
+    # fan_out: the replica explode + per-(event,replica) md5 membership
+    # filter run in the SCAN stage — a single local file otherwise pins
+    # |events|x{replicas} hashes to one task (no-op at real scale)
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     rep = (
         ev.select(

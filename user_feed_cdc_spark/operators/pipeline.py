@@ -195,7 +195,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — deterministic, and the oracle still matches because the
     OUTPUT is gram-free (per-group counts): collision-free hashing
     yields the identical contaminated set."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: shingle+xxhash derivation is the dominant scan-stage
+    # CPU (see docstring); spread when the local scan under-partitions
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id",
         "lang",
@@ -1355,7 +1357,9 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), so only exact bigints accumulate; one double division
     closes each doc. Docs too short for any bigram carry no evidence
     and are omitted, same as the oracle's inner join."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: per-bigram md5 bucketing is scan-stage CPU (no-op at
+    # real scale)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     bigrams = F.expr(
         "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
