@@ -116,6 +116,11 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # r15 finding 3, the zstd fixture shard-count pin, identity
         # columns checkpoint lineage records);
         # then the certified remainder, stalest driver row first
+        # r16 OPTIMIZATION code-changed entries queue here too
+        # (rotation policy: code-changed-since-last-driver-row
+        # before stale certification; all were re-certified by the
+        # r16 full local gate, CORRECTNESS_LOCAL_r16.json):
+        "asof_cogrouped_merge", "source_python_stream_writer", "streaming_txn_source_live", "streaming_txn_cdf_live", "streaming_txn_cdf_ivm_live", "streaming_binaryfile_media_live", "events_median_halfsample_ci", "pipeline_decontaminate", "text_dup_ngram_fraction", "graph_connected_components", "dedup_minhash_lsh", "dedup_minhash_md5_pairs",
         "streaming_avro_nested_live",
         "text_char_entropy", "source_json_zstd_roundtrip",
         "source_txn_log_identity_columns", "source_parquet_zstd_roundtrip",
@@ -157,7 +162,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_two_level_rollup_live",
         "streaming_stateful_totals_live", "source_bucketed_join",
         "events_stickiness_ratio", "events_growth_accounting",
-        "asof_cogrouped_merge", "text_arrow_byte_stats",
+        "text_arrow_byte_stats",
         "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
         "tpch_q7_volume_shipping", "tpch_q8_market_share",
         "tpch_q10_returned_items", "tpch_q13_customer_distribution",
@@ -175,16 +180,14 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "dedup_minhash_quality", "similarity_hard_negatives",
         "pipeline_blocklist_filter", "dedup_simhash_quality",
         "events_activity_bitmap", "pipeline_token_budget_epochs",
-        "events_psi_drift", "events_median_halfsample_ci",
-        "events_incident_overlap_join", "events_theil_sen_trend",
+        "events_psi_drift", "events_incident_overlap_join", "events_theil_sen_trend",
         "events_mahalanobis_outliers", "events_sequence_pattern",
         "events_autocorrelation", "source_xml_roundtrip",
         "multimodal_audio_spectrum", "dedup_containment_pairs",
-        "dedup_source_signatures", "text_dup_ngram_fraction",
-        "similarity_range_search", "cdc_snapshot_diff",
+        "dedup_source_signatures", "similarity_range_search", "cdc_snapshot_diff",
         "graph_link_prediction", "similarity_ann_lsh",
         "multimodal_feature_extract", "sketch_distinct_users",
-        "sketch_value_quantiles", "dedup_minhash_lsh", "dedup_simhash",
+        "sketch_value_quantiles", "dedup_simhash",
         "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",
@@ -193,29 +196,26 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "multimodal_video_avi_stats", "events_trending_users",
         "range_join_user_pairs", "asof_last_purchase",
         "asof_last_purchase_tolerance", "dedup_exact_latest_event",
-        "dedup_minhash_md5_pairs", "cdc_scd2_history",
+        "cdc_scd2_history",
         "text_unigram_surprisal", "similarity_knn_join",
         "pipeline_decontaminate_fuzzy", "similarity_binary_hamming_topk",
         "similarity_rerank_topk", "similarity_ivf_kmeans_topk",
         "multimodal_binary_stats", "multimodal_frame_sample",
         "cdc_upsert_state", "cdc_metadata_map_stats",
         "cdc_dead_letter_stats", "split_stratified_train",
-        "pipeline_corpus_clean", "pipeline_decontaminate",
-        "dedup_exact_docs", "dedup_ngram_jaccard",
+        "pipeline_corpus_clean", "dedup_exact_docs", "dedup_ngram_jaccard",
         "dedup_incremental_new_docs", "dedup_embedding_cosine",
         "text_token_counts", "text_doc_stats", "text_quality_scores",
         "text_lang_id", "text_fingerprints", "text_regex_tokens",
         "text_tfidf_top_terms", "text_repetition_scores",
         "pipeline_zorder_stats", "source_txn_log_column_mapping",
         "source_txn_log_partition_values", "dedup_substring_rewrite",
-        "streaming_txn_cdf_ivm_live", "source_state_store_read",
-        "sql_scripting_control_flow", "source_python_stream_writer",
-        "text_udtf_polymorphic", "events_holt_winters_seasonal",
+        "source_state_store_read",
+        "sql_scripting_control_flow", "text_udtf_polymorphic", "events_holt_winters_seasonal",
         "text_pmi_collocations", "text_rake_keywords",
-        "streaming_txn_cdf_live", "streaming_txn_source_exec_live",
+        "streaming_txn_source_exec_live",
         "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
-        "source_txn_log_schema_evolution", "streaming_txn_source_live",
-        "events_max_concurrent_sessions", "asof_next_purchase",
+        "source_txn_log_schema_evolution", "events_max_concurrent_sessions", "asof_next_purchase",
         "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
         "events_daily_retention", "events_cohort_matrix",
         "pricing_summary", "filter_project", "join_inner",
@@ -243,8 +243,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "date_funcs", "date_arithmetic", "json_extract", "null_safe_funcs",
         "array_funcs", "events_funnel_conversion",
         "source_binaryfile_media", "source_json_gzip_roundtrip",
-        "text_bpe_learn_iterations", "streaming_binaryfile_media_live",
-        "source_json_bzip2_roundtrip", "pipeline_gopher_rules",
+        "text_bpe_learn_iterations", "source_json_bzip2_roundtrip", "pipeline_gopher_rules",
         "events_benford_first_digit", "source_txn_log_check_constraints",
         "source_txn_log_generated_columns", "source_txn_log_restore",
         "source_txn_log_shallow_clone", "source_txn_log_checkpoint",
@@ -262,7 +261,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "join_salted_skew", "join_null_aware_anti",
         "window_value_functions", "pivot_event_type_revenue",
         "graph_two_hop_reach", "graph_pagerank",
-        "graph_connected_components", "graph_reachability_recursive",
+        "graph_reachability_recursive",
         "events_rfm_segments",
     ]
     missing = [n for n in priority if n not in merged]
