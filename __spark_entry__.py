@@ -120,7 +120,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # (rotation policy: code-changed-since-last-driver-row
         # before stale certification; all were re-certified by the
         # r16 full local gate, CORRECTNESS_LOCAL_r16.json):
-        "asof_cogrouped_merge", "source_python_stream_writer", "streaming_txn_source_live", "streaming_txn_cdf_live", "streaming_txn_cdf_ivm_live", "streaming_binaryfile_media_live", "events_median_halfsample_ci", "pipeline_decontaminate", "text_dup_ngram_fraction", "graph_connected_components", "dedup_minhash_lsh", "dedup_minhash_md5_pairs",
+        "asof_cogrouped_merge", "source_python_stream_writer", "streaming_txn_source_live", "streaming_txn_cdf_live", "streaming_txn_cdf_ivm_live", "streaming_binaryfile_media_live", "events_median_halfsample_ci", "pipeline_decontaminate", "text_dup_ngram_fraction", "graph_connected_components", "dedup_minhash_lsh", "dedup_minhash_md5_pairs", "dedup_simhash",
         "streaming_avro_nested_live",
         "text_char_entropy", "source_json_zstd_roundtrip",
         "source_txn_log_identity_columns", "source_parquet_zstd_roundtrip",
@@ -187,7 +187,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "dedup_source_signatures", "similarity_range_search", "cdc_snapshot_diff",
         "graph_link_prediction", "similarity_ann_lsh",
         "multimodal_feature_extract", "sketch_distinct_users",
-        "sketch_value_quantiles", "dedup_simhash",
+        "sketch_value_quantiles",
         "dedup_embedding_lsh", "multimodal_resize", "graph_triangle_count",
         "cdc_canonical_activities", "events_sliding_counts",
         "events_session_stats", "events_attribution_join",

@@ -462,8 +462,17 @@ def dedup_simhash(
             f"{SIMHASH_BANDS} bands (≤ {SIMHASH_BANDS - 1}); raise SIMHASH_BANDS "
             "to widen the radius instead of silently losing recall"
         )
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", simhash64("text").alias("sig")
+    # localCheckpoint: the signature frame feeds BOTH legs of the band
+    # self-join, and without a materialization barrier each leg re-plans
+    # the scan + simhash aggregate — worse, the join's inferred
+    # IsNotNull(band_val) pushes below the projection and evaluates the
+    # full 64-lane vote aggregate a second time inside the Filter, so
+    # the executed plan computed the signature 4x per run (r16 profile).
+    # The checkpointed frame is |docs| x 16 bytes — planning-scale.
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", simhash64("text").alias("sig"))
+        .localCheckpoint(eager=False)
     )
     bands = docs.select(
         "doc_id",
