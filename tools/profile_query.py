@@ -79,11 +79,19 @@ def main() -> None:
     except Exception as e:
         print(f"no streaming listener: {e}", file=sys.stderr)
 
+    from user_feed_cdc_spark.operators.cdc import evict_fixture_cache
+
     out = {}
     for name in names:
         fn = qs[name]
         times = []
         for i in range(n_pass):
+            # bench.py pass hygiene: accumulated persisted blocks and
+            # local checkpoints otherwise crowd the storage pool and
+            # later passes degrade (BENCH_r04 finding)
+            spark.catalog.clearCache()
+            evict_fixture_cache(spark)
+            spark.sparkContext._jvm.System.gc()
             progress_log.clear()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

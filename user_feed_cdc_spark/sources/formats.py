@@ -2470,22 +2470,22 @@ def _txn_stream_table(spark: SparkSession, sf_dir: str) -> tuple[str, str, int]:
     return root, log_dir, total
 
 
-def _txn_stream_file_rows(
-    root: str, file: str, memo: dict | None = None
-) -> list[tuple]:
-    """Driver-side (pyarrow) read of one data file into (event_id,
-    ts_us, user_id, event_type, value, props) tuples — the Simple
-    streaming protocol's batch body.
+def _txn_stream_file_table(root: str, file: str, memo: dict | None = None):
+    """Normalize one data file to a pyarrow Table in the stream's
+    declared column order/types: (event_id int64, ts_us int64,
+    user_id int64, event_type string, value double, props string).
+    The ts→ts_us conversion is the only compute; everything else is a
+    zero-copy column re-arrangement (guide §4.2 — Arrow re-slicing,
+    not per-row work).
 
-    ``memo`` (optional): per-QUERY-INVOCATION cache {file: rows} — a
-    CDF stream legitimately revisits a file across commits (a file
-    added in one commit is the remove side of a later rewrite and the
-    row source for a later deletion-vector delta), and the Simple
-    protocol reads on the driver, so each revisit is a full pyarrow
-    decode + tuple build unless memoized for the stream's lifetime.
-    Scoped to one reader instance: nothing persists across runs."""
-    if memo is not None and file in memo:
-        return memo[file]
+    ``memo`` (optional): per-QUERY-INVOCATION cache — a CDF stream
+    legitimately revisits a file across commits (a file added in one
+    commit is the remove side of a later rewrite and the row source
+    for a later deletion-vector delta). Scoped to one reader instance:
+    nothing persists across runs."""
+    key = ("table", file)
+    if memo is not None and key in memo:
+        return memo[key]
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -2496,17 +2496,38 @@ def _txn_stream_file_rows(
         # vectorized ns→us (guide §4.2: bulk work in native code, not a
         # per-value Python loop)
         ts64 = pc.divide(ts64, pa.scalar(1000, pa.int64()))
-    cols = [
-        tbl.column("event_id").to_pylist(),
-        ts64.to_pylist(),
-        tbl.column("user_id").to_pylist(),
-        tbl.column("event_type").to_pylist(),
-        tbl.column("value").to_pylist(),
-        tbl.column("props").to_pylist(),
-    ]
-    rows = list(zip(*cols))
+    out = pa.table(
+        {
+            "event_id": tbl.column("event_id").cast(pa.int64()),
+            "ts_us": ts64,
+            "user_id": tbl.column("user_id").cast(pa.int64()),
+            "event_type": tbl.column("event_type").cast(pa.string()),
+            "value": tbl.column("value").cast(pa.float64()),
+            "props": tbl.column("props").cast(pa.string()),
+        }
+    )
     if memo is not None:
-        memo[file] = rows
+        memo[key] = out
+    return out
+
+
+def _txn_stream_file_rows(
+    root: str, file: str, memo: dict | None = None
+) -> list[tuple]:
+    """Driver-side (pyarrow) read of one data file into (event_id,
+    ts_us, user_id, event_type, value, props) tuples — the reference
+    row form the CDF change-diff and the protocol tests consume
+    (_txn_stream_commit_batches ships Arrow batches instead wherever
+    no row-level diff is needed). Memoized like the table form."""
+    key = ("rows", file)
+    if memo is not None and key in memo:
+        return memo[key]
+    tbl = _txn_stream_file_table(root, file, memo)
+    rows = list(
+        zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+    )
+    if memo is not None:
+        memo[key] = rows
     return rows
 
 
@@ -2629,6 +2650,227 @@ def _txn_stream_commit_rows(
     return out
 
 
+_TXN_STREAM_PA_FIELDS = [
+    ("event_id", "int64"),
+    ("ts_us", "int64"),
+    ("user_id", "int64"),
+    ("event_type", "string"),
+    ("value", "float64"),
+    ("props", "string"),
+]
+
+
+def _txn_stream_commit_batches(
+    root: str,
+    log_dir: str,
+    version: int,
+    mode: str = "append_only",
+    memo: dict | None = None,
+) -> list:
+    """Arrow-batch form of _txn_stream_commit_rows: the SAME per-commit
+    contract (same refusals, same change derivation — change commits
+    delegate to the tuple diff, which stays the tested reference), but
+    the batch body crosses the Python data source boundary as pyarrow
+    RecordBatches instead of per-row tuples. Spark's Python data source
+    runner ships RecordBatches straight into the Arrow stream
+    (records_to_arrow_batches yields them as-is), so the per-row
+    tuple build + per-field type conversion disappears for every
+    append/insert commit — the bulk of a stream's bytes (guide §4.2:
+    keep whole batches in native code; §2.3: ship columns, not rows).
+    Offsets, refusal semantics, and emitted VALUES are identical —
+    certified by the same fidelity hash as the tuple path."""
+    import json
+
+    import pyarrow as pa
+
+    with open(os.path.join(log_dir, f"{version:05d}.json")) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    if mode == "append_only":
+        bad = [a for a in actions if a["action"] == "remove"]
+        if bad:
+            raise ValueError(
+                f"commit v{version} is not append-only; streaming past "
+                "a change commit would replay rewritten rows "
+                "(opt into mode='cdf' to stream changes instead)"
+            )
+        batches: list = []
+        for a in actions:
+            if a["action"] == "add":
+                batches.extend(
+                    _txn_stream_file_table(root, a["file"], memo).to_batches()
+                )
+        return batches
+
+    assert mode == "cdf", mode
+    import pyarrow.compute as pc
+
+    def _cdf_cols(t, change_type: str):
+        n = t.num_rows
+        return t.add_column(
+            0, "change_type", pa.array([change_type] * n, pa.string())
+        ).add_column(
+            1, "commit_version", pa.array([version] * n, pa.int64())
+        )
+
+    adds = [
+        a["file"]
+        for a in actions
+        if a["action"] == "add" and a.get("dataChange", True)
+    ]
+    removes = [
+        a["file"]
+        for a in actions
+        if a["action"] == "remove" and a.get("dataChange", True)
+    ]
+    dvs = [a for a in actions if a["action"] == "dv"]
+    if not removes and not dvs:
+        # pure-insert commit (or a dataChange=false rewrite, which emits
+        # nothing): prepend the two constant CDF columns to the Arrow
+        # table — no row materialization at all
+        return [
+            b
+            for f in adds
+            for b in _cdf_cols(
+                _txn_stream_file_table(root, f, memo), "insert"
+            ).to_batches()
+        ]
+
+    # change commit (COW delete / DV delta / update pair). The row-level
+    # diff is vectorized in pyarrow.compute — same semantics as the
+    # certified tuple derivation (_txn_stream_commit_rows, still the
+    # tested reference): inserts = added∖removed by event_id, deletes =
+    # removed∖added, update pre/post pairs = identity in both sides
+    # with ANY column changed. The vectorized compare assumes null-free
+    # columns and unique event_ids per side (filter() would silently
+    # drop null comparison results; duplicate ids break the sort-align)
+    # — anything else falls back to the tuple path, so semantics never
+    # depend on the fast path.
+    at = (
+        pa.concat_tables(
+            [_txn_stream_file_table(root, f, memo) for f in adds]
+        )
+        if adds
+        else None
+    )
+    rt = (
+        pa.concat_tables(
+            [_txn_stream_file_table(root, f, memo) for f in removes]
+        )
+        if removes
+        else None
+    )
+
+    def _vec_ok(t) -> bool:
+        if t is None:
+            return True
+        if any(
+            t.column(i).null_count for i in range(t.num_columns)
+        ):
+            return False
+        ids = t.column("event_id")
+        return pc.count_distinct(ids).as_py() == len(ids)
+
+    if not (_vec_ok(at) and _vec_ok(rt)):
+        rows = _txn_stream_commit_rows(root, log_dir, version, mode, memo)
+        if not rows:
+            return []
+        schema = pa.schema(
+            [("change_type", pa.string()), ("commit_version", pa.int64())]
+            + [(n, getattr(pa, t)()) for n, t in _TXN_STREAM_PA_FIELDS]
+        )
+        cols = list(zip(*rows))
+        arrays = [
+            pa.array(list(c), type=schema.field(i).type)
+            for i, c in enumerate(cols)
+        ]
+        return [pa.RecordBatch.from_arrays(arrays, schema=schema)]
+
+    out_tables: list = []
+    if at is not None and rt is not None:
+        a_ids = at.column("event_id").combine_chunks()
+        r_ids = rt.column("event_id").combine_chunks()
+        in_r = pc.is_in(at.column("event_id"), value_set=r_ids)
+        in_a = pc.is_in(rt.column("event_id"), value_set=a_ids)
+        inserts = at.filter(pc.invert(in_r))
+        deletes = rt.filter(pc.invert(in_a))
+        # align the rows present on both sides by (unique) event_id and
+        # compare every column — changed content emits an update pair,
+        # content-equal carried rows stay silent
+        both_a = at.filter(in_r).sort_by("event_id")
+        both_r = rt.filter(in_a).sort_by("event_id")
+        neq = None
+        for name in both_a.column_names:
+            ne = pc.not_equal(both_a.column(name), both_r.column(name))
+            neq = ne if neq is None else pc.or_(neq, ne)
+        if inserts.num_rows:
+            out_tables.append(_cdf_cols(inserts, "insert"))
+        if deletes.num_rows:
+            out_tables.append(_cdf_cols(deletes, "delete"))
+        if neq is not None and pc.any(neq).as_py():
+            out_tables.append(_cdf_cols(both_r.filter(neq), "update_preimage"))
+            out_tables.append(
+                _cdf_cols(both_a.filter(neq), "update_postimage")
+            )
+    elif at is not None:
+        if at.num_rows:
+            out_tables.append(_cdf_cols(at, "insert"))
+    elif rt is not None:
+        if rt.num_rows:
+            out_tables.append(_cdf_cols(rt, "delete"))
+
+    for a in dvs:
+        # find the file's previous winning dv (log-only walk — stateless,
+        # so failure replay via readBetweenOffsets stays exact)
+        prev = None
+        for v in range(version - 1, -1, -1):
+            p = os.path.join(log_dir, f"{v:05d}.json")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"commit v{v} needed to resolve v{version}'s dv "
+                    "delta was vacuumed"
+                )
+            with open(p) as f:
+                older = [json.loads(line) for line in f if line.strip()]
+            hit = [
+                x
+                for x in older
+                if x.get("action") == "dv" and x["file"] == a["file"]
+            ]
+            if hit:
+                prev = hit[-1]["dv"]
+                break
+        import pyarrow.parquet as pq
+
+        def _dv_id_arr(name: str):
+            key = ("dv", name)
+            if memo is not None and key in memo:
+                return memo[key]
+            arr = (
+                pq.read_table(
+                    os.path.join(root, name), columns=["event_id"]
+                )
+                .column("event_id")
+                .combine_chunks()
+            )
+            if memo is not None:
+                memo[key] = arr
+            return arr
+
+        new_ids = _dv_id_arr(a["dv"])
+        if prev is not None:
+            new_ids = new_ids.filter(
+                pc.invert(pc.is_in(new_ids, value_set=_dv_id_arr(prev)))
+            )
+        ft = _txn_stream_file_table(root, a["file"], memo)
+        dd = ft.filter(
+            pc.is_in(ft.column("event_id"), value_set=new_ids)
+        )
+        if dd.num_rows:
+            out_tables.append(_cdf_cols(dd, "delete"))
+
+    return [b for t in out_tables for b in t.to_batches()]
+
+
 @_register("streaming_txn_source_live", _TXN_STREAM_ORACLE)
 def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING READS of a transaction-log table — 'readStream from a
@@ -2662,10 +2904,10 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root, log_dir, total = _txn_stream_table(spark, sf_dir)
 
-    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+    memo: dict = {}  # per-invocation file cache (see _txn_stream_file_table)
 
-    def _commit_rows(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(root, log_dir, version, memo=memo)
+    def _commit_batches(version: int) -> list:
+        return _txn_stream_commit_batches(root, log_dir, version, memo=memo)
 
     latest = max(
         int(n.split(".")[0])
@@ -2681,13 +2923,13 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = start["v"]
             if v >= latest:
                 return (iter([]), {"v": v})  # steady state: no new commit
-            return (iter(_commit_rows(v + 1)), {"v": v + 1})
+            return (iter(_commit_batches(v + 1)), {"v": v + 1})
 
         def readBetweenOffsets(self, start, end):
-            rows: list[tuple] = []
+            batches: list = []
             for v in range(start["v"] + 1, end["v"] + 1):
-                rows.extend(_commit_rows(v))
-            return iter(rows)
+                batches.extend(_commit_batches(v))
+            return iter(batches)
 
     class TxnLogStream(DataSource):
         @classmethod
@@ -3349,10 +3591,10 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in os.listdir(log_dir)
         if n.endswith(".json") and ".checkpoint." not in n
     )
-    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+    memo: dict = {}  # per-invocation file cache (see _txn_stream_file_table)
 
-    def _commit_changes(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(
+    def _commit_changes(version: int) -> list:
+        return _txn_stream_commit_batches(
             root, log_dir, version, mode="cdf", memo=memo
         )
 
@@ -3367,10 +3609,10 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             return (iter(_commit_changes(v + 1)), {"v": v + 1})
 
         def readBetweenOffsets(self, start, end):
-            rows: list[tuple] = []
+            batches: list = []
             for v in range(start["v"] + 1, end["v"] + 1):
-                rows.extend(_commit_changes(v))
-            return iter(rows)
+                batches.extend(_commit_changes(v))
+            return iter(batches)
 
     class TxnCdfStream(DataSource):
         @classmethod
@@ -3499,27 +3741,31 @@ def streaming_txn_source_exec_live(
 
         def read(self, partition):
             # EXECUTOR-side: open the parquet data file where the
-            # task runs — bytes never transit the driver
+            # task runs — bytes never transit the driver, and the
+            # batch body stays an Arrow RecordBatch end to end (the
+            # data source runner ships RecordBatches as-is; no per-row
+            # tuple build — guide §4.2)
             if not partition.path:
                 return iter([])
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(partition.path)
-            unit = tbl.schema.field("ts").type.unit
-            div = 1000 if unit == "ns" else 1
-            cols = [
-                tbl.column("event_id").to_pylist(),
-                [
-                    x // div
-                    for x in tbl.column("ts").cast(pa.int64()).to_pylist()
-                ],
-                tbl.column("user_id").to_pylist(),
-                tbl.column("event_type").to_pylist(),
-                tbl.column("value").to_pylist(),
-                tbl.column("props").to_pylist(),
-            ]
-            return iter(list(zip(*cols)))
+            ts64 = tbl.column("ts").cast(pa.int64())
+            if tbl.schema.field("ts").type.unit == "ns":
+                ts64 = pc.divide(ts64, pa.scalar(1000, pa.int64()))
+            out = pa.table(
+                {
+                    "event_id": tbl.column("event_id").cast(pa.int64()),
+                    "ts_us": ts64,
+                    "user_id": tbl.column("user_id").cast(pa.int64()),
+                    "event_type": tbl.column("event_type").cast(pa.string()),
+                    "value": tbl.column("value").cast(pa.float64()),
+                    "props": tbl.column("props").cast(pa.string()),
+                }
+            )
+            return iter(out.to_batches())
 
         def commit(self, end):
             pass
@@ -4266,10 +4512,10 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = TxnLogWriter(mv_root)
     mv_schema = "event_type string, n long, cents_sum long"
 
-    memo: dict = {}  # per-invocation file-row cache (see _txn_stream_file_rows)
+    memo: dict = {}  # per-invocation file cache (see _txn_stream_file_table)
 
-    def _commit_changes(version: int) -> list[tuple]:
-        return _txn_stream_commit_rows(
+    def _commit_changes(version: int) -> list:
+        return _txn_stream_commit_batches(
             root, log_dir, version, mode="cdf", memo=memo
         )
 
@@ -4284,10 +4530,10 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             return (iter(_commit_changes(v + 1)), {"v": v + 1})
 
         def readBetweenOffsets(self, start, end):
-            rows: list[tuple] = []
+            batches: list = []
             for v in range(start["v"] + 1, end["v"] + 1):
-                rows.extend(_commit_changes(v))
-            return iter(rows)
+                batches.extend(_commit_changes(v))
+            return iter(batches)
 
     class TxnCdfIvmStream(DataSource):
         @classmethod
@@ -4348,7 +4594,13 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n") > 0)
         )
         name = f"mv{bid:05d}"
-        merged.write.mode("overwrite").parquet(os.path.join(mv_root, name))
+        # |groups|-row state → ONE task, one file per refresh (the
+        # post-join partitioning would otherwise fan the 5-row write
+        # into several near-empty tasks + commit renames; a big MV
+        # shards by group key instead — docstring)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(mv_root, name)
+        )
         txn = mv.begin()
         for f in live:
             txn.remove(f)
