@@ -4575,6 +4575,11 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # materialization barrier: the 9-row digit table feeds BOTH the
+    # total collect and the output projection — without it each job
+    # re-runs the full scan+aggregate (guide §2.4 via the
+    # dedup_simhash barrier rule; the checkpoint is 9 rows).
+    digits = digits.localCheckpoint(eager=False)
     # sum over an empty/all-nonpositive frame is NULL — coerce instead
     # of interpolating 'DIV NoneL' into the expression (r12 ADVICE).
     # A degenerate corpus (total == 0) means `digits` itself is EMPTY,

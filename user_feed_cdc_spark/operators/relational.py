@@ -1948,9 +1948,13 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, map-side combine); the loop state is a session variable on
     the driver — SQL scripting is control plane, the data work stays
     declarative per statement."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "orders_script_v"
-    )
+    # the script touches only o_totalprice — bind the view to the one
+    # column so every loop iteration's analysis and scan stay narrow
+    # (guide §2.3 "project before"; pruning already reached the parquet
+    # scan, this also keeps each statement's plan minimal)
+    load_table(spark, sf_dir, "orders").select(
+        "o_totalprice"
+    ).createOrReplaceTempView("orders_script_v")
     return spark.sql("""
     BEGIN
       DECLARE base DOUBLE;

@@ -2162,6 +2162,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    # materialization barrier: the (nb, mx) scalar collect below and
+    # the scored output job otherwise EACH execute the bigram explode +
+    # aggregate; the checkpointed frame is the distinct-bigram count
+    # table (vocab²-bounded, far smaller than the token stream). At
+    # 100 TB use persist/reliable-checkpoint mode (cf. dedup._materialize).
+    bc = bc.localCheckpoint(eager=False)
     row = bc.agg(
         F.sum("n_xy").alias("nb"), F.max("n_xy").alias("mx")
     ).first()
@@ -2281,6 +2287,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = members.withColumn(
         "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp"))
     )
+    # materialization barrier (the dedup_simhash pattern): `sized`
+    # (explode + two window shuffles) feeds THREE legs (phrases, word
+    # stats, phrase scores) plus the overflow-guard collect job, and
+    # without the barrier the guard job and the output job each re-plan
+    # the whole explode+window subtree. The checkpointed frame is the
+    # token-run table a RAKE pass materializes anyway; at 100 TB use
+    # persist/reliable-checkpoint mode (cf. dedup._materialize).
+    sized = sized.localCheckpoint(eager=False)
     phrases = sized.groupBy("doc_id", "grp").agg(
         F.array_join(
             F.transform(

@@ -4568,9 +4568,6 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0))
         )
-        delta = bdf.groupBy("event_type").agg(
-            F.sum(sign).alias("dn"), F.sum(sign * cents).alias("dc")
-        )
         live = mv.live_files()
         cur = (
             spark.read.schema(mv_schema).parquet(
@@ -4579,17 +4576,24 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             if live
             else spark.createDataFrame([], mv_schema)
         )
+        # fold the signed delta into the view as ONE union + aggregate
+        # (integer addition is associative, so this is bit-identical to
+        # the former aggregate→full_outer-join→coalesce-sum merge while
+        # paying a single exchange instead of two plus a join —
+        # guide §2.4; the map-side partial agg also bounds the shuffle
+        # to |groups| rows per task at any batch size)
         merged = (
-            cur.join(delta, "event_type", "full_outer")
-            .select(
-                "event_type",
-                (
-                    F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
-                ).alias("n"),
-                (
-                    F.coalesce("cents_sum", F.lit(0))
-                    + F.coalesce("dc", F.lit(0))
-                ).alias("cents_sum"),
+            cur.unionByName(
+                bdf.select(
+                    "event_type",
+                    sign.cast("long").alias("n"),
+                    (sign * cents).alias("cents_sum"),
+                )
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("cents_sum").alias("cents_sum"),
             )
             .filter(F.col("n") > 0)
         )
@@ -4609,8 +4613,8 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from user_feed_cdc_spark.streaming.windows import stream_partition_scope
 
-    # The refresh's delta aggregate and MV merge join handle ≤|groups|
-    # rows per batch; partition them from the CHANGE-FEED source size
+    # The refresh's union-fold aggregate handles ≤|groups| rows per
+    # batch; partition it from the CHANGE-FEED source size
     # (the same input-derived sizing every live entry uses) instead of
     # the batch shuffle default — 6 refreshes × 3 tiny jobs otherwise
     # launch 32 near-empty shuffle tasks each (guide §2.2/§2.4)
