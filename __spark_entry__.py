@@ -120,7 +120,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         # (rotation policy: code-changed-since-last-driver-row
         # before stale certification; all were re-certified by the
         # r16 full local gate, CORRECTNESS_LOCAL_r16.json):
-        "asof_cogrouped_merge", "source_python_stream_writer", "streaming_txn_source_live", "streaming_txn_cdf_live", "streaming_txn_cdf_ivm_live", "streaming_txn_source_exec_live", "streaming_binaryfile_media_live", "events_median_halfsample_ci", "pipeline_decontaminate", "text_dup_ngram_fraction", "graph_connected_components", "dedup_minhash_lsh", "dedup_minhash_md5_pairs", "dedup_simhash",
+        "asof_cogrouped_merge", "source_python_stream_writer", "streaming_txn_source_live", "streaming_txn_cdf_live", "streaming_txn_cdf_ivm_live", "streaming_txn_source_exec_live", "text_rake_keywords", "text_pmi_collocations", "events_benford_first_digit", "sql_scripting_control_flow", "streaming_binaryfile_media_live", "events_median_halfsample_ci", "pipeline_decontaminate", "text_dup_ngram_fraction", "graph_connected_components", "dedup_minhash_lsh", "dedup_minhash_md5_pairs", "dedup_simhash",
         "streaming_avro_nested_live",
         "text_char_entropy", "source_json_zstd_roundtrip",
         "source_txn_log_identity_columns", "source_parquet_zstd_roundtrip",
@@ -211,8 +211,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "pipeline_zorder_stats", "source_txn_log_column_mapping",
         "source_txn_log_partition_values", "dedup_substring_rewrite",
         "source_state_store_read",
-        "sql_scripting_control_flow", "text_udtf_polymorphic", "events_holt_winters_seasonal",
-        "text_pmi_collocations", "text_rake_keywords",
+        "text_udtf_polymorphic", "events_holt_winters_seasonal",
         "source_txn_log_delete_rewrite", "source_txn_log_optimize_cluster",
         "source_txn_log_schema_evolution", "events_max_concurrent_sessions", "asof_next_purchase",
         "similarity_lsh_md5_buckets", "sketch_distinct_users_bounded",
@@ -243,7 +242,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "array_funcs", "events_funnel_conversion",
         "source_binaryfile_media", "source_json_gzip_roundtrip",
         "text_bpe_learn_iterations", "source_json_bzip2_roundtrip", "pipeline_gopher_rules",
-        "events_benford_first_digit", "source_txn_log_check_constraints",
+        "source_txn_log_check_constraints",
         "source_txn_log_generated_columns", "source_txn_log_restore",
         "source_txn_log_shallow_clone", "source_txn_log_checkpoint",
         "dedup_simhash_md5", "multimodal_rollup",
