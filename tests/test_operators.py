@@ -3693,6 +3693,104 @@ def test_txn_stream_commit_batches_fallback_guard(tmp_path):
     assert _txn_stream_commit_rows(root, log_dir, 1, mode="cdf")
 
 
+def test_txn_stream_dv_null_sidecar_falls_back(tmp_path, monkeypatch):
+    """A NULL event_id in a DV sidecar (or in a dv'd file) must route
+    the WHOLE commit through the tuple reference: pyarrow is_in null
+    matching is Arrow-version-dependent, while the tuple path's Python
+    set membership is the pinned semantics (r16 ADVICE item 1)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import user_feed_cdc_spark.sources.formats as fm
+
+    root = str(tmp_path / "dv_null_table")
+    log_dir = os.path.join(root, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def write_file(name, ids, values, props):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(ids))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7] * len(ids), pa.int64()),
+                "event_type": pa.array(["click"] * len(ids), pa.string()),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(root, name))
+
+    write_file("f0", [1, 2, 3], [1.0, 2.0, 3.0], ["a", "b", "c"])
+    pq.write_table(
+        pa.table({"event_id": pa.array([2, None], pa.int64())}),
+        os.path.join(root, "dv0"),
+    )
+    with open(os.path.join(log_dir, "00000.json"), "w") as f:
+        f.write(
+            json.dumps({"version": 0, "action": "add", "file": "f0"}) + "\n"
+        )
+    with open(os.path.join(log_dir, "00001.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"version": 1, "action": "dv", "file": "f0", "dv": "dv0"}
+            )
+            + "\n"
+        )
+
+    calls = {"n": 0}
+    ref = fm._txn_stream_commit_rows
+
+    def counting_ref(*a, **kw):
+        calls["n"] += 1
+        return ref(*a, **kw)
+
+    monkeypatch.setattr(fm, "_txn_stream_commit_rows", counting_ref)
+    got = sorted(
+        _batch_rows(
+            fm._txn_stream_commit_batches(root, log_dir, 1, mode="cdf")
+        )
+    )
+    assert calls["n"] == 1, "dv null guard must take the tuple fallback"
+    want = sorted(ref(root, log_dir, 1, mode="cdf"))
+    assert got == want
+    assert want, "the dv delta must emit the non-null deletion"
+
+
+def test_fan_out_estimate_matches_rdd_probe(spark, sf_dir):
+    """The file-size partition estimate (the non-RDD-forcing fan_out
+    probe, r16 VERDICT hygiene item) must reproduce the exact scan
+    partition count on every fan_out input shape — and must refuse
+    (None → RDD fallback) on plans whose partitioning is not the
+    scan's."""
+    from pyspark.sql import functions as F
+
+    from user_feed_cdc_spark.sources.tables import (
+        _scan_partition_estimate,
+        load_table,
+    )
+
+    for table in ("documents", "events", "lineitem"):
+        df = load_table(spark, sf_dir, table)
+        est = _scan_partition_estimate(df)
+        assert est == df.rdd.getNumPartitions(), table
+        sel = df.select(df.columns[0]).filter(F.lit(True))
+        assert _scan_partition_estimate(sel) == est, table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _scan_partition_estimate(docs.repartition(64)) is None
+    assert _scan_partition_estimate(docs.groupBy().count()) is None
+    assert (
+        _scan_partition_estimate(spark.createDataFrame([(1,)], "a int"))
+        is None
+    )
+
+
 def test_txn_cdf_between_timestamps(spark, sf_dir):
     """Timestamp-bounded change feed (startingTimestamp/endingTimestamp
     semantics): over the CDF fixture (commit timestamps 1000..6000),

@@ -823,3 +823,57 @@ def test_observe_metrics_account_without_second_scan(spark, sf_dir):
     got = obs.get
     assert got["seen"] == docs.count()
     assert got["kept"] == kept_rows
+
+
+def test_txn_cdf_ivm_live_empty_refresh_skips_write(spark, sf_dir):
+    """The dataChange=false OPTIMIZE commit arrives as a genuinely
+    EMPTY micro-batch; the IVM refresh must advance the mv_refresh
+    watermark WITHOUT writing a new MV generation — a txn-action-only
+    commit in the MV's log (r16 VERDICT item 2), leaving the previous
+    generation live — and the final MV must still equal the batch
+    twin's full recompute."""
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    df = qs["streaming_txn_cdf_ivm_live"](spark, sf_dir)
+    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
+    assert files, "the MV read must be file-backed"
+    mv_root = os.path.dirname(os.path.dirname(files[0]))
+    log_dir = os.path.join(mv_root, "_log")
+
+    commits = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json") or ".checkpoint." in name:
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        commits.append(
+            {
+                "adds": sum(a.get("action") == "add" for a in acts),
+                "removes": sum(a.get("action") == "remove" for a in acts),
+                "txns": sum(a.get("action") == "txn" for a in acts),
+            }
+        )
+    skip_commits = [
+        c for c in commits if c["txns"] and not c["adds"] and not c["removes"]
+    ]
+    assert len(skip_commits) == 1, (
+        "exactly one refresh (the OPTIMIZE batch) must commit "
+        f"watermark-only; got {commits}"
+    )
+    # every OTHER refresh wrote exactly one generation, and the on-disk
+    # generation count matches (the skipped refresh wrote nothing)
+    n_gen = sum(
+        1 for n in os.listdir(mv_root) if n.startswith("mv") and
+        os.path.isdir(os.path.join(mv_root, n)) and n != "_ckpt"
+    )
+    assert n_gen == sum(c["adds"] for c in commits)
+
+    got = {(r.event_type, r.n, r.cents_sum) for r in df.collect()}
+    twin = qs["source_txn_log_cdf_ivm"](spark, sf_dir)
+    want = {(r.event_type, r.n, r.cents_sum) for r in twin.collect()}
+    assert got == want

@@ -104,7 +104,17 @@ def main() -> None:
                 ) as f:
                     f.write(df._sc._jvm.PythonSQLUtils.explainString(
                         df._jdf.queryExecution(), "formatted"))
-        out[name] = {"times": times, "min": min(times)}
+        # Methodology note (r16 ADVICE item 3): unlike bench.py, the
+        # cache flush + GC here runs before EVERY pass, so every pass
+        # is cold — these numbers measure isolated cold latency and
+        # are NOT like-for-like with bench.py's min-of-3 (which
+        # flushes once per suite pass). Recorded in the JSON so later
+        # rounds don't cross-compare them as equivalents.
+        out[name] = {
+            "times": times,
+            "min": min(times),
+            "methodology": "cold_per_pass_flush",
+        }
         if progress_log:
             out[name]["progress"] = list(progress_log)
         print(name, times, flush=True)

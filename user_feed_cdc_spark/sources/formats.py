@@ -2678,7 +2678,16 @@ def _txn_stream_commit_batches(
     append/insert commit — the bulk of a stream's bytes (guide §4.2:
     keep whole batches in native code; §2.3: ship columns, not rows).
     Offsets, refusal semantics, and emitted VALUES are identical —
-    certified by the same fidelity hash as the tuple path."""
+    certified by the same fidelity hash as the tuple path.
+
+    Intra-batch ROW ORDER is unspecified (r16 ADVICE item 2): this
+    path emits update changes as a block of preimages followed by a
+    block of postimages, while the tuple reference interleaves
+    adjacent pre/post pairs per row. The CDF contract is the SET of
+    change rows per commit — consumers must pair images by
+    (event_id, commit_version), never by adjacency within a
+    micro-batch; every certified consumer here aggregates and is
+    order-insensitive."""
     import json
 
     import pyarrow as pa
@@ -2770,7 +2779,69 @@ def _txn_stream_commit_batches(
         ids = t.column("event_id")
         return pc.count_distinct(ids).as_py() == len(ids)
 
-    if not (_vec_ok(at) and _vec_ok(rt)):
+    import pyarrow.parquet as pq
+
+    def _dv_id_arr(name: str):
+        key = ("dv", name)
+        if memo is not None and key in memo:
+            return memo[key]
+        arr = (
+            pq.read_table(
+                os.path.join(root, name), columns=["event_id"]
+            )
+            .column("event_id")
+            .combine_chunks()
+        )
+        if memo is not None:
+            memo[key] = arr
+        return arr
+
+    # Resolve every dv action's inputs BEFORE choosing a path and run
+    # the same null guard on them (r16 ADVICE item 1): the dv-delta
+    # branch filters via pyarrow is_in on raw event_id arrays, whose
+    # null-matching semantics are Arrow-version-dependent — any null
+    # in a dv sidecar or in a dv'd file's event_id column sends the
+    # WHOLE commit down the tuple reference path, preserving the
+    # 'semantics never depend on the fast path' invariant. The vacuum
+    # refusal stays a hard error on both paths (raised here, before
+    # any fallback decision).
+    dv_plans: list = []
+    dv_vec_ok = True
+    for a in dvs:
+        # find the file's previous winning dv (log-only walk —
+        # stateless, so failure replay via readBetweenOffsets stays
+        # exact)
+        prev = None
+        for v in range(version - 1, -1, -1):
+            p = os.path.join(log_dir, f"{v:05d}.json")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"commit v{v} needed to resolve v{version}'s dv "
+                    "delta was vacuumed"
+                )
+            with open(p) as f:
+                older = [json.loads(line) for line in f if line.strip()]
+            hit = [
+                x
+                for x in older
+                if x.get("action") == "dv" and x["file"] == a["file"]
+            ]
+            if hit:
+                prev = hit[-1]["dv"]
+                break
+        new_arr = _dv_id_arr(a["dv"])
+        prev_arr = _dv_id_arr(prev) if prev is not None else None
+        ft = _txn_stream_file_table(root, a["file"], memo)
+        if (
+            new_arr.null_count
+            or (prev_arr is not None and prev_arr.null_count)
+            or ft.column("event_id").null_count
+        ):
+            dv_vec_ok = False
+            break
+        dv_plans.append((new_arr, prev_arr, ft))
+
+    if not (dv_vec_ok and _vec_ok(at) and _vec_ok(rt)):
         rows = _txn_stream_commit_rows(root, log_dir, version, mode, memo)
         if not rows:
             return []
@@ -2818,50 +2889,11 @@ def _txn_stream_commit_batches(
         if rt.num_rows:
             out_tables.append(_cdf_cols(rt, "delete"))
 
-    for a in dvs:
-        # find the file's previous winning dv (log-only walk — stateless,
-        # so failure replay via readBetweenOffsets stays exact)
-        prev = None
-        for v in range(version - 1, -1, -1):
-            p = os.path.join(log_dir, f"{v:05d}.json")
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"commit v{v} needed to resolve v{version}'s dv "
-                    "delta was vacuumed"
-                )
-            with open(p) as f:
-                older = [json.loads(line) for line in f if line.strip()]
-            hit = [
-                x
-                for x in older
-                if x.get("action") == "dv" and x["file"] == a["file"]
-            ]
-            if hit:
-                prev = hit[-1]["dv"]
-                break
-        import pyarrow.parquet as pq
-
-        def _dv_id_arr(name: str):
-            key = ("dv", name)
-            if memo is not None and key in memo:
-                return memo[key]
-            arr = (
-                pq.read_table(
-                    os.path.join(root, name), columns=["event_id"]
-                )
-                .column("event_id")
-                .combine_chunks()
-            )
-            if memo is not None:
-                memo[key] = arr
-            return arr
-
-        new_ids = _dv_id_arr(a["dv"])
-        if prev is not None:
+    for new_ids, prev_arr, ft in dv_plans:
+        if prev_arr is not None:
             new_ids = new_ids.filter(
-                pc.invert(pc.is_in(new_ids, value_set=_dv_id_arr(prev)))
+                pc.invert(pc.is_in(new_ids, value_set=prev_arr))
             )
-        ft = _txn_stream_file_table(root, a["file"], memo)
         dd = ft.filter(
             pc.is_in(ft.column("event_id"), value_set=new_ids)
         )
@@ -4552,10 +4584,48 @@ def streaming_txn_cdf_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(TxnCdfIvmStream)
 
+    def _commit_stages_data_change(version: int) -> bool:
+        """True unless the source commit at ``version`` stages no
+        CDF-visible change (a dataChange=false OPTIMIZE or a txn-only
+        commit). Batch ids map 1:1 to source versions here
+        (initialOffset -1, one version per read), but this is only a
+        HINT: the skip below additionally verifies the planned batch
+        itself is empty, so a wrong hint costs one tiny job, never
+        correctness."""
+        import json as _json
+
+        p = os.path.join(log_dir, f"{version:05d}.json")
+        if not os.path.exists(p):
+            return True
+        with open(p) as f:
+            acts = [_json.loads(line) for line in f if line.strip()]
+        return any(
+            (
+                a.get("action") in ("add", "remove")
+                and a.get("dataChange", True)
+            )
+            or a.get("action") == "dv"
+            for a in acts
+        )
+
     def refresh(bdf: DataFrame, bid: int) -> None:
         last = mv.last_txn("mv_refresh")
         if last is not None and last >= bid:
             return  # replayed batch: the refresh already committed
+        # Empty-delta skip (guide §2.4 — don't compute what changes
+        # nothing): the v3 OPTIMIZE arrives as a genuinely EMPTY
+        # batch, and folding an empty delta rewrites the MV
+        # bit-identically — so when the source commit stages no data
+        # change (driver-side JSON peek, no Spark job) AND the batch
+        # really is empty (one take-1 job, paid only on the rare
+        # empty batch), the refresh commits ONLY the watermark
+        # advance: a txn-action-only commit — no remove/add, no
+        # union-fold plan+codegen, no parquet write. Readers of the
+        # MV see the identical live file set; replays stay harmless
+        # through the same watermark.
+        if not _commit_stages_data_change(bid) and bdf.isEmpty():
+            mv.begin().set_txn("mv_refresh", bid).commit()
+            return
         cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
         sign = (
             F.when(

@@ -138,6 +138,93 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
+def _size_bytes(v: str | None, default: int) -> int:
+    """Parse a Spark size conf string ('134217728', '128m', '4MB')."""
+    if v is None:
+        return default
+    s = str(v).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for suf in sorted(units, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * units[suf]
+    return int(s)
+
+
+def _scan_partition_estimate(df: DataFrame) -> int | None:
+    """Scan partition count of a pure file-source DataFrame, computed
+    from its input files WITHOUT forcing the RDD lineage (the r16
+    probe instantiated df.rdd per fan_out call — driver-side planning
+    cost plus a Python-serializer plan on every fan_out'd query).
+    Mirrors FilePartition.getFilePartitions: files split at
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    padded_total / defaultParallelism)), chunks bin-packed in
+    size-descending order, closing a partition when it would exceed
+    maxSplitBytes. Returns None when the plan is not file-backed or a
+    size is unreadable — the caller falls back to the RDD probe.
+    tests/test_operators.py pins estimate == df.rdd.getNumPartitions()
+    on every fan_out input shape."""
+    import re
+    from urllib.parse import unquote, urlparse
+
+    try:
+        # Only a pure scan pipeline (project/filter over one file
+        # relation) inherits the scan's partitioning — anything else
+        # (an explicit repartition, a join, a Python map) changes the
+        # partition count and must take the exact RDD probe.
+        plan = df._jdf.queryExecution().analyzed().treeString()
+        nodes = {
+            m.group(1)
+            for m in re.finditer(r"^[\s+:\-]*([A-Za-z]+)", plan, re.M)
+        }
+        if not nodes <= {"Project", "Filter", "Relation", "SubqueryAlias"}:
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        p = unquote(urlparse(uri).path) if ":/" in uri else uri
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    max_pb = _size_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", None), 128 << 20
+    )
+    open_cost = _size_bytes(
+        conf.get("spark.sql.files.openCostInBytes", None), 4 << 20
+    )
+    min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+    parallelism = (
+        int(min_pn)
+        if min_pn
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // parallelism))
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    chunks.sort(reverse=True)
+    n, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            n += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        n += 1
+    return max(n, 1)
+
+
 def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Repartition up to the session's parallelism when the scan produced
     fewer partitions than cores. Small/single-file inputs otherwise pin
@@ -149,7 +236,10 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     well-partitioned input just to repartition it)."""
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _scan_partition_estimate(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
