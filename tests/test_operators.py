@@ -5709,3 +5709,4 @@ def test_multipart_checkpoint_replay_and_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="incomplete"):
         w.live_files()
+
