@@ -1042,6 +1042,7 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast gram semi-join. Nothing quadratic, nothing collected."""
     from user_feed_cdc_spark.operators.dedup import (
         _cluster_by_bands,
+        _loop_partitions,
         _materialize,
         md5_band_rows,
     )
@@ -1077,6 +1078,9 @@ def pipeline_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = _cluster_by_bands(
         md5_band_rows(s2).withColumnRenamed("band_val", "band_hash"),
         s2.select("doc_id"),
+        # s2 is checkpoint-backed (no file lineage), so the loop width
+        # derives from the original documents scan instead
+        loop_partitions=_loop_partitions(docs),
     )
     s3 = (
         s2.join(clusters, "doc_id")
