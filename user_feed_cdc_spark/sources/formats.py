@@ -745,6 +745,7 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         q.awaitTermination(30)
     return (
         spark.table(sink)
+        .coalesce(1)  # driver-resident memory sink: no fan-out agg
         .groupBy((F.col("v") % 8).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
     )
@@ -2992,7 +2993,7 @@ def streaming_txn_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    back = spark.table(sink).select(
+    back = spark.table(sink).coalesce(1).select(
         "event_id",
         F.timestamp_micros("ts_us").alias("ts"),
         "user_id",
@@ -3678,6 +3679,7 @@ def streaming_txn_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(30)
     return (
         spark.table(sink)
+        .coalesce(1)  # driver-resident memory sink: no fan-out agg
         .groupBy("change_type", "commit_version", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -3831,7 +3833,7 @@ def streaming_txn_source_exec_live(
     finally:
         q.stop()
         q.awaitTermination(30)
-    back = spark.table(sink).select(
+    back = spark.table(sink).coalesce(1).select(
         "event_id",
         F.timestamp_micros("ts_us").alias("ts"),
         "user_id",
